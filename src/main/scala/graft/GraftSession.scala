@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory with the defaults this engine assumes.
+  *
+  * Local testing runs `local[32]` in one JVM; the same settings
+  * (AQE on, sensible shuffle partitioning, UTC) are what we would
+  * ship as cluster defaults — only `master` changes on a real
+  * cluster.
+  */
+object GraftSession {
+
+  def local(cores: Int = 32): SparkSession = builder(s"local[$cores]").getOrCreate()
+
+  def builder(master: String): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+}
+
+/** Loaders for the driver-generated parquet test tables. */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Read one table from an sf dir; filters/projections push down to parquet. */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+}

@@ -1,13 +1,578 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.functions.{Similarity, TextFunctions}
+import graft.ml.{Ann, Dedup}
+import graft.operators._
+import graft.operators.Filters.Criterion
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, each with a DuckDB oracle in `oracleSql` (rows-only
+  * checks for the non-SQL-expressible ops). Column names are aligned
+  * between the Spark result and the oracle SQL: the driver sorts columns
+  * by name before hashing.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS) which Spark only reads as
+    // long; normalize to microsecond TimestampType right at the scan.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  /** Flagship query on sf=0.001: revenue per nation — scan-heavy join
+    * pipeline with broadcast dims (lineitem ⋈ orders ⋈ customer ⋈ nation).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val li = t(spark, dir, "lineitem")
+    val o = t(spark, dir, "orders")
+    val c = t(spark, dir, "customer")
+    val n = t(spark, dir, "nation")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(n("n_name"))
+      .agg(round(sum(li("l_extendedprice") * (lit(1.0) - li("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- aggregation -------------------------------------------------
+    "q1_agg" -> ((s, dir) => {
+      GroupBy.groupby(t(s, dir, "lineitem"),
+        Seq("l_returnflag", "l_linestatus"),
+        Seq("l_quantity" -> "Sum", "l_extendedprice" -> "Sum",
+            "l_quantity" -> "Average", "l_quantity" -> "Count"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("Sum(l_quantity)").as("sum_qty"),
+          round(col("Sum(l_extendedprice)"), 2).as("sum_price"),
+          col("Average(l_quantity)").as("avg_qty"),
+          col("Count(l_quantity)").as("cnt"))
+    }),
+    "q_groupby_accs" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").withColumn("disc1", lit(1.0) + col("l_discount"))
+      GroupBy.groupby(li, Seq("l_orderkey"),
+        Seq("l_quantity" -> "Max", "l_quantity" -> "Min", "l_quantity" -> "Sum",
+            "disc1" -> "Product", "l_quantity" -> "Average",
+            "l_quantity" -> "StandardDeviation", "l_quantity" -> "Median",
+            "l_quantity" -> "Count", "l_returnflag" -> "CountUnique",
+            "l_quantity" -> "First", "l_quantity" -> "Last"),
+        orderCol = "l_linenumber")
+        .select(col("l_orderkey"),
+          col("Max(l_quantity)").as("max_qty"),
+          col("Min(l_quantity)").as("min_qty"),
+          col("Sum(l_quantity)").as("sum_qty"),
+          round(col("Product(disc1)"), 6).as("prod_disc"),
+          col("Average(l_quantity)").as("avg_qty"),
+          round(col("StandardDeviation(l_quantity)"), 6).as("std_qty"),
+          col("Median(l_quantity)").as("med_qty"),
+          col("Count(l_quantity)").as("cnt"),
+          col("CountUnique(l_returnflag)").as("uniq_flags"),
+          col("First(l_quantity)").as("first_qty"),
+          col("Last(l_quantity)").as("last_qty"))
+    }),
+    "q_count_unique_nulls" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("et", when(col("event_type") === "click", lit(null)).otherwise(col("event_type")))
+        .withColumn("day", date_trunc("DAY", col("ts")))
+      GroupBy.groupby(ev, Seq("day"), Seq("et" -> "CountUnique"))
+        .select(col("day"), col("CountUnique(et)").as("uniq_types"))
+    }),
+    "q_mode_median" -> ((s, dir) =>
+      GroupBy.groupby(t(s, dir, "lineitem"), Seq("l_returnflag"),
+        Seq("l_linestatus" -> "Mode", "l_extendedprice" -> "Median"))
+        .select(col("l_returnflag"),
+          col("Mode(l_linestatus)").as("mode_status"),
+          round(col("Median(l_extendedprice)"), 4).as("med_price"))),
+    "q_stats" -> ((s, dir) =>
+      GroupBy.statistics(t(s, dir, "lineitem"), "l_quantity")
+        .withColumn("stdev", round(col("stdev"), 6))),
+    "q_histogram" -> ((s, dir) =>
+      GroupBy.histogram(t(s, dir, "lineitem"), "l_quantity")),
+    "q_unique" -> ((s, dir) =>
+      GroupBy.unique(t(s, dir, "customer"), "c_mktsegment")),
+    "q_distinct_keys" -> ((s, dir) =>
+      GroupBy.groupby(t(s, dir, "lineitem"), Seq("l_returnflag", "l_linestatus"), Nil)),
+
+    // ---- filters -----------------------------------------------------
+    "q_filter_pass" -> ((s, dir) =>
+      Filters.filterSplit(t(s, dir, "lineitem"),
+        Seq(Criterion.cv("l_quantity", "<", 24), Criterion.cv("l_discount", ">", 0.02)), "all")._1),
+    "q_filter_fail" -> ((s, dir) =>
+      Filters.filterSplit(t(s, dir, "lineitem"),
+        Seq(Criterion.cv("l_quantity", "<", 24), Criterion.cv("l_discount", ">", 0.02)), "all")._2),
+    "q_filter_any" -> ((s, dir) =>
+      Filters.filterSplit(t(s, dir, "lineitem"),
+        Seq(Criterion.cv("l_quantity", ">", 49), Criterion.cv("l_discount", "<", 0.01)), "any")._1),
+    "q_filter_colcol" -> ((s, dir) =>
+      Filters.filterSplit(t(s, dir, "lineitem"),
+        Seq(Criterion.cc("l_discount", "<", "l_tax")), "all")._1
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_discount"), col("l_tax"))),
+    "q_filter_contains" -> ((s, dir) =>
+      Filters.filterSplit(t(s, dir, "part"),
+        Seq(Criterion.cv("p_type", "in", "BRASS")), "all")._1
+        .select(col("p_partkey"), col("p_type"))),
+    "q_all_kwargs" -> ((s, dir) =>
+      Filters.filterAll(t(s, dir, "lineitem"),
+        Map("l_returnflag" -> "A", "l_linestatus" -> "F"))),
+    "q_any_kwargs" -> ((s, dir) =>
+      Filters.filterAny(t(s, dir, "customer"),
+        Map("c_mktsegment" -> "BUILDING", "c_nationkey" -> 3))),
+    "q_drop_rows" -> ((s, dir) =>
+      Filters.dropRows(t(s, dir, "customer"), Seq("BUILDING"))),
+    "q_replace" -> ((s, dir) =>
+      GroupBy.histogram(
+        Filters.replace(t(s, dir, "lineitem"), Map("A" -> "X"), Seq("l_returnflag")),
+        "l_returnflag")),
+    "q_dropdup_first" -> ((s, dir) =>
+      Filters.dropDuplicatesKeepFirst(t(s, dir, "lineitem"), Seq("l_orderkey"),
+        Seq("l_linenumber", "l_quantity"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))),
+
+    // ---- joins -------------------------------------------------------
+    "q_join_inner" -> ((s, dir) =>
+      Joins.join(t(s, dir, "orders"), t(s, dir, "customer"),
+        Seq("o_custkey"), Seq("c_custkey"), "inner",
+        leftColumns = Some(Seq("o_orderkey", "o_totalprice")),
+        rightColumns = Some(Seq("c_name", "c_mktsegment")))),
+    "q_join_left" -> ((s, dir) =>
+      Joins.join(t(s, dir, "customer"),
+        t(s, dir, "orders").filter(col("o_totalprice") > 400000),
+        Seq("c_custkey"), Seq("o_custkey"), "left",
+        leftColumns = Some(Seq("c_custkey", "c_name")),
+        rightColumns = Some(Seq("o_orderkey", "o_totalprice")))),
+    "q_join_outer_merge" -> ((s, dir) =>
+      Joins.join(t(s, dir, "orders").filter(col("o_orderkey") < 30000),
+        t(s, dir, "customer"),
+        Seq("o_custkey"), Seq("c_custkey"), "outer",
+        leftColumns = Some(Seq("o_custkey", "o_orderkey")),
+        rightColumns = Some(Seq("c_custkey", "c_name")),
+        mergeKeys = true)),
+    "q_join_nullsafe" -> ((s, dir) => {
+      val c = t(s, dir, "customer").withColumn("nk", nullif(col("c_nationkey"), lit(3)))
+      val n = t(s, dir, "nation").withColumn("nk2", nullif(col("n_nationkey"), lit(3)))
+      Joins.join(c, n, Seq("nk"), Seq("nk2"), "inner", nullSafe = true)
+        .groupBy(col("n_name")).agg(count(lit(1)).as("cnt"))
+    }),
+    "q_join_cross" -> ((s, dir) =>
+      Joins.crossJoin(t(s, dir, "region").select(col("r_name")),
+        t(s, dir, "nation").select(col("n_name")))),
+    "q_semi" -> ((s, dir) =>
+      t(s, dir, "customer").join(
+        t(s, dir, "orders").filter(col("o_totalprice") > 450000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))),
+    "q_anti" -> ((s, dir) =>
+      t(s, dir, "customer").join(
+        t(s, dir, "orders").filter(col("o_totalprice") > 450000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))),
+    "q_lookup" -> ((s, dir) =>
+      Joins.lookup(t(s, dir, "region"), t(s, dir, "nation"),
+        (_, _) => col("l.r_regionkey") > col("r.n_regionkey"),
+        rightOrder = "n_nationkey",
+        rightColumns = Some(Seq("n_nationkey", "n_name")))),
+    "q_match" -> ((s, dir) =>
+      Joins.matchOp(t(s, dir, "orders"), t(s, dir, "lineitem"),
+        Seq("o_orderkey"), Seq("l_orderkey"), rightOrder = "l_linenumber",
+        rightColumns = Some(Seq("l_quantity", "l_partkey")))
+        .select(col("o_orderkey"), col("o_totalprice"), col("l_quantity"), col("l_partkey"))),
+
+    // ---- pivot / reshape --------------------------------------------
+    "q_pivot" -> ((s, dir) =>
+      Pivots.pivot(t(s, dir, "lineitem"), Seq("l_returnflag"), Seq("l_linestatus"),
+        Seq("l_quantity" -> "Sum"), pivotValues = Seq("F", "O"))
+        .withColumnRenamed("F", "qty_F").withColumnRenamed("O", "qty_O")),
+    "q_pivot_long" -> ((s, dir) =>
+      Pivots.pivotLong(t(s, dir, "lineitem"), Seq("l_returnflag"), Seq("l_linestatus"),
+        Seq("l_quantity" -> "Sum", "l_extendedprice" -> "Max"))),
+    "q_melt" -> ((s, dir) =>
+      Pivots.melt(
+        t(s, dir, "part").select(col("p_partkey"),
+          col("p_size").cast("double").as("p_size"), col("p_retailprice")),
+        Seq("p_partkey"), Seq("p_size", "p_retailprice"), "transpose", "value")),
+
+    // ---- sort / slice ------------------------------------------------
+    "q_sort_topk" -> ((s, dir) =>
+      Sorts.sorted(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")),
+        Seq("l_extendedprice" -> true, "l_orderkey" -> false, "l_linenumber" -> false))
+        .limit(100)),
+    "q_slice" -> ((s, dir) =>
+      Slicing.slice(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        Seq("o_orderkey"), 100, 200)),
+    "q_slice_step" -> ((s, dir) =>
+      Slicing.sliceStep(t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+        Seq("o_orderkey"), 0, 1000, 7)),
+
+    // ---- set ops / misc ---------------------------------------------
+    "q_concat" -> ((s, dir) =>
+      SetOps.concat(
+        t(s, dir, "lineitem").filter(col("l_quantity") < 10),
+        t(s, dir, "lineitem").filter(col("l_quantity") > 45))),
+    "q_stack" -> ((s, dir) =>
+      SetOps.stack(
+        t(s, dir, "customer").select(col("c_custkey").as("key"), col("c_name").as("name"),
+          col("c_acctbal").as("acctbal")),
+        t(s, dir, "supplier").select(col("s_suppkey").as("key"), col("s_name").as("name")))),
+    "q_except" -> ((s, dir) =>
+      SetOps.exceptTables(
+        t(s, dir, "customer").select(col("c_custkey")),
+        t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+          .select(col("o_custkey").as("c_custkey")))),
+    "q_intersect" -> ((s, dir) =>
+      SetOps.intersectTables(
+        t(s, dir, "customer").select(col("c_nationkey").as("k")),
+        t(s, dir, "supplier").select(col("s_nationkey").as("k")))),
+    "q_merge_where" -> ((s, dir) =>
+      SetOps.mergeWhere(
+        t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"),
+          col("c_name"), col("c_mktsegment")),
+        col("c_acctbal") < 0, "c_name", "c_mktsegment", "label")
+        .select(col("c_custkey"), col("label"))),
+    "q_diff" -> ((s, dir) =>
+      SetOps.diff(
+        t(s, dir, "region").select(col("r_regionkey"), col("r_name")),
+        t(s, dir, "region").filter(col("r_regionkey") =!= 2)
+          .select(col("r_regionkey"), col("r_name")))),
+
+    // ---- imputation --------------------------------------------------
+    "q_ffill" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"),
+        when(col("event_type") === "error", lit(null)).otherwise(col("value")).as("v"))
+      Imputation.ffill(ev, Seq("v"), "event_id")
+    }),
+    "q_fill_mean" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"),
+        when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_acctbal")).as("bal"))
+      Imputation.fillWithStat(c, Seq("bal"), "mean")
+        .select(col("c_custkey"), round(col("bal"), 2).as("bal"))
+    }),
+    "q_nn_impute" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("event_id"),
+        when(col("event_type") === "error", lit(null)).otherwise(col("value")).as("v"))
+      Imputation.nearestNeighbour(ev, "v", Seq("event_id"))
+    }),
+
+    // ---- text analysis ----------------------------------------------
+    "q_token_count" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.tokenCountRegex(col("text")).as("n_subtokens"))),
+    "q_quality" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.qualityFeatures(col("text")).as("q"))
+        .select(col("doc_id"), col("q.n_chars").as("n_chars"), col("q.n_tokens").as("n_tokens"),
+          col("q.avg_token_len").as("avg_token_len"), col("q.punct_ratio").as("punct_ratio"),
+          col("q.upper_ratio").as("upper_ratio"), col("q.stopword_ratio").as("stopword_ratio"))),
+    "q_langid" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.langId(col("text")).as("pred_lang"))),
+    "q_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fp"))),
+
+    // ---- dedup / similarity -----------------------------------------
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
+    "q_minhash_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val truncated = docs.select((col("doc_id") + 1000000).as("doc_id"),
+        substring(col("text"), 1, 200).as("text"))
+      Dedup.minhashPairs(SetOps.concat(docs, truncated), "doc_id", "text",
+        threshold = 0.5)
+    }),
+    "q_simhash_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val truncated = docs.select((col("doc_id") + 1000000).as("doc_id"),
+        substring(col("text"), 1, 200).as("text"))
+      Dedup.simhashPairs(SetOps.concat(docs, truncated), "doc_id", "text", maxHamming = 3)
+    }),
+    "q_ngram_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val truncated = docs.select((col("doc_id") + 1000000).as("doc_id"),
+        substring(col("text"), 1, 200).as("text"))
+      Dedup.ngramJaccardPairs(SetOps.concat(docs, truncated), "doc_id", "text",
+        threshold = 0.4)
+    }),
+    "q_embedding_pairs" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val copies = e.select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      Dedup.embeddingPairs(SetOps.concat(e, copies), "vec_id", "embedding",
+        dim = 64, threshold = 0.99)
+    }),
+
+    // ---- similarity search ------------------------------------------
+    "q_knn" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Ann.bruteForceKnn(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbour_id"), col("rank"))
+    }),
+    "q_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val idx = Ann.buildIndex(e, "vec_id", "embedding", dim = 64)
+      Ann.lshKnn(idx, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        dim = 64, k = 5)
+        .select(col("query_id"), col("neighbour_id"), col("rank"))
+    }),
+
+    // ---- multimodal plumbing ----------------------------------------
+    "q_multimodal" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val media = graft.ml.Multimodal.asMediaTable(
+        t(s, dir, "documents").withColumn("payload", col("text").cast("binary")),
+        "doc_id", "payload", "text")
+      graft.ml.Multimodal.extractFeatures(media).toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"), col("checksum"))
+    }),
+
+    // ---- events / windows -------------------------------------------
+    "q_events_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .select(col("window.start").as("day"), col("event_type"), col("n"), col("total"))),
+    "q_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      t(s, dir, "events")
+        .withColumn("gap_ms", unix_millis(col("ts")) - lag(unix_millis(col("ts")), 1).over(w))
+        .withColumn("new_sess", when(col("gap_ms") > 30 * 60 * 1000, 1).otherwise(0))
+        .groupBy(col("user_id"))
+        .agg((lit(1) + sum(col("new_sess"))).cast("long").as("n_sessions"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_price, avg(l_quantity) AS avg_qty,
+         count(*) AS cnt FROM lineitem GROUP BY 1, 2""",
+    "q_groupby_accs" ->
+      """SELECT l_orderkey, max(l_quantity) AS max_qty, min(l_quantity) AS min_qty,
+         sum(l_quantity) AS sum_qty, round(product(1.0 + l_discount), 6) AS prod_disc,
+         avg(l_quantity) AS avg_qty,
+         round(coalesce(stddev_samp(l_quantity), 0.0), 6) AS std_qty,
+         median(l_quantity) AS med_qty, count(*) AS cnt,
+         count(DISTINCT l_returnflag) AS uniq_flags,
+         min_by(l_quantity, l_linenumber * 1000 + CAST(l_quantity AS BIGINT)) AS first_qty,
+         max_by(l_quantity, l_linenumber * 1000 + CAST(l_quantity AS BIGINT)) AS last_qty
+         FROM lineitem GROUP BY 1""",
+    "q_count_unique_nulls" ->
+      """SELECT date_trunc('day', ts) AS day,
+         count(DISTINCT nullif(event_type, 'click'))
+           + max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS uniq_types
+         FROM events GROUP BY 1""",
+    "q_mode_median" ->
+      """SELECT l_returnflag, mode(l_linestatus) AS mode_status,
+         round(median(l_extendedprice), 4) AS med_price FROM lineitem GROUP BY 1""",
+    "q_stats" ->
+      """SELECT min(l_quantity) AS min, max(l_quantity) AS max, avg(l_quantity) AS mean,
+         median(l_quantity) AS median,
+         round(coalesce(stddev_samp(l_quantity), 0.0), 6) AS stdev,
+         sum(l_quantity) AS sum, count(DISTINCT l_quantity) AS "distinct",
+         quantile_cont(l_quantity, 0.25) AS iqr_low,
+         quantile_cont(l_quantity, 0.75) AS iqr_high,
+         count(*) AS summary_length FROM lineitem""",
+    "q_histogram" ->
+      "SELECT l_quantity, count(*) AS count FROM lineitem GROUP BY 1",
+    "q_unique" ->
+      "SELECT DISTINCT c_mktsegment FROM customer",
+    "q_distinct_keys" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q_filter_pass" ->
+      "SELECT * FROM lineitem WHERE l_quantity < 24 AND l_discount > 0.02",
+    "q_filter_fail" ->
+      "SELECT * FROM lineitem WHERE NOT (l_quantity < 24 AND l_discount > 0.02)",
+    "q_filter_any" ->
+      "SELECT * FROM lineitem WHERE l_quantity > 49 OR l_discount < 0.01",
+    "q_filter_colcol" ->
+      """SELECT l_orderkey, l_linenumber, l_discount, l_tax FROM lineitem
+         WHERE l_discount < l_tax""",
+    "q_filter_contains" ->
+      "SELECT p_partkey, p_type FROM part WHERE contains(p_type, 'BRASS')",
+    "q_all_kwargs" ->
+      "SELECT * FROM lineitem WHERE l_returnflag = 'A' AND l_linestatus = 'F'",
+    "q_any_kwargs" ->
+      "SELECT * FROM customer WHERE c_mktsegment = 'BUILDING' OR c_nationkey = 3",
+    "q_drop_rows" ->
+      """SELECT * FROM customer WHERE NOT (coalesce(c_name = 'BUILDING', FALSE)
+         OR coalesce(c_mktsegment = 'BUILDING', FALSE))""",
+    "q_replace" ->
+      """SELECT CASE WHEN l_returnflag = 'A' THEN 'X' ELSE l_returnflag END AS l_returnflag,
+         count(*) AS count FROM lineitem GROUP BY 1""",
+    "q_dropdup_first" ->
+      """SELECT l_orderkey, min(l_linenumber) AS l_linenumber,
+         min_by(l_quantity, l_linenumber * 1000 + CAST(l_quantity AS BIGINT)) AS l_quantity
+         FROM lineitem GROUP BY 1""",
+    "q_join_inner" ->
+      """SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""",
+    "q_join_left" ->
+      """SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+         FROM customer c LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+         ON c.c_custkey = o.o_custkey""",
+    "q_join_outer_merge" ->
+      """SELECT coalesce(o.o_custkey, c.c_custkey) AS o_custkey, o.o_orderkey, c.c_name
+         FROM (SELECT * FROM orders WHERE o_orderkey < 30000) o
+         FULL JOIN customer c ON o.o_custkey = c.c_custkey""",
+    "q_join_nullsafe" ->
+      """SELECT n_name, count(*) AS cnt
+         FROM (SELECT nullif(c_nationkey, 3) AS nk, * FROM customer) c
+         JOIN (SELECT nullif(n_nationkey, 3) AS nk2, * FROM nation) n
+         ON c.nk IS NOT DISTINCT FROM n.nk2 GROUP BY 1""",
+    "q_join_cross" ->
+      "SELECT r_name, n_name FROM region CROSS JOIN nation",
+    "q_semi" ->
+      """SELECT c_custkey, c_name FROM customer WHERE EXISTS
+         (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 450000)""",
+    "q_anti" ->
+      """SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS
+         (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 450000)""",
+    "q_lookup" ->
+      """SELECT r.r_regionkey, r.r_name, min(n.n_nationkey) AS n_nationkey,
+         min_by(n.n_name, n.n_nationkey) AS n_name
+         FROM region r LEFT JOIN nation n ON n.n_regionkey < r.r_regionkey
+         GROUP BY 1, 2""",
+    "q_match" ->
+      """SELECT o.o_orderkey, o.o_totalprice, fl.l_quantity, fl.l_partkey
+         FROM orders o JOIN (SELECT l_orderkey,
+           min_by(l_quantity, l_linenumber * 10000000000000 +
+             CAST(l_quantity AS BIGINT) * 10000000000 + l_partkey) AS l_quantity,
+           min_by(l_partkey, l_linenumber * 10000000000000 +
+             CAST(l_quantity AS BIGINT) * 10000000000 + l_partkey) AS l_partkey
+           FROM lineitem GROUP BY 1) fl ON o.o_orderkey = fl.l_orderkey""",
+    "q_pivot" ->
+      """SELECT l_returnflag,
+         sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_F,
+         sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_O
+         FROM lineitem GROUP BY 1""",
+    "q_pivot_long" ->
+      """WITH agg AS (SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sq,
+           max(l_extendedprice) AS mp FROM lineitem GROUP BY 1, 2)
+         SELECT l_returnflag, l_linestatus, 'Sum(l_quantity)' AS "function", sq AS value FROM agg
+         UNION ALL
+         SELECT l_returnflag, l_linestatus, 'Max(l_extendedprice)' AS "function", mp AS value FROM agg""",
+    "q_melt" ->
+      """SELECT p_partkey, 'p_size' AS transpose, CAST(p_size AS DOUBLE) AS value FROM part
+         UNION ALL
+         SELECT p_partkey, 'p_retailprice' AS transpose, p_retailprice AS value FROM part""",
+    "q_sort_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+         ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""",
+    "q_slice" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY o_orderkey LIMIT 100 OFFSET 100""",
+    "q_slice_step" ->
+      """SELECT o_orderkey, o_totalprice FROM (
+           SELECT o_orderkey, o_totalprice,
+             row_number() OVER (ORDER BY o_orderkey) - 1 AS rn FROM orders)
+         WHERE rn < 1000 AND rn % 7 = 0""",
+    "q_concat" ->
+      """SELECT * FROM lineitem WHERE l_quantity < 10
+         UNION ALL SELECT * FROM lineitem WHERE l_quantity > 45""",
+    "q_stack" ->
+      """SELECT c_custkey AS key, c_name AS name, c_acctbal AS acctbal FROM customer
+         UNION ALL
+         SELECT s_suppkey, s_name, CAST(NULL AS DOUBLE) FROM supplier""",
+    "q_except" ->
+      """SELECT c_custkey FROM customer
+         EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 300000""",
+    "q_intersect" ->
+      """SELECT c_nationkey AS k FROM customer
+         INTERSECT SELECT s_nationkey FROM supplier""",
+    "q_merge_where" ->
+      """SELECT c_custkey, CASE WHEN c_acctbal < 0 THEN c_name ELSE c_mktsegment END AS label
+         FROM customer""",
+    "q_diff" ->
+      """WITH a AS (SELECT r_regionkey, r_name, count(*) AS na FROM region GROUP BY 1, 2),
+         b AS (SELECT r_regionkey, r_name, count(*) AS nb FROM region
+               WHERE r_regionkey <> 2 GROUP BY 1, 2)
+         SELECT coalesce(a.r_regionkey, b.r_regionkey) AS r_regionkey,
+           coalesce(a.r_name, b.r_name) AS r_name,
+           coalesce(na, 0) AS count_a, coalesce(nb, 0) AS count_b,
+           CASE WHEN na IS NULL THEN '+' WHEN nb IS NULL THEN '-' ELSE '=' END AS marker
+         FROM a FULL JOIN b ON a.r_regionkey IS NOT DISTINCT FROM b.r_regionkey
+           AND a.r_name IS NOT DISTINCT FROM b.r_name""",
+    "q_ffill" ->
+      """SELECT event_id, last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END
+         IGNORE NULLS) OVER (ORDER BY event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v FROM events""",
+    "q_fill_mean" ->
+      """SELECT c_custkey, round(coalesce(
+           CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END,
+           (SELECT avg(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END) FROM customer)),
+         2) AS bal FROM customer""",
+    "q_nn_impute" ->
+      """WITH base AS (SELECT event_id,
+           CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v,
+           row_number() OVER (ORDER BY event_id) AS pos FROM events),
+         w AS (SELECT event_id, v,
+           last_value(v IGNORE NULLS) OVER (ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+           first_value(v IGNORE NULLS) OVER (ORDER BY pos
+             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+           pos - last_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS)
+             OVER (ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS dprev,
+           first_value(CASE WHEN v IS NOT NULL THEN pos END IGNORE NULLS)
+             OVER (ORDER BY pos ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) - pos AS dnext
+           FROM base)
+         SELECT event_id, CASE WHEN v IS NOT NULL THEN v
+           WHEN pv IS NULL THEN nv WHEN nv IS NULL THEN pv
+           WHEN dprev < dnext THEN pv WHEN dnext < dprev THEN nv
+           ELSE least(pv, nv) END AS v FROM w""",
+    "q_token_count" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subtokens
+         FROM documents""",
+    "q_quality" ->
+      """SELECT doc_id, length(text) AS n_chars,
+         len(string_split(text, ' ')) AS n_tokens,
+         CAST(length(text) AS DOUBLE) / greatest(len(string_split(text, ' ')), 1) AS avg_token_len,
+         CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS punct_ratio,
+         CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS upper_ratio,
+         CAST(len(regexp_extract_all(lower(text),
+           '\b(the|and|is|of|to|a|in|that|it|was)\b')) AS DOUBLE)
+           / greatest(len(string_split(text, ' ')), 1) AS stopword_ratio
+         FROM documents""",
+    "q_langid" ->
+      """WITH s AS (SELECT doc_id,
+           len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|zu|mit|von)\b')) AS sde,
+           len(regexp_extract_all(lower(text), '\b(the|and|is|of|to|in|that|it|for|was)\b')) AS sen,
+           len(regexp_extract_all(lower(text), '\b(el|la|los|las|es|y|de|que|en|un)\b')) AS ses,
+           len(regexp_extract_all(lower(text), '\b(le|la|les|est|et|des|que|en|une|dans)\b')) AS sfr,
+           len(regexp_extract_all(lower(text), '[\x{4e00}-\x{9fff}]')) AS szh
+           FROM documents)
+         SELECT doc_id, CASE
+           WHEN sde >= sen AND sde >= ses AND sde >= sfr AND sde >= szh THEN 'de'
+           WHEN sen >= ses AND sen >= sfr AND sen >= szh THEN 'en'
+           WHEN ses >= sfr AND ses >= szh THEN 'es'
+           WHEN sfr >= szh THEN 'fr'
+           ELSE 'zh' END AS pred_lang FROM s""",
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text),
+         '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp FROM documents""",
+    "q_dedup_exact" ->
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+         '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp,
+         min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY 1""",
+    "q_events_window" ->
+      """SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n,
+         round(sum(value), 2) AS total FROM events GROUP BY 1, 2""",
+    "q_sessionize" ->
+      """SELECT user_id, CAST(1 + sum(flag) AS BIGINT) AS n_sessions FROM (
+           SELECT user_id, CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
+             OVER (PARTITION BY user_id ORDER BY ts) > 1800000 THEN 1 ELSE 0 END AS flag
+           FROM events) GROUP BY 1"""
+    // rows-only (no SQL oracle): q_minhash_pairs, q_simhash_pairs,
+    // q_ngram_pairs, q_embedding_pairs, q_knn, q_ann_lsh, q_multimodal
+  )
 }

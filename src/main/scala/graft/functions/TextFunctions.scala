@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for training-data pipelines.
+  * Pure `functions._` compositions — fully codegen'd, no UDFs, so they
+  * stay inside WholeStageCodegen and scale linearly with input bytes.
+  */
+object TextFunctions {
+
+  /** Whitespace token count (single-space split, Python `str.split(' ')`). */
+  def tokenCount(text: Column): Column =
+    size(split(text, " ", -1)).cast("long")
+
+  /** BPE-ish subword token estimate: word-and-punctuation regex split.
+    * Counts runs of letters, runs of digits, and single punctuation marks
+    * — a deterministic proxy for tokenizer counts when no vocab is loaded.
+    */
+  def tokenCountRegex(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+
+  /** Normalized text used for fingerprinting/dedup: lowercase, strip
+    * everything but letters/digits/spaces, squeeze whitespace.
+    */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Document fingerprint: md5 of the normalized text (hex). The rolling
+    * n-gram variant for partial-overlap detection is `Similarity.shingles`
+    * + minhash.
+    */
+  def fingerprint(text: Column): Column = md5(normalized(text).cast("binary"))
+
+  /** Quality-score features (length / punctuation / stopword ratios).
+    * Returns a struct; callers project what they score on.
+    */
+  def qualityFeatures(text: Column): Column = {
+    val nChars = length(text)
+    val nTokens = tokenCount(text)
+    val nPunct = length(regexp_replace(text, "[^.!?,;:]", ""))
+    val nUpper = length(regexp_replace(text, "[^A-Z]", ""))
+    val nStop = size(regexp_extract_all(lower(text),
+      lit("\\b(the|and|is|of|to|a|in|that|it|was)\\b"), lit(0)))
+    struct(
+      nChars.cast("long").as("n_chars"),
+      nTokens.as("n_tokens"),
+      (nChars.cast("double") / greatest(nTokens, lit(1L))).as("avg_token_len"),
+      (nPunct.cast("double") / greatest(nChars, lit(1))).as("punct_ratio"),
+      (nUpper.cast("double") / greatest(nChars, lit(1))).as("upper_ratio"),
+      (nStop.cast("double") / greatest(nTokens, lit(1L))).as("stopword_ratio"))
+  }
+
+  /** Language stopword profiles for the n-gram/stopword language-ID
+    * heuristic. Word-boundary regexes per language.
+    */
+  val langProfiles: Seq[(String, String)] = Seq(
+    "de" -> "\\b(der|die|das|und|ist|nicht|ein|zu|mit|von)\\b",
+    "en" -> "\\b(the|and|is|of|to|in|that|it|for|was)\\b",
+    "es" -> "\\b(el|la|los|las|es|y|de|que|en|un)\\b",
+    "fr" -> "\\b(le|la|les|est|et|des|que|en|une|dans)\\b",
+    "zh" -> "[\\u4e00-\\u9fff]")
+
+  /** Per-language match score (match count / token count). */
+  def langScore(text: Column, pattern: String): Column =
+    size(regexp_extract_all(lower(text), lit(pattern), lit(0)))
+
+  /** Language-ID: argmax of stopword-profile scores with a fixed
+    * first-wins tie-break in `langProfiles` order. Codegen'd CASE chain.
+    */
+  def langId(text: Column): Column = {
+    val scores = langProfiles.map { case (lang, pat) => lang -> langScore(text, pat) }
+    // lang_i wins if its score >= every later score (first-wins ties)
+    val cases = scores.zipWithIndex.dropRight(1).map { case ((lang, s), i) =>
+      val rest = scores.drop(i + 1).map(_._2)
+      (rest.map(s >= _).reduce(_ && _), lang)
+    }
+    cases.foldRight(lit(langProfiles.last._1): Column) { case ((cond, lang), elseCol) =>
+      when(cond, lit(lang)).otherwise(elseCol)
+    }
+  }
+}

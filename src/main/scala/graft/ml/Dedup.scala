@@ -1,0 +1,130 @@
+package graft.ml
+
+import graft.functions.{Similarity, TextFunctions}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication pipelines for training-data curation. All variants share
+  * the shape: per-doc signature (narrow, codegen'd) → bucket key →
+  * shuffle ON THE BUCKET KEY ONLY → per-bucket candidate verification.
+  * Nothing ever shuffles full text except the final winner gather.
+  */
+object Dedup {
+
+  /** Exact dedup by content hash: group on md5(normalized text), keep the
+    * lowest id. Scales as one hash-partitioned aggregation; the 128-bit
+    * hash key (not the text) is the shuffle payload.
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** MinHash + LSH near-dup candidate pairs:
+    * shingle → minhash(k) → band keys → explode → self-join per band
+    * → distinct pairs → exact Jaccard verification ≥ threshold.
+    *
+    * Scale: the self-join is per-band-bucket; skew guard = cap bucket
+    * size (buckets bigger than `maxBucket` are dropped — they are
+    * boilerplate/empty-text clusters that exact dedup already handles).
+    */
+  def minhashPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 64,
+      bands: Int = 16,
+      shingleN: Int = 3,
+      threshold: Double = 0.7,
+      maxBucket: Int = 1000): DataFrame = {
+    val withSig = docs
+      .select(col(idCol).as("id"),
+        Similarity.shingles(col(textCol), shingleN).as("sh"))
+      .withColumn("bandkey", explode(Similarity.lshBands(
+        Similarity.minhash(col("sh"), k), bands, k / bands)))
+
+    val bucketed = withSig
+      .withColumn("bsize", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("bandkey")))
+      .filter(col("bsize") <= maxBucket)
+
+    val a = bucketed.select(col("bandkey"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = bucketed.select(col("bandkey"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("bandkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), Similarity.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .distinct()
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash near-dup pairs: 64-bit signature, bucket by the signature's
+    * 4 16-bit quadrants (any pair within hamming distance 3 shares at
+    * least one exact quadrant), verify hamming ≤ maxHamming.
+    */
+  def simhashPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sig = docs.select(col(idCol).as("id"),
+      Similarity.simhash(split(TextFunctions.normalized(col(textCol)), " ", -1)).as("sim"))
+    val quads = sig.select(col("id"), col("sim"), explode(array(
+      (0 until 4).map(q => concat_ws(":", lit(q),
+        shiftrightunsigned(col("sim"), q * 16).bitwiseAND(lit(0xFFFFL)))): _*)).as("qk"))
+    val a = quads.select(col("qk"), col("id").as("id_a"), col("sim").as("sim_a"))
+    val b = quads.select(col("qk"), col("id").as("id_b"), col("sim").as("sim_b"))
+    a.join(b, Seq("qk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.hamming64(col("sim_a"), col("sim_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard over ALL candidate pairs sharing at least one
+    * shingle — only sane for bounded corpora / post-LSH verification.
+    * Rare-shingle pruning keeps the explode bounded: only the
+    * `perDocKeep` rarest shingles per doc generate candidates.
+    */
+  def ngramJaccardPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.5,
+      perDocKeep: Int = 20): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), Similarity.shingles(col(textCol), shingleN).as("sh"))
+    val posting = sh.select(col("id"), explode(col("sh")).as("shingle"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy(xxhash64(col("shingle")))))
+      .filter(col("rank") <= perDocKeep)
+    val cand = posting.as("x").join(posting.as("y"), Seq("shingle"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
+    cand.join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), Similarity.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Embedding near-dup pairs: hyperplane-LSH bucket then exact cosine
+    * within buckets.
+    */
+  def embeddingPairs(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      threshold: Double = 0.95,
+      nPlanes: Int = 10): DataFrame = {
+    val b = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Similarity.hyperplaneBucket(col(vecCol), dim, nPlanes).as("bucket"))
+    val x = b.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val y = b.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    x.join(y, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), Similarity.cosine(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,66 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column plumbing.
+  *
+  * Media are opaque `binary` columns + typed metadata struct — the same
+  * layout `spark.read.format("binaryFile")` produces and parquet stores
+  * natively. The decode/feature kernels are the ONLY non-columnar steps;
+  * they run per-partition (Scala analogue of `mapInPandas`: batch-at-a-
+  * time, schema declared up front). The actual codec calls are STUBBED
+  * (no image/audio libs in this container) behind `decodeStub` with a
+  * deterministic fake, so the Spark-side plumbing — schema, batching,
+  * partition sizing — is real and tested.
+  */
+object Multimodal {
+
+  case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte],
+      width: Int, height: Int, sample_rate: Int)
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
+      checksum: Long, feature: Array[Float])
+
+  /** Wrap a binary payload with metadata — the ingest schema. */
+  def asMediaTable(df: DataFrame, idCol: String, binCol: String, kind: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("media_id"),
+      lit(kind).as("kind"),
+      col(binCol).cast("binary").as("bytes"),
+      lit(0).as("width"), lit(0).as("height"), lit(0).as("sample_rate"))
+
+  /** STUB decode: a real implementation would call an image/audio codec
+    * here (???). The fake derives a deterministic 8-dim feature from the
+    * bytes so downstream joins/ANN are testable end-to-end.
+    */
+  private def decodeStub(bytes: Array[Byte]): Array[Float] = {
+    // ??? real codec goes here (e.g. JPEG decode → resize → embed)
+    val h = bytes.foldLeft(1125899906842597L)((acc, b) => acc * 31 + b)
+    Array.tabulate(8)(i => (((h >>> (i * 8)) & 0xFF).toFloat / 255.0f))
+  }
+
+  /** Per-partition feature extraction — batches flow through the executor
+    * without driver round-trips; output schema fixed by the case class
+    * Encoder. Partition sizing: media rows are fat, so repartition by
+    * bytes (maxPartitionBytes) upstream, not row count.
+    */
+  def extractFeatures(media: DataFrame)(implicit spark: SparkSession): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.map { m =>
+        val bytes = Option(m.bytes).getOrElse(Array.emptyByteArray)
+        MediaFeatures(m.media_id, m.kind, bytes.length.toLong,
+          bytes.foldLeft(0L)((a, b) => a * 31 + b), decodeStub(bytes))
+      }
+    }
+  }
+
+  /** Frame-sampling plan for video payloads: emit (media_id, frame_no)
+    * rows for every `everyN`th frame — pure column ops; the decode of the
+    * sampled frame is again `decodeStub`.
+    */
+  def sampleFrames(media: DataFrame, frameCountCol: String, everyN: Int): DataFrame =
+    media.select(col("media_id"),
+      explode(sequence(lit(0), greatest(col(frameCountCol) - 1, lit(0)), lit(everyN)))
+        .as("frame_no"))
+}

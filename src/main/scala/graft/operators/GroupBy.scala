@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** GroupBy with the reference's 12 accumulators
+  * (nimlite/funcs/groupby.nim:6-463, dispatch at 588-689).
+  *
+  * Output columns are named `"Function(column)"` (groupby.nim:677-679).
+  * All accumulators map to Spark's partial-aggregation built-ins (map-side
+  * combine → shuffle → final merge), i.e. the same streaming hash-agg the
+  * Nim kernel does single-threaded, but distributed and spillable.
+  *
+  * Parity notes:
+  *  - Count counts ALL rows incl. nulls (groupby.nim:185-197) → count(*).
+  *  - CountUnique includes null as a distinct value (groupby.nim:200-214)
+  *    → count_distinct + null-presence adjustment.
+  *  - Sum/Product are float-typed in the reference (groupby.nim:107-152)
+  *    → cast to double.
+  *  - StandardDeviation is sample stdev with 0.0 for n≤1
+  *    (groupby.nim:243-277) → coalesce(stddev_samp, 0.0).
+  *  - First/Last need a deterministic order → explicit order column +
+  *    min_by/max_by instead of Spark's order-dependent first()/last().
+  *  - Median: the reference averages the two middle DISTINCT values on
+  *    even distinct-counts (groupby.nim:357-390) — a documented
+  *    divergence; we use percentile(0.5) (interpolated, standard).
+  *  - Mode: tie-break order diverges (groupby.nim:394-441); we use mode().
+  */
+object GroupBy {
+
+  /** Spark aggregate for one (function, column) pair, aliased `Func(col)`-style. */
+  def accumulator(fn: String, c: String, orderCol: String = null): Column = {
+    val base = fn match {
+      case "Max"               => max(col(c))
+      case "Min"               => min(col(c))
+      case "Sum"               => sum(col(c).cast("double"))
+      case "Product"           => product(col(c).cast("double"))
+      // ties in the order column are broken by the value itself so the
+      // result stays deterministic on non-unique order columns
+      case "First"             =>
+        if (orderCol == null) first(col(c))
+        else min_by(col(c), struct(col(orderCol), col(c)))
+      case "Last"              =>
+        if (orderCol == null) last(col(c))
+        else max_by(col(c), struct(col(orderCol), col(c)))
+      case "Count"             => count(lit(1))
+      case "CountUnique"       =>
+        countDistinct(col(c)) + max(when(col(c).isNull, 1).otherwise(0))
+      case "Average"           => avg(col(c))
+      case "StandardDeviation" => coalesce(stddev_samp(col(c)), lit(0.0))
+      case "Median"            => percentile(col(c), lit(0.5))
+      // ApproxMedian is the 100TB-scale path (single-pass sketch, no
+      // per-group value buffer); Median keeps exact oracle parity.
+      case "ApproxMedian"      => percentile_approx(col(c), lit(0.5), lit(10000))
+      case "Mode"              => mode(col(c))
+      case other               => throw new IllegalArgumentException(s"unknown accumulator: $other")
+    }
+    base.as(s"$fn($c)")
+  }
+
+  /** `t.groupby(keys, functions)` — functions = Seq(column -> accumulatorName).
+    * With no functions, returns the distinct key combinations
+    * (groupby.nim:608-620). First-seen key order is not reproduced
+    * (documented divergence — Spark results are unordered sets).
+    */
+  def groupby(
+      df: DataFrame,
+      keys: Seq[String],
+      functions: Seq[(String, String)],
+      orderCol: String = null): DataFrame = {
+    require(keys.nonEmpty || functions.nonEmpty, "groupby needs keys or functions")
+    if (functions.isEmpty) df.select(keys.map(col): _*).distinct()
+    else {
+      val aggs = functions.map { case (c, fn) => accumulator(fn, c, orderCol) }
+      if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+      else df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    }
+  }
+
+  /** Column.statistics() equivalent (tablite/utils.py:188-398):
+    * one-row frame of summary stats for a numeric column.
+    */
+  def statistics(df: DataFrame, c: String): DataFrame =
+    df.agg(
+      min(col(c)).as("min"),
+      max(col(c)).as("max"),
+      avg(col(c)).as("mean"),
+      percentile(col(c), lit(0.5)).as("median"),
+      coalesce(stddev_samp(col(c)), lit(0.0)).as("stdev"),
+      sum(col(c).cast("double")).as("sum"),
+      countDistinct(col(c)).as("distinct"),
+      percentile(col(c), lit(0.25)).as("iqr_low"),
+      percentile(col(c), lit(0.75)).as("iqr_high"),
+      count(lit(1)).as("summary_length"))
+
+  /** Column.histogram(): value → occurrence count (base.py:981-1005). */
+  def histogram(df: DataFrame, c: String): DataFrame =
+    df.groupBy(col(c)).agg(count(lit(1)).as("count"))
+
+  /** Column.unique() (base.py:956-979). */
+  def unique(df: DataFrame, c: String): DataFrame =
+    df.select(col(c)).distinct()
+
+  /** Column.count(value) — occurrences, null-safe (base.py:1051-1072). */
+  def countValue(df: DataFrame, c: String, value: Any): Long =
+    df.filter(col(c) <=> lit(value)).count()
+}

@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Multi-key joins with the reference's semantics
+  * (tablite/joins.py:16-297, lookup.py:14-110, match.py:6-102):
+  *
+  *  - key equality is Python-dict equality, so `None == None` matches →
+  *    null-safe `<=>` conditions;
+  *  - right-side column-name collisions are renamed with `_1`, `_2`…
+  *    suffixes (utils.py:41-52);
+  *  - `merge_keys` coalesces the right key into the left key column
+  *    (joins.py:524-562) — SQL `USING` semantics.
+  *
+  * Catalyst picks broadcast-hash / sort-merge / shuffled-hash; callers
+  * can wrap the right side in `broadcast()` for small dims.
+  */
+object Joins {
+
+  /** tablite's unique_name: suffix `_1`, `_2`… until free (utils.py:41-52). */
+  def uniqueName(wanted: String, taken: Set[String]): String =
+    if (!taken.contains(wanted)) wanted
+    else Iterator.from(1).map(i => s"${wanted}_$i").find(!taken.contains(_)).get
+
+  /** Rename right-side columns that collide with kept left columns. */
+  private def dedupRight(leftCols: Seq[String], rightCols: Seq[String]): Seq[(String, String)] = {
+    var taken = leftCols.toSet
+    rightCols.map { c =>
+      val n = uniqueName(c, taken)
+      taken += n
+      c -> n
+    }
+  }
+
+  /** General multi-key equi-join.
+    *
+    * @param kind inner | left | outer (full) | cross
+    * @param leftColumns / rightColumns columns to keep (None = all)
+    * @param mergeKeys coalesce right key into left key and drop the dup
+    * @param nullSafe  use `<=>` so NULL keys match NULL keys (reference behavior)
+    */
+  def join(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[String],
+      rightKeys: Seq[String],
+      kind: String = "inner",
+      leftColumns: Option[Seq[String]] = None,
+      rightColumns: Option[Seq[String]] = None,
+      mergeKeys: Boolean = false,
+      nullSafe: Boolean = true): DataFrame = {
+    require(leftKeys.length == rightKeys.length, "left/right key counts differ")
+
+    val l = left.alias("l")
+    val r = right.alias("r")
+
+    val sparkKind = kind.toLowerCase match {
+      case "inner"          => "inner"
+      case "left"           => "left"
+      case "outer" | "full" => "full"
+      case "cross"          => "cross"
+      case other            => throw new IllegalArgumentException(s"unknown join kind: $other")
+    }
+
+    val joined =
+      if (sparkKind == "cross") l.crossJoin(r)
+      else {
+        val cond = leftKeys.zip(rightKeys).map { case (lk, rk) =>
+          if (nullSafe) col(s"l.$lk") <=> col(s"r.$rk") else col(s"l.$lk") === col(s"r.$rk")
+        }.reduce(_ && _)
+        l.join(r, cond, sparkKind)
+      }
+
+    val keepL = leftColumns.getOrElse(left.columns.toSeq)
+    val keepR0 = rightColumns.getOrElse(right.columns.toSeq)
+    // merge_keys drops right key columns after coalescing into the left key
+    val keepR = if (mergeKeys) keepR0.filterNot(rightKeys.contains) else keepR0
+
+    val leftOut = keepL.map { c =>
+      if (mergeKeys && leftKeys.contains(c)) {
+        val rk = rightKeys(leftKeys.indexOf(c))
+        coalesce(col(s"l.$c"), col(s"r.$rk")).as(c)
+      } else col(s"l.$c").as(c)
+    }
+    val renames = dedupRight(keepL, keepR)
+    val rightOut = renames.map { case (c, n) => col(s"r.$c").as(n) }
+
+    joined.select(leftOut ++ rightOut: _*)
+  }
+
+  def innerJoin(l: DataFrame, r: DataFrame, lk: Seq[String], rk: Seq[String]): DataFrame =
+    join(l, r, lk, rk, "inner")
+  def leftJoin(l: DataFrame, r: DataFrame, lk: Seq[String], rk: Seq[String]): DataFrame =
+    join(l, r, lk, rk, "left")
+  def outerJoin(l: DataFrame, r: DataFrame, lk: Seq[String], rk: Seq[String]): DataFrame =
+    join(l, r, lk, rk, "outer")
+  def crossJoin(l: DataFrame, r: DataFrame): DataFrame =
+    join(l, r, Nil, Nil, "cross")
+
+  /** `lookup` — theta-join, FIRST match only (lookup.py:14-110): each left
+    * row gets at most one right row — the first match in `rightOrder`
+    * ascending order; unmatched left rows keep NULL right columns.
+    *
+    * @param criteria arbitrary boolean join conditions referencing
+    *                 `l.<col>` / `r.<col>` qualified columns
+    * @param rightOrder right column defining "first" (the reference uses
+    *                   physical row order; at scale an explicit order
+    *                   column is required for determinism)
+    *
+    * Scale note: a pure theta condition forces a nested-loop join, so the
+    * right side should be broadcast-able; with at least one equi-criterion
+    * Catalyst extracts the equi part and hash-joins. The first-match
+    * reduction is a `min_by` aggregation per left row — one shuffle on the
+    * (unique) left row id, no window sort.
+    */
+  def lookup(
+      left: DataFrame,
+      right: DataFrame,
+      criteria: (DataFrame, DataFrame) => Column,
+      rightOrder: String,
+      rightColumns: Option[Seq[String]] = None): DataFrame = {
+    val keepR = rightColumns.getOrElse(right.columns.toSeq)
+    val lId = left.withColumn("__lid", monotonically_increasing_id())
+    val joined = lId.alias("l").join(right.alias("r"), criteria(lId, right), "left")
+    // first match per left row = row with min rightOrder; ties broken by
+    // the kept values (deterministic on non-unique order columns)
+    val structCols = struct(keepR.map(c => col(s"r.$c").as(c)): _*)
+    val picked = joined
+      .groupBy(col("__lid"))
+      .agg(min_by(structCols,
+        struct(col(s"r.$rightOrder") +: keepR.map(c => col(s"r.$c")): _*)).as("__match"))
+    val renames = dedupRight(left.columns.toSeq, keepR)
+    val out = lId.alias("l").join(picked, Seq("__lid"), "left")
+      .select(
+        left.columns.toSeq.map(c => col(s"l.$c").as(c)) ++
+          renames.map { case (c, n) => col(s"__match.$c").as(n) }: _*)
+    out
+  }
+
+  /** `match` — multi-key ==-only join keeping ONLY matching left rows,
+    * appending the FIRST matching right row's columns (match.py:6-102).
+    *
+    * Implemented scalably: reduce the right side to one row per key
+    * (first by `rightOrder`) with min_by, then inner-join — no row
+    * explosion, broadcast-able reduced side.
+    */
+  def matchOp(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[String],
+      rightKeys: Seq[String],
+      rightOrder: String,
+      rightColumns: Option[Seq[String]] = None): DataFrame = {
+    val keepR = rightColumns.getOrElse(right.columns.toSeq).filterNot(rightKeys.contains)
+    // ties in rightOrder are broken by the kept values themselves so the
+    // "first" row is deterministic even on non-unique order columns
+    val firstPerKey = right
+      .groupBy(rightKeys.map(col): _*)
+      .agg(min_by(struct(keepR.map(col): _*),
+        struct(col(rightOrder) +: keepR.map(col): _*)).as("__m"))
+      .select(rightKeys.map(col) ++ keepR.map(c => col(s"__m.$c").as(c)): _*)
+    join(left, firstPerKey, leftKeys, rightKeys, "inner",
+      rightColumns = Some(keepR))
+  }
+}

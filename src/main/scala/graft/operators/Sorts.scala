@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sorts (tablite/sortation.py:17-177, sort_utils.py:10-248).
+  *
+  * The reference defines three total-order modes over MIXED-type columns.
+  * Spark columns are single-typed, so the modes collapse to null-placement
+  * + optional stringification:
+  *   - excel:        nulls LAST  (numeric < str < bool < None)
+  *   - unix:         nulls FIRST (None sorts before everything)
+  *   - alphanumeric: values compared as text (cast to string), nulls first
+  * Distributed sort = range-partitioned exchange + per-partition sort;
+  * top-k (`sorted().limit(k)`) becomes TakeOrderedAndProject (no full sort).
+  */
+object Sorts {
+
+  def sortKey(c: String, reverse: Boolean, mode: String): Column = {
+    val base = mode.toLowerCase match {
+      case "excel"        => col(c)
+      case "unix"         => col(c)
+      case "alphanumeric" => col(c).cast("string")
+      case other          => throw new IllegalArgumentException(s"unknown sort mode: $other")
+    }
+    val nullsLast = mode.toLowerCase == "excel"
+    (reverse, nullsLast) match {
+      case (false, true)  => base.asc_nulls_last
+      case (false, false) => base.asc_nulls_first
+      case (true, true)   => base.desc_nulls_first // reverse of asc_nulls_last
+      case (true, false)  => base.desc_nulls_last
+    }
+  }
+
+  /** `t.sorted(mapping, sort_mode)` (core.py:406-432). mapping preserves
+    * insertion order: Seq(column -> reverse?).
+    */
+  def sorted(df: DataFrame, mapping: Seq[(String, Boolean)], mode: String = "excel"): DataFrame =
+    df.orderBy(mapping.map { case (c, rev) => sortKey(c, rev, mode) }: _*)
+
+  /** `t.sort_index` — the permutation without applying it
+    * (sortation.py:17-69): original position + rank.
+    */
+  def sortIndex(df: DataFrame, mapping: Seq[(String, Boolean)], mode: String = "excel"): DataFrame = {
+    val w = Window.orderBy(mapping.map { case (c, rev) => sortKey(c, rev, mode) }: _*)
+    df.withColumn("sort_index", row_number().over(w) - 1)
+  }
+
+  /** `t.is_sorted` (sortation.py:165-177): true iff the frame already obeys
+    * the given order in its current (input) row order. Pairwise lag check:
+    * each row's keys must not sort strictly before its predecessor's.
+    * The global window is a diagnostic-op tradeoff; the scale path is the
+    * same lag check per partition + a tiny driver-side boundary merge.
+    */
+  def isSorted(df: DataFrame, mapping: Seq[(String, Boolean)], mode: String = "excel"): Boolean = {
+    val nullsLast = mode.toLowerCase == "excel"
+    val withIn = df.withColumn("__in", monotonically_increasing_id())
+    val w = Window.orderBy(col("__in"))
+    // lexicographic "prev <= cur" under per-column direction + null placement
+    def nullRank(x: Column): Column =
+      if (nullsLast) when(x.isNull, 1).otherwise(0) else when(x.isNull, 0).otherwise(1)
+    val ok: Column = mapping.foldRight(lit(true)) { case ((c, rev), rest) =>
+      val curRaw = if (mode.toLowerCase == "alphanumeric") col(c).cast("string") else col(c)
+      val cur = curRaw
+      val prv = lag(cur, 1).over(w)
+      val (lo, hi) = if (rev) (cur, prv) else (prv, cur)
+      val strictBefore = coalesce(
+        (nullRank(lo) < nullRank(hi)) || (nullRank(lo) === nullRank(hi) && lo < hi),
+        lit(false))
+      val eq = prv <=> cur
+      strictBefore || (eq && rest)
+    }
+    val prevExists = lag(lit(1), 1).over(w).isNotNull
+    withIn.withColumn("__ok", !prevExists || ok).filter(!col("__ok")).isEmpty
+  }
+
+  /** `t.reindex(index)` — gather rows by position array (reindex.py:8-50).
+    * Spark shape: join the positions frame against a row-numbered input.
+    * -1 positions produce all-NULL rows (the reference's None row).
+    */
+  def reindex(df: DataFrame, positions: DataFrame, posCol: String, orderCol: String): DataFrame = {
+    val w = Window.orderBy(col(orderCol))
+    val numbered = df.withColumn("__pos", row_number().over(w) - 1)
+    positions.join(numbered, col(posCol) === col("__pos"), "left")
+      .drop("__pos")
+  }
+}
