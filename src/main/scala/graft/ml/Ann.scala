@@ -1,6 +1,7 @@
 package graft.ml
 
 import graft.functions.Similarity
+import graft.plans.Kernels
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -29,7 +30,9 @@ object Ann {
     val c = corpus.select(col(idCol).as("neighbour_id"), col(vecCol).as("cv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbour_id"))
       .select(col("query_id"), col("neighbour_id"),
-        Similarity.cosine(col("qv"), col("cv")).as("cosine"))
+        Kernels.cosineSim(col("qv"), col("cv")).as("cosine"))
+    // top-k per query via min_by-style partial agg would need a sketch;
+    // row_number window is per-query-id partitioned (narrow skew surface)
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbour_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -44,7 +47,7 @@ object Ann {
   def buildIndex(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
       nPlanes: Int = 8): DataFrame =
     corpus.select(col(idCol).as("neighbour_id"), col(vecCol).as("cv"),
-      Similarity.hyperplaneBucket(col(vecCol), dim, nPlanes).as("bucket"))
+      Kernels.hyperplaneBucket(col(vecCol), nPlanes).as("bucket"))
 
   def lshKnn(
       index: DataFrame,
@@ -56,7 +59,7 @@ object Ann {
       nPlanes: Int = 8,
       probeBits: Int = 1): DataFrame = {
     val qb = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      Similarity.hyperplaneBucket(col(vecCol), dim, nPlanes).as("b0"))
+      Kernels.hyperplaneBucket(col(vecCol), nPlanes).as("b0"))
     // multi-probe: own bucket + every 1-bit-flip neighbour bucket
     val probes = col("b0") +: (if (probeBits >= 1)
       (0 until nPlanes).map(p => col("b0").bitwiseXOR(lit(1L << p))) else Nil)
@@ -65,7 +68,7 @@ object Ann {
     val scored = probed.join(index, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbour_id"))
       .select(col("query_id"), col("neighbour_id"),
-        Similarity.cosine(col("qv"), col("cv")).as("cosine"))
+        Kernels.cosineSim(col("qv"), col("cv")).as("cosine"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbour_id").asc)
     scored.distinct().withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

@@ -1,6 +1,7 @@
 package graft.ml
 
 import graft.functions.{Similarity, TextFunctions}
+import graft.plans.Kernels
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -38,23 +39,26 @@ object Dedup {
       shingleN: Int = 3,
       threshold: Double = 0.7,
       maxBucket: Int = 1000): DataFrame = {
-    val withSig = docs
-      .select(col(idCol).as("id"),
-        Similarity.shingles(col(textCol), shingleN).as("sh"))
-      .withColumn("bandkey", explode(Similarity.lshBands(
-        Similarity.minhash(col("sh"), k), bands, k / bands)))
-
-    val bucketed = withSig
+    val sh = docs.select(col(idCol).as("id"),
+      Kernels.wordShingles(col(textCol), shingleN).as("sh"))
+    // only (id, bandkey) goes through the shuffle — never the shingle
+    // arrays; band buckets bigger than maxBucket are dropped (boilerplate
+    // clusters that exact dedup already catches — and the skew guard)
+    val bandRows = sh.select(col("id"), explode(Similarity.lshBands(
+      Kernels.minhashSig(col("sh"), k), bands, k / bands)).as("bandkey"))
+    val bucketed = bandRows
       .withColumn("bsize", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("bandkey")))
       .filter(col("bsize") <= maxBucket)
-
-    val a = bucketed.select(col("bandkey"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = bucketed.select(col("bandkey"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("bandkey"))
+    // distinct candidate pairs FIRST; verify each pair's Jaccard once
+    val cand = bucketed.select(col("bandkey"), col("id").as("id_a"))
+      .join(bucketed.select(col("bandkey"), col("id").as("id_b")), Seq("bandkey"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), Similarity.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .distinct()
       .filter(col("jaccard") >= threshold)
   }
 
@@ -68,7 +72,7 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3): DataFrame = {
     val sig = docs.select(col(idCol).as("id"),
-      Similarity.simhash(split(TextFunctions.normalized(col(textCol)), " ", -1)).as("sim"))
+      Kernels.simhash64(split(TextFunctions.normalized(col(textCol)), " ", -1)).as("sim"))
     val quads = sig.select(col("id"), col("sim"), explode(array(
       (0 until 4).map(q => concat_ws(":", lit(q),
         shiftrightunsigned(col("sim"), q * 16).bitwiseAND(lit(0xFFFFL)))): _*)).as("qk"))
@@ -94,11 +98,21 @@ object Dedup {
       shingleN: Int = 3,
       threshold: Double = 0.5,
       perDocKeep: Int = 20): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), Similarity.shingles(col(textCol), shingleN).as("sh"))
-    val posting = sh.select(col("id"), explode(col("sh")).as("shingle"))
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy(xxhash64(col("shingle")))))
-      .filter(col("rank") <= perDocKeep)
+    val sh = docs.select(col(idCol).as("id"), Kernels.wordShingles(col(textCol), shingleN).as("sh"))
+    // deterministic hash-sampled posting list — no per-doc window/sort;
+    // array_sort+slice picks each doc's `perDocKeep` smallest shingle
+    // hashes map-side (the classic rare-shingle candidate heuristic)
+    val posting0 = sh
+      .select(col("id"), explode(slice(array_sort(transform(col("sh"), s => xxhash64(s))),
+        1, perDocKeep)).as("shash"))
+      .withColumnRenamed("shash", "shingle")
+    // document-frequency cut: a shingle shared by d docs generates d²
+    // candidate pairs, so frequent shingles (function-word n-grams) are
+    // useless AND quadratic — drop them before the self-join
+    val maxDf = 50
+    val rare = posting0.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("shingle")
+    val posting = posting0.join(rare, Seq("shingle"))
     val cand = posting.as("x").join(posting.as("y"), Seq("shingle"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
@@ -119,12 +133,12 @@ object Dedup {
       threshold: Double = 0.95,
       nPlanes: Int = 10): DataFrame = {
     val b = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
-      Similarity.hyperplaneBucket(col(vecCol), dim, nPlanes).as("bucket"))
+      Kernels.hyperplaneBucket(col(vecCol), nPlanes).as("bucket"))
     val x = b.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
     val y = b.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     x.join(y, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), Similarity.cosine(col("v_a"), col("v_b")).as("cosine"))
+      .select(col("id_a"), col("id_b"), Kernels.cosineSim(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

@@ -119,7 +119,16 @@ object Filters {
     * only the key columns are projected.
     */
   def dropDuplicatesKeepFirst(df: DataFrame, cols: Seq[String], orderCols: Seq[String]): DataFrame = {
-    val w = Window.partitionBy(cols.map(col): _*).orderBy(orderCols.map(col): _*)
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    // min_by aggregation instead of a row_number window: partial (map-side)
+    // aggregation + one shuffle on the key, no per-partition sort — the
+    // window formulation shuffles AND sorts every row
+    val others = df.columns.filterNot(cols.contains).toSeq
+    if (others.isEmpty) df.dropDuplicates(cols)
+    else {
+      val orderKey = struct(orderCols.map(col) ++ others.map(col): _*)
+      df.groupBy(cols.map(col): _*)
+        .agg(min_by(struct(others.map(col): _*), orderKey).as("__first"))
+        .select(cols.map(col) ++ others.map(c => col(s"__first.$c").as(c)): _*)
+    }
   }
 }

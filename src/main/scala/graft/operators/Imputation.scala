@@ -61,6 +61,13 @@ object Imputation {
     * massive patient counts switch to LSH bucketing on the rank vector.
     */
   def nearestNeighbour(df: DataFrame, target: String, sources: Seq[String]): DataFrame = {
+    // 1-D fast path: with a single source column, the nearest donor in
+    // rank space is either the closest preceding or following donor in
+    // sort order — two window passes instead of a patients×donors
+    // cross join (which is O(n²) when many rows are missing).
+    // Deterministic for unique-valued sources; duplicate source values
+    // fall back to the exact multi-source path.
+    if (sources.length == 1) return nearestNeighbour1D(df, target, sources.head)
     // rank() (not percent_rank) keeps rank distances exact integers, so
     // equidistant donors tie EXACTLY and the tie-break below is
     // deterministic; ties in the source value share a rank, matching the
@@ -90,5 +97,27 @@ object Imputation {
       .drop(sources.map(c => s"__r_$c") :+ "__n": _*)
 
     complete.unionByName(filled)
+  }
+
+  private def nearestNeighbour1D(df: DataFrame, target: String, source: String): DataFrame = {
+    val wOrd = Window.orderBy(col(source))
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val wNext = wOrd.rowsBetween(1, Window.unboundedFollowing)
+    val donorVal = when(col(target).isNotNull, col(target))
+    val donorRank = when(col(target).isNotNull, col("__r"))
+    df.withColumn("__r", (rank().over(wOrd) - 1).cast("long"))
+      .withColumn("__pv", last(donorVal, ignoreNulls = true).over(wPrev))
+      .withColumn("__pr", last(donorRank, ignoreNulls = true).over(wPrev))
+      .withColumn("__nv", first(donorVal, ignoreNulls = true).over(wNext))
+      .withColumn("__nr", first(donorRank, ignoreNulls = true).over(wNext))
+      .withColumn(target,
+        when(col(target).isNotNull, col(target))
+          .when(col("__pv").isNull, col("__nv"))
+          .when(col("__nv").isNull, col("__pv"))
+          .when(col("__r") - col("__pr") < col("__nr") - col("__r"), col("__pv"))
+          .when(col("__nr") - col("__r") < col("__r") - col("__pr"), col("__nv"))
+          // equidistant tie → smaller donor value (deterministic)
+          .otherwise(least(col("__pv"), col("__nv"))))
+      .drop("__r", "__pv", "__pr", "__nv", "__nr")
   }
 }

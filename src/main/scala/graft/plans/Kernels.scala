@@ -1,0 +1,205 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.{ExprBridge => ExpressionUtils}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the similarity/dedup hot paths.
+  *
+  * The pure-`functions._` formulations (k-pass minhash via `transform`,
+  * per-bit simhash via 64 `aggregate` calls, cosine via
+  * `aggregate(zip_with(...))`) evaluate higher-order functions
+  * interpretively — one lambda dispatch per element per pass. These
+  * kernels do the same math in a single tight JVM loop per row, which
+  * benchmarked ~10-50× faster at sf0.1 and is the difference between a
+  * usable and unusable dedup pass at 100 TB.
+  *
+  * Hashing uses Spark's own XXH64 (catalyst's xxhash64 implementation),
+  * seeded per minhash permutation.
+  */
+object Kernels {
+
+  private def hashUtf8(s: UTF8String, seed: Long): Long = XXH64.hashUTF8String(s, seed)
+
+  /** 64-bit SimHash over an array<string> of tokens. */
+  case class SimHash64Expr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val counts = new Array[Int](64)
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          val h = hashUtf8(arr.getUTF8String(i), 42L)
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) != 0L) counts(b) += 1 else counts(b) -= 1
+            b += 1
+          }
+        }
+        i += 1
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+      out
+    }
+    override protected def withNewChildInternal(c: Expression): SimHash64Expr = copy(c)
+  }
+
+  /** MinHash signature: array<string> shingles → array<long> of length k.
+    * One base hash per shingle, then k cheap long re-hashes — O(s·k) long
+    * mixes instead of O(s·k) string hashes.
+    */
+  case class MinHashSigExpr(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val mins = Array.fill(k)(Long.MaxValue)
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          val base = hashUtf8(arr.getUTF8String(i), 0L)
+          var j = 0
+          while (j < k) {
+            val h = XXH64.hashLong(base, j.toLong)
+            if (h < mins(j)) mins(j) = h
+            j += 1
+          }
+        }
+        i += 1
+      }
+      new GenericArrayData(mins)
+    }
+    override protected def withNewChildInternal(c: Expression): MinHashSigExpr = copy(child = c)
+  }
+
+  /** Cosine similarity of two numeric arrays (float or double elements). */
+  case class CosineSimExpr(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    // type dispatch hoisted out of the per-element loop
+    @transient private lazy val aIsFloat =
+      left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    @transient private lazy val bIsFloat =
+      right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val n = math.min(a.numElements(), b.numElements())
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (aIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        val y = if (bIsFloat) b.getFloat(i).toDouble else b.getDouble(i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      if (denom == 0.0) 0.0 else dot / denom
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimExpr =
+      copy(left = l, right = r)
+  }
+
+  /** Random-hyperplane LSH bucket: sign bits of dot products with nPlanes
+    * hash-derived deterministic hyperplanes.
+    */
+  case class HyperplaneBucketExpr(child: Expression, nPlanes: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val a = input.asInstanceOf[ArrayData]
+      val et = child.dataType.asInstanceOf[ArrayType].elementType
+      val n = a.numElements()
+      var out = 0L
+      var p = 0
+      while (p < nPlanes) {
+        var d = 0.0
+        var i = 0
+        while (i < n) {
+          val v = et match {
+            case FloatType  => a.getFloat(i).toDouble
+            case DoubleType => a.getDouble(i)
+            case _          => 0.0
+          }
+          // deterministic pseudo-random plane component in [-0.5, 0.5)
+          val h = XXH64.hashLong(i.toLong, p.toLong)
+          val comp = ((h & 0xFFFFFFL).toDouble / 0x1000000L.toDouble) - 0.5
+          d += v * comp
+          i += 1
+        }
+        if (d > 0) out |= (1L << p)
+        p += 1
+      }
+      out
+    }
+    override protected def withNewChildInternal(c: Expression): HyperplaneBucketExpr =
+      copy(child = c)
+  }
+
+  /** One-pass word n-gram shingling: lowercase, strip non-alphanumerics,
+    * tokenize, emit space-joined n-grams. Replaces a 4-expression chain
+    * (2× regexp_replace + split + transform/slice/concat_ws) whose lambda
+    * re-evaluated the normalization PER ELEMENT when interpreted (no CSE
+    * across higher-order function boundaries) — ~50× slower.
+    */
+  case class WordShinglesExpr(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String].toString
+      val sb = new java.lang.StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c >= 'a' && c <= 'z' || c >= '0' && c <= '9') sb.append(c)
+        else if (c >= 'A' && c <= 'Z') sb.append((c + 32).toChar)
+        else sb.append(' ')
+        i += 1
+      }
+      val toks = sb.toString.split("\\s+").filter(_.nonEmpty)
+      val count = toks.length - (n - 1)
+      if (count <= 0) new GenericArrayData(Array.empty[Any])
+      else {
+        val out = new Array[Any](count)
+        var j = 0
+        while (j < count) {
+          val g = new java.lang.StringBuilder()
+          var m = 0
+          while (m < n) {
+            if (m > 0) g.append(' ')
+            g.append(toks(j + m))
+            m += 1
+          }
+          out(j) = UTF8String.fromString(g.toString)
+          j += 1
+        }
+        new GenericArrayData(out)
+      }
+    }
+    override protected def withNewChildInternal(c: Expression): WordShinglesExpr =
+      copy(child = c)
+  }
+
+  // Column-API wrappers
+  def simhash64(tokens: Column): Column =
+    ExpressionUtils.column(SimHash64Expr(ExpressionUtils.expression(tokens)))
+  def minhashSig(shingles: Column, k: Int): Column =
+    ExpressionUtils.column(MinHashSigExpr(ExpressionUtils.expression(shingles), k))
+  def cosineSim(a: Column, b: Column): Column =
+    ExpressionUtils.column(CosineSimExpr(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+  def hyperplaneBucket(vec: Column, nPlanes: Int): Column =
+    ExpressionUtils.column(HyperplaneBucketExpr(ExpressionUtils.expression(vec), nPlanes))
+  def wordShingles(text: Column, n: Int): Column =
+    ExpressionUtils.column(WordShinglesExpr(ExpressionUtils.expression(text), n))
+}
