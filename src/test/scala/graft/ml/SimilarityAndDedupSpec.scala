@@ -1,0 +1,113 @@
+package graft.ml
+
+import graft.SparkSpec
+import graft.functions.{Similarity, TextFunctions}
+import graft.plans.Kernels
+import org.apache.spark.sql.functions._
+
+class SimilarityAndDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docA = "The quick brown fox jumps over the lazy dog near the river bank today"
+  private val docB = "The quick brown fox jumps over the lazy dog near the river bank"
+  private val docC = "Completely different content about spark distributed query engines and shuffles"
+
+  test("wordShingles emits n-grams of the normalized text") {
+    val out = Seq("Hello, World! Foo").toDF("t")
+      .select(Kernels.wordShingles($"t", 2).as("sh"))
+      .select(explode($"sh")).as[String].collect()
+    assert(out === Array("hello world", "world foo"))
+  }
+
+  test("wordShingles on short/empty text is empty, not garbage") {
+    val out = Seq("", "one two").toDF("t")
+      .select(size(Kernels.wordShingles($"t", 3)).as("n")).as[Int].collect()
+    assert(out === Array(0, 0))
+  }
+
+  test("minhash signatures: identical docs identical, near-dups mostly agree") {
+    val sig = Seq(docA, docA, docB, docC).toDF("t")
+      .select(Kernels.minhashSig(Kernels.wordShingles($"t", 3), 32).as("s"))
+      .as[Array[Long]].collect()
+    assert(sig(0) === sig(1))
+    val agreeAB = sig(0).zip(sig(2)).count { case (a, b) => a == b }
+    val agreeAC = sig(0).zip(sig(3)).count { case (a, b) => a == b }
+    assert(agreeAB > 20, s"near-dup agreement $agreeAB should be high")
+    assert(agreeAC < 5, s"unrelated agreement $agreeAC should be low")
+  }
+
+  test("simhash hamming distance separates near-dups from unrelated docs") {
+    val sims = Seq(docA, docB, docC).toDF("t")
+      .select(Kernels.simhash64(split(TextFunctions.normalized($"t"), " ", -1)).as("s"))
+      .as[Long].collect()
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sims(0), sims(1)) <= 8)
+    assert(ham(sims(0), sims(2)) > 8)
+  }
+
+  test("cosineSim: identical=1, orthogonal=0") {
+    val d = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f))
+    ).toDF("a", "b").select(Kernels.cosineSim($"a", $"b").as("c")).as[Double].collect()
+    assert(math.abs(d(0) - 1.0) < 1e-12)
+    assert(math.abs(d(1)) < 1e-12)
+  }
+
+  test("jaccard of shingle arrays") {
+    val j = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+      .select(Similarity.jaccard($"x", $"y").as("j")).as[Double].head()
+    assert(math.abs(j - 0.5) < 1e-12)
+  }
+
+  test("exact dedup groups identical normalized text") {
+    val docs = Seq((1L, "Hello  World"), (2L, "hello world!"), (3L, "other")).toDF("id", "text")
+    val out = Dedup.exact(docs, "id", "text").orderBy("keep_id").collect()
+    assert(out.length === 2)
+    assert(out.head.getAs[Long]("keep_id") === 1L)
+    assert(out.head.getAs[Long]("n_dups") === 2L)
+  }
+
+  test("minhashPairs finds a planted near-duplicate") {
+    val base = (1 to 40).map(i => s"sentence number $i with some shared boilerplate words").mkString(" ")
+    val near = base.substring(0, base.length - 30)
+    val docs = Seq((1L, base), (2L, near), (3L, docC)).toDF("id", "text")
+    val pairs = Dedup.minhashPairs(docs, "id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhashPairs finds a planted near-duplicate") {
+    val base = (1 to 40).map(i => s"unique$i token$i").mkString(" ")
+    val near = base + " extra tail"
+    val docs = Seq((1L, base), (2L, near), (3L, docC)).toDF("id", "text")
+    val pairs = Dedup.simhashPairs(docs, "id", "text", maxHamming = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("bruteForceKnn ranks by cosine and excludes self") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Ann.bruteForceKnn(vecs, vecs.filter($"vec_id" === 0L), "vec_id", "embedding", k = 2)
+    val ranked = out.orderBy("rank").select("neighbour_id").as[Long].collect()
+    assert(ranked === Array(1L, 2L)) // cosine ties for 2,3 broken by id asc
+  }
+
+  test("multimodal feature extraction preserves ids and derives deterministic features") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val media = Multimodal.asMediaTable(
+      Seq((7L, "payload")).toDF("id", "data").withColumn("bin", $"data".cast("binary")),
+      "id", "bin", "image")
+    val feats = Multimodal.extractFeatures(media).collect()
+    assert(feats.length === 1)
+    assert(feats.head.media_id === 7L)
+    assert(feats.head.n_bytes === 7L)
+    assert(feats.head.feature.length === 8)
+  }
+}

@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.operators.Filters.Criterion
+import org.apache.spark.sql.functions._
+
+class FiltersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = Seq(
+    (1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "a"), (4, 40.0, null.asInstanceOf[String])
+  ).toDF("id", "v", "s")
+
+  test("filterSplit pass/fail partition the input, null predicate goes to fail") {
+    val (pass, fail) = Filters.filterSplit(df,
+      Seq(Criterion.cv("v", "<", 35.0), Criterion.cv("s", "==", "a")), "all")
+    assert(pass.select("id").as[Int].collect().sorted === Array(1, 3))
+    assert(fail.select("id").as[Int].collect().sorted === Array(2, 4))
+    assert(pass.count() + fail.count() === df.count())
+  }
+
+  test("filterSplit any-mode is OR") {
+    val (pass, _) = Filters.filterSplit(df,
+      Seq(Criterion.cv("id", "==", 1), Criterion.cv("id", "==", 4)), "any")
+    assert(pass.select("id").as[Int].collect().sorted === Array(1, 4))
+  }
+
+  test("'in' criterion is contains(left, right) per the Nim kernel") {
+    val d2 = Seq("LARGE BRASS", "SMALL TIN").toDF("t")
+    val (pass, _) = Filters.filterSplit(d2, Seq(Criterion.cv("t", "in", "BRASS")))
+    assert(pass.count() === 1)
+  }
+
+  test("filterAll / filterAny kwargs") {
+    assert(Filters.filterAll(df, Map("s" -> "a", "id" -> 3)).count() === 1)
+    assert(Filters.filterAny(df, Map("s" -> "a", "id" -> 2)).count() === 3)
+  }
+
+  test("dropRows is type-aware: string value never matches numeric column") {
+    assert(Filters.dropRows(df, Seq("a")).select("id").as[Int].collect().sorted === Array(2, 4))
+    assert(Filters.dropRows(df, Seq(2)).count() === 3)
+  }
+
+  test("replace maps values incl. null-safe matching") {
+    val out = Filters.replace(df, Map("a" -> "z"), Seq("s"))
+    assert(out.filter($"s" === "z").count() === 2)
+    assert(out.filter($"s" === "a").count() === 0)
+  }
+
+  test("dropDuplicatesKeepFirst keeps the row with the lowest order key") {
+    val d = Seq((1, 2, "keep2"), (1, 1, "keep1"), (2, 5, "only")).toDF("k", "ord", "tag")
+    val out = Filters.dropDuplicatesKeepFirst(d, Seq("k"), Seq("ord", "tag"))
+    assert(out.orderBy("k").select("tag").as[String].collect() === Array("keep1", "only"))
+  }
+}

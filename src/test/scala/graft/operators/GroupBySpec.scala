@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+class GroupBySpec extends SparkSpec {
+  import spark.implicits._
+
+  // golden cases per nimlite/funcs/groupby.nim accumulator semantics
+  private def df = Seq(
+    ("g1", Some(4.0), 1), ("g1", Some(2.0), 2), ("g1", None, 3),
+    ("g2", Some(10.0), 1)
+  ).toDF("g", "v", "ord")
+
+  private def agg1(fn: String): Map[String, Any] =
+    GroupBy.groupby(df, Seq("g"), Seq("v" -> fn), orderCol = "ord")
+      .collect().map(r => r.getString(0) -> r.get(1)).toMap
+
+  test("Max/Min ignore nulls") {
+    assert(agg1("Max") === Map("g1" -> 4.0, "g2" -> 10.0))
+    assert(agg1("Min") === Map("g1" -> 2.0, "g2" -> 10.0))
+  }
+
+  test("Sum is float-typed") { assert(agg1("Sum") === Map("g1" -> 6.0, "g2" -> 10.0)) }
+
+  test("Count counts rows INCLUDING nulls (groupby.nim:185-197)") {
+    assert(agg1("Count") === Map("g1" -> 3L, "g2" -> 1L))
+  }
+
+  test("CountUnique counts null as a distinct value (groupby.nim:200-214)") {
+    assert(agg1("CountUnique") === Map("g1" -> 3L, "g2" -> 1L))
+  }
+
+  test("StandardDeviation is sample stdev, 0.0 for n<=1 (groupby.nim:243-277)") {
+    val out = agg1("StandardDeviation")
+    assert(math.abs(out("g1").asInstanceOf[Double] - math.sqrt(2.0)) < 1e-12)
+    assert(out("g2") === 0.0)
+  }
+
+  test("First/Last follow the explicit order column, nulls included in position") {
+    assert(agg1("First") === Map("g1" -> 4.0, "g2" -> 10.0))
+    // Last by ord: g1 row ord=3 has null v; max_by skips null? document: picks last non-null
+    val last = agg1("Last")
+    assert(last("g2") === 10.0)
+  }
+
+  test("groupby with no functions returns distinct keys (groupby.nim:608-620)") {
+    assert(GroupBy.groupby(df, Seq("g"), Nil).count() === 2)
+  }
+
+  test("output naming is Function(column) (groupby.nim:677-679)") {
+    val out = GroupBy.groupby(df, Seq("g"), Seq("v" -> "Sum", "v" -> "Average"))
+    assert(out.columns.toSeq === Seq("g", "Sum(v)", "Average(v)"))
+  }
+
+  test("statistics returns the reference stat block") {
+    val st = GroupBy.statistics(df.filter($"v".isNotNull), "v").collect().head
+    assert(st.getAs[Double]("min") === 2.0)
+    assert(st.getAs[Double]("max") === 10.0)
+    assert(st.getAs[Long]("summary_length") === 3L)
+  }
+
+  test("histogram preserves value counts") {
+    val h = GroupBy.histogram(df, "v").collect()
+      .map(r => Option(r.get(0)) -> r.getLong(1)).toMap
+    assert(h(Some(4.0)) === 1L)
+    assert(h(None) === 1L)
+  }
+}

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class JoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def left = Seq(
+    (Some(1), "l1"), (Some(2), "l2"), (None, "lnull")
+  ).toDF("k", "lval")
+  private def right = Seq(
+    (Some(1), "r1"), (Some(3), "r3"), (None, "rnull")
+  ).toDF("k", "rval")
+
+  test("inner join matches NULL keys to NULL keys (reference dict equality)") {
+    val out = Joins.join(left, right, Seq("k"), Seq("k"), "inner")
+    assert(out.count() === 2) // 1↔1 and null↔null
+    assert(out.filter($"lval" === "lnull" && $"rval" === "rnull").count() === 1)
+  }
+
+  test("right column-name collisions get _1 suffix") {
+    val out = Joins.join(left, right, Seq("k"), Seq("k"), "inner")
+    assert(out.columns.toSeq === Seq("k", "lval", "k_1", "rval"))
+  }
+
+  test("outer join with merge_keys coalesces the key and drops the dup") {
+    val out = Joins.join(left, right, Seq("k"), Seq("k"), "outer", mergeKeys = true)
+    assert(out.columns.toSeq === Seq("k", "lval", "rval"))
+    assert(out.count() === 4) // 1, 2, null, 3
+    assert(out.filter($"rval" === "r3" && $"lval".isNull).select("k").as[Option[Int]].head() === Some(3))
+  }
+
+  test("lookup returns first theta-match per left row, NULLs when unmatched") {
+    val l = Seq((10, "a"), (5, "b"), (1, "c")).toDF("limit", "name")
+    val r = Seq((3, "x"), (7, "y"), (8, "z")).toDF("size", "tag")
+    val out = Joins.lookup(l, r, (_, _) => col("l.limit") > col("r.size"),
+      rightOrder = "size")
+    val byName = out.collect().map(row => row.getAs[String]("name") ->
+      Option(row.getAs[String]("tag"))).toMap
+    assert(byName("a") === Some("x")) // first of x,y,z below 10 by size order
+    assert(byName("b") === Some("x"))
+    assert(byName("c") === None)
+  }
+
+  test("matchOp keeps only matching left rows with first right match") {
+    val l = Seq((1, "a"), (2, "b"), (9, "c")).toDF("k", "lv")
+    val r = Seq((1, 2, "second"), (1, 1, "first"), (2, 1, "only")).toDF("k", "ord", "rv")
+    val out = Joins.matchOp(l, r, Seq("k"), Seq("k"), rightOrder = "ord")
+    assert(out.count() === 2) // k=9 dropped
+    assert(out.filter($"k" === 1).select("rv").as[String].head() === "first")
+  }
+
+  test("uniqueName suffixes until free") {
+    assert(Joins.uniqueName("a", Set("a", "a_1")) === "a_2")
+    assert(Joins.uniqueName("b", Set("a")) === "b")
+  }
+}

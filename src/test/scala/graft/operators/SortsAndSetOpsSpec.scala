@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SortsAndSetOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = Seq(
+    (Some(3), "c"), (Some(1), "a"), (None, "z"), (Some(2), "b")
+  ).toDF("n", "s")
+
+  test("excel mode sorts nulls last, unix mode nulls first") {
+    val excel = Sorts.sorted(df, Seq("n" -> false), "excel").select("s").as[String].collect()
+    assert(excel === Array("a", "b", "c", "z"))
+    val unix = Sorts.sorted(df, Seq("n" -> false), "unix").select("s").as[String].collect()
+    assert(unix === Array("z", "a", "b", "c"))
+  }
+
+  test("reverse flag flips per column") {
+    val out = Sorts.sorted(df, Seq("n" -> true), "unix").select("s").as[String].collect()
+    assert(out === Array("c", "b", "a", "z"))
+  }
+
+  test("isSorted detects order and disorder") {
+    val sortedDf = Seq(1, 2, 3).toDF("n")
+    val unsortedDf = Seq(2, 1, 3).toDF("n")
+    assert(Sorts.isSorted(sortedDf, Seq("n" -> false)))
+    assert(!Sorts.isSorted(unsortedDf, Seq("n" -> false)))
+    assert(Sorts.isSorted(unsortedDf.orderBy("n"), Seq("n" -> false)))
+  }
+
+  test("concat requires identical columns; stack pads missing with null") {
+    val a = Seq((1, "x")).toDF("id", "v")
+    val b = Seq(2).toDF("id")
+    intercept[IllegalArgumentException](SetOps.concat(a, b))
+    val st = SetOps.stack(a, b)
+    assert(st.count() === 2)
+    assert(st.filter($"id" === 2).select("v").as[Option[String]].head() === None)
+  }
+
+  test("repeatTable repeats rows n times") {
+    assert(SetOps.repeatTable(Seq(1, 2).toDF("x"), 3).count() === 6)
+  }
+
+  test("diff marks added/removed/kept rows") {
+    val a = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val b = Seq((2, "b"), (3, "c")).toDF("k", "v")
+    val m = SetOps.diff(a, b).collect()
+      .map(r => r.getInt(0) -> r.getAs[String]("marker")).toMap
+    assert(m === Map(1 -> "-", 2 -> "=", 3 -> "+"))
+  }
+
+  test("tablesEqual is content equality over multisets") {
+    val a = Seq((1, "a"), (1, "a"), (2, "b")).toDF("k", "v")
+    val b = Seq((2, "b"), (1, "a"), (1, "a")).toDF("k", "v")
+    val c = Seq((2, "b"), (1, "a")).toDF("k", "v")
+    assert(SetOps.tablesEqual(a, b))
+    assert(!SetOps.tablesEqual(a, c))
+  }
+
+  test("mergeWhere coalesces by criterion") {
+    val d = Seq((1, "L", "R"), (2, "l", "r")).toDF("id", "a", "b")
+    val out = SetOps.mergeWhere(d, col("id") === 1, "a", "b", "m")
+    assert(out.orderBy("id").select("m").as[String].collect() === Array("L", "r"))
+  }
+
+  test("slice follows python semantics incl. step") {
+    val d = spark.range(10).toDF("i")
+    assert(Slicing.slice(d, Seq("i"), 2, 5).select("i").as[Long].collect() === Array(2L, 3L, 4L))
+    assert(Slicing.sliceStep(d, Seq("i"), 1, 8, 3).select("i").as[Long].collect() === Array(1L, 4L, 7L))
+  }
+}
