@@ -1,8 +1,9 @@
 package graft
 
-import graft.functions.{Similarity, TextFunctions}
+import graft.functions.{Similarity, TextFunctions, TypeInference}
 import graft.ml.{Ann, Dedup}
 import graft.operators._
+import graft.operators.ColumnSelect.ColSpec
 import graft.operators.Filters.Criterion
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -184,6 +185,71 @@ object SparkEntry {
         Seq("o_orderkey"), Seq("l_orderkey"), rightOrder = "l_linenumber",
         rightColumns = Some(Seq("l_quantity", "l_partkey")))
         .select(col("o_orderkey"), col("o_totalprice"), col("l_quantity"), col("l_partkey"))),
+
+    // ---- typed projection / cast (column_select) --------------------
+    "q_column_select_pass" -> ((s, dir) => {
+      val src = t(s, dir, "lineitem").select(
+        col("l_orderkey").cast("string").as("ok"),
+        when(col("l_linenumber") % 3 === 0, lit("x"))
+          .otherwise(col("l_quantity").cast("string")).as("q"),
+        col("l_linenumber"))
+      ColumnSelect.columnSelect(src, Seq(
+        ColSpec("ok", "int"),
+        ColSpec("q", "float", allowEmpty = false, rename = Some("qty"))))._1
+    }),
+    "q_column_select_fail" -> ((s, dir) => {
+      val src = t(s, dir, "lineitem").select(
+        col("l_orderkey").cast("string").as("ok"),
+        when(col("l_linenumber") % 3 === 0, lit("x"))
+          .otherwise(col("l_quantity").cast("string")).as("q"),
+        col("l_linenumber"))
+      ColumnSelect.columnSelect(src, Seq(
+        ColSpec("ok", "int"),
+        ColSpec("q", "float", allowEmpty = false, rename = Some("qty"))))._2
+    }),
+
+    // ---- scalar functions -------------------------------------------
+    "q_locale_numbers" -> ((s, dir) => {
+      val p = t(s, dir, "part").select(col("p_partkey"),
+        col("p_retailprice").cast("string").as("us"))
+        .withColumn("eu", regexp_replace(col("us"), "\\.", ","))
+      p.select(col("p_partkey"),
+        TypeInference.parseNumber(col("us")).as("v_us"),
+        TypeInference.parseNumber(col("eu")).as("v_eu"))
+    }),
+    "q_xround" -> ((s, dir) =>
+      t(s, dir, "orders").select(col("o_orderkey"),
+        TypeInference.xround(col("o_totalprice"), 1000.0).as("bucket"))),
+    "q_time_of_day" -> ((s, dir) =>
+      t(s, dir, "events").select(col("event_id"),
+        TypeInference.timeOfDayMicros(col("ts")).as("tod_us"))),
+    "q_date_sniffing" -> ((s, dir) =>
+      t(s, dir, "orders").select(col("o_orderkey"),
+        TypeInference.parseDateMulti(
+          date_format(col("o_orderdate"), "dd/MM/yyyy")).as("d"))),
+    "q_guess_types" -> ((s, dir) => {
+      val src = t(s, dir, "orders").select(
+        col("o_orderkey").cast("string").as("o_orderkey"),
+        col("o_totalprice").cast("string").as("o_totalprice"),
+        col("o_orderstatus").cast("string").as("o_orderstatus"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"))
+      TypeInference.applyBestTypes(src)
+    }),
+    "q_expression" -> ((s, dir) =>
+      Tab(t(s, dir, "lineitem")).expression("l_quantity < 5 AND l_returnflag = 'A'").df),
+
+    // ---- grouping-set extensions ------------------------------------
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem").cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))),
+    "q_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem").rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))),
+
+    // ---- sort index --------------------------------------------------
+    "q_sort_index" -> ((s, dir) =>
+      Sorts.sortIndex(t(s, dir, "supplier").select(col("s_suppkey"), col("s_acctbal")),
+        Seq("s_acctbal" -> false, "s_suppkey" -> false))),
 
     // ---- pivot / reshape --------------------------------------------
     "q_pivot" -> ((s, dir) =>
@@ -386,6 +452,37 @@ object SparkEntry {
       "SELECT DISTINCT c_mktsegment FROM customer",
     "q_distinct_keys" ->
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q_column_select_pass" ->
+      """SELECT l_orderkey AS ok, CAST(l_quantity AS DOUBLE) AS qty
+         FROM lineitem WHERE l_linenumber % 3 <> 0""",
+    "q_column_select_fail" ->
+      """SELECT CAST(l_orderkey AS VARCHAR) AS ok, 'x' AS q, l_linenumber,
+         'Cannot cast q to float' AS reject_reason
+         FROM lineitem WHERE l_linenumber % 3 = 0""",
+    "q_locale_numbers" ->
+      "SELECT p_partkey, p_retailprice AS v_us, p_retailprice AS v_eu FROM part",
+    "q_xround" ->
+      "SELECT o_orderkey, round(o_totalprice / 1000) * 1000 AS bucket FROM orders",
+    "q_time_of_day" ->
+      """SELECT event_id, epoch_us(ts) - epoch_us(date_trunc('day', ts)) AS tod_us
+         FROM events""",
+    "q_date_sniffing" ->
+      "SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders",
+    "q_guess_types" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus,
+         CAST(o_orderdate AS DATE) AS od FROM orders""",
+    "q_expression" ->
+      "SELECT * FROM lineitem WHERE l_quantity < 5 AND l_returnflag = 'A'",
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS cnt
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    "q_sort_index" ->
+      """SELECT s_suppkey, s_acctbal,
+         row_number() OVER (ORDER BY s_acctbal, s_suppkey) - 1 AS sort_index
+         FROM supplier""",
     "q_filter_pass" ->
       "SELECT * FROM lineitem WHERE l_quantity < 24 AND l_discount > 0.02",
     "q_filter_fail" ->

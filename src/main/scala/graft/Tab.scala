@@ -1,0 +1,135 @@
+package graft
+
+import graft.operators._
+import graft.operators.ColumnSelect.ColSpec
+import graft.operators.Filters.Criterion
+import graft.sources.{Readers, Writers}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+
+/** The user-facing facade mirroring the reference's `Table` API
+  * (tablite/core.py) — every method compiles to the DataFrame/Catalyst
+  * constructs in `graft.operators`. Tables are immutable: "in-place"
+  * reference methods return a new Tab (documented divergence,
+  * SURVEY §7.5 — lazy engine under an eager-looking API; `show`,
+  * `collect` and writers trigger execution).
+  */
+final case class Tab(df: DataFrame) {
+
+  // ---- row/column algebra ------------------------------------------
+  def select(cols: String*): Tab = Tab(df.select(cols.map(col): _*))
+  def drop(cols: String*): Tab = Tab(df.drop(cols: _*))
+  def rename(mapping: (String, String)*): Tab =
+    Tab(mapping.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) })
+  def rows: Long = df.count()
+  def columns: Seq[String] = df.columns.toSeq
+  def types: Map[String, String] = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+
+  /** `t1 + t2` (base.py:1493-1537). */
+  def +(other: Tab): Tab = Tab(SetOps.concat(df, other.df))
+  /** `stack` with schema union (base.py:1640-1663). */
+  def stack(other: Tab): Tab = Tab(SetOps.stack(df, other.df))
+  /** `t * n` (base.py:1464-1491). */
+  def *(n: Int): Tab = Tab(SetOps.repeatTable(df, n))
+
+  def slice(orderBy: Seq[String], start: Int = 0, stop: Int = Int.MaxValue, step: Int = 1): Tab =
+    if (step == 1) Tab(Slicing.slice(df, orderBy, start, stop))
+    else Tab(Slicing.sliceStep(df, orderBy, start, stop, step))
+
+  // ---- filters ------------------------------------------------------
+  /** Structured filter returning (pass, fail) (core.py:343-364). */
+  def filter(criteria: Seq[Criterion], filterType: String = "all"): (Tab, Tab) = {
+    val (p, f) = Filters.filterSplit(df, criteria, filterType)
+    (Tab(p), Tab(f))
+  }
+  /** Expression-string filter — Catalyst `expr` replaces the reference's
+    * Python expression compiler (core.py:330-341, utils.py:55-83).
+    */
+  def expression(sqlExpr: String): Tab = Tab(df.filter(org.apache.spark.sql.functions.expr(sqlExpr)))
+  def all(kwargs: Map[String, Any]): Tab = Tab(Filters.filterAll(df, kwargs))
+  def any(kwargs: Map[String, Any]): Tab = Tab(Filters.filterAny(df, kwargs))
+  def dropValues(values: Any*): Tab = Tab(Filters.dropRows(df, values))
+  def replace(mapping: Map[Any, Any], columns: Seq[String]): Tab =
+    Tab(Filters.replace(df, mapping, columns))
+  def dropDuplicates(cols: Seq[String], orderBy: Seq[String]): Tab =
+    Tab(Filters.dropDuplicatesKeepFirst(df, cols, orderBy))
+
+  /** Typed projection with reject channel (core.py:704-733). */
+  def columnSelect(specs: Seq[ColSpec]): (Tab, Tab) = {
+    val (p, f) = ColumnSelect.columnSelect(df, specs)
+    (Tab(p), Tab(f))
+  }
+
+  // ---- joins --------------------------------------------------------
+  def join(other: Tab, leftKeys: Seq[String], rightKeys: Seq[String],
+      kind: String = "inner", leftColumns: Option[Seq[String]] = None,
+      rightColumns: Option[Seq[String]] = None, mergeKeys: Boolean = false): Tab =
+    Tab(Joins.join(df, other.df, leftKeys, rightKeys, kind, leftColumns, rightColumns, mergeKeys))
+  def lookup(other: Tab, criteria: Column, rightOrder: String,
+      rightColumns: Option[Seq[String]] = None): Tab =
+    Tab(Joins.lookup(df, other.df, (_, _) => criteria, rightOrder, rightColumns))
+  def matchTable(other: Tab, leftKeys: Seq[String], rightKeys: Seq[String],
+      rightOrder: String): Tab =
+    Tab(Joins.matchOp(df, other.df, leftKeys, rightKeys, rightOrder))
+
+  // ---- aggregation / reshape ---------------------------------------
+  def groupby(keys: Seq[String], functions: Seq[(String, String)],
+      orderCol: String = null): Tab =
+    Tab(GroupBy.groupby(df, keys, functions, orderCol))
+  def pivot(rows: Seq[String], columns: Seq[String], functions: Seq[(String, String)],
+      valuesAsRows: Boolean = true, pivotValues: Seq[Any] = Nil): Tab =
+    if (valuesAsRows) Tab(Pivots.pivotLong(df, rows, columns, functions))
+    else Tab(Pivots.pivot(df, rows, columns, functions, pivotValues))
+  def pivotTranspose(columns: Seq[String], keep: Seq[String]): Tab =
+    Tab(Pivots.melt(df, keep, columns))
+  def transpose(): Tab = Tab(Pivots.transpose(df))
+  def statistics(column: String): Tab = Tab(GroupBy.statistics(df, column))
+  def histogram(column: String): Tab = Tab(GroupBy.histogram(df, column))
+  def unique(column: String): Tab = Tab(GroupBy.unique(df, column))
+  def countValue(column: String, value: Any): Long = GroupBy.countValue(df, column, value)
+
+  // ---- sort ---------------------------------------------------------
+  def sorted(mapping: Seq[(String, Boolean)], sortMode: String = "excel"): Tab =
+    Tab(Sorts.sorted(df, mapping, sortMode))
+  def isSorted(mapping: Seq[(String, Boolean)], sortMode: String = "excel"): Boolean =
+    Sorts.isSorted(df, mapping, sortMode)
+  def sortIndex(mapping: Seq[(String, Boolean)], sortMode: String = "excel"): Tab =
+    Tab(Sorts.sortIndex(df, mapping, sortMode))
+
+  // ---- imputation / merge ------------------------------------------
+  def imputation(targets: Seq[String], method: String, orderCol: String = null,
+      sources: Seq[String] = Nil): Tab = method match {
+    case "carry forward"     => Tab(Imputation.ffill(df, targets, orderCol))
+    case "mean" | "mode"     => Tab(Imputation.fillWithStat(df, targets, method))
+    case "nearest neighbour" => Tab(targets.foldLeft(df)((d, t) =>
+      Imputation.nearestNeighbour(d, t, sources)))
+    case other               => throw new IllegalArgumentException(s"unknown method: $other")
+  }
+  def mergeWhere(criteria: Column, left: String, right: String, out: String): Tab =
+    Tab(SetOps.mergeWhere(df, criteria, left, right, out))
+  def diff(other: Tab): Tab = Tab(SetOps.diff(df, other.df))
+  def ===(other: Tab): Boolean = SetOps.tablesEqual(df, other.df)
+
+  // ---- io -----------------------------------------------------------
+  def save(path: String): Unit = Writers.save(df, path)
+  def toCsv(path: String): Unit = Writers.toCsv(df, path)
+  def toTsv(path: String): Unit = Writers.toTsv(df, path)
+  def toSqlText(tableName: String): String = Writers.toSql(df, tableName)
+  def toJsonText: String = Writers.toColumnarJson(df)
+  def toHtmlText: String = Writers.toHtml(df)
+  def show(): Unit = println(Writers.toAscii(df))
+}
+
+object Tab {
+  /** `Table.from_file` dispatch (core.py:50-218). */
+  def fromFile(spark: SparkSession, path: String,
+      opts: Readers.CsvOptions = Readers.CsvOptions()): Tab = {
+    val lower = path.toLowerCase
+    if (lower.endsWith(".parquet")) Tab(spark.read.parquet(path))
+    else if (lower.endsWith(".json")) Tab(Readers.readColumnarJson(spark, path))
+    else if (lower.endsWith(".tsv")) Tab(Readers.readCsv(spark, path,
+      opts.copy(delimiter = opts.delimiter.orElse(Some("\t")))))
+    else Tab(Readers.readCsv(spark, path, opts))
+  }
+  def load(spark: SparkSession, path: String): Tab = Tab(spark.read.parquet(path))
+}

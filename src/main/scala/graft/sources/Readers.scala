@@ -1,0 +1,144 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File ingestion with the reference CSV reader's option surface
+  * (tablite/core.py:50-218 `from_file`, nimlite text_reader
+  * `nimlite/funcs/text_reader/text_reader.nim:144-274`).
+  *
+  * Spark's csv source does the heavy lifting (partitioned scan, quote/
+  * escape handling, schema inference); this layer adds the tablite-only
+  * semantics: header_row_index, start/limit row windows, skip_empty
+  * ANY/ALL, delimiter/encoding sniffing, and rank-based type guessing
+  * (TypeInference) beyond Spark's first-conflict-wins inference.
+  */
+object Readers {
+
+  final case class CsvOptions(
+      firstRowHasHeaders: Boolean = true,
+      headerRowIndex: Int = 0,
+      columns: Seq[String] = Nil,          // subset to import (Nil = all)
+      delimiter: Option[String] = None,    // None = sniff
+      textQualifier: String = "\"",
+      encoding: Option[String] = None,     // None = sniff BOM
+      guessDatatypes: Boolean = true,
+      stripWhitespace: Boolean = true,
+      skipEmpty: String = "NONE",          // NONE | ANY | ALL
+      start: Int = 0,                      // data-row window
+      limit: Int = Int.MaxValue)
+
+  /** `get_headers`-style peek (file_reader_utils.py:273-316): first
+    * `linecount` parsed rows + the sniffed delimiter.
+    */
+  def getHeaders(spark: SparkSession, path: String, linecount: Int = 10)
+      : (String, Seq[Seq[String]]) = {
+    val lines = spark.read.textFile(path).limit(linecount + 5).collect().toSeq
+    val delim = sniffDelimiter(lines)
+    (delim, lines.take(linecount).map(_.split(java.util.regex.Pattern.quote(delim), -1).toSeq))
+  }
+
+  /** Frequency-consistency delimiter sniffing (file_reader_utils.py:114-144):
+    * the candidate whose per-line count is highest and most consistent.
+    */
+  def sniffDelimiter(lines: Seq[String]): String = {
+    val candidates = Seq(",", ";", "\t", "|")
+    candidates.maxBy { d =>
+      val counts = lines.filter(_.nonEmpty).map(_.count(_.toString == d))
+      if (counts.isEmpty || counts.max == 0) -1.0
+      else counts.min.toDouble // consistent high minimum wins
+    }
+  }
+
+  /** BOM-based encoding sniff (chardet stand-in — deterministic, covers
+    * the encodings in the reference's fixtures: utf-8-sig, utf-16 le/be).
+    */
+  def sniffEncoding(spark: SparkSession, path: String): String =
+    try {
+      val fs = org.apache.hadoop.fs.FileSystem.get(
+        new java.net.URI(path match { case p if p.startsWith("/") => s"file:$p"; case p => p }),
+        spark.sparkContext.hadoopConfiguration)
+      var p = new org.apache.hadoop.fs.Path(path)
+      if (fs.getFileStatus(p).isDirectory) {
+        // directory of part files (a distributed write): sniff the first data file
+        p = fs.listStatus(p).filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+          .map(_.getPath).headOption.getOrElse(p)
+      }
+      val in = fs.open(p)
+      val bom = new Array[Byte](4)
+      val n = in.read(bom)
+      in.close()
+      if (n >= 3 && bom(0) == 0xEF.toByte && bom(1) == 0xBB.toByte && bom(2) == 0xBF.toByte) "UTF-8"
+      else if (n >= 2 && bom(0) == 0xFF.toByte && bom(1) == 0xFE.toByte) "UTF-16LE"
+      else if (n >= 2 && bom(0) == 0xFE.toByte && bom(1) == 0xFF.toByte) "UTF-16BE"
+      else "UTF-8"
+    } catch { case _: Exception => "UTF-8" }
+
+  /** The CSV/TSV/TXT reader. Returns string-typed columns unless
+    * `guessDatatypes` (then TypeInference casts each column to its
+    * best-ranked type).
+    */
+  def readCsv(spark: SparkSession, path: String, opts: CsvOptions = CsvOptions()): DataFrame = {
+    val encoding = opts.encoding.getOrElse(sniffEncoding(spark, path))
+    val raw: Dataset[String] = spark.read
+      .option("encoding", encoding).textFile(path)
+
+    // header_row_index / start / limit are LINE-window semantics
+    // (text_reader.nim:162-219): zipWithIndex is exact and preserves
+    // partitioning better than a global window
+    import spark.implicits._
+    val needsWindow = opts.headerRowIndex > 0 || opts.start > 0 || opts.limit != Int.MaxValue
+    val windowed: Dataset[String] =
+      if (!needsWindow) raw
+      else {
+        val headerAdj = if (opts.firstRowHasHeaders) 1 else 0
+        val from = opts.headerRowIndex
+        val dataFrom = from + headerAdj + opts.start
+        val dataTo = // exclusive
+          if (opts.limit == Int.MaxValue) Long.MaxValue
+          else dataFrom.toLong + opts.limit
+        raw.rdd.zipWithIndex().flatMap { case (line, ix) =>
+          // keep the header line itself + the requested data window
+          if ((opts.firstRowHasHeaders && ix == from) ||
+              (ix >= dataFrom && ix < dataTo)) Some(line) else None
+        }.toDS()
+      }
+
+    val delimiter = opts.delimiter.getOrElse(
+      sniffDelimiter(windowed.take(10).toSeq))
+
+    var df = spark.read
+      .option("header", opts.firstRowHasHeaders)
+      .option("sep", delimiter)
+      .option("quote", opts.textQualifier)
+      .option("ignoreLeadingWhiteSpace", opts.stripWhitespace)
+      .option("ignoreTrailingWhiteSpace", opts.stripWhitespace)
+      .csv(windowed)
+
+    if (opts.columns.nonEmpty) df = df.select(opts.columns.map(col): _*)
+
+    df = opts.skipEmpty.toUpperCase match {
+      case "ANY" => df.filter(!df.columns.map(c => col(c).isNull).reduce(_ || _))
+      case "ALL" => df.filter(!df.columns.map(c => col(c).isNull).reduce(_ && _))
+      case _     => df
+    }
+
+    if (opts.guessDatatypes) graft.functions.TypeInference.applyBestTypes(df) else df
+  }
+
+  /** tablite's column-oriented JSON envelope
+    * (`{"columns": {name: [values]}, "total_rows": n}`,
+    * import_utils.py:112-122) — a compat codec, driver-side by design.
+    */
+  def readColumnarJson(spark: SparkSession, path: String): DataFrame = {
+    val text = spark.read.textFile(path).collect().mkString("\n")
+    val parsed = spark.read.json(spark.createDataset(Seq(text))(
+      org.apache.spark.sql.Encoders.STRING))
+    // columns struct -> per-field arrays -> zip into rows via posexplode
+    val colNames = parsed.select("columns.*").columns
+    val exploded = parsed.select(posexplode(col(s"columns.${colNames.head}")).as(Seq("__i", colNames.head)))
+    colNames.tail.foldLeft(exploded) { (acc, c) =>
+      acc.join(parsed.select(posexplode(col(s"columns.$c")).as(Seq("__i", c))), Seq("__i"))
+    }.drop("__i")
+  }
+}

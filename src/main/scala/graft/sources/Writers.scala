@@ -1,0 +1,110 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Export surface (tablite/export_utils.py). Distributed writers for the
+  * formats that scale (csv/tsv/txt/parquet/json-lines); driver-side
+  * formatters with row caps for the interchange blobs (sql inserts,
+  * columnar json, html) — same scale posture as the reference, which
+  * materializes these in memory.
+  */
+object Writers {
+
+  /** CSV/TSV/TXT by suffix (export_utils.py:153-187; delimiter defaults
+    * core.py:131-137). None → "" matches the reference's empty-string
+    * null encoding.
+    */
+  def writeDelimited(df: DataFrame, path: String, delimiter: String = ","): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("sep", delimiter)
+      .option("header", "true")
+      .option("emptyValue", "")
+      .option("nullValue", "")
+      .csv(path)
+
+  def toCsv(df: DataFrame, path: String): Unit = writeDelimited(df, path, ",")
+  def toTsv(df: DataFrame, path: String): Unit = writeDelimited(df, path, "\t")
+  def toText(df: DataFrame, path: String): Unit = writeDelimited(df, path, "|")
+
+  /** Parquet replaces `.tpz` as the native persisted-table format
+    * (SURVEY §1.1): schema self-describing, column-pruned reads,
+    * predicate pushdown.
+    */
+  def save(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** ANSI-92 SQL text export (export_utils.py:12-48): CREATE TABLE +
+    * INSERTs. Driver-side, capped.
+    */
+  def toSql(df: DataFrame, tableName: String, maxRows: Int = 100000): String = {
+    def sqlType(dt: DataType): String = dt match {
+      case _: IntegerType | _: LongType | _: ShortType => "INTEGER"
+      case _: DoubleType | _: FloatType                => "REAL"
+      case _                                           => "TEXT"
+    }
+    def lit(v: Any): String = v match {
+      case null                  => "NULL"
+      case n: java.lang.Number   => n.toString
+      case b: java.lang.Boolean  => if (b) "1" else "0"
+      case other                 => "'" + other.toString.replace("'", "''") + "'"
+    }
+    val cols = df.schema.fields
+    val create = cols.map(f => s"${f.name} ${sqlType(f.dataType)}")
+      .mkString(s"CREATE TABLE $tableName (", ", ", ");")
+    val rows = df.limit(maxRows).collect()
+    val inserts = rows.map(r =>
+      (0 until r.length).map(i => lit(r.get(i)))
+        .mkString(s"INSERT INTO $tableName VALUES (", ", ", ");"))
+    (create +: inserts).mkString("\n")
+  }
+
+  /** tablite's columnar JSON envelope (export_utils.py:139-143). */
+  def toColumnarJson(df: DataFrame, maxRows: Int = 1000000): String = {
+    val rows = df.limit(maxRows).collect()
+    def enc(v: Any): String = v match {
+      case null                 => "null"
+      case n: java.lang.Number  => n.toString
+      case b: java.lang.Boolean => b.toString
+      case other                => "\"" + other.toString
+        .replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t") + "\""
+    }
+    val colsJson = df.columns.zipWithIndex.map { case (c, i) =>
+      "\"" + c + "\": [" + rows.map(r => enc(r.get(i))).mkString(", ") + "]"
+    }.mkString(", ")
+    s"""{"columns": {$colsJson}, "total_rows": ${rows.length}}"""
+  }
+
+  /** HTML preview (export_utils.py:204-208, base.py:1832-1857): header +
+    * dtype subheader + first rows.
+    */
+  def toHtml(df: DataFrame, maxRows: Int = 100): String = {
+    val rows = df.limit(maxRows).collect()
+    val head = df.columns.map(c => s"<th>$c</th>").mkString
+    val dtypes = df.schema.fields.map(f => s"<th>${f.dataType.simpleString}</th>").mkString
+    val body = rows.map(r =>
+      "<tr>" + (0 until r.length).map(i =>
+        s"<td>${Option(r.get(i)).map(_.toString).getOrElse("None")}</td>").mkString + "</tr>")
+      .mkString("\n")
+    s"<table><tr>$head</tr>\n<tr>$dtypes</tr>\n$body</table>"
+  }
+
+  /** `show`/`to_ascii` parity (base.py:1685-1830): first-7/last-7 elision
+    * with a dtype subheader row.
+    */
+  def toAscii(df: DataFrame, elide: Int = 7): String = {
+    val total = df.count()
+    val headRows = df.limit(elide).collect()
+    val widths = df.columns.map(_.length.max(8))
+    val header = df.columns.zip(widths).map { case (c, w) => c.padTo(w, ' ') }.mkString("| ", " | ", " |")
+    val dtypeRow = df.schema.fields.zip(widths)
+      .map { case (f, w) => f.dataType.simpleString.padTo(w, ' ') }.mkString("| ", " | ", " |")
+    val lines = headRows.map(r => (0 until r.length).zip(widths).map { case (i, w) =>
+      Option(r.get(i)).map(_.toString).getOrElse("None").take(w).padTo(w, ' ')
+    }.mkString("| ", " | ", " |"))
+    val elision = if (total > elide) Seq(s"... ($total rows total)") else Nil
+    (Seq(header, dtypeRow) ++ lines ++ elision).mkString("\n")
+  }
+}

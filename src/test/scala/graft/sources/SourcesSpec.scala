@@ -1,0 +1,145 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.functions.TypeInference
+import graft.operators.ColumnSelect
+import graft.operators.ColumnSelect.ColSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeTemp(content: String, suffix: String = ".csv"): String = {
+    val f = Files.createTempFile("graft", suffix)
+    Files.writeString(f, content)
+    f.toString
+  }
+
+  test("readCsv: header + typed columns via rank-based guessing") {
+    val p = writeTemp("a,b,c\n1,2.5,x\n2,3.5,y\n")
+    val df = Readers.readCsv(spark, p)
+    assert(df.columns.toSeq === Seq("a", "b", "c"))
+    assert(df.schema("a").dataType.simpleString === "bigint")
+    assert(df.schema("b").dataType.simpleString === "double")
+    assert(df.schema("c").dataType.simpleString === "string")
+    assert(df.count() === 2)
+  }
+
+  test("readCsv: header_row_index skips preamble lines") {
+    val p = writeTemp("junk line\nmore junk\na,b\n1,2\n3,4\n")
+    val df = Readers.readCsv(spark, p, Readers.CsvOptions(headerRowIndex = 2))
+    assert(df.columns.toSeq === Seq("a", "b"))
+    assert(df.count() === 2)
+  }
+
+  test("readCsv: start/limit windows the data rows") {
+    val p = writeTemp("a\n1\n2\n3\n4\n5\n")
+    val df = Readers.readCsv(spark, p, Readers.CsvOptions(start = 1, limit = 2))
+    assert(df.select("a").as[Long].collect().sorted === Array(2L, 3L))
+  }
+
+  test("readCsv: skip_empty ANY drops rows with any null") {
+    val p = writeTemp("a,b\n1,2\n,3\n4,\n5,6\n")
+    val any = Readers.readCsv(spark, p, Readers.CsvOptions(skipEmpty = "ANY", guessDatatypes = false))
+    assert(any.count() === 2)
+    val all = Readers.readCsv(spark, p, Readers.CsvOptions(skipEmpty = "ALL", guessDatatypes = false))
+    assert(all.count() === 4)
+  }
+
+  test("delimiter sniffing picks the consistent separator") {
+    assert(Readers.sniffDelimiter(Seq("a;b;c", "1;2;3")) === ";")
+    assert(Readers.sniffDelimiter(Seq("a\tb", "1\t2")) === "\t")
+    assert(Readers.sniffDelimiter(Seq("a,b,c", "1,2,3")) === ",")
+  }
+
+  test("csv write/read roundtrip preserves content") {
+    val dir = Files.createTempDirectory("graftcsv").toString + "/out"
+    val df = Seq((1L, "x", 1.5), (2L, "y", 2.5)).toDF("id", "s", "v")
+    Writers.toCsv(df, dir)
+    val back = Readers.readCsv(spark, dir)
+    assert(back.count() === 2)
+    assert(back.orderBy("id").select("v").as[Double].collect() === Array(1.5, 2.5))
+  }
+
+  test("toSql emits CREATE + INSERT with escaping") {
+    val sql = Writers.toSql(Seq((1, "o'brien")).toDF("id", "name"), "t")
+    assert(sql.contains("CREATE TABLE t (id INTEGER, name TEXT);"))
+    assert(sql.contains("INSERT INTO t VALUES (1, 'o''brien');"))
+  }
+
+  test("columnar json roundtrip via readColumnarJson") {
+    val json = Writers.toColumnarJson(Seq((1L, "a"), (2L, "b")).toDF("n", "s"))
+    assert(json.contains("\"total_rows\": 2"))
+    val p = writeTemp(json, ".json")
+    val back = Readers.readColumnarJson(spark, p)
+    assert(back.count() === 2)
+    assert(back.columns.sorted === Array("n", "s"))
+  }
+
+  test("toAscii includes dtype subheader and elision") {
+    val ascii = Writers.toAscii(spark.range(20).toDF("i"))
+    assert(ascii.contains("bigint"))
+    assert(ascii.contains("(20 rows total)"))
+  }
+}
+
+class TypeInferenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("locale number parsing: US/EU/space groupings") {
+    val cases = Seq(
+      "1,000,000.5" -> 1000000.5, "1.000.000,5" -> 1000000.5,
+      "1 000 000" -> 1000000.0, "12,5" -> 12.5, "1,000" -> 1000.0,
+      "-3.25" -> -3.25, "42" -> 42.0)
+    val got = cases.map(_._1).toDF("s")
+      .select(TypeInference.parseNumber($"s").as("v")).as[Double].collect()
+    assert(got === cases.map(_._2).toArray)
+  }
+
+  test("multi-format date sniffing") {
+    val got = Seq("2024-01-31", "31/01/2024", "31.01.2024", "20240131").toDF("s")
+      .select(TypeInference.parseDateMulti($"s").cast("string").as("d")).as[String].collect()
+    assert(got.forall(_ == "2024-01-31"))
+  }
+
+  test("xround rounds to arbitrary multiples") {
+    val got = Seq(1234.0, 1567.0).toDF("v")
+      .select(TypeInference.xround($"v", 500.0).as("r")).as[Double].collect()
+    assert(got === Array(1000.0, 1500.0))
+  }
+
+  test("bestTypes ranks candidates like the reference (first full parse wins)") {
+    val df = Seq(
+      ("1", "1.5", "true", "2024-01-01", "hello"),
+      ("2", "2,5", "false", "2024-02-01", "3")
+    ).toDF("i", "f", "b", "d", "s")
+    val t = TypeInference.bestTypes(df)
+    assert(t("i") === "bigint")
+    assert(t("f") === "double")
+    assert(t("b") === "boolean")
+    assert(t("d") === "date")
+    assert(t("s") === "string")
+  }
+
+  test("columnSelect splits pass/fail with reject reasons") {
+    val df = Seq(("1", "2.5"), ("x", "3.5"), ("3", "bad")).toDF("a", "b")
+    val (pass, fail) = ColumnSelect.columnSelect(df, Seq(
+      ColSpec("a", "int", allowEmpty = false),
+      ColSpec("b", "float", allowEmpty = false, rename = Some("bb"))))
+    assert(pass.columns.toSeq === Seq("a", "bb"))
+    assert(pass.count() === 1)
+    val reasons = fail.orderBy("a").select("reject_reason").as[String].collect()
+    assert(reasons === Array("Cannot cast b to float", "Cannot cast a to int"))
+  }
+
+  test("columnSelect allow_empty admits nulls, rejects when false") {
+    val df = Seq(Some("1"), None, Some("nope")).map(v => Tuple1(v.orNull)).toDF("a")
+    val (passTolerant, _) = ColumnSelect.columnSelect(df, Seq(ColSpec("a", "int")))
+    assert(passTolerant.count() === 2)
+    val (passStrict, failStrict) = ColumnSelect.columnSelect(df,
+      Seq(ColSpec("a", "int", allowEmpty = false)))
+    assert(passStrict.count() === 1)
+    assert(failStrict.count() === 2)
+  }
+}
