@@ -21,6 +21,16 @@ object Probe {
       println(f"PROBE $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
 
+    // knn probe
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val knnq = graft.ml.Ann.bruteForceKnn(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)
+    time("knn-all")(knnq.count())
+    val scored = emb.select(col("vec_id").as("neighbour_id"), col("embedding").as("cv"))
+      .join(broadcast(emb.filter(col("vec_id") < 10).select(col("vec_id").as("query_id"), col("embedding").as("qv"))),
+        col("query_id") =!= col("neighbour_id"))
+    time("knn-scored-join")(scored.count())
+    time("knn-cosines")(scored.select(Kernels.cosineSim(col("qv"), col("cv")).as("c")).filter(col("c") > -2).count())
+
     val sh = docs.select(col("doc_id").as("id"), Kernels.wordShingles(col("text"), 3).as("sh"))
     time("shingles")(sh.count())
     time("shingle-elems")(sh.select(explode(col("sh"))).count())

@@ -40,9 +40,11 @@ object TypeInference {
     ).otherwise(s)
   }
 
-  /** try-parse a string column as a locale-tolerant number. */
-  def parseNumber(c: Column): Column =
-    normalizeNumber(c).try_cast("double")  // try_cast: ANSI mode errors on malformed input
+  /** try-parse a string column as a locale-tolerant number. The native
+    * kernel (plans.Kernels.LocaleNumberExpr) is a single string pass;
+    * `normalizeNumber` above documents the same semantics as column ops.
+    */
+  def parseNumber(c: Column): Column = graft.plans.Kernels.localeNumber(c)
 
   /** Multi-format date/datetime sniffing (datatypes.py:182-265): coalesce
     * of try-parses over the reference's format table, ISO first.

@@ -39,8 +39,12 @@ object Dedup {
       shingleN: Int = 3,
       threshold: Double = 0.7,
       maxBucket: Int = 1000): DataFrame = {
+    // the shingle frame feeds the band explode AND both verify joins —
+    // persist so the corpus is shingled once (ContextCleaner evicts when
+    // the plan is released; at petabyte scale write it out instead)
     val sh = docs.select(col(idCol).as("id"),
       Kernels.wordShingles(col(textCol), shingleN).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // only (id, bandkey) goes through the shuffle — never the shingle
     // arrays; band buckets bigger than maxBucket are dropped (boilerplate
     // clusters that exact dedup already catches — and the skew guard)
@@ -99,6 +103,7 @@ object Dedup {
       threshold: Double = 0.5,
       perDocKeep: Int = 20): DataFrame = {
     val sh = docs.select(col(idCol).as("id"), Kernels.wordShingles(col(textCol), shingleN).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // deterministic hash-sampled posting list — no per-doc window/sort;
     // array_sort+slice picks each doc's `perDocKeep` smallest shingle
     // hashes map-side (the classic rare-shingle candidate heuristic)

@@ -191,6 +191,80 @@ object Kernels {
       copy(child = c)
   }
 
+  /** Locale-tolerant number parse (the reference's ingest differentiator,
+    * infertypes.nim:26-120): "1,000,000.5" (US), "1.000.000,5" (EU),
+    * "1 000 000" (space/nbsp/apostrophe groupings) → double; null on
+    * failure. Single pass over the string; mirrors
+    * `TypeInference.normalizeNumber` semantics exactly.
+    */
+  case class LocaleNumberExpr(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    private def isGrouping3(s: String, sep: Char): Boolean = {
+      // ^[+-]?\d{1,3}(sep\d{3})+$
+      var i = 0
+      if (i < s.length && (s.charAt(i) == '+' || s.charAt(i) == '-')) i += 1
+      var d = 0
+      while (i < s.length && Character.isDigit(s.charAt(i))) { d += 1; i += 1 }
+      if (d < 1 || d > 3) return false
+      var groups = 0
+      while (i < s.length && s.charAt(i) == sep) {
+        i += 1
+        var g = 0
+        while (i < s.length && Character.isDigit(s.charAt(i))) { g += 1; i += 1 }
+        if (g != 3) return false
+        groups += 1
+      }
+      groups >= 1 && i == s.length
+    }
+    private def plainParse(s: String): Any = {
+      // guard: plain decimal/scientific only (Java parseDouble would also
+      // accept "1d", "0x1p3", "Infinity" — Spark cast semantics do not)
+      var i = 0
+      var digits = 0
+      var dot = false
+      var exp = false
+      var ok = s.nonEmpty
+      if (i < s.length && (s.charAt(i) == '+' || s.charAt(i) == '-')) i += 1
+      while (ok && i < s.length) {
+        val c = s.charAt(i)
+        if (Character.isDigit(c)) digits += 1
+        else if (c == '.' && !dot && !exp) dot = true
+        else if ((c == 'e' || c == 'E') && !exp && digits > 0) {
+          exp = true
+          if (i + 1 < s.length && (s.charAt(i + 1) == '+' || s.charAt(i + 1) == '-')) i += 1
+        } else ok = false
+        i += 1
+      }
+      if (!ok || digits == 0) null
+      else try java.lang.Double.valueOf(s) catch { case _: NumberFormatException => null }
+    }
+    override def nullSafeEval(input: Any): Any = {
+      val raw = input.asInstanceOf[UTF8String].toString
+      val sb = new java.lang.StringBuilder(raw.length)
+      var i = 0
+      while (i < raw.length) {
+        val c = raw.charAt(i)
+        if (!Character.isWhitespace(c) && c != ' ' && c != '\'') sb.append(c)
+        i += 1
+      }
+      val s = sb.toString
+      val lastDot = s.lastIndexOf('.')
+      val lastComma = s.lastIndexOf(',')
+      val norm =
+        if (lastDot >= 0 && lastComma >= 0) {
+          if (lastDot > lastComma) s.replace(",", "")                    // 1,000.5
+          else s.replace(".", "").replace(',', '.')                      // 1.000,5
+        } else if (lastComma >= 0) {
+          if (isGrouping3(s, ',')) s.replace(",", "") else s.replace(',', '.')
+        } else s
+      plainParse(norm)
+    }
+    override protected def withNewChildInternal(c: Expression): LocaleNumberExpr =
+      copy(child = c)
+  }
+
   // Column-API wrappers
   def simhash64(tokens: Column): Column =
     ExpressionUtils.column(SimHash64Expr(ExpressionUtils.expression(tokens)))
@@ -202,4 +276,6 @@ object Kernels {
     ExpressionUtils.column(HyperplaneBucketExpr(ExpressionUtils.expression(vec), nPlanes))
   def wordShingles(text: Column, n: Int): Column =
     ExpressionUtils.column(WordShinglesExpr(ExpressionUtils.expression(text), n))
+  def localeNumber(s: Column): Column =
+    ExpressionUtils.column(LocaleNumberExpr(ExpressionUtils.expression(s)))
 }
