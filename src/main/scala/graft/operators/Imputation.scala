@@ -17,9 +17,13 @@ object Imputation {
     * data has one (e.g. per-device streams).
     */
   def ffill(df: DataFrame, targets: Seq[String], orderCol: String,
-      partitionBy: Seq[String] = Nil): DataFrame = {
-    val w0 = if (partitionBy.isEmpty) Window.orderBy(col(orderCol))
-             else Window.partitionBy(partitionBy.map(col): _*).orderBy(col(orderCol))
+      partitionBy: Seq[String] = Nil, tieBreak: Seq[String] = Nil): DataFrame = {
+    // the order must be TOTAL within each partition — ties would make the
+    // carried value partition-order-dependent; pass tieBreak columns when
+    // orderCol alone is not unique
+    val orderCols = (orderCol +: tieBreak).map(col)
+    val w0 = if (partitionBy.isEmpty) Window.orderBy(orderCols: _*)
+             else Window.partitionBy(partitionBy.map(col): _*).orderBy(orderCols: _*)
     val w = w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     targets.foldLeft(df)((acc, c) =>
       acc.withColumn(c, last(col(c), ignoreNulls = true).over(w)))

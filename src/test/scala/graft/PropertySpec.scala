@@ -1,0 +1,78 @@
+package graft
+
+import graft.functions.TypeInference
+import graft.operators._
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests for the algebraic laws the reference's semantics imply
+  * (SURVEY §5: sort total-order laws, join row-count identities, cast
+  * round-trips). Raw ScalaCheck generators sampled with fixed seeds (the
+  * scalatest-plus bridge is not in the offline cache).
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int = 8): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("filterSplit partitions: |pass| + |fail| = |input| for any threshold") {
+    val gen = Gen.zip(Gen.listOfN(30, Gen.chooseNum(-100.0, 100.0)), Gen.chooseNum(-100.0, 100.0))
+    samples(gen).foreach { case (vs, t) =>
+      val df = vs.toDF("v")
+      val (p, f) = Filters.filterSplit(df, Seq(Filters.Criterion.cv("v", "<", t)))
+      assert(p.count() + f.count() === vs.length.toLong)
+    }
+  }
+
+  test("inner join row count = sum over keys of nA*nB (dict-equality identity)") {
+    val gen = Gen.zip(Gen.listOfN(20, Gen.chooseNum(0, 4)), Gen.listOfN(20, Gen.chooseNum(0, 4)))
+    samples(gen).foreach { case (as, bs) =>
+      val expected = as.groupBy(identity).map { case (k, g) =>
+        g.size.toLong * bs.count(_ == k)
+      }.sum
+      assert(Joins.join(as.toDF("k"), bs.toDF("k"), Seq("k"), Seq("k"), "inner").count() === expected)
+    }
+  }
+
+  test("sorted output is a permutation and isSorted accepts it") {
+    samples(Gen.listOfN(25, Gen.option(Gen.chooseNum(-50, 50))), 5).foreach { vs =>
+      val df = vs.map(Tuple1(_)).toDF("v")
+      for (mode <- Seq("excel", "unix")) {
+        val s = Sorts.sorted(df, Seq("v" -> false), mode)
+        assert(s.count() === vs.length.toLong)
+        assert(Sorts.isSorted(s, Seq("v" -> false), mode), s"mode=$mode vs=$vs")
+      }
+    }
+  }
+
+  test("locale number round-trip: toString of doubles always parses back exactly") {
+    samples(Gen.listOfN(20, Gen.chooseNum(-1e6, 1e6))).foreach { vs =>
+      val got = vs.map(v => v.toString).toDF("s")
+        .select(TypeInference.parseNumber($"s").as("v")).as[Double].collect()
+      assert(got.toList === vs)
+    }
+  }
+
+  test("concat is associative on row multisets") {
+    val gen = Gen.zip(Gen.listOfN(5, Gen.alphaStr), Gen.listOfN(5, Gen.alphaStr),
+      Gen.listOfN(5, Gen.alphaStr))
+    samples(gen, 5).foreach { case (a, b, c) =>
+      val (da, db, dc) = (a.toDF("s"), b.toDF("s"), c.toDF("s"))
+      val left = SetOps.concat(SetOps.concat(da, db), dc)
+      val right = SetOps.concat(da, SetOps.concat(db, dc))
+      assert(SetOps.tablesEqual(left, right))
+    }
+  }
+
+  test("dropDuplicatesKeepFirst output has one row per key and the minimal order value") {
+    val gen = Gen.listOfN(30, Gen.zip(Gen.chooseNum(0, 5), Gen.chooseNum(0, 100)))
+    samples(gen).foreach { pairs =>
+      val out = Filters.dropDuplicatesKeepFirst(pairs.toDF("k", "ord"), Seq("k"), Seq("ord"))
+        .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      val expected = pairs.groupBy(_._1).map { case (k, g) => k -> g.map(_._2).min }
+      assert(out === expected)
+    }
+  }
+}
