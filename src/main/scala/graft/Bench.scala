@@ -1,23 +1,64 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): one JSON line on stdout with
+  * per-query seconds over SPARK_GRAFT_SF_DIR, plus io_* entries
+  * comparable to BASELINE.md's save/load/import figures.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def timed(f: => Unit): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      f
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    SparkEntry.queries.foreach { case (name, fn) =>
+      results(name) = timed {
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
+      }
+    }
+
+    // IO metrics vs BASELINE.md: the reference's .tpz save/load (~470k
+    // rows/s save, ~1.1M rows/s load at 50M rows) and CSV import
+    // (~100k rows/s). Same-shape measurements on the sf lineitem table.
+    try {
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val n = li.count()
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bench").toString
+      results("io_parquet_save") = timed {
+        li.write.mode("overwrite").parquet(s"$tmp/li.parquet")
+      }
+      results("io_parquet_load") = timed {
+        spark.read.parquet(s"$tmp/li.parquet").count()
+      }
+      results("io_csv_write") = timed {
+        graft.sources.Writers.toCsv(li, s"$tmp/li.csv")
+      }
+      results("io_csv_read_typed") = timed {
+        graft.sources.Readers.readCsv(spark, s"$tmp/li.csv").count()
+      }
+      results("io_rows") = n.toDouble
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    } catch { case e: Throwable => System.err.println(s"[bench] io: ${e.getMessage}") }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.filter(_._1 != "io_rows").values.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

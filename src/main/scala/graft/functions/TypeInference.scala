@@ -37,6 +37,10 @@ object TypeInference {
       // comma only: decimal iff not a 3-digit grouping pattern
       when(s.rlike("^[+-]?\\d{1,3}(,\\d{3})+$"), regexp_replace(s, ",", ""))
         .otherwise(regexp_replace(s, ",", "."))
+    ).when(hasDot && !hasComma &&
+        s.rlike("^[+-]?\\d{1,3}(\\.\\d{3}){2,}$"),
+      // multiple 3-grouped dots = EU thousands; a single dot is decimal
+      regexp_replace(s, "\\.", "")
     ).otherwise(s)
   }
 

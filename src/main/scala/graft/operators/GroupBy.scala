@@ -104,4 +104,29 @@ object GroupBy {
   /** Column.count(value) — occurrences, null-safe (base.py:1051-1072). */
   def countValue(df: DataFrame, c: String, value: Any): Long =
     df.filter(col(c) <=> lit(value)).count()
+
+  /** String-column statistics (utils.py:341-398 string summary): length
+    * stats + modal string, the reference's per-dtype variant.
+    */
+  def statisticsString(df: DataFrame, c: String): DataFrame =
+    df.agg(
+      min(length(col(c))).as("shortest"),
+      max(length(col(c))).as("longest"),
+      avg(length(col(c))).as("mean_length"),
+      mode(col(c)).as("mode"),
+      countDistinct(col(c)).as("distinct"),
+      count(col(c)).as("non_null"),
+      count(lit(1)).as("summary_length"))
+
+  /** `BaseTable.index(*cols)` (base.py:1927-1965): key tuple → row ids.
+    * Exposed for parity/debugging; joins do NOT use it (Spark shuffles
+    * replace the index-build phase, SURVEY §3.2).
+    */
+  def index(df: DataFrame, keys: Seq[String], idCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(col(idCol))).as("row_ids"))
+
+  /** `unique_index` (base.py:1967-1989): first row id per distinct key. */
+  def uniqueIndex(df: DataFrame, keys: Seq[String], idCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(min(col(idCol)).as("first_row_id"))
 }

@@ -1,0 +1,56 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** SQL exposure of the graft kernels: register once, then
+  * `SELECT graft_cosine(a.embedding, b.embedding)` etc. works from
+  * `spark.sql` and the driver's oracle-style SQL strings.
+  *
+  * Two registration routes:
+  *  - `GraftExtensions` for `spark.sql.extensions=graft.plans.GraftExtensions`
+  *    (cluster-wide, survives new sessions);
+  *  - `Kernels.register(spark)` / `registerAll` for an existing session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft.plans.Kernels", null, name, usage, "", "", "", "", "", "", "scala_udf")
+
+  private def intArg(e: Expression, default: Int): Int = e match {
+    case Literal(v: Int, _) => v
+    case Literal(v: Long, _) => v.toInt
+    case _ => default
+  }
+
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_simhash", info("graft_simhash", "_FUNC_(tokens) - 64-bit simhash of an array<string>"),
+      (es: Seq[Expression]) => Kernels.SimHash64Expr(es.head)),
+    ("graft_minhash", info("graft_minhash", "_FUNC_(shingles, k) - minhash signature array<long>"),
+      (es: Seq[Expression]) => Kernels.MinHashSigExpr(es.head,
+        if (es.length > 1) intArg(es(1), 64) else 64)),
+    ("graft_cosine", info("graft_cosine", "_FUNC_(a, b) - cosine similarity of numeric arrays"),
+      (es: Seq[Expression]) => Kernels.CosineSimExpr(es.head, es(1))),
+    ("graft_lsh_bucket", info("graft_lsh_bucket", "_FUNC_(vec, nPlanes) - hyperplane LSH bucket"),
+      (es: Seq[Expression]) => Kernels.HyperplaneBucketExpr(es.head,
+        if (es.length > 1) intArg(es(1), 12) else 12)),
+    ("graft_shingles", info("graft_shingles", "_FUNC_(text, n) - word n-gram shingles"),
+      (es: Seq[Expression]) => Kernels.WordShinglesExpr(es.head,
+        if (es.length > 1) intArg(es(1), 3) else 3)),
+    ("graft_number", info("graft_number", "_FUNC_(s) - locale-tolerant number parse"),
+      (es: Seq[Expression]) => Kernels.LocaleNumberExpr(es.head)))
+
+  /** Register into an already-running session. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+}

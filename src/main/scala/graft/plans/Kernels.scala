@@ -258,6 +258,10 @@ object Kernels {
           else s.replace(".", "").replace(',', '.')                      // 1.000,5
         } else if (lastComma >= 0) {
           if (isGrouping3(s, ',')) s.replace(",", "") else s.replace(',', '.')
+        } else if (lastDot >= 0 && s.indexOf('.') != lastDot && isGrouping3(s, '.')) {
+          // dot-only with MULTIPLE dots in 3-groups = EU thousands
+          // ("1.123.456"); a single dot stays the decimal point
+          s.replace(".", "")
         } else s
       plainParse(norm)
     }

@@ -79,9 +79,23 @@ object Readers {
     * best-ranked type).
     */
   def readCsv(spark: SparkSession, path: String, opts: CsvOptions = CsvOptions()): DataFrame = {
+    import spark.implicits._
     val encoding = opts.encoding.getOrElse(sniffEncoding(spark, path))
-    val raw: Dataset[String] = spark.read
-      .option("encoding", encoding).textFile(path)
+    // textFile is UTF-8-only; other charsets decode per FILE (one task per
+    // file — the parallelism tradeoff for exotic encodings; re-encode to
+    // UTF-8 upstream for multi-GB single files)
+    val raw: Dataset[String] =
+      if (encoding.equalsIgnoreCase("UTF-8")) spark.read.textFile(path)
+      else {
+        val cs = encoding
+        spark.sparkContext.binaryFiles(path).values
+          .flatMap { pds =>
+            new String(pds.toArray(), java.nio.charset.Charset.forName(cs))
+              .stripPrefix("﻿").split("\r?\n", -1).iterator
+          }
+          .filter(_.nonEmpty)
+          .toDS()
+      }
 
     // header_row_index / start / limit are LINE-window semantics
     // (text_reader.nim:162-219): zipWithIndex is exact and preserves

