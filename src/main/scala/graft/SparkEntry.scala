@@ -375,7 +375,21 @@ object SparkEntry {
         dim = 64, threshold = 0.99)
     }),
 
+    "q_dedup_corpus" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val truncated = docs.select((col("doc_id") + 1000000).as("doc_id"),
+        substring(col("text"), 1, 200).as("text"))
+      val corpus = SetOps.concat(docs, truncated)
+      val pairs = Dedup.minhashPairs(corpus, "doc_id", "text", threshold = 0.5)
+      Dedup.dedupedCorpus(corpus, "doc_id", pairs).select(col("doc_id"))
+    }),
+
     // ---- similarity search ------------------------------------------
+    "q_ann_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Ann.recallAtK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
+        dim = 64, k = 10)
+    }),
     "q_knn" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Ann.bruteForceKnn(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)

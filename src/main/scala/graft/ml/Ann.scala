@@ -73,4 +73,27 @@ object Ann {
       .orderBy(col("cosine").desc, col("neighbour_id").asc)
     scored.distinct().withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** Recall@k of the LSH index against exact brute force — the eval loop
+    * for tuning nPlanes/probeBits. One row: (k, recall).
+    */
+  def recallAtK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      k: Int = 10,
+      nPlanes: Int = 8): DataFrame = {
+    val exact = bruteForceKnn(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbour_id"))
+    val approx = lshKnn(buildIndex(corpus, idCol, vecCol, dim, nPlanes),
+      queries, idCol, vecCol, dim, k, nPlanes)
+      .select(col("query_id"), col("neighbour_id"))
+    val hits = exact.intersect(approx).count().toDouble
+    val total = exact.count().toDouble
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq((k, if (total == 0) 0.0 else hits / total)).toDF("k", "recall")
+  }
 }

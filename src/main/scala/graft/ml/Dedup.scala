@@ -127,6 +127,52 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over near-dup pairs by iterative min-label
+    * propagation (the standard Spark CC shape: labels converge in
+    * O(diameter) join+agg rounds; dup clusters are tiny, so a small
+    * iteration cap suffices — `maxIter` is a guard, convergence is
+    * checked each round).
+    */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+      maxIter: Int = 20): DataFrame = {
+    val fwd = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+    val edges = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val fromNeighbours = edges
+        .join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.select(col("id"), col("label"))
+        .unionByName(fromNeighbours)
+        .groupBy("id").agg(min("label").as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels // (id, label) — label = min id of the component
+  }
+
+  /** End-to-end near-dup removal: pairs → components → keep one doc per
+    * cluster (the min id) + every unpaired doc.
+    */
+  def dedupedCorpus(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val labels = connectedComponents(pairs)
+    docs.join(labels, docs(idCol) === labels("id"), "left")
+      .filter(col("label").isNull || col("label") === docs(idCol))
+      .drop("id", "label")
+  }
+
   /** Embedding near-dup pairs: hyperplane-LSH bucket then exact cosine
     * within buckets.
     */

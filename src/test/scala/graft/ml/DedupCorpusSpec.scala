@@ -1,0 +1,31 @@
+package graft.ml
+
+import graft.SparkSpec
+
+class DedupCorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connectedComponents labels transitive clusters with the min id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("dedupedCorpus keeps one doc per cluster plus all unpaired docs") {
+    val docs = Seq((1L, "a"), (2L, "a'"), (3L, "a''"), (5L, "solo")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = Dedup.dedupedCorpus(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept === Array(1L, 5L))
+  }
+
+  test("recallAtK of the LSH index is sane (0 < recall <= 1)") {
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 17 + j * 3).toFloat))
+    }.toDF("vec_id", "embedding")
+    val recall = Ann.recallAtK(vecs, vecs.filter($"vec_id" < 5), "vec_id", "embedding",
+      dim = 8, k = 5, nPlanes = 4).collect().head.getDouble(1)
+    assert(recall > 0.0 && recall <= 1.0)
+  }
+}
