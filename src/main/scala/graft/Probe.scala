@@ -21,6 +21,16 @@ object Probe {
       println(f"PROBE $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
 
+    // csv probe
+    val li0 = spark.read.parquet(s"$dir/lineitem.parquet")
+    val tmpd = java.nio.file.Files.createTempDirectory("csvprobe").toString
+    graft.sources.Writers.toCsv(li0, s"$tmpd/li.csv")
+    time("csv-read-untyped")(graft.sources.Readers.readCsv(spark, s"$tmpd/li.csv",
+      graft.sources.Readers.CsvOptions(guessDatatypes = false)).count())
+    val typed = graft.sources.Readers.readCsv(spark, s"$tmpd/li.csv")
+    time("csv-read-typed")(typed.count())
+    println("PROBE schema " + typed.schema.map(f => f.name + ":" + f.dataType.simpleString).mkString(", "))
+
     // knn probe
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val knnq = graft.ml.Ann.bruteForceKnn(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", 5)

@@ -678,6 +678,15 @@ object SparkEntry {
     "q_events_window" ->
       """SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n,
          round(sum(value), 2) AS total FROM events GROUP BY 1, 2""",
+    "q_knn" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+         s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbour_id,
+               list_cosine_similarity(q.embedding, e.embedding) AS c
+               FROM q, embeddings e WHERE e.vec_id != q.vec_id)
+         SELECT query_id, neighbour_id, rank FROM (
+           SELECT query_id, neighbour_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbour_id) AS rank
+           FROM s) WHERE rank <= 5""",
     "q_sessionize" ->
       """SELECT user_id, CAST(1 + sum(flag) AS BIGINT) AS n_sessions FROM (
            SELECT user_id, CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
