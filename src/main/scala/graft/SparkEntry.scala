@@ -251,6 +251,18 @@ object SparkEntry {
       Sorts.sortIndex(t(s, dir, "supplier").select(col("s_suppkey"), col("s_acctbal")),
         Seq("s_acctbal" -> false, "s_suppkey" -> false))),
 
+    "q_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      Joins.asofJoin(clicks, purchases, Seq("user_id"), Seq("user_id"),
+        "ts", "ts", Seq("event_id", "value"))
+        .select(col("event_id"), col("user_id"),
+          col("event_id_1").as("p_event"), col("value").as("p_value"))
+    }),
+
     // ---- pivot / reshape --------------------------------------------
     "q_pivot" -> ((s, dir) =>
       Pivots.pivot(t(s, dir, "lineitem"), Seq("l_returnflag"), Seq("l_linestatus"),
@@ -559,6 +571,12 @@ object SparkEntry {
            min_by(l_partkey, l_linenumber * 10000000000000 +
              CAST(l_quantity AS BIGINT) * 10000000000 + l_partkey) AS l_partkey
            FROM lineitem GROUP BY 1) fl ON o.o_orderkey = fl.l_orderkey""",
+    "q_asof_join" ->
+      """SELECT c.event_id, c.user_id, p.event_id AS p_event, p.value AS p_value
+         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+         ASOF LEFT JOIN (SELECT user_id, ts, event_id, value FROM events
+                         WHERE event_type = 'purchase') p
+         ON c.user_id = p.user_id AND c.ts >= p.ts""",
     "q_pivot" ->
       """SELECT l_returnflag,
          sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_F,

@@ -139,6 +139,66 @@ object Joins {
     out
   }
 
+  /** As-of join (no reference analogue; the natural generalization of
+    * `lookup` with a time criterion, and table stakes for event data).
+    * For each left row: the right row with the greatest `rightTime` <=
+    * `leftTime` within the same key ("backward"; "forward" = smallest
+    * >=). Composed per the custom-operator preference order: NOT a
+    * per-row theta join — tag sides, union, and carry the last right
+    * value forward over a (key)-partitioned time-ordered window. One
+    * shuffle on the key, linear work, no row explosion; skew surface =
+    * rows per key, same as any windowed op.
+    */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[String],
+      rightKeys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightValues: Seq[String],
+      direction: String = "backward"): DataFrame = {
+    require(leftKeys.length == rightKeys.length, "key arity mismatch")
+    val lCols = left.columns.toSeq
+    val rTypes = right.schema.fields.map(f => f.name -> f.dataType).toMap
+    val lTypes = left.schema.fields.map(f => f.name -> f.dataType).toMap
+    val outNames = dedupRight(lCols, rightValues)
+
+    val keyAliases = leftKeys.indices.map(i => s"__k_$i")
+    val l2 = left.select(
+      lCols.map(col) ++
+        leftKeys.zip(keyAliases).map { case (k, a) => col(k).as(a) } ++
+        Seq(col(leftTime).as("__t"), lit(1).as("__side")) ++
+        outNames.map { case (rv, out) => lit(null).cast(rTypes(rv)).as(out) }: _*)
+    val r2 = right.select(
+      lCols.map(c => lit(null).cast(lTypes(c)).as(c)) ++
+        rightKeys.zip(keyAliases).map { case (k, a) => col(k).as(a) } ++
+        Seq(col(rightTime).as("__t"), lit(0).as("__side")) ++
+        outNames.map { case (rv, out) => col(rv).as(out) }: _*)
+
+    // at equal times the right row must be visible to the left row
+    // (inclusive match) → right (__side=0) sorts first backward, last forward
+    val (ordered, frame) = direction match {
+      case "backward" =>
+        val w = Window.partitionBy(keyAliases.map(col): _*)
+          .orderBy(col("__t").asc, col("__side").asc)
+        (w, (c: Column) => last(c, ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      case "forward" =>
+        val w = Window.partitionBy(keyAliases.map(col): _*)
+          .orderBy(col("__t").asc, col("__side").desc)
+        (w, (c: Column) => first(c, ignoreNulls = true)
+          .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      case other => throw new IllegalArgumentException(s"direction: $other")
+    }
+    val _ = ordered
+    val carried = outNames.foldLeft(l2.unionByName(r2)) { case (df, (_, out)) =>
+      df.withColumn(out, frame(col(out)))
+    }
+    carried.filter(col("__side") === 1)
+      .drop(keyAliases :+ "__t" :+ "__side": _*)
+  }
+
   /** `match` — multi-key ==-only join keeping ONLY matching left rows,
     * appending the FIRST matching right row's columns (match.py:6-102).
     *
