@@ -42,8 +42,12 @@ object Dedup {
     // the shingle frame feeds the band explode AND both verify joins —
     // persist so the corpus is shingled once (ContextCleaner evicts when
     // the plan is released; at petabyte scale write it out instead)
+    // distinct shingle count computed ONCE per doc: the scalar Jaccard
+    // size-bound (t*|B| <= |A| <= |B|/t) prunes candidate pairs before
+    // any array is compared
     val sh = docs.select(col(idCol).as("id"),
       Kernels.wordShingles(col(textCol), shingleN).as("sh"))
+      .withColumn("sz", size(array_distinct(col("sh"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // only (id, bandkey) goes through the shuffle — never the shingle
     // arrays; band buckets bigger than maxBucket are dropped (boilerplate
@@ -60,9 +64,11 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
     cand
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), Similarity.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .filter(lit(threshold) * col("sz_b") <= col("sz_a") &&
+        lit(threshold) * col("sz_a") <= col("sz_b"))
+      .select(col("id_a"), col("id_b"), Kernels.jaccardSim(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -103,6 +109,7 @@ object Dedup {
       threshold: Double = 0.5,
       perDocKeep: Int = 20): DataFrame = {
     val sh = docs.select(col(idCol).as("id"), Kernels.wordShingles(col(textCol), shingleN).as("sh"))
+      .withColumn("sz", size(array_distinct(col("sh"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // deterministic hash-sampled posting list — no per-doc window/sort;
     // array_sort+slice picks each doc's `perDocKeep` smallest shingle
@@ -121,9 +128,11 @@ object Dedup {
     val cand = posting.as("x").join(posting.as("y"), Seq("shingle"))
       .filter(col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
-    cand.join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"), Similarity.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+    cand.join(sh.select(col("id").as("id_a"), col("sh").as("sh_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .filter(lit(threshold) * col("sz_b") <= col("sz_a") &&
+        lit(threshold) * col("sz_a") <= col("sz_b"))
+      .select(col("id_a"), col("id_b"), Kernels.jaccardSim(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

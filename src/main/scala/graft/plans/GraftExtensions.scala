@@ -15,10 +15,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *  - `Kernels.register(spark)` / `registerAll` for an existing session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    ext.injectOptimizerRule(_ => JaccardBoundsRule)
+  }
 }
 
 object GraftExtensions {
@@ -46,7 +48,9 @@ object GraftExtensions {
       (es: Seq[Expression]) => Kernels.WordShinglesExpr(es.head,
         if (es.length > 1) intArg(es(1), 3) else 3)),
     ("graft_number", info("graft_number", "_FUNC_(s) - locale-tolerant number parse"),
-      (es: Seq[Expression]) => Kernels.LocaleNumberExpr(es.head)))
+      (es: Seq[Expression]) => Kernels.LocaleNumberExpr(es.head)),
+    ("graft_jaccard", info("graft_jaccard", "_FUNC_(a, b) - set Jaccard similarity of arrays"),
+      (es: Seq[Expression]) => Kernels.JaccardSimExpr(es.head, es(1))))
 
   /** Register into an already-running session. */
   def register(spark: SparkSession): Unit =

@@ -191,6 +191,39 @@ object Kernels {
       copy(child = c)
   }
 
+  /** Exact Jaccard similarity of two string arrays — hash-set intersection
+    * in one pass (vs array_intersect + array_union materializing two
+    * arrays per pair). Duplicate elements count once (set semantics).
+    */
+  case class JaccardSimExpr(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val setA = new java.util.HashSet[UTF8String](a.numElements() * 2)
+      var i = 0
+      while (i < a.numElements()) {
+        if (!a.isNullAt(i)) setA.add(a.getUTF8String(i))
+        i += 1
+      }
+      val setB = new java.util.HashSet[UTF8String](b.numElements() * 2)
+      var inter = 0
+      i = 0
+      while (i < b.numElements()) {
+        if (!b.isNullAt(i)) {
+          val s = b.getUTF8String(i)
+          if (setB.add(s) && setA.contains(s)) inter += 1
+        }
+        i += 1
+      }
+      val union = setA.size + setB.size - inter
+      if (union == 0) 0.0 else inter.toDouble / union
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSimExpr =
+      copy(left = l, right = r)
+  }
+
   /** Locale-tolerant number parse (the reference's ingest differentiator,
     * infertypes.nim:26-120): "1,000,000.5" (US), "1.000.000,5" (EU),
     * "1 000 000" (space/nbsp/apostrophe groupings) → double; null on
@@ -282,4 +315,6 @@ object Kernels {
     ExpressionUtils.column(WordShinglesExpr(ExpressionUtils.expression(text), n))
   def localeNumber(s: Column): Column =
     ExpressionUtils.column(LocaleNumberExpr(ExpressionUtils.expression(s)))
+  def jaccardSim(a: Column, b: Column): Column =
+    ExpressionUtils.column(JaccardSimExpr(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }
