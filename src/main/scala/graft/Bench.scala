@@ -27,6 +27,7 @@ object Bench {
     }
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    var ioRows = 0L
     SparkEntry.queries.foreach { case (name, fn) =>
       results(name) = timed {
         try fn(spark, sfDir).count()
@@ -53,13 +54,13 @@ object Bench {
       results("io_csv_read_typed") = timed {
         graft.sources.Readers.readCsv(spark, s"$tmp/li.csv").count()
       }
-      results("io_rows") = n.toDouble
+      ioRows = n
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     } catch { case e: Throwable => System.err.println(s"[bench] io: ${e.getMessage}") }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.filter(_._1 != "io_rows").values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"io_rows":$ioRows,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

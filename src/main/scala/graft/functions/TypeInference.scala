@@ -15,7 +15,7 @@ object TypeInference {
     * wins, mirroring the reference's probability-ordered Rank
     * (datatypes.py:453, ranking.nim:47-99).
     */
-  val candidateOrder: Seq[String] = Seq("timestamp", "date", "boolean", "bigint", "double")
+  val candidateOrder: Seq[String] = Seq("timestamp", "date", "bigint", "boolean", "double")
 
   /** Locale-tolerant numeric normalization: "1,000,000.5" (US) and
     * "1.000.000,5" (EU) and "1 000 000" all parse. Heuristic from the
@@ -83,39 +83,84 @@ object TypeInference {
     * `candidateOrder` wins — unlike Spark CSV inference, which falls to
     * string on first conflict.
     */
-  def bestTypes(df: DataFrame, sampleRows: Int = 10000): Map[String, String] = {
-    val stringCols = df.schema.fields.filter(_.dataType == StringType).map(_.name)
-    if (stringCols.isEmpty) return Map.empty
-    val sample = df.select(stringCols.map(col): _*).limit(sampleRows)
-    val noneish = Seq("", "null", "NULL", "None", "#N/A", "N/A", "nan")
-    val aggs = stringCols.flatMap { c =>
-      val v = when(trim(col(c)).isin(noneish: _*), lit(null)).otherwise(trim(col(c)))
-      Seq(
-        count(v).as(s"$c|n"),
-        count(parseNumber(v)).as(s"$c|double"),
-        count(when(parseNumber(v) === parseNumber(v).try_cast("bigint").cast("double"), 1)).as(s"$c|bigint"),
-        count(when(lower(v).isin("true", "false", "yes", "no", "0", "1"), 1)).as(s"$c|boolean"),
-        count(parseDateMulti(v)).as(s"$c|date"),
-        count(parseTimestampMulti(v)).as(s"$c|timestamp"))
-    }
-    val row = sample.agg(aggs.head, aggs.tail: _*).collect().head
-    stringCols.map { c =>
-      val n = row.getAs[Long](s"$c|n")
+  private val noneish = Seq("", "null", "NULL", "None", "#N/A", "N/A", "nan")
+
+  /** One profiling pass over a driver-side sample: per column the winning
+    * type AND, for date/timestamp winners, the single format that parsed
+    * every sampled value (so the distributed cast uses one formatter
+    * instead of the 8/6-format coalesce chain). Driver-side on purpose:
+    * the sample is bounded (10k rows), and a Spark aggregate with ~20
+    * try-parse counters per column spent more time in codegen than the
+    * reference spends reading the file. Number parsing reuses the
+    * LocaleNumberExpr kernel so profile and cast can never disagree.
+    */
+  private def profileTypes(df: DataFrame, sampleRows: Int)
+      : (Map[String, String], Map[String, Option[String]]) = {
+    import java.time.format.DateTimeFormatter
+    val stringCols = df.schema.fields.filter(_.dataType == StringType).map(_.name).toSeq
+    if (stringCols.isEmpty) return (Map.empty, Map.empty)
+    val rows = df.select(stringCols.map(col): _*).limit(sampleRows).collect()
+    val noneSet = noneish.toSet
+    val numberKernel = graft.plans.Kernels.LocaleNumberExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal("0"))
+    val boolWords = Set("true", "false", "yes", "no", "0", "1")
+
+    def toJavaFmt(f: String) = DateTimeFormatter.ofPattern(f.replace("'T'", "'T'"))
+    val dateFmts = dateFormats.map(f => f -> toJavaFmt(f))
+    val tsFmts = datetimeFormats.map(f => f -> toJavaFmt(f))
+
+    val winners = scala.collection.mutable.Map[String, String]()
+    val formats = scala.collection.mutable.Map[String, Option[String]]()
+    stringCols.zipWithIndex.foreach { case (c, ci) =>
+      val values = rows.iterator.map(_.getString(ci))
+        .filter(v => v != null && !noneSet.contains(v.trim)).map(_.trim).toSeq
+      val n = values.length
+      def all(p: String => Boolean): Boolean = n > 0 && values.forall(p)
+      def parseNum(s: String): Option[Double] =
+        Option(numberKernel.nullSafeEval(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+          .map(_.asInstanceOf[Double])
+      def parsesWith(fmt: DateTimeFormatter, dateOnly: Boolean)(s: String): Boolean =
+        try {
+          if (dateOnly) { java.time.LocalDate.parse(s, fmt); true }
+          else { java.time.LocalDateTime.parse(s, fmt); true }
+        } catch { case _: Exception => false }
+
+      val tsFmtWinner = tsFmts.collectFirst {
+        case (f, jf) if all(parsesWith(jf, dateOnly = false)) => f }
+      val dateFmtWinner = dateFmts.collectFirst {
+        case (f, jf) if all(parsesWith(jf, dateOnly = true)) => f }
+      // reference rank order: datetime > date > int > bool > float > str
+      // (datatypes.py:453); mixed-format date/ts columns fall back to the
+      // per-value coalesce chain (formats = None)
+      val tsAny = all(v => tsFmts.exists { case (_, jf) => parsesWith(jf, dateOnly = false)(v) })
+      val dateAny = all(v => dateFmts.exists { case (_, jf) => parsesWith(jf, dateOnly = true)(v) })
       val winner =
         if (n == 0) "string"
-        else candidateOrder.find { cand =>
-          row.getAs[Long](s"$c|$cand") == n &&
-            // dates parse as timestamps too; prefer date when midnight-only
-            (cand != "timestamp" || row.getAs[Long](s"$c|date") < n)
-        }.getOrElse("string")
-      c -> winner
-    }.toMap
+        else if (tsFmtWinner.isDefined || tsAny) "timestamp"
+        else if (dateFmtWinner.isDefined || dateAny) "date"
+        else if (all(v => parseNum(v).exists(d =>
+          d == math.rint(d) && d >= Long.MinValue.toDouble && d <= Long.MaxValue.toDouble)))
+          "bigint"
+        else if (all(v => boolWords.contains(v.toLowerCase))) "boolean"
+        else if (all(v => parseNum(v).isDefined)) "double"
+        else "string"
+      winners(c) = winner
+      formats(c) = winner match {
+        case "timestamp" => tsFmtWinner
+        case "date"      => dateFmtWinner
+        case _           => None
+      }
+    }
+    (winners.toMap, formats.toMap)
   }
+
+  def bestTypes(df: DataFrame, sampleRows: Int = 10000): Map[String, String] =
+    profileTypes(df, sampleRows)._1
 
   /** Cast every string column of `df` to its best-ranked type. */
   def applyBestTypes(df: DataFrame): DataFrame = {
-    val types = bestTypes(df)
-    val noneish = Seq("", "null", "NULL", "None", "#N/A", "N/A", "nan")
+    val (types, formats) = profileTypes(df, 10000)
     df.select(df.columns.map { c =>
       types.get(c) match {
         case None | Some("string") => col(c)
@@ -126,8 +171,12 @@ object TypeInference {
             case "bigint"    => parseNumber(v).try_cast("bigint")
             case "boolean"   => when(lower(v).isin("true", "yes", "1"), true)
                                   .when(lower(v).isin("false", "no", "0"), false)
-            case "date"      => parseDateMulti(v)
-            case "timestamp" => parseTimestampMulti(v)
+            case "date"      => formats(c)
+              .map(f => try_to_timestamp(v, lit(f)).cast("date"))
+              .getOrElse(parseDateMulti(v))
+            case "timestamp" => formats(c)
+              .map(f => try_to_timestamp(v, lit(f)))
+              .getOrElse(parseTimestampMulti(v))
           }
           castExpr.as(c)
       }

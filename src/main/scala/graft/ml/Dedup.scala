@@ -143,8 +143,32 @@ object Dedup {
     * checked each round).
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-      maxIter: Int = 20): DataFrame = {
+      maxIter: Int = 20, driverThreshold: Long = 5000000): DataFrame = {
     val fwd = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+    // near-dup pair sets are tiny relative to the corpus; below the
+    // threshold a driver-side union-find beats dozens of iterative jobs.
+    // Above it, fall through to the distributed label-propagation loop.
+    val pairCount = fwd.count()
+    if (pairCount <= driverThreshold) {
+      val edgesLocal = fwd.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edgesLocal.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val labels = parent.keys.map(id => (id, find(id))).toSeq
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      return labels.toDF("id", "label")
+    }
     val edges = fwd.unionByName(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

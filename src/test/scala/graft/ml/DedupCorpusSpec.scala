@@ -12,6 +12,16 @@ class DedupCorpusSpec extends SparkSpec {
     assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("distributed label-propagation path agrees with driver union-find") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val dist = Dedup.connectedComponents(pairs, driverThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist === local)
+    assert(dist(4L) === 1L) // 3-hop chain converges
+  }
+
   test("dedupedCorpus keeps one doc per cluster plus all unpaired docs") {
     val docs = Seq((1L, "a"), (2L, "a'"), (3L, "a''"), (5L, "solo")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
