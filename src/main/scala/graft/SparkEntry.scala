@@ -95,6 +95,8 @@ object SparkEntry {
     "q_stats" -> ((s, dir) =>
       GroupBy.statistics(t(s, dir, "lineitem"), "l_quantity")
         .withColumn("stdev", round(col("stdev"), 6))),
+    "q_stats_string" -> ((s, dir) =>
+      GroupBy.statisticsString(t(s, dir, "part"), "p_type")),
     "q_histogram" -> ((s, dir) =>
       GroupBy.histogram(t(s, dir, "lineitem"), "l_quantity")),
     "q_unique" -> ((s, dir) =>
@@ -472,6 +474,11 @@ object SparkEntry {
          quantile_cont(l_quantity, 0.25) AS iqr_low,
          quantile_cont(l_quantity, 0.75) AS iqr_high,
          count(*) AS summary_length FROM lineitem""",
+    "q_stats_string" ->
+      """SELECT min(length(p_type)) AS shortest, max(length(p_type)) AS longest,
+         avg(length(p_type)) AS mean_length, mode(p_type) AS mode,
+         count(DISTINCT p_type) AS "distinct", count(p_type) AS non_null,
+         count(*) AS summary_length FROM part""",
     "q_histogram" ->
       "SELECT l_quantity, count(*) AS count FROM lineitem GROUP BY 1",
     "q_unique" ->

@@ -71,6 +71,11 @@ final case class Tab(df: DataFrame) {
   def matchTable(other: Tab, leftKeys: Seq[String], rightKeys: Seq[String],
       rightOrder: String): Tab =
     Tab(Joins.matchOp(df, other.df, leftKeys, rightKeys, rightOrder))
+  def asofJoin(other: Tab, leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTime: String, rightTime: String, rightValues: Seq[String],
+      direction: String = "backward"): Tab =
+    Tab(Joins.asofJoin(df, other.df, leftKeys, rightKeys, leftTime, rightTime,
+      rightValues, direction))
 
   // ---- aggregation / reshape ---------------------------------------
   def groupby(keys: Seq[String], functions: Seq[(String, String)],

@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.Filters.Criterion
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** End-to-end facade workflow in the shape of the reference's tutorial
+  * (tests/test_new_tutorial.py): import a CSV, filter into pass/fail,
+  * join against a dimension, group, sort, slice, export, reload.
+  */
+class TabIntegrationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tutorial workflow: csv -> filter -> join -> groupby -> sort -> export -> reload") {
+    val dir = Files.createTempDirectory("tabflow").toString
+
+    // 1. typed import
+    val csv = dir + "/sales.csv"
+    Files.writeString(java.nio.file.Paths.get(csv),
+      """order_id,region_id,amount,when
+        |1,0,100.5,2024-01-01
+        |2,1,50.25,2024-01-02
+        |3,0,999.99,2024-01-03
+        |4,2,12.00,2024-01-04
+        |5,1,500.00,2024-01-05
+        |""".stripMargin)
+    val sales = Tab.fromFile(spark, csv)
+    assert(sales.types("order_id") === "bigint")
+    assert(sales.types("amount") === "double")
+    assert(sales.types("when") === "date")
+
+    // 2. pass/fail filter
+    val (big, small) = sales.filter(Seq(Criterion.cv("amount", ">", 100.0)))
+    assert(big.rows === 3 && small.rows === 2)
+
+    // 3. join a dimension (null-safe, name-dedup machinery underneath)
+    val regions = Tab(Seq((0, "NORTH"), (1, "SOUTH")).toDF("region_id", "region"))
+    val joined = big.join(regions, Seq("region_id"), Seq("region_id"), "left")
+    assert(joined.columns.contains("region"))
+
+    // 4. groupby + sort + slice
+    val byRegion = joined
+      .groupby(Seq("region"), Seq("amount" -> "Sum", "amount" -> "Count"))
+      .sorted(Seq("Sum(amount)" -> true))
+    val top = byRegion.slice(Seq("Sum(amount)"), 0, 1)
+    assert(top.rows === 1)
+
+    // 5. export + reload round trip
+    val out = dir + "/by_region.parquet"
+    byRegion.save(out)
+    val back = Tab.load(spark, out)
+    assert(back === byRegion)
+
+    // 6. text exports exist and carry content
+    assert(byRegion.toSqlText("by_region").contains("INSERT INTO by_region"))
+    assert(byRegion.toJsonText.contains("total_rows"))
+  }
+
+}
