@@ -80,12 +80,20 @@ object Dedup {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val sig = docs.select(col(idCol).as("id"),
-      Kernels.simhash64(split(TextFunctions.normalized(col(textCol)), " ", -1)).as("sim"))
+      maxHamming: Int = 3,
+      maxBucket: Int = 500): DataFrame = {
+    // min-token floor: texts that normalize to (near-)nothing — e.g.
+    // non-Latin scripts under an ASCII normalizer — all hash identically
+    // and would form a quadratic bucket; they are exact-dedup's job
+    val toks = split(TextFunctions.normalized(col(textCol)), " ", -1)
+    val sig = docs.where(size(toks) >= 3)
+      .select(col(idCol).as("id"), Kernels.simhash64(toks).as("sim"))
     val quads = sig.select(col("id"), col("sim"), explode(array(
       (0 until 4).map(q => concat_ws(":", lit(q),
         shiftrightunsigned(col("sim"), q * 16).bitwiseAND(lit(0xFFFFL)))): _*)).as("qk"))
+      .withColumn("bsize", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qk")))
+      .filter(col("bsize") <= maxBucket)
     val a = quads.select(col("qk"), col("id").as("id_a"), col("sim").as("sim_a"))
     val b = quads.select(col("qk"), col("id").as("id_b"), col("sim").as("sim_b"))
     a.join(b, Seq("qk"))
