@@ -139,6 +139,33 @@ object Joins {
     out
   }
 
+  /** Salted equi-join for skewed keys: each left row gets a salt in
+    * [0, buckets), the right side is replicated across every salt value,
+    * and the join key becomes (key, salt) — a hot key's rows spread over
+    * `buckets` tasks at the cost of a `buckets`× blow-up of the right
+    * side (so: small-ish right, hot-keyed left). AQE's skew-join already
+    * splits sort-merge partitions; salting is the tool when a SINGLE key
+    * exceeds one task or the build side of a shuffled-hash join skews.
+    * The salt is per-row arbitrary (not a function of the data) — it
+    * only spreads rows, never changes the join result.
+    */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[String],
+      rightKeys: Seq[String],
+      kind: String = "inner",
+      buckets: Int = 16): DataFrame = {
+    val saltedLeft = left.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(buckets.toLong)).cast("int"))
+    val saltedRight = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    join(saltedLeft, saltedRight,
+      leftKeys :+ "__salt", rightKeys :+ "__salt", kind,
+      leftColumns = Some(left.columns.toSeq),
+      rightColumns = Some(right.columns.toSeq))
+  }
+
   /** As-of join (no reference analogue; the natural generalization of
     * `lookup` with a time criterion, and table stakes for event data).
     * For each left row: the right row with the greatest `rightTime` <=

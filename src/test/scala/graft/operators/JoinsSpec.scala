@@ -51,6 +51,16 @@ class JoinsSpec extends SparkSpec {
     assert(out.filter($"k" === 1).select("rv").as[String].head() === "first")
   }
 
+  test("saltedJoin returns exactly the rows of the plain join") {
+    val l = Seq((1, "a"), (1, "b"), (1, "c"), (2, "d")).toDF("k", "lv")
+    val r = Seq((1, "X"), (2, "Y"), (3, "Z")).toDF("k", "rv")
+    val plain = Joins.join(l, r, Seq("k"), Seq("k"), "inner")
+      .collect().map(_.toString).sorted
+    val salted = Joins.saltedJoin(l, r, Seq("k"), Seq("k"), "inner", buckets = 4)
+      .collect().map(_.toString).sorted
+    assert(salted === plain)
+  }
+
   test("uniqueName suffixes until free") {
     assert(Joins.uniqueName("a", Set("a", "a_1")) === "a_2")
     assert(Joins.uniqueName("b", Set("a")) === "b")
