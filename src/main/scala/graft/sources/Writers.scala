@@ -35,6 +35,18 @@ object Writers {
   def save(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Bucketed persisted table: pre-shuffles once at write time so every
+    * later equi-join/aggregation on `keys` runs shuffle-free (both sides
+    * bucketed with the same count → zero Exchange in the join plan).
+    * The scale tool for dimension tables and repeatedly-joined facts.
+    */
+  def saveBucketed(df: DataFrame, table: String, keys: Seq[String], numBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** ANSI-92 SQL text export (export_utils.py:12-48): CREATE TABLE +
     * INSERTs. Driver-side, capped.
     */
