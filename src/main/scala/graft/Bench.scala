@@ -33,6 +33,9 @@ object Bench {
         try fn(spark, sfDir).count()
         catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
       }
+      // queries are timed independently — drop persisted frames a query
+      // leaves behind so later queries don't fight them for memory
+      spark.catalog.clearCache()
     }
 
     // IO metrics vs BASELINE.md: the reference's .tpz save/load (~470k

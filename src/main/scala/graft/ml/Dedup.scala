@@ -96,12 +96,17 @@ object Dedup {
       .filter(col("bsize") <= maxBucket)
     val a = quads.select(col("qk"), col("id").as("id_a"), col("sim").as("sim_a"))
     val b = quads.select(col("qk"), col("id").as("id_b"), col("sim").as("sim_b"))
+    // hamming filter BEFORE distinct: a near-pair appears once per shared
+    // quadrant (≤4×), but the ≤maxHamming cut drops the vast majority of
+    // joined rows first, so distinct deduplicates thousands of rows
+    // instead of the full join output (bit_count is one codegen'd
+    // instruction per row — far cheaper than shuffling rows to distinct)
     a.join(b, Seq("qk"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         Similarity.hamming64(col("sim_a"), col("sim_b")).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Exact n-gram Jaccard over ALL candidate pairs sharing at least one
@@ -115,31 +120,50 @@ object Dedup {
       textCol: String,
       shingleN: Int = 3,
       threshold: Double = 0.5,
-      perDocKeep: Int = 20): DataFrame = {
+      perDocKeep: Int = 20,
+      minShared: Int = 2): DataFrame = {
     val sh = docs.select(col(idCol).as("id"), Kernels.wordShingles(col(textCol), shingleN).as("sh"))
       .withColumn("sz", size(array_distinct(col("sh"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // deterministic hash-sampled posting list — no per-doc window/sort;
-    // array_sort+slice picks each doc's `perDocKeep` smallest shingle
-    // hashes map-side (the classic rare-shingle candidate heuristic)
+    // the MinKHashes kernel picks each doc's `perDocKeep` smallest
+    // distinct shingle hashes map-side in one pass (the classic
+    // rare-shingle candidate heuristic, and consistent across docs the
+    // way min-hashing is: similar docs sample the same shingles)
     val posting0 = sh
-      .select(col("id"), explode(slice(array_sort(transform(col("sh"), s => xxhash64(s))),
-        1, perDocKeep)).as("shash"))
-      .withColumnRenamed("shash", "shingle")
+      .select(col("id"), explode(Kernels.minKHashes(col("sh"), perDocKeep))
+        .as("shingle"))
     // document-frequency cut: a shingle shared by d docs generates d²
     // candidate pairs, so frequent shingles (function-word n-grams) are
     // useless AND quadratic — drop them before the self-join
-    val maxDf = 50
+    val maxDf = 25
     val rare = posting0.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("shingle")
     val posting = posting0.join(rare, Seq("shingle"))
+    // co-occurrence support: with k sampled shingles per doc, a pair at
+    // Jaccard >= t shares each sample w.p. ~t, so requiring >= minShared
+    // shared samples loses ~nothing (P[X<=1 | J>=0.5, k=20] < 1e-3) while
+    // cutting the candidate set ~10x. Counting shared samples replaces
+    // the bare distinct — same shuffle, much smaller output.
     val cand = posting.as("x").join(posting.as("y"), Seq("shingle"))
       .filter(col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b")).distinct()
-    cand.join(sh.select(col("id").as("id_a"), col("sh").as("sh_a"), col("sz").as("sz_a")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+      .select("id_a", "id_b")
+    // size-bound prune on the NARROW (id, sz) projection first — the
+    // t*|B| <= |A| <= |B|/t bound kills impossible pairs before the
+    // shingle arrays (the wide payload) ever enter a shuffle
+    val sizes = sh.select(col("id"), col("sz"))
+    val candSized = cand
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), Seq("id_b"))
       .filter(lit(threshold) * col("sz_b") <= col("sz_a") &&
         lit(threshold) * col("sz_a") <= col("sz_b"))
+      .select("id_a", "id_b")
+    candSized
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), Kernels.jaccardSim(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
@@ -152,13 +176,18 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
       maxIter: Int = 20, driverThreshold: Long = 5000000): DataFrame = {
+    // the upstream pairs pipeline (LSH join + verify) is the expensive
+    // part — persist so the count probe and the actual edge consumption
+    // don't each recompute it from the raw corpus
     val fwd = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // near-dup pair sets are tiny relative to the corpus; below the
     // threshold a driver-side union-find beats dozens of iterative jobs.
     // Above it, fall through to the distributed label-propagation loop.
     val pairCount = fwd.count()
     if (pairCount <= driverThreshold) {
       val edgesLocal = fwd.collect().map(r => (r.getLong(0), r.getLong(1)))
+      fwd.unpersist(blocking = false)
       val parent = scala.collection.mutable.Map[Long, Long]()
       def find(x: Long): Long = {
         var r = x
@@ -201,6 +230,7 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    fwd.unpersist(blocking = false)
     labels // (id, label) — label = min id of the component
   }
 

@@ -224,6 +224,52 @@ object Kernels {
       copy(left = l, right = r)
   }
 
+  /** The k smallest DISTINCT xxhash64 values of an array<string> —
+    * the rare-shingle posting-list sampler for n-gram candidate
+    * generation. Replaces `slice(array_sort(transform(sh, xxhash64)), 1,
+    * k)`, whose lambda evaluates interpretively per element and whose
+    * sort materializes the full hash array per row. One pass, bounded
+    * insertion buffer, output ascending.
+    */
+  case class MinKHashesExpr(child: Expression, k: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val buf = new Array[Long](k)   // ascending, first `sz` slots live
+      var sz = 0
+      var i = 0
+      val n = arr.numElements()
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          val h = hashUtf8(arr.getUTF8String(i), 42L)
+          if (sz < k || h < buf(sz - 1)) {
+            // binary search insertion point in buf[0, sz)
+            var lo = 0; var hi = sz
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              if (buf(mid) < h) lo = mid + 1 else hi = mid
+            }
+            // skip duplicates (distinct semantics)
+            if (lo >= sz || buf(lo) != h) {
+              val last = math.min(sz, k - 1)
+              var j = last
+              while (j > lo) { buf(j) = buf(j - 1); j -= 1 }
+              buf(lo) = h
+              if (sz < k) sz += 1
+            }
+          }
+        }
+        i += 1
+      }
+      val out = new Array[Long](sz)
+      System.arraycopy(buf, 0, out, 0, sz)
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): MinKHashesExpr =
+      copy(child = c)
+  }
+
   /** Locale-tolerant number parse (the reference's ingest differentiator,
     * infertypes.nim:26-120): "1,000,000.5" (US), "1.000.000,5" (EU),
     * "1 000 000" (space/nbsp/apostrophe groupings) → double; null on
@@ -317,4 +363,6 @@ object Kernels {
     ExpressionUtils.column(LocaleNumberExpr(ExpressionUtils.expression(s)))
   def jaccardSim(a: Column, b: Column): Column =
     ExpressionUtils.column(JaccardSimExpr(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+  def minKHashes(arr: Column, k: Int): Column =
+    ExpressionUtils.column(MinKHashesExpr(ExpressionUtils.expression(arr), k))
 }
