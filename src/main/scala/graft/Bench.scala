@@ -26,6 +26,15 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // untimed warmup: the first query otherwise absorbs ~5 s of JVM/JIT/
+    // classloader + codegen-compiler warmup that has nothing to do with
+    // the query (q_knn measured 6.6 s at sf0.001 when first, 1 s when not)
+    try {
+      SparkEntry.entry(spark).count()
+      spark.range(1000000).selectExpr("sum(id)", "count(distinct id % 100)").count()
+      spark.catalog.clearCache()
+    } catch { case e: Throwable => System.err.println(s"[bench] warmup: ${e.getMessage}") }
+
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     var ioRows = 0L
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.{ExprBridge => ExpressionUtils}
@@ -19,6 +19,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * benchmarked ~10-50× faster at sf0.1 and is the difference between a
   * usable and unusable dedup pass at 100 TB.
   *
+  * Every kernel implements `doGenCode` (not `CodegenFallback`): the
+  * generated Java calls the static eval helpers below, so a projection
+  * containing these expressions stays inside one WholeStageCodegen span —
+  * no interpreted `eval(InternalRow)` dispatch, no input-row
+  * materialization per call. The helpers are `object Kernels` methods;
+  * Scala emits static forwarders on class `graft.plans.Kernels`, which is
+  * what the generated code references.
+  *
   * Hashing uses Spark's own XXH64 (catalyst's xxhash64 implementation),
   * seeded per minhash permutation.
   */
@@ -26,31 +34,254 @@ object Kernels {
 
   private def hashUtf8(s: UTF8String, seed: Long): Long = XXH64.hashUTF8String(s, seed)
 
-  /** 64-bit SimHash over an array<string> of tokens. */
-  case class SimHash64Expr(child: Expression)
-      extends UnaryExpression with CodegenFallback {
-    override def dataType: DataType = LongType
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val counts = new Array[Int](64)
-      var i = 0
-      val n = arr.numElements()
-      while (i < n) {
-        if (!arr.isNullAt(i)) {
-          val h = hashUtf8(arr.getUTF8String(i), 42L)
-          var b = 0
-          while (b < 64) {
-            if (((h >>> b) & 1L) != 0L) counts(b) += 1 else counts(b) -= 1
-            b += 1
-          }
+  // ---------------------------------------------------------------------
+  // Static eval helpers — single source of truth for both the interpreted
+  // path (nullSafeEval) and the generated code (doGenCode emits a call).
+  // ---------------------------------------------------------------------
+
+  def simhashEval(arr: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = hashUtf8(arr.getUTF8String(i), 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) != 0L) counts(b) += 1 else counts(b) -= 1
+          b += 1
         }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def minhashSigEval(arr: ArrayData, k: Int): ArrayData = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val base = hashUtf8(arr.getUTF8String(i), 0L)
+        var j = 0
+        while (j < k) {
+          val h = XXH64.hashLong(base, j.toLong)
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  def cosineEval(a: ArrayData, b: ArrayData, aIsFloat: Boolean, bIsFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bIsFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  /** elemKind: 0 = float, 1 = double, 2 = other (contributes 0.0). */
+  def hyperplaneEval(a: ArrayData, nPlanes: Int, elemKind: Int): Long = {
+    val n = a.numElements()
+    var out = 0L
+    var p = 0
+    while (p < nPlanes) {
+      var d = 0.0
+      var i = 0
+      while (i < n) {
+        val v =
+          if (elemKind == 0) a.getFloat(i).toDouble
+          else if (elemKind == 1) a.getDouble(i)
+          else 0.0
+        // deterministic pseudo-random plane component in [-0.5, 0.5)
+        val h = XXH64.hashLong(i.toLong, p.toLong)
+        val comp = ((h & 0xFFFFFFL).toDouble / 0x1000000L.toDouble) - 0.5
+        d += v * comp
         i += 1
       }
-      var out = 0L
-      var b = 0
-      while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
-      out
+      if (d > 0) out |= (1L << p)
+      p += 1
     }
+    out
+  }
+
+  def wordShinglesEval(input: UTF8String, n: Int): ArrayData = {
+    val s = input.toString
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c >= 'a' && c <= 'z' || c >= '0' && c <= '9') sb.append(c)
+      else if (c >= 'A' && c <= 'Z') sb.append((c + 32).toChar)
+      else sb.append(' ')
+      i += 1
+    }
+    val toks = sb.toString.split("\\s+").filter(_.nonEmpty)
+    val count = toks.length - (n - 1)
+    if (count <= 0) new GenericArrayData(Array.empty[Any])
+    else {
+      val out = new Array[Any](count)
+      var j = 0
+      while (j < count) {
+        val g = new java.lang.StringBuilder()
+        var m = 0
+        while (m < n) {
+          if (m > 0) g.append(' ')
+          g.append(toks(j + m))
+          m += 1
+        }
+        out(j) = UTF8String.fromString(g.toString)
+        j += 1
+      }
+      new GenericArrayData(out)
+    }
+  }
+
+  def jaccardEval(a: ArrayData, b: ArrayData): Double = {
+    val setA = new java.util.HashSet[UTF8String](a.numElements() * 2)
+    var i = 0
+    while (i < a.numElements()) {
+      if (!a.isNullAt(i)) setA.add(a.getUTF8String(i))
+      i += 1
+    }
+    val setB = new java.util.HashSet[UTF8String](b.numElements() * 2)
+    var inter = 0
+    i = 0
+    while (i < b.numElements()) {
+      if (!b.isNullAt(i)) {
+        val s = b.getUTF8String(i)
+        if (setB.add(s) && setA.contains(s)) inter += 1
+      }
+      i += 1
+    }
+    val union = setA.size + setB.size - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  def minKHashesEval(arr: ArrayData, k: Int): ArrayData = {
+    val buf = new Array[Long](k) // ascending, first `sz` slots live
+    var sz = 0
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = hashUtf8(arr.getUTF8String(i), 42L)
+        if (sz < k || h < buf(sz - 1)) {
+          // binary search insertion point in buf[0, sz)
+          var lo = 0; var hi = sz
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (buf(mid) < h) lo = mid + 1 else hi = mid
+          }
+          // skip duplicates (distinct semantics)
+          if (lo >= sz || buf(lo) != h) {
+            val last = math.min(sz, k - 1)
+            var j = last
+            while (j > lo) { buf(j) = buf(j - 1); j -= 1 }
+            buf(lo) = h
+            if (sz < k) sz += 1
+          }
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Long](sz)
+    System.arraycopy(buf, 0, out, 0, sz)
+    new GenericArrayData(out)
+  }
+
+  private def isGrouping3(s: String, sep: Char): Boolean = {
+    // ^[+-]?\d{1,3}(sep\d{3})+$
+    var i = 0
+    if (i < s.length && (s.charAt(i) == '+' || s.charAt(i) == '-')) i += 1
+    var d = 0
+    while (i < s.length && Character.isDigit(s.charAt(i))) { d += 1; i += 1 }
+    if (d < 1 || d > 3) return false
+    var groups = 0
+    while (i < s.length && s.charAt(i) == sep) {
+      i += 1
+      var g = 0
+      while (i < s.length && Character.isDigit(s.charAt(i))) { g += 1; i += 1 }
+      if (g != 3) return false
+      groups += 1
+    }
+    groups >= 1 && i == s.length
+  }
+
+  private def plainParse(s: String): java.lang.Double = {
+    // guard: plain decimal/scientific only (Java parseDouble would also
+    // accept "1d", "0x1p3", "Infinity" — Spark cast semantics do not)
+    var i = 0
+    var digits = 0
+    var dot = false
+    var exp = false
+    var ok = s.nonEmpty
+    if (i < s.length && (s.charAt(i) == '+' || s.charAt(i) == '-')) i += 1
+    while (ok && i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isDigit(c)) digits += 1
+      else if (c == '.' && !dot && !exp) dot = true
+      else if ((c == 'e' || c == 'E') && !exp && digits > 0) {
+        exp = true
+        if (i + 1 < s.length && (s.charAt(i + 1) == '+' || s.charAt(i + 1) == '-')) i += 1
+      } else ok = false
+      i += 1
+    }
+    if (!ok || digits == 0) null
+    else try java.lang.Double.valueOf(s) catch { case _: NumberFormatException => null }
+  }
+
+  /** Locale-tolerant number parse; null (boxed) on failure. */
+  def localeNumberEval(input: UTF8String): java.lang.Double = {
+    val raw = input.toString
+    val sb = new java.lang.StringBuilder(raw.length)
+    var i = 0
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (!Character.isWhitespace(c) && c != ' ' && c != '\'') sb.append(c)
+      i += 1
+    }
+    val s = sb.toString
+    val lastDot = s.lastIndexOf('.')
+    val lastComma = s.lastIndexOf(',')
+    val norm =
+      if (lastDot >= 0 && lastComma >= 0) {
+        if (lastDot > lastComma) s.replace(",", "") // 1,000.5
+        else s.replace(".", "").replace(',', '.')   // 1.000,5
+      } else if (lastComma >= 0) {
+        if (isGrouping3(s, ',')) s.replace(",", "") else s.replace(',', '.')
+      } else if (lastDot >= 0 && s.indexOf('.') != lastDot && isGrouping3(s, '.')) {
+        // dot-only with MULTIPLE dots in 3-groups = EU thousands
+        // ("1.123.456"); a single dot stays the decimal point
+        s.replace(".", "")
+      } else s
+    plainParse(norm)
+  }
+
+  // ---------------------------------------------------------------------
+  // Expressions
+  // ---------------------------------------------------------------------
+
+  /** 64-bit SimHash over an array<string> of tokens. */
+  case class SimHash64Expr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any =
+      simhashEval(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.plans.Kernels.simhashEval($c);")
     override protected def withNewChildInternal(c: Expression): SimHash64Expr = copy(c)
   }
 
@@ -58,55 +289,28 @@ object Kernels {
     * One base hash per shingle, then k cheap long re-hashes — O(s·k) long
     * mixes instead of O(s·k) string hashes.
     */
-  case class MinHashSigExpr(child: Expression, k: Int)
-      extends UnaryExpression with CodegenFallback {
+  case class MinHashSigExpr(child: Expression, k: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val mins = Array.fill(k)(Long.MaxValue)
-      var i = 0
-      val n = arr.numElements()
-      while (i < n) {
-        if (!arr.isNullAt(i)) {
-          val base = hashUtf8(arr.getUTF8String(i), 0L)
-          var j = 0
-          while (j < k) {
-            val h = XXH64.hashLong(base, j.toLong)
-            if (h < mins(j)) mins(j) = h
-            j += 1
-          }
-        }
-        i += 1
-      }
-      new GenericArrayData(mins)
-    }
+    override def nullSafeEval(input: Any): Any =
+      minhashSigEval(input.asInstanceOf[ArrayData], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.plans.Kernels.minhashSigEval($c, $k);")
     override protected def withNewChildInternal(c: Expression): MinHashSigExpr = copy(child = c)
   }
 
   /** Cosine similarity of two numeric arrays (float or double elements). */
-  case class CosineSimExpr(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+  case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = DoubleType
     // type dispatch hoisted out of the per-element loop
     @transient private lazy val aIsFloat =
       left.dataType.asInstanceOf[ArrayType].elementType == FloatType
     @transient private lazy val bIsFloat =
       right.dataType.asInstanceOf[ArrayType].elementType == FloatType
-    override def nullSafeEval(l: Any, r: Any): Any = {
-      val a = l.asInstanceOf[ArrayData]
-      val b = r.asInstanceOf[ArrayData]
-      val n = math.min(a.numElements(), b.numElements())
-      var dot = 0.0; var na = 0.0; var nb = 0.0
-      var i = 0
-      while (i < n) {
-        val x = if (aIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
-        val y = if (bIsFloat) b.getFloat(i).toDouble else b.getDouble(i)
-        dot += x * y; na += x * x; nb += y * y
-        i += 1
-      }
-      val denom = math.sqrt(na) * math.sqrt(nb)
-      if (denom == 0.0) 0.0 else dot / denom
-    }
+    override def nullSafeEval(l: Any, r: Any): Any =
+      cosineEval(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData], aIsFloat, bIsFloat)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.plans.Kernels.cosineEval($a, $b, $aIsFloat, $bIsFloat);")
     override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimExpr =
       copy(left = l, right = r)
   }
@@ -114,35 +318,19 @@ object Kernels {
   /** Random-hyperplane LSH bucket: sign bits of dot products with nPlanes
     * hash-derived deterministic hyperplanes.
     */
-  case class HyperplaneBucketExpr(child: Expression, nPlanes: Int)
-      extends UnaryExpression with CodegenFallback {
+  case class HyperplaneBucketExpr(child: Expression, nPlanes: Int) extends UnaryExpression {
     override def dataType: DataType = LongType
-    override def nullSafeEval(input: Any): Any = {
-      val a = input.asInstanceOf[ArrayData]
-      val et = child.dataType.asInstanceOf[ArrayType].elementType
-      val n = a.numElements()
-      var out = 0L
-      var p = 0
-      while (p < nPlanes) {
-        var d = 0.0
-        var i = 0
-        while (i < n) {
-          val v = et match {
-            case FloatType  => a.getFloat(i).toDouble
-            case DoubleType => a.getDouble(i)
-            case _          => 0.0
-          }
-          // deterministic pseudo-random plane component in [-0.5, 0.5)
-          val h = XXH64.hashLong(i.toLong, p.toLong)
-          val comp = ((h & 0xFFFFFFL).toDouble / 0x1000000L.toDouble) - 0.5
-          d += v * comp
-          i += 1
-        }
-        if (d > 0) out |= (1L << p)
-        p += 1
+    @transient private lazy val elemKind =
+      child.dataType.asInstanceOf[ArrayType].elementType match {
+        case FloatType  => 0
+        case DoubleType => 1
+        case _          => 2
       }
-      out
-    }
+    override def nullSafeEval(input: Any): Any =
+      hyperplaneEval(input.asInstanceOf[ArrayData], nPlanes, elemKind)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.plans.Kernels.hyperplaneEval($c, $nPlanes, $elemKind);")
     override protected def withNewChildInternal(c: Expression): HyperplaneBucketExpr =
       copy(child = c)
   }
@@ -153,40 +341,12 @@ object Kernels {
     * re-evaluated the normalization PER ELEMENT when interpreted (no CSE
     * across higher-order function boundaries) — ~50× slower.
     */
-  case class WordShinglesExpr(child: Expression, n: Int)
-      extends UnaryExpression with CodegenFallback {
+  case class WordShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
-    override def nullSafeEval(input: Any): Any = {
-      val s = input.asInstanceOf[UTF8String].toString
-      val sb = new java.lang.StringBuilder(s.length)
-      var i = 0
-      while (i < s.length) {
-        val c = s.charAt(i)
-        if (c >= 'a' && c <= 'z' || c >= '0' && c <= '9') sb.append(c)
-        else if (c >= 'A' && c <= 'Z') sb.append((c + 32).toChar)
-        else sb.append(' ')
-        i += 1
-      }
-      val toks = sb.toString.split("\\s+").filter(_.nonEmpty)
-      val count = toks.length - (n - 1)
-      if (count <= 0) new GenericArrayData(Array.empty[Any])
-      else {
-        val out = new Array[Any](count)
-        var j = 0
-        while (j < count) {
-          val g = new java.lang.StringBuilder()
-          var m = 0
-          while (m < n) {
-            if (m > 0) g.append(' ')
-            g.append(toks(j + m))
-            m += 1
-          }
-          out(j) = UTF8String.fromString(g.toString)
-          j += 1
-        }
-        new GenericArrayData(out)
-      }
-    }
+    override def nullSafeEval(input: Any): Any =
+      wordShinglesEval(input.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.plans.Kernels.wordShinglesEval($c, $n);")
     override protected def withNewChildInternal(c: Expression): WordShinglesExpr =
       copy(child = c)
   }
@@ -195,31 +355,12 @@ object Kernels {
     * in one pass (vs array_intersect + array_union materializing two
     * arrays per pair). Duplicate elements count once (set semantics).
     */
-  case class JaccardSimExpr(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+  case class JaccardSimExpr(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = DoubleType
-    override def nullSafeEval(l: Any, r: Any): Any = {
-      val a = l.asInstanceOf[ArrayData]
-      val b = r.asInstanceOf[ArrayData]
-      val setA = new java.util.HashSet[UTF8String](a.numElements() * 2)
-      var i = 0
-      while (i < a.numElements()) {
-        if (!a.isNullAt(i)) setA.add(a.getUTF8String(i))
-        i += 1
-      }
-      val setB = new java.util.HashSet[UTF8String](b.numElements() * 2)
-      var inter = 0
-      i = 0
-      while (i < b.numElements()) {
-        if (!b.isNullAt(i)) {
-          val s = b.getUTF8String(i)
-          if (setB.add(s) && setA.contains(s)) inter += 1
-        }
-        i += 1
-      }
-      val union = setA.size + setB.size - inter
-      if (union == 0) 0.0 else inter.toDouble / union
-    }
+    override def nullSafeEval(l: Any, r: Any): Any =
+      jaccardEval(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = graft.plans.Kernels.jaccardEval($a, $b);")
     override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSimExpr =
       copy(left = l, right = r)
   }
@@ -231,41 +372,12 @@ object Kernels {
     * sort materializes the full hash array per row. One pass, bounded
     * insertion buffer, output ascending.
     */
-  case class MinKHashesExpr(child: Expression, k: Int)
-      extends UnaryExpression with CodegenFallback {
+  case class MinKHashesExpr(child: Expression, k: Int) extends UnaryExpression {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val buf = new Array[Long](k)   // ascending, first `sz` slots live
-      var sz = 0
-      var i = 0
-      val n = arr.numElements()
-      while (i < n) {
-        if (!arr.isNullAt(i)) {
-          val h = hashUtf8(arr.getUTF8String(i), 42L)
-          if (sz < k || h < buf(sz - 1)) {
-            // binary search insertion point in buf[0, sz)
-            var lo = 0; var hi = sz
-            while (lo < hi) {
-              val mid = (lo + hi) >>> 1
-              if (buf(mid) < h) lo = mid + 1 else hi = mid
-            }
-            // skip duplicates (distinct semantics)
-            if (lo >= sz || buf(lo) != h) {
-              val last = math.min(sz, k - 1)
-              var j = last
-              while (j > lo) { buf(j) = buf(j - 1); j -= 1 }
-              buf(lo) = h
-              if (sz < k) sz += 1
-            }
-          }
-        }
-        i += 1
-      }
-      val out = new Array[Long](sz)
-      System.arraycopy(buf, 0, out, 0, sz)
-      new GenericArrayData(out)
-    }
+    override def nullSafeEval(input: Any): Any =
+      minKHashesEval(input.asInstanceOf[ArrayData], k)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.plans.Kernels.minKHashesEval($c, $k);")
     override protected def withNewChildInternal(c: Expression): MinKHashesExpr =
       copy(child = c)
   }
@@ -276,74 +388,22 @@ object Kernels {
     * failure. Single pass over the string; mirrors
     * `TypeInference.normalizeNumber` semantics exactly.
     */
-  case class LocaleNumberExpr(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class LocaleNumberExpr(child: Expression) extends UnaryExpression {
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true
-    private def isGrouping3(s: String, sep: Char): Boolean = {
-      // ^[+-]?\d{1,3}(sep\d{3})+$
-      var i = 0
-      if (i < s.length && (s.charAt(i) == '+' || s.charAt(i) == '-')) i += 1
-      var d = 0
-      while (i < s.length && Character.isDigit(s.charAt(i))) { d += 1; i += 1 }
-      if (d < 1 || d > 3) return false
-      var groups = 0
-      while (i < s.length && s.charAt(i) == sep) {
-        i += 1
-        var g = 0
-        while (i < s.length && Character.isDigit(s.charAt(i))) { g += 1; i += 1 }
-        if (g != 3) return false
-        groups += 1
-      }
-      groups >= 1 && i == s.length
-    }
-    private def plainParse(s: String): Any = {
-      // guard: plain decimal/scientific only (Java parseDouble would also
-      // accept "1d", "0x1p3", "Infinity" — Spark cast semantics do not)
-      var i = 0
-      var digits = 0
-      var dot = false
-      var exp = false
-      var ok = s.nonEmpty
-      if (i < s.length && (s.charAt(i) == '+' || s.charAt(i) == '-')) i += 1
-      while (ok && i < s.length) {
-        val c = s.charAt(i)
-        if (Character.isDigit(c)) digits += 1
-        else if (c == '.' && !dot && !exp) dot = true
-        else if ((c == 'e' || c == 'E') && !exp && digits > 0) {
-          exp = true
-          if (i + 1 < s.length && (s.charAt(i + 1) == '+' || s.charAt(i + 1) == '-')) i += 1
-        } else ok = false
-        i += 1
-      }
-      if (!ok || digits == 0) null
-      else try java.lang.Double.valueOf(s) catch { case _: NumberFormatException => null }
-    }
     override def nullSafeEval(input: Any): Any = {
-      val raw = input.asInstanceOf[UTF8String].toString
-      val sb = new java.lang.StringBuilder(raw.length)
-      var i = 0
-      while (i < raw.length) {
-        val c = raw.charAt(i)
-        if (!Character.isWhitespace(c) && c != ' ' && c != '\'') sb.append(c)
-        i += 1
-      }
-      val s = sb.toString
-      val lastDot = s.lastIndexOf('.')
-      val lastComma = s.lastIndexOf(',')
-      val norm =
-        if (lastDot >= 0 && lastComma >= 0) {
-          if (lastDot > lastComma) s.replace(",", "")                    // 1,000.5
-          else s.replace(".", "").replace(',', '.')                      // 1.000,5
-        } else if (lastComma >= 0) {
-          if (isGrouping3(s, ',')) s.replace(",", "") else s.replace(',', '.')
-        } else if (lastDot >= 0 && s.indexOf('.') != lastDot && isGrouping3(s, '.')) {
-          // dot-only with MULTIPLE dots in 3-groups = EU thousands
-          // ("1.123.456"); a single dot stays the decimal point
-          s.replace(".", "")
-        } else s
-      plainParse(norm)
+      val r = localeNumberEval(input.asInstanceOf[UTF8String])
+      if (r == null) null else r.doubleValue()
     }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"""
+        java.lang.Double ${ev.value}_r = graft.plans.Kernels.localeNumberEval($c);
+        if (${ev.value}_r == null) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = ${ev.value}_r.doubleValue();
+        }
+      """)
     override protected def withNewChildInternal(c: Expression): LocaleNumberExpr =
       copy(child = c)
   }
