@@ -20,6 +20,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
     ext.injectOptimizerRule(_ => JaccardBoundsRule)
+    ext.injectPlannerStrategy(_ => AsofJoinStrategy)
   }
 }
 

@@ -36,4 +36,54 @@ class AsofJoinSpec extends SparkSpec {
     val out = Joins.asofJoin(trades, r2, Seq("sym"), Seq("sym"), "t", "t", Seq("trade"))
     assert(out.columns.contains("trade_1"))
   }
+
+  // ---- native (custom LogicalPlan + Strategy + merge exec) path ----
+
+  test("native asof matches the composed implementation, both directions") {
+    import graft.plans.AsofJoinPlan
+    for (dir <- Seq("backward", "forward")) {
+      val composed = Joins.asofJoin(trades, quotes, Seq("sym"), Seq("sym"),
+        "t", "t", Seq("px"), dir).orderBy("trade").collect().toSeq
+      val native = AsofJoinPlan.asofJoin(trades, quotes, Seq("sym"), Seq("sym"),
+        "t", "t", Seq("px"), dir).orderBy("trade").collect().toSeq
+      assert(native === composed, s"direction=$dir")
+    }
+  }
+
+  test("native asof handles self-as-of (both sides from one source)") {
+    import graft.plans.AsofJoinPlan
+    val ev = Seq(
+      ("u1", 10L, "click", "e1"), ("u1", 5L, "buy", "e2"),
+      ("u1", 8L, "buy", "e3"), ("u2", 7L, "click", "e4")
+    ).toDF("user", "ts", "kind", "id")
+    val clicks = ev.filter($"kind" === "click").select($"user", $"ts", $"id")
+    val buys = ev.filter($"kind" === "buy").select($"user", $"ts", $"id")
+    val out = AsofJoinPlan.asofJoin(clicks, buys, Seq("user"), Seq("user"),
+      "ts", "ts", Seq("id"))
+      .collect().map(r => r.getAs[String]("id") -> Option(r.getAs[String]("id_1"))).toMap
+    assert(out === Map("e1" -> Some("e3"), "e4" -> None))
+  }
+
+  test("native asof plans as AsofJoinExec with one exchange per side") {
+    import graft.plans.AsofJoinPlan
+    val df = AsofJoinPlan.asofJoin(trades, quotes, Seq("sym"), Seq("sym"),
+      "t", "t", Seq("px"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 2, plan)
+  }
+
+  test("native asof tolerates null keys and empty sides") {
+    import graft.plans.AsofJoinPlan
+    val l = Seq((Option("A"), 10L, "x"), (None: Option[String], 10L, "y"))
+      .toDF("sym", "t", "tag")
+    val r = Seq((Option("A"), 5L, 1.0), (None: Option[String], 5L, 7.0))
+      .toDF("sym", "t", "px")
+    val out = AsofJoinPlan.asofJoin(l, r, Seq("sym"), Seq("sym"), "t", "t", Seq("px"))
+      .collect().map(x => x.getAs[String]("tag") -> Option(x.getAs[Any]("px"))).toMap
+    // null keys group together (reference dict-equality semantics)
+    assert(out === Map("x" -> Some(1.0), "y" -> Some(7.0)))
+    val empty = AsofJoinPlan.asofJoin(l.limit(0), r, Seq("sym"), Seq("sym"), "t", "t", Seq("px"))
+    assert(empty.count() === 0)
+  }
 }
