@@ -92,6 +92,14 @@ object SparkEntry {
         .select(col("l_returnflag"),
           col("Mode(l_linestatus)").as("mode_status"),
           round(col("Median(l_extendedprice)"), 4).as("med_price"))),
+    // exact reference histogram semantics (distinct-parity median,
+    // largest-value mode tie-break) via one-shuffle TypedImperativeAggregate
+    "q_ref_median_mode" -> ((s, dir) =>
+      GroupBy.groupby(t(s, dir, "lineitem"), Seq("l_returnflag"),
+        Seq("l_extendedprice" -> "RefMedian", "l_linestatus" -> "RefMode"))
+        .select(col("l_returnflag"),
+          round(col("RefMedian(l_extendedprice)"), 4).as("ref_median"),
+          col("RefMode(l_linestatus)").as("ref_mode"))),
     "q_stats" -> ((s, dir) =>
       GroupBy.statistics(t(s, dir, "lineitem"), "l_quantity")
         .withColumn("stdev", round(col("stdev"), 6))),
@@ -479,6 +487,34 @@ object SparkEntry {
     "q_mode_median" ->
       """SELECT l_returnflag, mode(l_linestatus) AS mode_status,
          round(median(l_extendedprice), 4) AS med_price FROM lineitem GROUP BY 1""",
+    "q_ref_median_mode" ->
+      """WITH mh AS (
+           SELECT l_returnflag AS k, CAST(l_extendedprice AS DOUBLE) AS v, count(*) AS c
+           FROM lineitem GROUP BY 1, 2),
+         ms AS (
+           SELECT k, v, c,
+             sum(c) OVER (PARTITION BY k ORDER BY v) AS cum,
+             lag(v) OVER (PARTITION BY k ORDER BY v) AS prev,
+             count(*) OVER (PARTITION BY k) AS nkeys,
+             sum(c) OVER (PARTITION BY k) / 2.0 AS mid
+           FROM mh),
+         mx AS (
+           SELECT k, v, prev, nkeys,
+             row_number() OVER (PARTITION BY k ORDER BY v) AS rn
+           FROM ms WHERE cum > mid),
+         med AS (
+           SELECT k, CASE WHEN nkeys % 2 = 0 AND prev IS NOT NULL
+             THEN (prev + v) / 2.0 ELSE v END AS ref_median
+           FROM mx WHERE rn = 1),
+         mo AS (
+           SELECT l_returnflag AS k, l_linestatus AS v, count(*) AS c
+           FROM lineitem GROUP BY 1, 2),
+         mor AS (
+           SELECT k, v, row_number() OVER (PARTITION BY k ORDER BY c DESC, v DESC) AS rn
+           FROM mo)
+         SELECT med.k AS l_returnflag, round(med.ref_median, 4) AS ref_median,
+           mor.v AS ref_mode
+         FROM med JOIN mor ON med.k = mor.k AND mor.rn = 1""",
     "q_stats" ->
       """SELECT min(l_quantity) AS min, max(l_quantity) AS max, avg(l_quantity) AS mean,
          median(l_quantity) AS median,

@@ -21,10 +21,11 @@ import org.apache.spark.sql.functions._
   *    (groupby.nim:243-277) → coalesce(stddev_samp, 0.0).
   *  - First/Last need a deterministic order → explicit order column +
   *    min_by/max_by instead of Spark's order-dependent first()/last().
-  *  - Median: the reference averages the two middle DISTINCT values on
-  *    even distinct-counts (groupby.nim:357-390) — a documented
-  *    divergence; we use percentile(0.5) (interpolated, standard).
-  *  - Mode: tie-break order diverges (groupby.nim:394-441); we use mode().
+  *  - Median/Mode: `Median`/`Mode` use Spark's standard percentile(0.5)/
+  *    mode(); `RefMedian`/`RefMode` reproduce the reference's histogram
+  *    semantics exactly (distinct-parity median, largest-value mode
+  *    tie-break; groupby.nim:343-441) via the one-shuffle
+  *    TypedImperativeAggregates in `graft.plans.RefAggregates`.
   */
 object GroupBy {
 
@@ -49,6 +50,8 @@ object GroupBy {
       case "Average"           => avg(col(c))
       case "StandardDeviation" => coalesce(stddev_samp(col(c)), lit(0.0))
       case "Median"            => percentile(col(c), lit(0.5))
+      case "RefMedian"         => graft.plans.RefAggregates.refMedian(col(c))
+      case "RefMode"           => graft.plans.RefAggregates.refMode(col(c))
       // ApproxMedian is the 100TB-scale path (single-pass sketch, no
       // per-group value buffer); Median keeps exact oracle parity.
       case "ApproxMedian"      => percentile_approx(col(c), lit(0.5), lit(10000))

@@ -51,7 +51,14 @@ object GraftExtensions {
     ("graft_number", info("graft_number", "_FUNC_(s) - locale-tolerant number parse"),
       (es: Seq[Expression]) => Kernels.LocaleNumberExpr(es.head)),
     ("graft_jaccard", info("graft_jaccard", "_FUNC_(a, b) - set Jaccard similarity of arrays"),
-      (es: Seq[Expression]) => Kernels.JaccardSimExpr(es.head, es(1))))
+      (es: Seq[Expression]) => Kernels.JaccardSimExpr(es.head, es(1))),
+    ("graft_ref_median", info("graft_ref_median",
+      "_FUNC_(v) - reference distinct-parity median (aggregate)"),
+      (es: Seq[Expression]) =>
+        RefAggregates.RefMedian(RefAggregates.medianInput(es.head)).toAggregateExpression()),
+    ("graft_ref_mode", info("graft_ref_mode",
+      "_FUNC_(v) - reference mode, count ties break to largest value (aggregate)"),
+      (es: Seq[Expression]) => RefAggregates.RefMode(es.head).toAggregateExpression()))
 
   /** Register into an already-running session. */
   def register(spark: SparkSession): Unit =

@@ -1,0 +1,253 @@
+package graft.plans
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.graftbridge.{ExprBridge => ExpressionUtils}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Exact-parity Median and Mode — the reference's histogram-based
+  * accumulators (nimlite/funcs/groupby.nim:280-441) as Catalyst
+  * `TypedImperativeAggregate`s.
+  *
+  * Both build a value → count histogram, so partial aggregation works:
+  * map-side histograms merge by key addition — ONE shuffle carrying one
+  * (value, count) pair per distinct value per partition, never the raw
+  * rows. The composed alternative (groupBy(value).count + window over the
+  * histogram) costs two shuffles and a per-group sort. Buffer size is
+  * bounded by the column's distinct-value count per group — same memory
+  * shape as the reference's in-process histogram.
+  *
+  * Reference semantics reproduced exactly (groupby.nim:357-390 median,
+  * 394-441 mode; pinned by tests/test_groupby_and_pivot.py:387-432):
+  *
+  *  - Median parity is decided by the number of DISTINCT values, not the
+  *    row count: keys==1 → that value; keys odd → the first value (sorted
+  *    ascending) whose cumulative count exceeds half the total rows;
+  *    keys even → the mean of that value and its predecessor. So
+  *    [3,3,6,6,9,9] → 6 (3 distinct, odd) and [3,3,3,9,9,9] → 6.0
+  *    (2 distinct, even → (3+9)/2), where a row-parity median gives 6
+  *    for both by interpolation.
+  *  - Mode is the most frequent value; count ties break to the LARGEST
+  *    value (sortedHistogramReversed: descending (count, value)).
+  *
+  * Divergence (documented): the reference dereferences an undefined
+  * predecessor when the first distinct value already crosses the midpoint
+  * on an even distinct count (e.g. [1,1,2]) — a crash. We return that
+  * value itself as a float.
+  */
+object RefAggregates {
+
+  type Hist = java.util.HashMap[Any, java.lang.Long]
+
+  /** Shared histogram machinery: update/merge/serialize over a
+    * value → count map keyed by the Catalyst value (Long/Double/Int/
+    * UTF8String/...). Serialization writes a type tag per key —
+    * supported atomic types cover the reference's type system.
+    */
+  abstract class HistogramAgg extends TypedImperativeAggregate[Hist]
+      with UnaryLike[Expression] {
+
+    override def createAggregationBuffer(): Hist = new java.util.HashMap[Any, java.lang.Long]()
+
+    private def add(buf: Hist, key: Any, n: Long): Unit = {
+      val cur = buf.get(key)
+      buf.put(key, java.lang.Long.valueOf(if (cur == null) n else cur.longValue() + n))
+    }
+
+    override def update(buf: Hist, input: InternalRow): Hist = {
+      val v = child.eval(input)
+      if (v != null) {
+        // UTF8String from an unsafe row points into the row buffer — copy
+        val key = v match {
+          case s: UTF8String => s.clone()
+          case other         => other
+        }
+        add(buf, key, 1L)
+      }
+      buf
+    }
+
+    override def merge(buf: Hist, other: Hist): Hist = {
+      val it = other.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        add(buf, e.getKey, e.getValue.longValue())
+      }
+      buf
+    }
+
+    override def serialize(buf: Hist): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      val out = new DataOutputStream(bos)
+      out.writeInt(buf.size())
+      val it = buf.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        e.getKey match {
+          case v: java.lang.Long    => out.writeByte(0); out.writeLong(v)
+          case v: java.lang.Double  => out.writeByte(1); out.writeDouble(v)
+          case v: java.lang.Integer => out.writeByte(2); out.writeInt(v)
+          case v: UTF8String =>
+            val b = v.getBytes
+            out.writeByte(3); out.writeInt(b.length); out.write(b)
+          case v: java.lang.Short   => out.writeByte(4); out.writeShort(v.toInt)
+          case v: java.lang.Byte    => out.writeByte(5); out.writeByte(v.toInt)
+          case v: java.lang.Boolean => out.writeByte(6); out.writeBoolean(v)
+          case v: java.lang.Float   => out.writeByte(7); out.writeFloat(v)
+          case other => throw new UnsupportedOperationException(
+            s"histogram aggregate: unsupported key ${other.getClass}")
+        }
+        out.writeLong(e.getValue.longValue())
+      }
+      out.flush()
+      bos.toByteArray
+    }
+
+    override def deserialize(bytes: Array[Byte]): Hist = {
+      val in = new DataInputStream(new ByteArrayInputStream(bytes))
+      val n = in.readInt()
+      val buf = new java.util.HashMap[Any, java.lang.Long](n * 2)
+      var i = 0
+      while (i < n) {
+        val key: Any = in.readByte() match {
+          case 0 => in.readLong()
+          case 1 => in.readDouble()
+          case 2 => in.readInt()
+          case 3 =>
+            val len = in.readInt()
+            val b = new Array[Byte](len)
+            in.readFully(b)
+            UTF8String.fromBytes(b)
+          case 4 => in.readShort()
+          case 5 => in.readByte()
+          case 6 => in.readBoolean()
+          case 7 => in.readFloat()
+        }
+        buf.put(key, java.lang.Long.valueOf(in.readLong()))
+        i += 1
+      }
+      buf
+    }
+
+    override def nullable: Boolean = true
+  }
+
+  /** Distinct-parity median (groupby.nim:343-390). Input coerced to
+    * double (use `apply` / the wrappers, which insert the cast); result
+    * is DoubleType (the reference returns the original int on the odd
+    * path — numerically identical).
+    */
+  case class RefMedian(
+      child: Expression,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0) extends HistogramAgg {
+
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_ref_median"
+
+    override def eval(buf: Hist): Any = {
+      val keys = buf.size()
+      if (keys == 0) return null
+      val entries = new Array[(Double, Long)](keys)
+      val it = buf.entrySet().iterator()
+      var i = 0
+      var total = 0L
+      while (it.hasNext) {
+        val e = it.next()
+        entries(i) = (e.getKey.asInstanceOf[Double], e.getValue.longValue())
+        total += e.getValue.longValue()
+        i += 1
+      }
+      if (keys == 1) return entries(0)._1
+      java.util.Arrays.sort(entries, Ordering.by((p: (Double, Long)) => p._1))
+      val midpoint = total / 2.0
+      var cum = 0L
+      i = 0
+      if (keys % 2 == 0) {
+        var prev = Double.NaN
+        var hasPrev = false
+        while (i < keys) {
+          cum += entries(i)._2
+          if (cum > midpoint) {
+            // reference crashes when the first value already crosses the
+            // midpoint (undefined predecessor); we return the value itself
+            return if (hasPrev) (prev + entries(i)._1) / 2.0 else entries(i)._1
+          }
+          prev = entries(i)._1
+          hasPrev = true
+          i += 1
+        }
+        null
+      } else {
+        while (i < keys) {
+          cum += entries(i)._2
+          if (cum > midpoint) return entries(i)._1
+          i += 1
+        }
+        null
+      }
+    }
+
+    override def withNewMutableAggBufferOffset(offset: Int): RefMedian =
+      copy(mutableAggBufferOffset = offset)
+    override def withNewInputAggBufferOffset(offset: Int): RefMedian =
+      copy(inputAggBufferOffset = offset)
+    override protected def withNewChildInternal(c: Expression): RefMedian = copy(child = c)
+  }
+
+  /** Mode with the reference's tie-break: most frequent value, count ties
+    * broken to the largest value (groupby.nim:394-441). Output type =
+    * input type; works on any ordered atomic type (numbers, strings,
+    * dates as days, timestamps as micros).
+    */
+  case class RefMode(
+      child: Expression,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0) extends HistogramAgg {
+
+    override def dataType: DataType = child.dataType
+    override def prettyName: String = "graft_ref_mode"
+    @transient private lazy val valueOrd = TypeUtils.getInterpretedOrdering(child.dataType)
+
+    override def eval(buf: Hist): Any = {
+      if (buf.isEmpty) return null
+      var bestV: Any = null
+      var bestC = -1L
+      val it = buf.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val c = e.getValue.longValue()
+        if (c > bestC || (c == bestC && valueOrd.compare(e.getKey, bestV) > 0)) {
+          bestV = e.getKey
+          bestC = c
+        }
+      }
+      bestV
+    }
+
+    override def withNewMutableAggBufferOffset(offset: Int): RefMode =
+      copy(mutableAggBufferOffset = offset)
+    override def withNewInputAggBufferOffset(offset: Int): RefMode =
+      copy(inputAggBufferOffset = offset)
+    override protected def withNewChildInternal(c: Expression): RefMode = copy(child = c)
+  }
+
+  /** Wrap a median input in the double coercion the aggregate expects
+    * (no-op casts are removed by the optimizer).
+    */
+  def medianInput(e: Expression): Expression = Cast(e, DoubleType)
+
+  // Column-API wrappers
+  def refMedian(c: Column): Column =
+    ExpressionUtils.column(
+      RefMedian(medianInput(ExpressionUtils.expression(c))).toAggregateExpression())
+  def refMode(c: Column): Column =
+    ExpressionUtils.column(RefMode(ExpressionUtils.expression(c)).toAggregateExpression())
+}
