@@ -98,4 +98,70 @@ object Streams {
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(fn)
   }
+
+  /** Event-time gap sessionizer: sessions close when the WATERMARK (not
+    * wall-clock) passes `lastTs + gap` — deterministic on replay and
+    * unaffected by ingestion speed, which is what a backfill over 100 TB
+    * of historical events needs (a processing-time timeout would close
+    * every session instantly during catch-up). State per key is O(1);
+    * the watermark bounds total state.
+    */
+  def sessionizeEventTime(
+      events: Dataset[SessionEvent],
+      gapSeconds: Long,
+      watermark: String)(implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    def fn(userId: Long, rows: Iterator[SessionEvent],
+        state: GroupState[SessionState]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        return Iterator(SessionOut(userId, new java.sql.Timestamp(s.start),
+          new java.sql.Timestamp(s.lastTs), s.n, s.sum))
+      }
+      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      var out = List.empty[SessionOut]
+      var cur = state.getOption
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.lastTs > gapSeconds * 1000 =>
+            out ::= SessionOut(userId, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.lastTs), s.n, s.sum)
+            cur = Some(SessionState(t, t, 1, e.value))
+          case Some(s) =>
+            cur = Some(SessionState(s.start, t, s.n + 1, s.sum + e.value))
+          case None =>
+            cur = Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        // close when event time (the watermark) passes the gap horizon
+        state.setTimeoutTimestamp(s.lastTs + gapSeconds * 1000)
+      }
+      out.reverseIterator
+    }
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** Rate-source adapter shaped like the events table — the kafka-shaped
+    * demo/load-test source (`format("rate")` is Spark's built-in
+    * monotonically-timestamped generator; swapping in
+    * `format("kafka").option("subscribe", ...)` plus a value decoder is
+    * the production path).
+    */
+  def rateEvents(spark: SparkSession, rowsPerSecond: Int, nUsers: Int = 100): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toLong)
+      .load()
+      .select(
+        pmod(col("value"), lit(nUsers.toLong)).as("user_id"),
+        col("timestamp").as("ts"),
+        concat(lit("e"), col("value")).as("event_id"),
+        when(pmod(col("value"), lit(5)) === 0, "purchase")
+          .otherwise("click").as("event_type"),
+        (pmod(col("value"), lit(100)) / lit(10.0)).as("value"))
 }

@@ -122,6 +122,25 @@ class TypeInferenceSpec extends SparkSpec {
     assert(t("s") === "string")
   }
 
+  test("applyBestTypes: single-format column casts with one formatter, mixed falls back") {
+    val df = Seq(
+      ("2024-01-31", "2024-01-31"),
+      ("2024-02-29", "29/02/2024")  // mixed formats in col `m`
+    ).toDF("u", "m")
+    val out = TypeInference.applyBestTypes(df)
+    assert(out.schema("u").dataType.typeName === "date")
+    assert(out.schema("m").dataType.typeName === "date")
+    val rows = out.select($"u".cast("string"), $"m".cast("string")).collect()
+    assert(rows.map(_.getString(1)).sorted === Array("2024-01-31", "2024-02-29"))
+    // the uniform column's plan carries exactly ONE parse attempt; the
+    // mixed column needs the multi-format coalesce chain
+    val plan = out.queryExecution.optimizedPlan.toString
+    val parses = "to_timestamp".r.findAllIn(plan).size
+    assert(parses > 1 && parses <= 1 + dateFormatChainLength, plan)
+  }
+
+  private def dateFormatChainLength: Int = 8 // TypeInference.dateFormats.size
+
   test("columnSelect splits pass/fail with reject reasons") {
     val df = Seq(("1", "2.5"), ("x", "3.5"), ("3", "bad")).toDF("a", "b")
     val (pass, fail) = ColumnSelect.columnSelect(df, Seq(

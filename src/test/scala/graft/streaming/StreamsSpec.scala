@@ -69,4 +69,56 @@ class StreamsSpec extends SparkSpec {
       assert(q.lastProgress != null)
     } finally q.stop()
   }
+
+  test("event-time sessionizer closes sessions when the watermark passes the gap") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[Streams.SessionEvent]
+    val sessions = Streams.sessionizeEventTime(in.toDS(), gapSeconds = 600, watermark = "0 seconds")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_et").start()
+    try {
+      // batch 1: two events 5 min apart (same session for user 1)
+      in.addData(
+        Streams.SessionEvent(1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+        Streams.SessionEvent(1L, java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 2.0))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM sess_et").count() === 0) // still open
+      // batch 2: an event far in the future advances the watermark past
+      // 10:05 + 10 min, timing out user 1's session
+      in.addData(
+        Streams.SessionEvent(2L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 9.0))
+      q.processAllAvailable()
+      // timeout fires on the batch AFTER the watermark advances
+      in.addData(
+        Streams.SessionEvent(2L, java.sql.Timestamp.valueOf("2024-01-01 12:00:01"), 1.0))
+      q.processAllAvailable()
+      val out = spark.sql(
+        "SELECT user_id, n_events, total_value FROM sess_et").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      assert(out.toSeq === Seq((1L, 2, 3.0)))
+    } finally q.stop()
+  }
+
+  test("rate source adapter yields events-shaped rows") {
+    val df = Streams.rateEvents(spark, rowsPerSecond = 500, nUsers = 10)
+    assert(df.isStreaming)
+    assert(df.columns.toSeq === Seq("user_id", "ts", "event_id", "event_type", "value"))
+    val q = df.writeStream.outputMode("append")
+      .format("memory").queryName("rate_out").start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      var n = 0L
+      while (n == 0 && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        n = spark.sql("SELECT * FROM rate_out").count()
+        if (n == 0) Thread.sleep(200)
+      }
+      assert(n > 0)
+      val types = spark.sql("SELECT DISTINCT event_type FROM rate_out")
+        .collect().map(_.getString(0)).toSet
+      assert(types.subsetOf(Set("click", "purchase")))
+    } finally q.stop()
+  }
 }
