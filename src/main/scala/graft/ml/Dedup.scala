@@ -12,6 +12,58 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Bucket self-join with skew salting. Rows sharing `bk` become
+    * candidate pairs (both orientations, `_a`/`_b` suffixed payload):
+    *
+    *  - buckets ≤ `maxBucket`: plain per-bucket self-join;
+    *  - `maxBucket` < size ≤ `hardCap`: SALTED — rows are hashed into
+    *    g = ⌈size/maxBucket⌉ chunks and the bucket's g(g+1)/2 chunk-pair
+    *    sub-tasks each compare ~maxBucket² rows. A row in chunk c
+    *    replicates to the (c,j≥c) tasks as the a-side and (i≤c,c) as the
+    *    b-side — ~g copies. Same d²/2 total comparisons, but spread over
+    *    g² tasks instead of one straggler holding d rows: at 100 TB a
+    *    hot template bucket of 50k docs becomes 2.5k bounded tasks, not
+    *    one OOM. Off-diagonal tasks see each unordered pair once, so the
+    *    salted output is mirrored to keep both orientations (callers
+    *    filter `id_a < id_b` and dedupe exactly as in the plain path);
+    *  - size > `hardCap`: dropped — degenerate buckets (empty-text /
+    *    boilerplate signatures) that exact dedup already handles, where
+    *    even salted all-pairs would be quadratic garbage.
+    */
+  private[ml] def bucketSelfJoin(
+      rows: DataFrame,
+      bk: String,
+      payloadCols: Seq[String],
+      maxBucket: Int,
+      hardCap: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(bk)
+    val sized = rows.withColumn("bsize", count(lit(1)).over(w))
+
+    def side(df: DataFrame, suffix: String, extra: Seq[(String, String)]): DataFrame =
+      df.select(col(bk) +: extra.map { case (c, n) => col(c).as(n) } ++:
+        payloadCols.map(c => col(c).as(c + suffix)): _*)
+
+    val small = sized.filter(col("bsize") <= maxBucket).drop("bsize")
+    val plain = side(small, "_a", Nil).join(side(small, "_b", Nil), Seq(bk))
+
+    val medium = sized
+      .filter(col("bsize") > maxBucket && col("bsize") <= hardCap)
+      .withColumn("g", ceil(col("bsize") / lit(maxBucket)).cast("int"))
+      .withColumn("c", pmod(xxhash64(col(payloadCols.head)), col("g")).cast("int"))
+    val aSide = side(
+      medium.withColumn("cj", explode(sequence(col("c"), col("g") - 1))),
+      "_a", Seq("c" -> "ci", "cj" -> "cj"))
+    val bSide = side(
+      medium.withColumn("ci", explode(sequence(lit(0), col("c")))),
+      "_b", Seq("ci" -> "ci", "c" -> "cj"))
+    val salted = aSide.join(bSide, Seq(bk, "ci", "cj")).drop("ci", "cj")
+    // mirror so both orientations exist, matching the plain path's contract
+    val mirrored = salted.unionByName(salted.select(col(bk) +:
+      payloadCols.flatMap(c =>
+        Seq(col(c + "_b").as(c + "_a"), col(c + "_a").as(c + "_b"))): _*))
+    plain.unionByName(mirrored)
+  }
+
   /** Exact dedup by content hash: group on md5(normalized text), keep the
     * lowest id. Scales as one hash-partitioned aggregation; the 128-bit
     * hash key (not the text) is the shuffle payload.
@@ -26,9 +78,10 @@ object Dedup {
     * shingle → minhash(k) → band keys → explode → self-join per band
     * → distinct pairs → exact Jaccard verification ≥ threshold.
     *
-    * Scale: the self-join is per-band-bucket; skew guard = cap bucket
-    * size (buckets bigger than `maxBucket` are dropped — they are
-    * boilerplate/empty-text clusters that exact dedup already handles).
+    * Scale: the self-join is per-band-bucket; skew guards per
+    * [[bucketSelfJoin]] — buckets over `maxBucket` are salted across
+    * bounded sub-tasks (full recall), buckets over `saltCap` dropped
+    * (boilerplate/empty-text clusters that exact dedup already handles).
     */
   def minhashPairs(
       docs: DataFrame,
@@ -38,7 +91,8 @@ object Dedup {
       bands: Int = 16,
       shingleN: Int = 3,
       threshold: Double = 0.7,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000,
+      saltCap: Int = 20000): DataFrame = {
     // the shingle frame feeds the band explode AND both verify joins —
     // persist so the corpus is shingled once (ContextCleaner evicts when
     // the plan is released; at petabyte scale write it out instead)
@@ -50,17 +104,12 @@ object Dedup {
       .withColumn("sz", size(array_distinct(col("sh"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // only (id, bandkey) goes through the shuffle — never the shingle
-    // arrays; band buckets bigger than maxBucket are dropped (boilerplate
-    // clusters that exact dedup already catches — and the skew guard)
+    // arrays; band buckets over maxBucket are salted (triangle sub-join),
+    // over saltCap dropped (boilerplate clusters exact dedup catches)
     val bandRows = sh.select(col("id"), explode(Similarity.lshBands(
       Kernels.minhashSig(col("sh"), k), bands, k / bands)).as("bandkey"))
-    val bucketed = bandRows
-      .withColumn("bsize", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("bandkey")))
-      .filter(col("bsize") <= maxBucket)
     // distinct candidate pairs FIRST; verify each pair's Jaccard once
-    val cand = bucketed.select(col("bandkey"), col("id").as("id_a"))
-      .join(bucketed.select(col("bandkey"), col("id").as("id_b")), Seq("bandkey"))
+    val cand = bucketSelfJoin(bandRows, "bandkey", Seq("id"), maxBucket, saltCap)
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
     cand
@@ -81,7 +130,8 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
-      maxBucket: Int = 500): DataFrame = {
+      maxBucket: Int = 500,
+      saltCap: Int = 10000): DataFrame = {
     // min-token floor: texts that normalize to (near-)nothing — e.g.
     // non-Latin scripts under an ASCII normalizer — all hash identically
     // and would form a quadratic bucket; they are exact-dedup's job
@@ -91,17 +141,12 @@ object Dedup {
     val quads = sig.select(col("id"), col("sim"), explode(array(
       (0 until 4).map(q => concat_ws(":", lit(q),
         shiftrightunsigned(col("sim"), q * 16).bitwiseAND(lit(0xFFFFL)))): _*)).as("qk"))
-      .withColumn("bsize", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("qk")))
-      .filter(col("bsize") <= maxBucket)
-    val a = quads.select(col("qk"), col("id").as("id_a"), col("sim").as("sim_a"))
-    val b = quads.select(col("qk"), col("id").as("id_b"), col("sim").as("sim_b"))
     // hamming filter BEFORE distinct: a near-pair appears once per shared
     // quadrant (≤4×), but the ≤maxHamming cut drops the vast majority of
     // joined rows first, so distinct deduplicates thousands of rows
     // instead of the full join output (bit_count is one codegen'd
     // instruction per row — far cheaper than shuffling rows to distinct)
-    a.join(b, Seq("qk"))
+    bucketSelfJoin(quads, "qk", Seq("id", "sim"), maxBucket, saltCap)
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         Similarity.hamming64(col("sim_a"), col("sim_b")).as("hamming"))

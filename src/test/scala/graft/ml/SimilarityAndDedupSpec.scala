@@ -87,6 +87,36 @@ class SimilarityAndDedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("salted bucket self-join preserves recall on oversized buckets") {
+    // 12 near-identical docs land in one band/quadrant bucket; with
+    // maxBucket=3 the old guard dropped the bucket (0 pairs) — the salted
+    // triangle join must find exactly the pairs the uncapped run finds
+    val docs = (1L to 12L).map(i =>
+      (i, s"identical boilerplate text repeated across documents tail$i"))
+      .toDF("id", "text")
+    def pairSet(maxBucket: Int, saltCap: Int) =
+      Dedup.minhashPairs(docs, "id", "text", threshold = 0.3,
+        maxBucket = maxBucket, saltCap = saltCap)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val uncapped = pairSet(maxBucket = 1000, saltCap = 20000)
+    val salted = pairSet(maxBucket = 3, saltCap = 1000)
+    assert(uncapped.nonEmpty)
+    assert(salted === uncapped)
+    // above saltCap the bucket is dropped (degenerate-cluster guard):
+    // fully identical docs put every band bucket over the cap
+    val clones = (1L to 12L).map(i => (i, "exactly the same text in every document"))
+      .toDF("id", "text")
+    assert(Dedup.minhashPairs(clones, "id", "text", threshold = 0.3,
+      maxBucket = 3, saltCap = 4).count() === 0)
+
+    val simUncapped = Dedup.simhashPairs(docs, "id", "text", maxHamming = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val simSalted = Dedup.simhashPairs(docs, "id", "text", maxHamming = 6,
+      maxBucket = 3, saltCap = 1000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(simUncapped.nonEmpty && simSalted === simUncapped)
+  }
+
   test("bruteForceKnn ranks by cosine and excludes self") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),

@@ -133,8 +133,9 @@ class TypeInferenceSpec extends SparkSpec {
     val rows = out.select($"u".cast("string"), $"m".cast("string")).collect()
     assert(rows.map(_.getString(1)).sorted === Array("2024-01-31", "2024-02-29"))
     // the uniform column's plan carries exactly ONE parse attempt; the
-    // mixed column needs the multi-format coalesce chain
-    val plan = out.queryExecution.optimizedPlan.toString
+    // mixed column needs the multi-format coalesce chain (analyzed plan:
+    // the optimizer constant-folds this literal input away entirely)
+    val plan = TypeInference.applyBestTypes(df).queryExecution.analyzed.toString
     val parses = "to_timestamp".r.findAllIn(plan).size
     assert(parses > 1 && parses <= 1 + dateFormatChainLength, plan)
   }
