@@ -437,6 +437,20 @@ object SparkEntry {
         dim = 64, k = 5)
         .select(col("query_id"), col("neighbour_id"), col("rank"))
     }),
+    // IVF scale path: k-means coarse quantizer + nProbe inverted lists
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val centroids = Ann.trainCentroids(e, "embedding", nList = 32)
+      val idx = Ann.buildIvfIndex(e, "vec_id", "embedding", centroids)
+      Ann.ivfKnn(idx, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        centroids, k = 5, nProbe = 4)
+        .select(col("query_id"), col("neighbour_id"), col("rank"))
+    }),
+    "q_ann_ivf_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Ann.ivfRecallAtK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = 10, nList = 32, nProbe = 4)
+    }),
 
     // ---- multimodal plumbing ----------------------------------------
     "q_multimodal" -> ((s, dir) => {
@@ -773,6 +787,8 @@ object SparkEntry {
              OVER (PARTITION BY user_id ORDER BY ts) > 1800000 THEN 1 ELSE 0 END AS flag
            FROM events) GROUP BY 1"""
     // rows-only (no SQL oracle): q_minhash_pairs, q_simhash_pairs,
-    // q_ngram_pairs, q_embedding_pairs, q_knn, q_ann_lsh, q_multimodal
+    // q_ngram_pairs, q_embedding_pairs, q_ann_lsh, q_ann_ivf,
+    // q_ann_recall, q_ann_ivf_recall, q_multimodal (approximate /
+    // engine-specific outputs; q_knn IS oracle-checked — exact top-k)
   )
 }

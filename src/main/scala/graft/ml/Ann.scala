@@ -74,6 +74,85 @@ object Ann {
     scored.distinct().withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  // ---- IVF (inverted-file) path ------------------------------------
+
+  /** Train the IVF coarse quantizer: k-means over a corpus sample.
+    * Centroids are tiny (nList × dim doubles) — they come back to the
+    * driver and ride into [[buildIvfIndex]]/[[ivfKnn]] as expression
+    * constants, so assignment/probing is pure map-side.
+    */
+  def trainCentroids(
+      corpus: DataFrame,
+      vecCol: String,
+      nList: Int = 64,
+      sampleN: Int = 20000,
+      seed: Long = 42L): Array[Array[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val sample = corpus.select(array_to_vector(col(vecCol)).as("features")).limit(sampleN)
+    val model = new KMeans().setK(nList).setSeed(seed).setMaxIter(20).fit(sample)
+    model.clusterCenters.map(_.toArray)
+  }
+
+  /** IVF index: every corpus vector assigned to its nearest centroid's
+    * inverted list — one narrow map-side pass (no shuffle). At real scale
+    * write this out `partitionBy("list")`: probing then prunes to
+    * nProbe/nList of the files.
+    */
+  def buildIvfIndex(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame =
+    corpus.select(col(idCol).as("neighbour_id"), col(vecCol).as("cv"),
+      element_at(Kernels.nearestCentroids(col(vecCol), centroids, 1), 1).as("list"))
+
+  /** IVF search: probe the `nProbe` nearest inverted lists per query,
+    * exact cosine within the probed lists, top-k. Cost ~ nProbe/nList of
+    * brute force; recall grows with nProbe (the classic IVF trade,
+    * Jégou et al., IVFADC minus the PQ compression).
+    */
+  def ivfKnn(
+      index: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      k: Int = 10,
+      nProbe: Int = 4): DataFrame = {
+    val probed = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      explode(Kernels.nearestCentroids(col(vecCol), centroids, nProbe)).as("list"))
+    val scored = probed.join(index, Seq("list"))
+      .filter(col("query_id") =!= col("neighbour_id"))
+      .select(col("query_id"), col("neighbour_id"),
+        Kernels.cosineSim(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbour_id").asc)
+    // a (query, neighbour) pair can only appear once — lists partition
+    // the corpus — so no distinct needed (unlike multi-probe LSH)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Recall@k of the IVF index against exact brute force. */
+  def ivfRecallAtK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 10,
+      nList: Int = 64,
+      nProbe: Int = 4): DataFrame = {
+    val centroids = trainCentroids(corpus, vecCol, nList)
+    val exact = bruteForceKnn(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbour_id"))
+    val approx = ivfKnn(buildIvfIndex(corpus, idCol, vecCol, centroids),
+      queries, idCol, vecCol, centroids, k, nProbe)
+      .select(col("query_id"), col("neighbour_id"))
+    val hits = exact.intersect(approx).count().toDouble
+    val total = exact.count().toDouble
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq((k, if (total == 0) 0.0 else hits / total)).toDF("k", "recall")
+  }
+
   /** Recall@k of the LSH index against exact brute force — the eval loop
     * for tuning nPlanes/probeBits. One row: (k, recall).
     */

@@ -298,12 +298,15 @@ object Dedup {
       vecCol: String,
       dim: Int,
       threshold: Double = 0.95,
-      nPlanes: Int = 10): DataFrame = {
+      nPlanes: Int = 10,
+      maxBucket: Int = 2000,
+      saltCap: Int = 50000): DataFrame = {
     val b = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       Kernels.hyperplaneBucket(col(vecCol), nPlanes).as("bucket"))
-    val x = b.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val y = b.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    x.join(y, Seq("bucket"))
+    // same skew guards as the text LSH joins: embedding spaces cluster
+    // (a hot LSH cell of boilerplate-adjacent vectors), so the bucket
+    // self-join salts medium cells and drops degenerate ones
+    bucketSelfJoin(b, "bucket", Seq("id", "v"), maxBucket, saltCap)
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), Kernels.cosineSim(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)

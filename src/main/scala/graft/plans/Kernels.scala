@@ -203,6 +203,41 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Indices of the `n` nearest centroids (squared L2, ascending) for a
+    * numeric array. elemKind: 0 = float, 1 = double.
+    */
+  def nearestCentroidsEval(
+      a: ArrayData, centroids: Array[Array[Double]], n: Int, elemKind: Int): ArrayData = {
+    val nc = centroids.length
+    val keep = math.min(n, nc)
+    val bestD = Array.fill(keep)(Double.MaxValue)
+    val bestI = new Array[Int](keep)
+    val len = a.numElements()
+    var ci = 0
+    while (ci < nc) {
+      val c = centroids(ci)
+      val m = math.min(len, c.length)
+      var d = 0.0
+      var i = 0
+      while (i < m) {
+        val v = if (elemKind == 0) a.getFloat(i).toDouble else a.getDouble(i)
+        val diff = v - c(i)
+        d += diff * diff
+        i += 1
+      }
+      if (d < bestD(keep - 1)) {
+        // insertion into the sorted top-n
+        var p = keep - 1
+        while (p > 0 && bestD(p - 1) > d) {
+          bestD(p) = bestD(p - 1); bestI(p) = bestI(p - 1); p -= 1
+        }
+        bestD(p) = d; bestI(p) = ci
+      }
+      ci += 1
+    }
+    new GenericArrayData(bestI)
+  }
+
   private def isGrouping3(s: String, sep: Char): Boolean = {
     // ^[+-]?\d{1,3}(sep\d{3})+$
     var i = 0
@@ -382,6 +417,31 @@ object Kernels {
       copy(child = c)
   }
 
+  /** IVF coarse-quantizer probe: the `n` nearest centroid ids for a
+    * vector, squared-L2 ascending. Centroids ride along with the
+    * expression (broadcast in the closure — nList × dim doubles), so
+    * assignment is pure map-side: no join, no shuffle. Codegen references
+    * the centroid array via `addReferenceObj`.
+    */
+  case class NearestCentroidsExpr(child: Expression, centroids: Array[Array[Double]], n: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    @transient private lazy val elemKind =
+      child.dataType.asInstanceOf[ArrayType].elementType match {
+        case FloatType => 0
+        case _         => 1
+      }
+    override def nullSafeEval(input: Any): Any =
+      nearestCentroidsEval(input.asInstanceOf[ArrayData], centroids, n, elemKind)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cRef = ctx.addReferenceObj("centroids", centroids, "double[][]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.plans.Kernels.nearestCentroidsEval($c, $cRef, $n, $elemKind);")
+    }
+    override protected def withNewChildInternal(c: Expression): NearestCentroidsExpr =
+      copy(child = c)
+  }
+
   /** Locale-tolerant number parse (the reference's ingest differentiator,
     * infertypes.nim:26-120): "1,000,000.5" (US), "1.000.000,5" (EU),
     * "1 000 000" (space/nbsp/apostrophe groupings) → double; null on
@@ -425,4 +485,7 @@ object Kernels {
     ExpressionUtils.column(JaccardSimExpr(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
   def minKHashes(arr: Column, k: Int): Column =
     ExpressionUtils.column(MinKHashesExpr(ExpressionUtils.expression(arr), k))
+  def nearestCentroids(vec: Column, centroids: Array[Array[Double]], n: Int): Column =
+    ExpressionUtils.column(
+      NearestCentroidsExpr(ExpressionUtils.expression(vec), centroids, n))
 }

@@ -38,4 +38,44 @@ class DedupCorpusSpec extends SparkSpec {
       dim = 8, k = 5, nPlanes = 4).collect().head.getDouble(1)
     assert(recall > 0.0 && recall <= 1.0)
   }
+
+  test("IVF index: lists partition the corpus; full probe = exact top-k") {
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 17 + j * 3).toFloat))
+    }.toDF("vec_id", "embedding")
+    val centroids = Ann.trainCentroids(vecs, "embedding", nList = 4, sampleN = 60)
+    assert(centroids.length === 4 && centroids.head.length === 8)
+    val idx = Ann.buildIvfIndex(vecs, "vec_id", "embedding", centroids)
+    // every corpus vector lands in exactly one inverted list
+    assert(idx.count() === 60)
+    assert(idx.select("list").distinct().count() <= 4)
+    // probing ALL lists makes IVF exhaustive — must equal brute force
+    val exact = Ann.bruteForceKnn(vecs, vecs.filter($"vec_id" < 5),
+      "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbour_id").as[(Long, Long)].collect().toSet
+    val full = Ann.ivfKnn(idx, vecs.filter($"vec_id" < 5), "vec_id", "embedding",
+      centroids, k = 5, nProbe = 4)
+      .select("query_id", "neighbour_id").as[(Long, Long)].collect().toSet
+    assert(full === exact)
+    // partial probe: sane recall
+    val recall = Ann.ivfRecallAtK(vecs, vecs.filter($"vec_id" < 5),
+      "vec_id", "embedding", k = 5, nList = 4, nProbe = 2)
+      .collect().head.getDouble(1)
+    assert(recall > 0.0 && recall <= 1.0)
+  }
+
+  test("embeddingPairs salt path matches the uncapped pair set") {
+    val vecs = (0 until 30).map { i =>
+      // two tight clusters → big LSH buckets
+      val base = if (i % 2 == 0) 1.0f else -1.0f
+      (i.toLong, Array.tabulate(8)(j => base + 0.001f * i + 0.01f * j))
+    }.toDF("vec_id", "embedding")
+    def pairs(maxBucket: Int) =
+      graft.ml.Dedup.embeddingPairs(vecs, "vec_id", "embedding", dim = 8,
+        threshold = 0.9, nPlanes = 4, maxBucket = maxBucket, saltCap = 100000)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val uncapped = pairs(maxBucket = 2000)
+    val salted = pairs(maxBucket = 4)
+    assert(uncapped.nonEmpty && salted === uncapped)
+  }
 }
