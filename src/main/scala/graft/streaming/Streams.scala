@@ -147,6 +147,83 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
 
+  /** Gap sessionizer on Spark 4's `transformWithState` (the current
+    * arbitrary-state API superseding flatMapGroupsWithState): typed
+    * `ValueState` in the RocksDB store + explicit event-time timers.
+    * Semantically identical to [[sessionizeEventTime]]; this is the API
+    * a new pipeline should target — state schema evolution, multiple
+    * state variables, and timer control come for free.
+    */
+  class SessionProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, SessionEvent, SessionOut] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimeMode, TimerValues, TTLConfig}
+    import org.apache.spark.sql.{Encoders, streaming => ss}
+
+    @transient private var session: ss.ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      session = getHandle.getValueState[SessionState]("session",
+        Encoders.product[SessionState], TTLConfig.NONE)
+
+    private def emit(userId: Long, s: SessionState): SessionOut =
+      SessionOut(userId, new java.sql.Timestamp(s.start),
+        new java.sql.Timestamp(s.lastTs), s.n, s.sum)
+
+    override def handleInputRows(userId: Long, rows: Iterator[SessionEvent],
+        tv: TimerValues): Iterator[SessionOut] = {
+      val sorted = rows.toSeq.sortBy(_.ts.getTime)
+      var out = List.empty[SessionOut]
+      var cur = if (session.exists()) Some(session.get()) else None
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.lastTs > gapMs =>
+            out ::= emit(userId, s)
+            cur = Some(SessionState(t, t, 1, e.value))
+          case Some(s) =>
+            cur = Some(SessionState(s.start, t, s.n + 1, s.sum + e.value))
+          case None =>
+            cur = Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      cur.foreach { s =>
+        session.update(s)
+        // one timer per update; stale ones no-op in handleExpiredTimer
+        getHandle.registerTimer(s.lastTs + gapMs)
+      }
+      out.reverseIterator
+    }
+
+    override def handleExpiredTimer(userId: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[SessionOut] = {
+      if (session.exists()) {
+        val s = session.get()
+        // guard against stale timers from superseded updates
+        if (info.getExpiryTimeInMs >= s.lastTs + gapMs) {
+          session.clear()
+          return Iterator(emit(userId, s))
+        }
+      }
+      Iterator.empty
+    }
+  }
+
+  /** [[SessionProcessor]] wired onto a stream: event-time timers driven
+    * by the watermark. Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`).
+    */
+  def sessionizeTws(
+      events: Dataset[SessionEvent],
+      gapSeconds: Long,
+      watermark: String)(implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapSeconds * 1000),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Rate-source adapter shaped like the events table — the kafka-shaped
     * demo/load-test source (`format("rate")` is Spark's built-in
     * monotonically-timestamped generator; swapping in

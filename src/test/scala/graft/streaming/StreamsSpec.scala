@@ -101,6 +101,44 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState sessionizer matches the FMGWS one on timer close") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Streams.SessionEvent]
+    val sessions = Streams.sessionizeTws(in.toDS(), gapSeconds = 600, watermark = "0 seconds")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_tws").start()
+    try {
+      in.addData(
+        Streams.SessionEvent(1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+        Streams.SessionEvent(1L, java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 2.0))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM sess_tws").count() === 0) // still open
+      // advance watermark past 10:05 + gap → timer fires for user 1
+      in.addData(
+        Streams.SessionEvent(2L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 9.0))
+      q.processAllAvailable()
+      in.addData(
+        Streams.SessionEvent(2L, java.sql.Timestamp.valueOf("2024-01-01 12:00:01"), 1.0))
+      q.processAllAvailable()
+      val out = spark.sql(
+        "SELECT user_id, n_events, total_value FROM sess_tws").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      assert(out.toSeq === Seq((1L, 2, 3.0)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("rate source adapter yields events-shaped rows") {
     val df = Streams.rateEvents(spark, rowsPerSecond = 500, nUsers = 10)
     assert(df.isStreaming)
