@@ -285,6 +285,19 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"),
           col("event_id_1").as("p_event"), col("value").as("p_value"))
     }),
+    // broadcast variant: right side ships once, the big left side keeps
+    // its partitioning — zero shuffles, the 100 TB fact-vs-dimension shape
+    "q_asof_broadcast" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      graft.plans.AsofJoinPlan.asofJoin(clicks, purchases, Seq("user_id"), Seq("user_id"),
+        "ts", "ts", Seq("event_id", "value"), hint = "broadcast")
+        .select(col("event_id"), col("user_id"),
+          col("event_id_1").as("p_event"), col("value").as("p_value"))
+    }),
 
     // ---- pivot / reshape --------------------------------------------
     "q_pivot" -> ((s, dir) =>
@@ -648,6 +661,12 @@ object SparkEntry {
                          WHERE event_type = 'purchase') p
          ON c.user_id = p.user_id AND c.ts >= p.ts""",
     "q_asof_native" ->
+      """SELECT c.event_id, c.user_id, p.event_id AS p_event, p.value AS p_value
+         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+         ASOF LEFT JOIN (SELECT user_id, ts, event_id, value FROM events
+                         WHERE event_type = 'purchase') p
+         ON c.user_id = p.user_id AND c.ts >= p.ts""",
+    "q_asof_broadcast" ->
       """SELECT c.event_id, c.user_id, p.event_id AS p_event, p.value AS p_value
          FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
          ASOF LEFT JOIN (SELECT user_id, ts, event_id, value FROM events

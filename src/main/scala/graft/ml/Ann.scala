@@ -86,11 +86,12 @@ object Ann {
       vecCol: String,
       nList: Int = 64,
       sampleN: Int = 20000,
-      seed: Long = 42L): Array[Array[Double]] = {
+      seed: Long = 42L,
+      maxIter: Int = 10): Array[Array[Double]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val sample = corpus.select(array_to_vector(col(vecCol)).as("features")).limit(sampleN)
-    val model = new KMeans().setK(nList).setSeed(seed).setMaxIter(20).fit(sample)
+    val model = new KMeans().setK(nList).setSeed(seed).setMaxIter(maxIter).fit(sample)
     model.clusterCenters.map(_.toArray)
   }
 
@@ -141,16 +142,20 @@ object Ann {
       nList: Int = 64,
       nProbe: Int = 4): DataFrame = {
     val centroids = trainCentroids(corpus, vecCol, nList)
+    // exact set feeds both the intersect and the denominator: cache it
+    // so brute force runs once, not twice
     val exact = bruteForceKnn(corpus, queries, idCol, vecCol, k)
-      .select(col("query_id"), col("neighbour_id"))
+      .select(col("query_id"), col("neighbour_id")).cache()
     val approx = ivfKnn(buildIvfIndex(corpus, idCol, vecCol, centroids),
       queries, idCol, vecCol, centroids, k, nProbe)
       .select(col("query_id"), col("neighbour_id"))
-    val hits = exact.intersect(approx).count().toDouble
-    val total = exact.count().toDouble
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    Seq((k, if (total == 0) 0.0 else hits / total)).toDF("k", "recall")
+    try {
+      val hits = exact.intersect(approx).count().toDouble
+      val total = exact.count().toDouble
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      Seq((k, if (total == 0) 0.0 else hits / total)).toDF("k", "recall")
+    } finally exact.unpersist(blocking = false)
   }
 
   /** Recall@k of the LSH index against exact brute force — the eval loop
@@ -165,14 +170,16 @@ object Ann {
       k: Int = 10,
       nPlanes: Int = 8): DataFrame = {
     val exact = bruteForceKnn(corpus, queries, idCol, vecCol, k)
-      .select(col("query_id"), col("neighbour_id"))
+      .select(col("query_id"), col("neighbour_id")).cache()
     val approx = lshKnn(buildIndex(corpus, idCol, vecCol, dim, nPlanes),
       queries, idCol, vecCol, dim, k, nPlanes)
       .select(col("query_id"), col("neighbour_id"))
-    val hits = exact.intersect(approx).count().toDouble
-    val total = exact.count().toDouble
-    val spark = corpus.sparkSession
-    import spark.implicits._
-    Seq((k, if (total == 0) 0.0 else hits / total)).toDF("k", "recall")
+    try {
+      val hits = exact.intersect(approx).count().toDouble
+      val total = exact.count().toDouble
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      Seq((k, if (total == 0) 0.0 else hits / total)).toDF("k", "recall")
+    } finally exact.unpersist(blocking = false)
   }
 }

@@ -39,14 +39,14 @@ class AsofJoinSpec extends SparkSpec {
 
   // ---- native (custom LogicalPlan + Strategy + merge exec) path ----
 
-  test("native asof matches the composed implementation, both directions") {
+  test("native asof matches the composed implementation, both directions and strategies") {
     import graft.plans.AsofJoinPlan
-    for (dir <- Seq("backward", "forward")) {
+    for (dir <- Seq("backward", "forward"); hint <- Seq("merge", "broadcast")) {
       val composed = Joins.asofJoin(trades, quotes, Seq("sym"), Seq("sym"),
         "t", "t", Seq("px"), dir).orderBy("trade").collect().toSeq
       val native = AsofJoinPlan.asofJoin(trades, quotes, Seq("sym"), Seq("sym"),
-        "t", "t", Seq("px"), dir).orderBy("trade").collect().toSeq
-      assert(native === composed, s"direction=$dir")
+        "t", "t", Seq("px"), dir, hint).orderBy("trade").collect().toSeq
+      assert(native === composed, s"direction=$dir hint=$hint")
     }
   }
 
@@ -67,10 +67,36 @@ class AsofJoinSpec extends SparkSpec {
   test("native asof plans as AsofJoinExec with one exchange per side") {
     import graft.plans.AsofJoinPlan
     val df = AsofJoinPlan.asofJoin(trades, quotes, Seq("sym"), Seq("sym"),
-      "t", "t", Seq("px"))
+      "t", "t", Seq("px"), hint = "merge")
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("AsofJoin"), plan)
     assert("Exchange hashpartitioning".r.findAllIn(plan).size === 2, plan)
+  }
+
+  test("small right side auto-plans as BroadcastAsofJoinExec: no shuffle at all") {
+    import graft.plans.AsofJoinPlan
+    val df = AsofJoinPlan.asofJoin(trades, quotes, Seq("sym"), Seq("sym"),
+      "t", "t", Seq("px")) // auto: tiny quotes fall under the threshold
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastAsofJoin"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).isEmpty, plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("broadcast asof tolerates null keys, empty sides, duplicate times") {
+    import graft.plans.AsofJoinPlan
+    val l = Seq((Option("A"), 10L, "x"), (None: Option[String], 10L, "y"))
+      .toDF("sym", "t", "tag")
+    val r = Seq((Option("A"), 5L, 1.0), (Option("A"), 5L, 2.0),
+      (None: Option[String], 5L, 7.0)).toDF("sym", "t", "px")
+    val out = AsofJoinPlan.asofJoin(l, r, Seq("sym"), Seq("sym"), "t", "t", Seq("px"),
+      hint = "broadcast")
+      .collect().map(x => x.getAs[String]("tag") -> Option(x.getAs[Any]("px"))).toMap
+    // null keys group together; equal-time duplicates: backward keeps last
+    assert(out === Map("x" -> Some(2.0), "y" -> Some(7.0)))
+    val empty = AsofJoinPlan.asofJoin(l.limit(0), r, Seq("sym"), Seq("sym"), "t", "t",
+      Seq("px"), hint = "broadcast")
+    assert(empty.count() === 0)
   }
 
   test("native asof tolerates null keys and empty sides") {
