@@ -423,6 +423,16 @@ object SparkEntry {
         dim = 64, threshold = 0.99)
     }),
 
+    // SemDeDup: k-means semantic clusters instead of LSH buckets; exact
+    // copies always share a cluster, so planted dups are removed with
+    // recall 1.0 → the surviving ids are exactly the originals (oracled)
+    "q_semdedup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val copies = e.select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
+      graft.ml.Dedup.semDedup(SetOps.concat(e, copies), "vec_id", "embedding",
+        nList = 32, threshold = 0.99).select(col("vec_id"))
+    }),
+
     "q_dedup_corpus" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val truncated = docs.select((col("doc_id") + 1000000).as("doc_id"),
@@ -788,6 +798,9 @@ object SparkEntry {
       """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
          '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp,
          min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY 1""",
+    // dup corpus = embeddings ∪ exact copies (ids +1e6); identical vectors
+    // share a k-means cell, min-id keep-one ⇒ survivors are the originals
+    "q_semdedup" -> "SELECT vec_id FROM embeddings",
     "q_events_window" ->
       """SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n,
          round(sum(value), 2) AS total FROM events GROUP BY 1, 2""",

@@ -91,7 +91,10 @@ object Ann {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val sample = corpus.select(array_to_vector(col(vecCol)).as("features")).limit(sampleN)
-    val model = new KMeans().setK(nList).setSeed(seed).setMaxIter(maxIter).fit(sample)
+    // random init, not k-means||: the parallel init alone costs several
+    // passes, and a coarse quantizer (FAISS-style) doesn't need it
+    val model = new KMeans().setK(nList).setSeed(seed).setMaxIter(maxIter)
+      .setInitMode("random").setTol(1e-3).fit(sample)
     model.clusterCenters.map(_.toArray)
   }
 

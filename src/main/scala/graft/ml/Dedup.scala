@@ -311,4 +311,41 @@ object Dedup {
       .select(col("id_a"), col("id_b"), Kernels.cosineSim(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means clusters replace LSH buckets — embeddings
+    * are assigned to their nearest centroid map-side (no shuffle, the IVF
+    * coarse-quantizer path), then exact cosine runs only within clusters.
+    * Versus [[embeddingPairs]]: learned cells follow the data's density,
+    * so recall is higher at the same candidate-pair budget; the salted
+    * self-join bounds the dense-cluster blowup either way.
+    */
+  def semanticPairs(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: Array[Array[Double]],
+      threshold: Double = 0.95,
+      maxBucket: Int = 2000,
+      saltCap: Int = 50000): DataFrame = {
+    val b = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      element_at(Kernels.nearestCentroids(col(vecCol), centroids, 1), 1).as("cluster"))
+    bucketSelfJoin(b, "cluster", Seq("id", "v"), maxBucket, saltCap)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), Kernels.cosineSim(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** End-to-end SemDeDup: train the quantizer, find semantic pairs, keep
+    * one doc per duplicate component. Returns the deduplicated frame.
+    */
+  def semDedup(
+      emb: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nList: Int = 64,
+      threshold: Double = 0.95): DataFrame = {
+    val centroids = Ann.trainCentroids(emb, vecCol, nList)
+    dedupedCorpus(emb, idCol, semanticPairs(emb, idCol, vecCol, centroids, threshold))
+  }
 }

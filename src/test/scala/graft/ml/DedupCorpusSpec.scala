@@ -78,4 +78,21 @@ class DedupCorpusSpec extends SparkSpec {
     val salted = pairs(maxBucket = 4)
     assert(uncapped.nonEmpty && salted === uncapped)
   }
+
+  test("semDedup removes planted exact copies and keeps distinct vectors") {
+    // independent random rows: sin/affine constructions correlate rows
+    // and plant real near-dups at a 0.999 threshold
+    val base = (0 until 20).map { i =>
+      val rnd = new scala.util.Random(i * 7919 + 13)
+      (i.toLong, Array.fill(8)(rnd.nextFloat() - 0.5f))
+    }
+    val copies = base.take(8).map { case (id, v) => (id + 1000L, v) }
+    val corpus = (base ++ copies).toDF("vec_id", "embedding")
+    val kept = Dedup.semDedup(corpus, "vec_id", "embedding",
+      nList = 4, threshold = 0.999)
+      .select("vec_id").as[Long].collect().sorted
+    // identical vectors share a k-means cell → every copy pairs with its
+    // original; min-id keep-one leaves exactly the 20 originals
+    assert(kept === (0L until 20L).toArray)
+  }
 }
