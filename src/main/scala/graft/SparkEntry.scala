@@ -392,6 +392,14 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextFunctions.fingerprint(col("text")).as("fp"))),
+    "q_repetition" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.repetitionFeatures(col("text"), 2).as("r"))
+        .select(col("doc_id"),
+          col("r.dup_line_frac").as("dup_line_frac"),
+          col("r.dup_line_char_frac").as("dup_line_char_frac"),
+          col("r.top_ngram_freq_share").as("top2_freq_share"),
+          col("r.top_ngram_char_share").as("top2_char_share"))),
 
     // ---- dedup / similarity -----------------------------------------
     "q_dedup_exact" -> ((s, dir) =>
@@ -801,6 +809,47 @@ object SparkEntry {
     // dup corpus = embeddings ∪ exact copies (ids +1e6); identical vectors
     // share a k-means cell, min-id keep-one ⇒ survivors are the originals
     "q_semdedup" -> "SELECT vec_id FROM embeddings",
+    // mirrors Kernels.repStatsCore/lineRepStatsEval + wordShingles(n=2)
+    // exactly; integer-ratio doubles compare bit-exact (same IEEE div)
+    "q_repetition" ->
+      """WITH ls AS (
+           SELECT doc_id, trim(l, ' ' || chr(9) || chr(13)) AS line
+           FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM documents)
+           WHERE trim(l, ' ' || chr(9) || chr(13)) <> ''
+         ), lc AS (
+           SELECT doc_id, line, count(*) AS c, length(line) AS chars FROM ls GROUP BY 1, 2
+         ), lagg AS (
+           SELECT doc_id,
+             CAST(sum(c) - count(*) AS DOUBLE) / sum(c) AS dup_line_frac,
+             CASE WHEN sum(c * chars) = 0 THEN 0.0
+                  ELSE CAST(sum(CASE WHEN c > 1 THEN c * chars ELSE 0 END) AS DOUBLE)
+                       / sum(c * chars) END AS dup_line_char_frac
+           FROM lc GROUP BY 1
+         ), toks AS (
+           SELECT doc_id, list_filter(string_split(
+             regexp_replace(lower(text), '[^a-z0-9]', ' ', 'g'), ' '),
+             x -> x <> '') AS tk
+           FROM documents
+         ), grams AS (
+           SELECT doc_id, unnest([tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]) AS g
+           FROM toks
+         ), gc AS (
+           SELECT doc_id, g, count(*) AS c, length(g) AS chars FROM grams GROUP BY 1, 2
+         ), gagg AS (
+           SELECT doc_id,
+             CAST(max(c) AS DOUBLE) / sum(c) AS top2_freq_share,
+             CASE WHEN sum(c * chars) = 0 THEN 0.0
+                  ELSE CAST(max(c * chars) AS DOUBLE) / sum(c * chars) END AS top2_char_share
+           FROM gc GROUP BY 1
+         )
+         SELECT d.doc_id,
+           coalesce(lagg.dup_line_frac, 0.0) AS dup_line_frac,
+           coalesce(lagg.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+           coalesce(gagg.top2_freq_share, 0.0) AS top2_freq_share,
+           coalesce(gagg.top2_char_share, 0.0) AS top2_char_share
+         FROM documents d
+         LEFT JOIN lagg ON d.doc_id = lagg.doc_id
+         LEFT JOIN gagg ON d.doc_id = gagg.doc_id""",
     "q_events_window" ->
       """SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n,
          round(sum(value), 2) AS total FROM events GROUP BY 1, 2""",

@@ -51,6 +51,24 @@ object TextFunctions {
       (nStop.cast("double") / greatest(nTokens, lit(1L))).as("stopword_ratio"))
   }
 
+  /** Repetition quality signals (Gopher-style, Rae et al. 2021 §A1.1):
+    * duplicate-line fractions over '\n'-split trimmed lines, plus
+    * most-frequent word-n-gram shares over normalized n-grams. High
+    * values flag boilerplate/spam docs a training pipeline should drop.
+    * Both stats run as single-pass codegen'd kernels
+    * ([[graft.plans.Kernels.repStatsCore]]).
+    */
+  def repetitionFeatures(text: Column, n: Int = 2): Column = {
+    import graft.plans.Kernels
+    val ls = Kernels.lineRepStats(text)
+    val gs = Kernels.repStats(Kernels.wordShingles(text, n))
+    struct(
+      element_at(ls, 1).as("dup_line_frac"),
+      element_at(ls, 2).as("dup_line_char_frac"),
+      element_at(gs, 3).as("top_ngram_freq_share"),
+      element_at(gs, 4).as("top_ngram_char_share"))
+  }
+
   /** Language stopword profiles for the n-gram/stopword language-ID
     * heuristic. Word-boundary regexes per language.
     */

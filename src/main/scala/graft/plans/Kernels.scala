@@ -203,6 +203,85 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Repetition stats over a bag of strings (Gopher-style quality
+    * signals, Rae et al. 2021 §A1.1). Returns 4 doubles:
+    * [0] dup fraction        = (total − distinct) / total
+    * [1] dup char fraction   = Σ chars·count over items with count>1 / Σ chars·count
+    * [2] top freq share      = max count / total
+    * [3] top char share      = max chars·count over items / Σ chars·count
+    * All 0.0 on an empty bag. Single hash-map pass.
+    */
+  def repStatsCore(it: java.util.Iterator[UTF8String]): ArrayData = {
+    val counts = new java.util.HashMap[UTF8String, Int]()
+    var total = 0L
+    while (it.hasNext) {
+      val s = it.next()
+      if (s != null) {
+        counts.put(s, counts.getOrDefault(s, 0) + 1)
+        total += 1
+      }
+    }
+    if (total == 0L) return new GenericArrayData(Array(0.0, 0.0, 0.0, 0.0))
+    var maxCount = 0L
+    var dupMass = 0L
+    var topMass = 0L
+    var allMass = 0L
+    val e = counts.entrySet().iterator()
+    while (e.hasNext) {
+      val kv = e.next()
+      val c = kv.getValue.toLong
+      val mass = kv.getKey.numChars().toLong * c
+      allMass += mass
+      if (c > maxCount) maxCount = c
+      if (c > 1) dupMass += mass
+      if (mass > topMass) topMass = mass
+    }
+    new GenericArrayData(Array(
+      (total - counts.size).toDouble / total,
+      if (allMass == 0L) 0.0 else dupMass.toDouble / allMass,
+      maxCount.toDouble / total,
+      if (allMass == 0L) 0.0 else topMass.toDouble / allMass))
+  }
+
+  def repStatsEval(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    repStatsCore(new java.util.Iterator[UTF8String] {
+      private var i = 0
+      override def hasNext: Boolean = i < n
+      override def next(): UTF8String = {
+        val v = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+        i += 1
+        v
+      }
+    })
+  }
+
+  /** Line-level repetition stats: split on '\n', trim ' ' '\t' '\r'
+    * '\n', drop empties, then [[repStatsCore]] over the lines.
+    */
+  def lineRepStatsEval(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val out = new java.util.ArrayList[UTF8String]()
+    var start = 0
+    var i = 0
+    val len = s.length
+    while (i <= len) {
+      if (i == len || s.charAt(i) == '\n') {
+        var a = start
+        var b = i
+        while (a < b && (s.charAt(a) == ' ' || s.charAt(a) == '\t' || s.charAt(a) == '\r')) a += 1
+        while (b > a && {
+          val c = s.charAt(b - 1)
+          c == ' ' || c == '\t' || c == '\r'
+        }) b -= 1
+        if (b > a) out.add(UTF8String.fromString(s.substring(a, b)))
+        start = i + 1
+      }
+      i += 1
+    }
+    repStatsCore(out.iterator())
+  }
+
   /** Indices of the `n` nearest centroids (squared L2, ascending) for a
     * numeric array. elemKind: 0 = float, 1 = double.
     */
@@ -417,6 +496,28 @@ object Kernels {
       copy(child = c)
   }
 
+  /** Repetition stats of an array<string> bag (n-gram repetition
+    * signals); see [[repStatsCore]] for the 4-slot layout.
+    */
+  case class RepStatsExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      repStatsEval(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.plans.Kernels.repStatsEval($c);")
+    override protected def withNewChildInternal(c: Expression): RepStatsExpr = copy(c)
+  }
+
+  /** Line-level repetition stats of raw text (duplicate-line signals). */
+  case class LineRepStatsExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      lineRepStatsEval(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.plans.Kernels.lineRepStatsEval($c);")
+    override protected def withNewChildInternal(c: Expression): LineRepStatsExpr = copy(c)
+  }
+
   /** IVF coarse-quantizer probe: the `n` nearest centroid ids for a
     * vector, squared-L2 ascending. Centroids ride along with the
     * expression (broadcast in the closure — nList × dim doubles), so
@@ -488,4 +589,8 @@ object Kernels {
   def nearestCentroids(vec: Column, centroids: Array[Array[Double]], n: Int): Column =
     ExpressionUtils.column(
       NearestCentroidsExpr(ExpressionUtils.expression(vec), centroids, n))
+  def repStats(arr: Column): Column =
+    ExpressionUtils.column(RepStatsExpr(ExpressionUtils.expression(arr)))
+  def lineRepStats(text: Column): Column =
+    ExpressionUtils.column(LineRepStatsExpr(ExpressionUtils.expression(text)))
 }

@@ -25,6 +25,30 @@ class SimilarityAndDedupSpec extends SparkSpec {
     assert(out === Array(0, 0))
   }
 
+  test("repetitionFeatures: dup-line and top-2gram shares, hand-computed") {
+    // lines: "a b", "a b", "c d e" → total 3, distinct 2, dup_frac 1/3;
+    // masses: "a b"(3)×2=6 dup, "c d e"(5)×1=5 → dup_char_frac 6/11
+    // 2-grams: [a b, b a, a b, b c, c d, d e] → total 6, top "a b"×2
+    //   freq_share 2/6; masses: ab 3×2=6(top), ba 3, bc 3, cd 3, de 3
+    //   → top_char_share 6/18
+    val text = "a b\na b\nc d e"
+    val r = Seq(text).toDF("t")
+      .select(TextFunctions.repetitionFeatures($"t", 2).as("r"))
+      .select($"r.dup_line_frac", $"r.dup_line_char_frac",
+        $"r.top_ngram_freq_share", $"r.top_ngram_char_share")
+      .as[(Double, Double, Double, Double)].collect().head
+    assert(r === ((1.0 / 3, 6.0 / 11, 2.0 / 6, 6.0 / 18)))
+    // no repetition → zero dup fracs; newline is a token break in the
+    // normalizer: [x y z w q] → 4 distinct 2-grams, top share 1/4.
+    // Empty text → all zeros.
+    val clean = Seq("x y\nz w q", "").toDF("t")
+      .select(TextFunctions.repetitionFeatures($"t", 2).as("r"))
+      .select($"r.dup_line_frac", $"r.top_ngram_freq_share")
+      .as[(Double, Double)].collect()
+    assert(clean(0) === ((0.0, 0.25)))
+    assert(clean(1) === ((0.0, 0.0)))
+  }
+
   test("minhash signatures: identical docs identical, near-dups mostly agree") {
     val sig = Seq(docA, docA, docB, docC).toDF("t")
       .select(Kernels.minhashSig(Kernels.wordShingles($"t", 3), 32).as("s"))
