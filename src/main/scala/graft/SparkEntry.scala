@@ -392,6 +392,20 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextFunctions.fingerprint(col("text")).as("fp"))),
+    // PII scrub + audit: documents carry no real PII, so plant a
+    // deterministic email/IP/phone per doc, then redact and count
+    "q_pii" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("txt", concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com from 10.0."), (col("doc_id") % 256).cast("string"),
+          lit(".7 call +1 555 123 4567")))
+        .select(col("doc_id"),
+          TextFunctions.redactPii(col("txt")).as("clean"),
+          TextFunctions.piiCounts(col("txt")).as("p"))
+        .select(col("doc_id"), col("clean"),
+          col("p.n_email").cast("long").as("n_email"),
+          col("p.n_ip").cast("long").as("n_ip"),
+          col("p.n_phone").cast("long").as("n_phone"))),
     "q_repetition" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), TextFunctions.repetitionFeatures(col("text"), 2).as("r"))
@@ -809,6 +823,24 @@ object SparkEntry {
     // dup corpus = embeddings ∪ exact copies (ids +1e6); identical vectors
     // share a k-means cell, min-id keep-one ⇒ survivors are the originals
     "q_semdedup" -> "SELECT vec_id FROM embeddings",
+    "q_pii" ->
+      """WITH aug AS (
+           SELECT doc_id, text || ' contact user' || doc_id || '@example.com from 10.0.'
+             || (doc_id % 256) || '.7 call +1 555 123 4567' AS txt
+           FROM documents
+         )
+         SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(txt,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+             '\b(?:\d[ -]?){13,16}\b', '<CARD>', 'g'),
+             '\+?\d{1,3}[ -]?\(?\d{2,4}\)?[ -]?\d{3}[ -]?\d{3,4}', '<PHONE>', 'g') AS clean,
+           len(regexp_extract_all(txt,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+           len(regexp_extract_all(txt, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ip,
+           len(regexp_extract_all(txt,
+             '\+?\d{1,3}[ -]?\(?\d{2,4}\)?[ -]?\d{3}[ -]?\d{3,4}')) AS n_phone
+         FROM aug""",
     // mirrors Kernels.repStatsCore/lineRepStatsEval + wordShingles(n=2)
     // exactly; integer-ratio doubles compare bit-exact (same IEEE div)
     "q_repetition" ->

@@ -69,6 +69,40 @@ object TextFunctions {
       element_at(gs, 4).as("top_ngram_char_share"))
   }
 
+  /** PII patterns for redaction — the scrub pass every training-data
+    * pipeline runs before a corpus ships. Deliberately simple,
+    * conservative regexes (emails, IPv4, international-ish phone
+    * numbers, 13-16-digit card-like runs); swap in stricter ones per
+    * deployment. Order matters: emails first so their digits don't get
+    * phone-matched.
+    */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b" -> "<IP>",
+    "\\b(?:\\d[ -]?){13,16}\\b" -> "<CARD>",
+    "\\+?\\d{1,3}[ -]?\\(?\\d{2,4}\\)?[ -]?\\d{3}[ -]?\\d{3,4}" -> "<PHONE>")
+
+  /** Replace every PII match with its tag. Chained codegen'd
+    * `regexp_replace` — no UDF, pushes through whole-stage codegen.
+    */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (pat, tag)) =>
+      regexp_replace(c, pat, tag)
+    }
+
+  /** Count of PII matches per kind → struct(n_email, n_ip, n_card,
+    * n_phone): the audit metric (how much a corpus leaks) next to the
+    * scrub ([[redactPii]]).
+    */
+  def piiCounts(text: Column): Column = {
+    val ps = piiPatterns.map(_._1)
+    struct(
+      size(regexp_extract_all(text, lit(ps(0)), lit(0))).as("n_email"),
+      size(regexp_extract_all(text, lit(ps(1)), lit(0))).as("n_ip"),
+      size(regexp_extract_all(text, lit(ps(2)), lit(0))).as("n_card"),
+      size(regexp_extract_all(text, lit(ps(3)), lit(0))).as("n_phone"))
+  }
+
   /** Language stopword profiles for the n-gram/stopword language-ID
     * heuristic. Word-boundary regexes per language.
     */

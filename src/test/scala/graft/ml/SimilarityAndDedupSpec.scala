@@ -49,6 +49,23 @@ class SimilarityAndDedupSpec extends SparkSpec {
     assert(clean(1) === ((0.0, 0.0)))
   }
 
+  test("redactPii scrubs emails, IPs, cards, phones; piiCounts audits them") {
+    val text = "mail a.b+c@foo.co.uk from 192.168.0.1, card 4111 1111 1111 1111, tel +1 555 123 4567"
+    val (clean, ne, nip, nc, np) = Seq(text).toDF("t")
+      .select(TextFunctions.redactPii($"t").as("c"), TextFunctions.piiCounts($"t").as("p"))
+      .select($"c", $"p.n_email", $"p.n_ip", $"p.n_card", $"p.n_phone")
+      .as[(String, Int, Int, Int, Int)].collect().head
+    assert(clean.contains("<EMAIL>") && clean.contains("<IP>")
+      && clean.contains("<CARD>") && clean.contains("<PHONE>"))
+    assert(!clean.contains("foo.co.uk") && !clean.contains("192.168")
+      && !clean.contains("4111") && !clean.contains("4567"))
+    assert((ne, nip, nc, np) === ((1, 1, 1, 1)))
+    // clean text passes through untouched
+    val noop = Seq("just words, no identifiers here").toDF("t")
+      .select(TextFunctions.redactPii($"t")).as[String].collect().head
+    assert(noop === "just words, no identifiers here")
+  }
+
   test("minhash signatures: identical docs identical, near-dups mostly agree") {
     val sig = Seq(docA, docA, docB, docC).toDF("t")
       .select(Kernels.minhashSig(Kernels.wordShingles($"t", 3), 32).as("s"))
