@@ -392,6 +392,17 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextFunctions.fingerprint(col("text")).as("fp"))),
+    // corpus mixing: reproducible modulo-rule sample (the oracle-able
+    // cousin of Sampling.deterministicSample/stratifiedSample)
+    "q_corpus_sample" -> ((s, dir) =>
+      Sampling.moduloSample(t(s, dir, "documents"), "doc_id", 100, 37)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))),
+    // token-budget sequence packing: one window pass per lang group
+    "q_pack" -> ((s, dir) =>
+      Sampling.packSequences(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens")),
+        "n_tokens", "doc_id", budget = 4096, partitionCols = Seq("lang"))),
     // PII scrub + audit: documents carry no real PII, so plant a
     // deterministic email/IP/phone per doc, then redact and count
     "q_pii" -> ((s, dir) =>
@@ -823,6 +834,14 @@ object SparkEntry {
     // dup corpus = embeddings ∪ exact copies (ids +1e6); identical vectors
     // share a k-means cell, min-id keep-one ⇒ survivors are the originals
     "q_semdedup" -> "SELECT vec_id FROM embeddings",
+    "q_corpus_sample" ->
+      "SELECT lang, count(*) AS n FROM documents WHERE doc_id % 100 < 37 GROUP BY 1",
+    "q_pack" ->
+      """SELECT doc_id, lang, n_tokens,
+         CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4096) AS BIGINT) AS bin
+         FROM (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+               FROM documents)""",
     "q_pii" ->
       """WITH aug AS (
            SELECT doc_id, text || ' contact user' || doc_id || '@example.com from 10.0.'

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-mixing utilities for training-data pipelines: reproducible
+  * sampling and token-budget sequence packing.
+  *
+  * Sampling here is DETERMINISTIC by id, not `rand()`-based: at 100 TB a
+  * sample must be reproducible across reruns, retries, and speculative
+  * task re-execution, and `rand()` is none of those (a retried task
+  * re-draws). Hash/modulo rules are pure map-side filters — no shuffle,
+  * full pushdown-compatible — and the same rule re-applied yields the
+  * same corpus. (Spark's own `df.sample`/`sampleBy` remain available
+  * when statistical randomness matters more than reproducibility.)
+  */
+object Sampling {
+
+  /** Keep ~`fraction` of rows, chosen by a deterministic hash of `idCol`
+    * (salted so different `seed`s give independent samples). Pure narrow
+    * filter: no shuffle, survives retries bit-identically.
+    */
+  def deterministicSample(
+      df: DataFrame, idCol: String, fraction: Double, seed: Int = 0): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction: $fraction")
+    val bucket = pmod(xxhash64(col(idCol), lit(seed)), lit(1000000L))
+    df.filter(bucket < lit((fraction * 1000000L).toLong))
+  }
+
+  /** Stratified deterministic sample: per-stratum keep fractions (e.g.
+    * domain-mixing weights `{"en" -> 1.0, "web" -> 0.3}`). Strata absent
+    * from the map keep `defaultFraction`. Single map-side pass — the
+    * per-stratum thresholds ride along as a CASE chain.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      fractions: Map[String, Double],
+      defaultFraction: Double = 0.0,
+      seed: Int = 0): DataFrame = {
+    val bucket = pmod(xxhash64(col(idCol), lit(seed)), lit(1000000L))
+    val threshold = fractions.foldLeft(lit((defaultFraction * 1000000L).toLong)) {
+      case (acc, (stratum, f)) =>
+        when(col(strataCol) === stratum, lit((f * 1000000L).toLong)).otherwise(acc)
+    }
+    df.filter(bucket < threshold)
+  }
+
+  /** Modulo-rule sample on an integer id: keep rows with
+    * `id % modulus < keep`. The blunt, SQL-portable cousin of
+    * [[deterministicSample]] — exactly mirrorable in any engine, which
+    * makes it the cross-engine-reproducible variant (and the oracle-able
+    * one).
+    */
+  def moduloSample(df: DataFrame, idCol: String, modulus: Int, keep: Int): DataFrame =
+    df.filter(pmod(col(idCol), lit(modulus)) < lit(keep))
+
+  /** Token-budget sequence packing: assign docs to training bins of at
+    * most ~`budget` tokens, preserving `orderCol` order within each
+    * `partitionCols` group (e.g. pack per language). The bin id is
+    * `floor(cumulative_tokens_before_doc / budget)` — the streaming
+    * first-fit variant that needs one window pass, not the NP-ish
+    * best-fit shuffle dance. Oversized single docs get their own bin
+    * (they exceed the budget alone; cap or split upstream).
+    *
+    * Scale note: one shuffle on `partitionCols`; within-group the window
+    * is a linear scan. With many small groups this parallelizes cleanly;
+    * a single giant group serializes — pre-chunk by (group, hash bucket)
+    * if that ever binds.
+    */
+  def packSequences(
+      df: DataFrame,
+      tokenCol: String,
+      orderCol: String,
+      budget: Long,
+      partitionCols: Seq[String] = Nil): DataFrame = {
+    require(budget > 0, s"budget: $budget")
+    val w = (if (partitionCols.isEmpty) Window.partitionBy()
+             else Window.partitionBy(partitionCols.map(col): _*))
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val before = coalesce(sum(col(tokenCol)).over(w), lit(0L))
+    df.withColumn("bin", floor(before / lit(budget)))
+  }
+}

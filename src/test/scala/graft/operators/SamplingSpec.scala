@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = (0L until 1000L).map(i =>
+    (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr", 10 + (i % 50)))
+    .toDF("id", "lang", "n_tokens")
+
+  test("deterministicSample: reproducible, near-target fraction, seed-independent draws") {
+    val s1 = Sampling.deterministicSample(docs, "id", 0.3).select("id").as[Long].collect().toSet
+    val s2 = Sampling.deterministicSample(docs, "id", 0.3).select("id").as[Long].collect().toSet
+    assert(s1 === s2) // bit-identical rerun
+    assert(math.abs(s1.size - 300) < 60, s"got ${s1.size}")
+    val other = Sampling.deterministicSample(docs, "id", 0.3, seed = 7)
+      .select("id").as[Long].collect().toSet
+    assert(other !== s1) // different seed, different sample
+    // nested property: a 0.1 sample is a subset of the same-seed 0.3 sample
+    val s01 = Sampling.deterministicSample(docs, "id", 0.1).select("id").as[Long].collect().toSet
+    assert(s01.subsetOf(s1))
+  }
+
+  test("stratifiedSample honours per-stratum fractions and the default") {
+    val out = Sampling.stratifiedSample(docs, "lang", "id",
+      Map("en" -> 1.0, "de" -> 0.5), defaultFraction = 0.0)
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("en") === 334L) // full stratum kept
+    assert(!byLang.contains("fr")) // default 0.0 drops the stratum
+    assert(math.abs(byLang("de") - 167L) < 60, s"de: ${byLang("de")}")
+  }
+
+  test("moduloSample keeps exactly the modulo classes") {
+    val kept = Sampling.moduloSample(docs, "id", 10, 3).select("id").as[Long].collect()
+    assert(kept.length === 300)
+    assert(kept.forall(i => i % 10 < 3))
+  }
+
+  test("packSequences: bins are contiguous in order and hold ~budget tokens") {
+    val packed = Sampling.packSequences(docs, "n_tokens", "id", budget = 500,
+      partitionCols = Seq("lang"))
+    val rows = packed.select("lang", "id", "n_tokens", "bin")
+      .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      // bin ids start at 0 and never decrease along the order column
+      assert(rs.head._4 === 0L, lang)
+      rs.sliding(2).foreach { case Array(a, b) =>
+        assert(b._4 >= a._4 && b._4 - a._4 <= 1, s"$lang: ${a._2}->${b._2}")
+      case _ => }
+      // every bin except possibly the last holds >= budget - max_doc and
+      // <= budget + max_doc tokens (streaming cumsum packing bound)
+      val maxDoc = rs.map(_._3).max
+      val sums = rs.groupBy(_._4).view.mapValues(_.map(_._3).sum).toMap
+      val lastBin = rs.map(_._4).max
+      sums.foreach { case (bin, s) =>
+        if (bin != lastBin) assert(s >= 500 - maxDoc && s <= 500 + maxDoc, s"$lang bin $bin: $s")
+      }
+    }
+  }
+}
