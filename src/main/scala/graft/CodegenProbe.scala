@@ -12,7 +12,9 @@ object CodegenProbe {
       Kernels.simhash64(split(col("text"), " ")).as("sh"),
       Kernels.minhashSig(Kernels.wordShingles(col("text"), 2), 8).as("mh"),
       Kernels.minKHashes(Kernels.wordShingles(col("text"), 2), 4).as("mk"),
-      Kernels.localeNumber(col("text")).as("ln"))
+      Kernels.localeNumber(col("text")).as("ln"),
+      Kernels.repStats(Kernels.wordShingles(col("text"), 2)).as("rs"),
+      Kernels.lineRepStats(col("text")).as("ls"))
     df.explain("codegen")
     println("ROWS=" + df.count())
     spark.stop()

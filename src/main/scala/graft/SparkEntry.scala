@@ -392,6 +392,16 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextFunctions.fingerprint(col("text")).as("fp"))),
+    // end-to-end curation: lang/length/repetition filters → exact dedup
+    // → reproducible sample → PII scrub, one declarative plan
+    "q_curate" -> ((s, dir) =>
+      graft.ml.Curate.curate(
+        t(s, dir, "documents").select(col("doc_id"), col("text")), "doc_id", "text",
+        graft.ml.Curate.Config(langs = Set("en", "de", "fr", "es"),
+          minTokens = 20L, maxTokens = 100000L,
+          maxDupLineFrac = 0.5, maxTopNgramCharShare = 0.25,
+          exactDedup = true, sampleModulus = 10, sampleKeep = 7,
+          scrubPii = true))),
     // corpus mixing: reproducible modulo-rule sample (the oracle-able
     // cousin of Sampling.deterministicSample/stratifiedSample)
     "q_corpus_sample" -> ((s, dir) =>
@@ -834,6 +844,75 @@ object SparkEntry {
     // dup corpus = embeddings ∪ exact copies (ids +1e6); identical vectors
     // share a k-means cell, min-id keep-one ⇒ survivors are the originals
     "q_semdedup" -> "SELECT vec_id FROM embeddings",
+    // composed from the independently verified q_langid / q_repetition /
+    // q_fingerprint / q_pii oracle fragments
+    "q_curate" ->
+      """WITH s AS (SELECT doc_id, text,
+           len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|zu|mit|von)\b')) AS sde,
+           len(regexp_extract_all(lower(text), '\b(the|and|is|of|to|in|that|it|for|was)\b')) AS sen,
+           len(regexp_extract_all(lower(text), '\b(el|la|los|las|es|y|de|que|en|un)\b')) AS ses,
+           len(regexp_extract_all(lower(text), '\b(le|la|les|est|et|des|que|en|une|dans)\b')) AS sfr,
+           len(regexp_extract_all(lower(text), '[\x{4e00}-\x{9fff}]')) AS szh
+           FROM documents),
+         lang AS (SELECT doc_id, text, CASE
+           WHEN sde >= sen AND sde >= ses AND sde >= sfr AND sde >= szh THEN 'de'
+           WHEN sen >= ses AND sen >= sfr AND sen >= szh THEN 'en'
+           WHEN ses >= sfr AND ses >= szh THEN 'es'
+           WHEN sfr >= szh THEN 'fr'
+           ELSE 'zh' END AS pred_lang FROM s),
+         ls AS (
+           SELECT doc_id, trim(l, ' ' || chr(9) || chr(13)) AS line
+           FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM documents)
+           WHERE trim(l, ' ' || chr(9) || chr(13)) <> ''
+         ), lc AS (
+           SELECT doc_id, line, count(*) AS c FROM ls GROUP BY 1, 2
+         ), lagg AS (
+           SELECT doc_id, CAST(sum(c) - count(*) AS DOUBLE) / sum(c) AS dup_line_frac
+           FROM lc GROUP BY 1
+         ), toks AS (
+           SELECT doc_id, list_filter(string_split(
+             regexp_replace(lower(text), '[^a-z0-9]', ' ', 'g'), ' '),
+             x -> x <> '') AS tk
+           FROM documents
+         ), grams AS (
+           SELECT doc_id, unnest([tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]) AS g
+           FROM toks
+         ), gc AS (
+           SELECT doc_id, g, count(*) AS c, length(g) AS chars FROM grams GROUP BY 1, 2
+         ), gagg AS (
+           SELECT doc_id,
+             CASE WHEN sum(c * chars) = 0 THEN 0.0
+                  ELSE CAST(max(c * chars) AS DOUBLE) / sum(c * chars) END AS top2_char_share
+           FROM gc GROUP BY 1
+         ),
+         base AS (
+           SELECT l.doc_id, l.text, l.pred_lang,
+             len(string_split(l.text, ' ')) AS n_tokens,
+             coalesce(lagg.dup_line_frac, 0.0) AS dlf,
+             coalesce(gagg.top2_char_share, 0.0) AS tcs
+           FROM lang l
+           LEFT JOIN lagg ON l.doc_id = lagg.doc_id
+           LEFT JOIN gagg ON l.doc_id = gagg.doc_id),
+         kept AS (
+           SELECT * FROM base
+           WHERE pred_lang IN ('en', 'de', 'fr', 'es')
+             AND n_tokens BETWEEN 20 AND 100000
+             AND dlf <= 0.5 AND tcs <= 0.25),
+         dedup AS (
+           SELECT doc_id, pred_lang, n_tokens, text FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY md5(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')))
+               ORDER BY doc_id) AS rn
+             FROM kept) WHERE rn = 1),
+         samp AS (SELECT * FROM dedup WHERE doc_id % 10 < 7)
+         SELECT doc_id, pred_lang, n_tokens,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+             '\b(?:\d[ -]?){13,16}\b', '<CARD>', 'g'),
+             '\+?\d{1,3}[ -]?\(?\d{2,4}\)?[ -]?\d{3}[ -]?\d{3,4}', '<PHONE>', 'g') AS text
+         FROM samp""",
     "q_corpus_sample" ->
       "SELECT lang, count(*) AS n FROM documents WHERE doc_id % 100 < 37 GROUP BY 1",
     "q_pack" ->

@@ -1,0 +1,69 @@
+package graft.ml
+
+import graft.functions.TextFunctions
+import graft.operators.{Filters, Sampling}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation — the pass a training-data pipeline runs
+  * over raw documents before tokenization. Composes the individually
+  * verified pieces into one declarative plan:
+  *
+  *  1. language filter (predicted [[TextFunctions.langId]] ∈ allowed)
+  *  2. length bounds on token count
+  *  3. repetition filter (dup-line fraction, top-2-gram char share —
+  *     [[TextFunctions.repetitionFeatures]])
+  *  4. exact near-dup removal (min-id winner per content fingerprint)
+  *  5. reproducible sample (modulo rule, [[Sampling.moduloSample]])
+  *  6. PII scrub of the survivors ([[TextFunctions.redactPii]])
+  *
+  * Scale shape: stages 1-3 and 5-6 are narrow map-side work over one
+  * scan; the only shuffle is the dedup groupBy in stage 4 (one
+  * `min_by` exchange — no window sort, no second winner-gather join).
+  * Scrubbing runs LAST so the regex chain only touches kept rows.
+  * Fuzzy dedup (minhash/simhash/SemDeDup) intentionally stays a
+  * separate pass — at 100 TB you run it once, materialize the pair
+  * set, and audit it before deleting anything.
+  */
+object Curate {
+
+  case class Config(
+      langs: Set[String] = Set("en", "de", "fr", "es"),
+      minTokens: Long = 5L,
+      maxTokens: Long = 1000000L,
+      maxDupLineFrac: Double = 1.0,
+      maxTopNgramCharShare: Double = 1.0,
+      exactDedup: Boolean = true,
+      sampleModulus: Int = 1,
+      sampleKeep: Int = 1,
+      scrubPii: Boolean = true)
+
+  /** Returns the curated corpus: `idCol`, `pred_lang`, `n_tokens`,
+    * `textCol` (scrubbed when `cfg.scrubPii`).
+    */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+      cfg: Config = Config()): DataFrame = {
+    val text = col(textCol)
+    val staged = docs
+      .withColumn("pred_lang", TextFunctions.langId(text))
+      .withColumn("n_tokens", TextFunctions.tokenCount(text))
+      .withColumn("__rep", TextFunctions.repetitionFeatures(text, 2))
+      .filter(col("pred_lang").isin(cfg.langs.toSeq: _*))
+      .filter(col("n_tokens").between(cfg.minTokens, cfg.maxTokens))
+      .filter(col("__rep.dup_line_frac") <= cfg.maxDupLineFrac &&
+        col("__rep.top_ngram_char_share") <= cfg.maxTopNgramCharShare)
+      .select(col(idCol), col("pred_lang"), col("n_tokens"), text)
+    val deduped =
+      if (!cfg.exactDedup) staged
+      else Filters.dropDuplicatesKeepFirst(
+        staged.withColumn("__fp", TextFunctions.fingerprint(text)),
+        cols = Seq("__fp"), orderCols = Seq(idCol)).drop("__fp")
+    val sampled =
+      if (cfg.sampleModulus <= 1) deduped
+      else Sampling.moduloSample(deduped, idCol, cfg.sampleModulus, cfg.sampleKeep)
+    val scrubbed =
+      if (!cfg.scrubPii) sampled
+      else sampled.withColumn(textCol, TextFunctions.redactPii(text))
+    scrubbed.select(col(idCol), col("pred_lang"), col("n_tokens"), col(textCol))
+  }
+}

@@ -1,0 +1,46 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CurateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val good = "the cat and the dog ran to the park and it was a fine day " +
+    "for everyone involved in that long walk over there"
+  private val short_ = "the and was"
+  private val repetitive = Seq.fill(10)("same line here").mkString("\n")
+  private val german = "der hund und die katze sind nicht mit dem mann von dort"
+
+  test("curate filters by lang, length and repetition, dedups, scrubs") {
+    val docs = Seq(
+      (1L, good),
+      (2L, short_),                           // under minTokens
+      (3L, repetitive),                       // dup_line_frac = 0.9
+      (4L, german),                           // lang not allowed
+      (5L, good),                             // exact dup of 1 → dropped
+      (6L, good + " reach me at who@example.org today")
+    ).toDF("doc_id", "text")
+    val out = Curate.curate(docs, "doc_id", "text",
+      Curate.Config(langs = Set("en"), minTokens = 10L,
+        maxDupLineFrac = 0.5, maxTopNgramCharShare = 1.0,
+        exactDedup = true, scrubPii = true))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("pred_lang"), r.getAs[String]("text"))).toMap
+    assert(out.keySet === Set(1L, 6L))
+    assert(out(1L)._1 === "en")
+    assert(out(6L)._2.contains("<EMAIL>") && !out(6L)._2.contains("example.org"))
+  }
+
+  test("curate stage toggles: no dedup keeps the dup, sampling thins ids") {
+    val docs = Seq((1L, good), (5L, good)).toDF("doc_id", "text")
+    val keepBoth = Curate.curate(docs, "doc_id", "text",
+      Curate.Config(langs = Set("en"), minTokens = 1L, exactDedup = false))
+    assert(keepBoth.count() === 2)
+    val docs2 = (0L until 100L).map(i => (i, good + " tail " + i)).toDF("doc_id", "text")
+    val sampled = Curate.curate(docs2, "doc_id", "text",
+      Curate.Config(langs = Set("en"), minTokens = 1L,
+        sampleModulus = 10, sampleKeep = 3))
+    assert(sampled.select("doc_id").as[Long].collect().forall(_ % 10 < 3))
+  }
+}
