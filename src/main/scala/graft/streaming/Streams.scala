@@ -52,6 +52,33 @@ object Streams {
       keys: Seq[String]): DataFrame =
     events.withWatermark(tsCol, watermark).dropDuplicates(keys :+ tsCol)
 
+  /** Streaming corpus-curation ingest: the [[graft.ml.Curate]] stages
+    * that stream cleanly. Language/length filters and the PII scrub are
+    * stateless maps; exact dedup becomes `dropDuplicatesWithinWatermark`
+    * on the content fingerprint — state holds fingerprints only (never
+    * text) and is evicted at the watermark, so it's bounded regardless
+    * of corpus size. Fuzzy dedup (minhash/SemDeDup) stays a batch pass
+    * over the materialized output.
+    */
+  def streamingCurate(
+      docs: DataFrame,
+      tsCol: String,
+      watermark: String,
+      textCol: String,
+      langs: Set[String],
+      minTokens: Long = 1L): DataFrame = {
+    import graft.functions.TextFunctions
+    val text = col(textCol)
+    docs.withWatermark(tsCol, watermark)
+      .withColumn("pred_lang", TextFunctions.langId(text))
+      .withColumn("n_tokens", TextFunctions.tokenCount(text))
+      .filter(col("pred_lang").isin(langs.toSeq: _*) && col("n_tokens") >= minTokens)
+      .withColumn("__fp", TextFunctions.fingerprint(text))
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+      .withColumn(textCol, TextFunctions.redactPii(text))
+  }
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(start: Long, lastTs: Long, n: Int, sum: Double)
   final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,

@@ -32,6 +32,14 @@ class CurateSpec extends SparkSpec {
     assert(out(6L)._2.contains("<EMAIL>") && !out(6L)._2.contains("example.org"))
   }
 
+  test("curate plans exactly one exchange (the dedup min_by shuffle)") {
+    val docs = Seq((1L, good), (2L, good)).toDF("doc_id", "text")
+    val plan = Curate.curate(docs, "doc_id", "text",
+      Curate.Config(langs = Set("en"), minTokens = 1L))
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size === 1, plan)
+  }
+
   test("curate stage toggles: no dedup keeps the dup, sampling thins ids") {
     val docs = Seq((1L, good), (5L, good)).toDF("doc_id", "text")
     val keepBoth = Curate.curate(docs, "doc_id", "text",

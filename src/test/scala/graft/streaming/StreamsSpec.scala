@@ -50,6 +50,30 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming curation filters, dedups by fingerprint, scrubs pii") {
+    val dir = Files.createTempDirectory("graftcurate").toString + "/in"
+    val en = "the cat and the dog ran to the park and it was a fine day for all of us"
+    Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, en),
+      (java.sql.Timestamp.valueOf("2024-01-01 10:00:01"), 2L, en), // dup of 1
+      (java.sql.Timestamp.valueOf("2024-01-01 10:00:02"), 3L, "der hund und die katze sind nicht mit von dort"),
+      (java.sql.Timestamp.valueOf("2024-01-01 10:00:03"), 4L, en + " mail me: x@y.io it is that good")
+    ).toDF("ts", "doc_id", "text").coalesce(1).write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = Streams.readParquetStream(spark, dir, schema)
+    val curated = Streams.streamingCurate(stream, "ts", "1 hour", "text",
+      langs = Set("en"), minTokens = 10L)
+    val q = curated.writeStream.outputMode("append")
+      .format("memory").queryName("curate_out").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT doc_id, text FROM curate_out").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows.keySet === Set(1L, 4L)) // de doc + dup dropped
+      assert(rows(4L).contains("<EMAIL>") && !rows(4L).contains("x@y.io"))
+    } finally q.stop()
+  }
+
   test("stateful sessionizer emits gap-separated sessions") {
     val src = writeEventsParquet()
     val schema = spark.read.parquet(src).schema
