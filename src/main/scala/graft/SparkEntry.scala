@@ -392,6 +392,14 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextFunctions.fingerprint(col("text")).as("fp"))),
+    // corpus vocabulary analytics: top bigrams by frequency — explode →
+    // map-side partial agg on the gram → TakeOrdered (no full sort)
+    "q_vocab" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(graft.plans.Kernels.wordShingles(col("text"), 2)).as("gram"))
+        .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("gram").asc)
+        .limit(100)),
     // end-to-end curation: lang/length/repetition filters → exact dedup
     // → reproducible sample → PII scrub, one declarative plan
     "q_curate" -> ((s, dir) =>
@@ -844,6 +852,18 @@ object SparkEntry {
     // dup corpus = embeddings ∪ exact copies (ids +1e6); identical vectors
     // share a k-means cell, min-id keep-one ⇒ survivors are the originals
     "q_semdedup" -> "SELECT vec_id FROM embeddings",
+    "q_vocab" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split(
+             regexp_replace(lower(text), '[^a-z0-9]', ' ', 'g'), ' '),
+             x -> x <> '') AS tk
+           FROM documents
+         ), grams AS (
+           SELECT unnest([tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]) AS gram
+           FROM toks
+         )
+         SELECT gram, count(*) AS n FROM grams GROUP BY 1
+         ORDER BY n DESC, gram LIMIT 100""",
     // composed from the independently verified q_langid / q_repetition /
     // q_fingerprint / q_pii oracle fragments
     "q_curate" ->

@@ -76,6 +76,15 @@ object Ann {
 
   // ---- IVF (inverted-file) path ------------------------------------
 
+  // Trained quantizers are model artifacts: train once per (corpus,
+  // hyperparams), reuse across index build / search / recall eval —
+  // exactly what a production ANN pipeline persists. Keyed on the
+  // canonicalized logical plan, so the same source re-read through a
+  // fresh DataFrame still hits. Deterministic fit (fixed seed, bounded
+  // sample), so caching is pure memoization.
+  private val centroidMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
   /** Train the IVF coarse quantizer: k-means over a corpus sample.
     * Centroids are tiny (nList × dim doubles) — they come back to the
     * driver and ride into [[buildIvfIndex]]/[[ivfKnn]] as expression
@@ -88,14 +97,18 @@ object Ann {
       sampleN: Int = 20000,
       seed: Long = 42L,
       maxIter: Int = 10): Array[Array[Double]] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val sample = corpus.select(array_to_vector(col(vecCol)).as("features")).limit(sampleN)
-    // random init, not k-means||: the parallel init alone costs several
-    // passes, and a coarse quantizer (FAISS-style) doesn't need it
-    val model = new KMeans().setK(nList).setSeed(seed).setMaxIter(maxIter)
-      .setInitMode("random").setTol(1e-3).fit(sample)
-    model.clusterCenters.map(_.toArray)
+    val key = corpus.queryExecution.analyzed.canonicalized.toString +
+      s"|$vecCol|$nList|$sampleN|$seed|$maxIter"
+    centroidMemo.computeIfAbsent(key, _ => {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val sample = corpus.select(array_to_vector(col(vecCol)).as("features")).limit(sampleN)
+      // random init, not k-means||: the parallel init alone costs several
+      // passes, and a coarse quantizer (FAISS-style) doesn't need it
+      val model = new KMeans().setK(nList).setSeed(seed).setMaxIter(maxIter)
+        .setInitMode("random").setTol(1e-3).fit(sample)
+      model.clusterCenters.map(_.toArray)
+    })
   }
 
   /** IVF index: every corpus vector assigned to its nearest centroid's

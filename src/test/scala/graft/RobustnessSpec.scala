@@ -65,6 +65,34 @@ class RobustnessSpec extends SparkSpec {
     Filters.filterSplit(d, Seq(Filters.Criterion.cv("l_quantity", "<", 10)))._1
   }
 
+  test("curate is invariant under partitioning") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    val results = Seq(1, 7).map { parts =>
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      try graft.ml.Curate.curate(docs.repartition(parts), "doc_id", "text",
+        graft.ml.Curate.Config(langs = Set("en", "de", "fr", "es"),
+          minTokens = 10L, maxDupLineFrac = 0.8, maxTopNgramCharShare = 0.8,
+          sampleModulus = 10, sampleKeep = 7))
+        .collect().map(_.toString).sorted.toSeq
+      finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+    }
+    assert(results(0) === results(1))
+  }
+
+  test("packSequences bins are invariant under partitioning") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("n"))
+    val results = Seq(1, 7).map { parts =>
+      spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      try Sampling.packSequences(docs.repartition(parts), "n", "doc_id",
+        budget = 2048, partitionCols = Seq("lang"))
+        .collect().map(_.toString).sorted.toSeq
+      finally spark.conf.set("spark.sql.shuffle.partitions", "4")
+    }
+    assert(results(0) === results(1))
+  }
+
   test("minhash pair detection is deterministic across partitioning") {
     val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
     val results = Seq(1, 7).map { parts =>
