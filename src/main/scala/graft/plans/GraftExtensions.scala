@@ -52,6 +52,16 @@ object GraftExtensions {
       (es: Seq[Expression]) => Kernels.LocaleNumberExpr(es.head)),
     ("graft_jaccard", info("graft_jaccard", "_FUNC_(a, b) - set Jaccard similarity of arrays"),
       (es: Seq[Expression]) => Kernels.JaccardSimExpr(es.head, es(1))),
+    ("graft_rep_stats", info("graft_rep_stats",
+      "_FUNC_(arr) - repetition stats [dup_frac, dup_char_frac, top_freq_share, top_char_share]"),
+      (es: Seq[Expression]) => Kernels.RepStatsExpr(es.head)),
+    ("graft_line_rep_stats", info("graft_line_rep_stats",
+      "_FUNC_(text) - duplicate-line repetition stats of raw text"),
+      (es: Seq[Expression]) => Kernels.LineRepStatsExpr(es.head)),
+    ("graft_min_k_hashes", info("graft_min_k_hashes",
+      "_FUNC_(arr, k) - k smallest distinct xxhash64 values"),
+      (es: Seq[Expression]) => Kernels.MinKHashesExpr(es.head,
+        if (es.length > 1) intArg(es(1), 8) else 8)),
     ("graft_ref_median", info("graft_ref_median",
       "_FUNC_(v) - reference distinct-parity median (aggregate)"),
       (es: Seq[Expression]) =>

@@ -19,6 +19,15 @@ class ExtensionsSpec extends SparkSpec {
     assert(sim)
     val mh = spark.sql("SELECT size(graft_minhash(array('a','b'), 16)) AS k").collect().head.getInt(0)
     assert(mh === 16)
+    val rep = spark.sql(
+      "SELECT graft_rep_stats(array('x','x','y'))[0] AS dup").collect().head.getDouble(0)
+    assert(rep === 1.0 / 3)
+    val lrep = spark.sql(
+      "SELECT graft_line_rep_stats('a\na\nb')[0] AS dup").collect().head.getDouble(0)
+    assert(lrep === 1.0 / 3)
+    val mkh = spark.sql(
+      "SELECT size(graft_min_k_hashes(array('a','b','c'), 2)) AS n").collect().head.getInt(0)
+    assert(mkh === 2)
   }
 
   test("GraftExtensions class injects the same functions via session extensions") {

@@ -82,6 +82,25 @@ class SourcesSpec extends SparkSpec {
     assert(ascii.contains("bigint"))
     assert(ascii.contains("(20 rows total)"))
   }
+
+  test("syntheticOrderData: reference shape, deterministic, domain-bounded") {
+    val df = Datasets.syntheticOrderData(spark, 500L)
+    assert(df.columns.toSeq === Seq("#", "1", "2", "3", "4", "5", "6", "7", "8", "9", "10", "11"))
+    assert(df.count() === 500L)
+    // deterministic regeneration (the point of hash-based generation)
+    val again = Datasets.syntheticOrderData(spark, 500L)
+    assert(df.exceptAll(again).isEmpty && again.exceptAll(df).isEmpty)
+    val row = df.selectExpr(
+      "min(`4`) >= 0 AND max(`4`) <= 1",
+      "min(`3`) >= 50000 AND max(`3`) <= 51000",
+      "bool_and(`6` rlike '^C[1-5]-[1-5]$')",
+      "bool_and(`7` rlike '^[A-Z]{3}$')",
+      "bool_and(`8` IN ('None', '0°', '6°', '21°'))",
+      "bool_and(`9` IN ('ABC', 'XYZ', ''))",
+      "min(`10`) >= 0.01 AND max(`10`) <= 2.5",
+      "count(DISTINCT `2`) BETWEEN 100 AND 151").collect().head
+    (0 until 8).foreach(i => assert(row.getBoolean(i), s"domain check $i"))
+  }
 }
 
 class TypeInferenceSpec extends SparkSpec {
