@@ -45,4 +45,21 @@ object Datasets {
       runi(13, 0.01, 2.5).as("10"),
       runi(14, 0.1, 25.0).cast("string").as("11"))
   }
+
+  /** Reference `date_range` (tablite/utils.py:401-409): timestamps in
+    * `[start, stop)` stepping `stepSeconds` — exactly
+    * `(stop-start) / step` values (floor). Spark's `sequence()` is
+    * stop-INCLUSIVE, so the range is generated from an explicit count;
+    * distributed via `spark.range` rather than a driver list.
+    */
+  def dateRange(
+      spark: SparkSession,
+      start: java.sql.Timestamp,
+      stop: java.sql.Timestamp,
+      stepSeconds: Long): DataFrame = {
+    require(stepSeconds > 0, s"stepSeconds: $stepSeconds")
+    val n = math.max(0L, (stop.getTime - start.getTime) / (stepSeconds * 1000L))
+    spark.range(n).select(
+      timestamp_millis(lit(start.getTime) + col("id") * (stepSeconds * 1000L)).as("ts"))
+  }
 }

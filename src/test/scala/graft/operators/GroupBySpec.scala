@@ -66,4 +66,15 @@ class GroupBySpec extends SparkSpec {
     assert(h(Some(4.0)) === 1L)
     assert(h(None) === 1L)
   }
+
+  test("approx_count_distinct (HLL extension) lands within rsd of exact") {
+    import org.apache.spark.sql.functions.{approx_count_distinct, col, count_distinct}
+    val ids = spark.range(100000).select((col("id") % 9973).as("k"))
+    val (approx, exact) = ids.select(
+      approx_count_distinct(col("k"), rsd = 0.02).as("a"),
+      count_distinct(col("k")).as("e"))
+      .as[(Long, Long)].collect().head
+    assert(exact === 9973L)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05, s"approx=$approx")
+  }
 }

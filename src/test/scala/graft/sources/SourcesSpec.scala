@@ -101,6 +101,16 @@ class SourcesSpec extends SparkSpec {
       "count(DISTINCT `2`) BETWEEN 100 AND 151").collect().head
     (0 until 8).foreach(i => assert(row.getBoolean(i), s"domain check $i"))
   }
+
+  test("dateRange: [start, stop) with (stop-start)/step values, like the reference") {
+    val ts = java.sql.Timestamp.valueOf(_: String)
+    val out = Datasets.dateRange(spark, ts("2024-01-01 00:00:00"),
+      ts("2024-01-01 01:00:00"), stepSeconds = 25 * 60) // 60/25 → 2 values
+    val got = out.collect().map(_.getTimestamp(0).toString)
+    assert(got === Array("2024-01-01 00:00:00.0", "2024-01-01 00:25:00.0"))
+    assert(Datasets.dateRange(spark, ts("2024-01-01 00:00:00"),
+      ts("2024-01-01 00:00:00"), 60).count() === 0)
+  }
 }
 
 class TypeInferenceSpec extends SparkSpec {
