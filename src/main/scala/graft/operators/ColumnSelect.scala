@@ -36,7 +36,13 @@ object ColumnSelect {
 
   /** The cast matrix (casters.nim:1-242): locale numbers for str→num,
     * multi-format sniffing for str→date/datetime, bool words for
-    * str→bool; NULL = cast failure.
+    * str→bool; NULL = cast failure. The numeric↔temporal corner follows
+    * the reference's epoch-seconds bridge (pinned by
+    * tests/test_column_select.py:384-1063 and `CastConformanceSpec`):
+    * bool/int/float → date/time/datetime interpret the value as epoch
+    * seconds; date/datetime → bool/int/float produce epoch seconds
+    * (truthiness = nonzero). `time` stays µs-of-day LongType
+    * (SURVEY §1.2) — 1 second = 1,000,000.
     */
   def tryCastTo(c: Column, from: DataType, to: String): Column = (from, to) match {
     case (StringType, "int")      => TypeInference.parseNumber(c).cast("bigint")
@@ -50,10 +56,26 @@ object ColumnSelect {
       TypeInference.timeOfDayMicros(try_to_timestamp(concat(lit("1970-01-01 "), trim(c))))
     case (TimestampType, "time")  => TypeInference.timeOfDayMicros(c)
     case (TimestampType, "date")  => c.cast("date")
-    case (_, "str")               => c.cast("string")
+    case (TimestampType, "bool")  => unix_micros(c) =!= 0L
+    case (TimestampType, "int")   => (unix_micros(c).cast("double") / 1e6).cast("bigint")
+    case (TimestampType, "float") => unix_micros(c).cast("double") / 1e6
+    case (DateType, "bool")       => unix_date(c) =!= 0
+    case (DateType, "int")        => unix_date(c).cast("bigint") * 86400L
+    case (DateType, "float")      => unix_date(c).cast("double") * 86400.0
+    // Python capitalization ("True"/"False") and None→"" pinned by the
+    // reference's str-target vectors (test_column_select.py:392,453)
+    case (BooleanType, "str")     => coalesce(initcap(c.cast("string")), lit(""))
+    case (_, "str")               => coalesce(c.cast("string"), lit(""))
     case (BooleanType, "int")     => c.cast("bigint")
     case (BooleanType, "float")   => c.cast("double")
+    case (BooleanType, "date")    => timestamp_seconds(c.cast("int")).cast("date")
+    case (BooleanType, "datetime") => timestamp_seconds(c.cast("int"))
+    case (BooleanType, "time")    => c.cast("bigint") * 1000000L
     case (_: NumericType, "bool") => c =!= 0
+    case (_: NumericType, "date")     => timestamp_seconds(c).cast("date")
+    case (_: NumericType, "datetime") => timestamp_seconds(c)
+    case (_: NumericType, "time") =>
+      pmod((c.cast("double") * 1e6).cast("bigint"), lit(86400000000L))
     case (_, t)                   => try_cast_safe(c, sparkType(t))
   }
 
