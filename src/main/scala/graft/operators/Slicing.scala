@@ -36,4 +36,45 @@ object Slicing {
   /** head/first-n (base.py:1692 show elision). */
   def head(df: DataFrame, n: Int, orderCols: Seq[String]): DataFrame =
     slice(df, orderCols, 0, n)
+
+  /** Full Python slice semantics `t[start:stop:step]` including negative
+    * indices and negative steps (tests/test_slice_rules.py:1-40,
+    * utils.py:86-167 `intercept`). Negative bounds need the row count —
+    * one `count()` pass, same as the reference's known `len`. The result
+    * keeps the slice's traversal order (reversed for negative steps),
+    * which materializes on collect/show/write.
+    */
+  def pySlice(
+      df: DataFrame,
+      orderCols: Seq[String],
+      start: Option[Long] = None,
+      stop: Option[Long] = None,
+      step: Option[Long] = None): DataFrame = {
+    val st = step.getOrElse(1L)
+    require(st != 0L, "slice step cannot be zero")
+    val n = df.count()
+    // CPython PySlice_AdjustIndices
+    def norm(v: Option[Long], dfltPos: Long, dfltNeg: Long): Long = v match {
+      case None => if (st > 0) dfltPos else dfltNeg
+      case Some(x0) =>
+        val x = if (x0 < 0) x0 + n else x0
+        if (x < 0) { if (st > 0) 0L else -1L }
+        else if (x >= n) { if (st > 0) n else n - 1 }
+        else x
+    }
+    val a = norm(start, 0L, n - 1)
+    val b = norm(stop, n, -1L)
+    val w = Window.orderBy(orderCols.map(col): _*)
+    val ranked = df.withColumn("__rn", row_number().over(w).cast("long") - 1L)
+    val filtered =
+      if (st > 0)
+        ranked.filter(col("__rn") >= a && col("__rn") < b &&
+          (col("__rn") - a) % st === 0)
+          .orderBy(col("__rn").asc)
+      else
+        ranked.filter(col("__rn") <= a && col("__rn") > b &&
+          (lit(a) - col("__rn")) % (-st) === 0)
+          .orderBy(col("__rn").desc)
+    filtered.drop("__rn")
+  }
 }

@@ -22,6 +22,27 @@ class SortsAndSetOpsSpec extends SparkSpec {
     assert(out === Array("c", "b", "a", "z"))
   }
 
+  test("multi-column sort golden case (reference test_sort.py:6-27)") {
+    val t = Seq((4, 2, "a"), (3, 2, "d"), (2, 1, "c"), (1, 1, "b")).toDF("A", "B", "C")
+    // t.sort({"A": False}) — ascending
+    assert(Sorts.sorted(t, Seq("A" -> false)).select("A").as[Int].collect()
+      === Array(1, 2, 3, 4))
+    // t.sort({"A": True}) — descending
+    assert(Sorts.sorted(t, Seq("A" -> true)).select("A").as[Int].collect()
+      === Array(4, 3, 2, 1))
+    // t.sort({"B": False, "A": True}) → B [1,1,2,2], A [2,1,4,3]
+    val ba = Sorts.sorted(t, Seq("B" -> false, "A" -> true))
+      .select("B", "A").as[(Int, Int)].collect()
+    assert(ba.map(_._1) === Array(1, 1, 2, 2))
+    assert(ba.map(_._2) === Array(2, 1, 4, 3))
+    // t.sort({"C": False}) → C [a,b,c,d], A [4,1,2,3], B [2,1,1,2]
+    val c = Sorts.sorted(t, Seq("C" -> false))
+      .select("C", "A", "B").as[(String, Int, Int)].collect()
+    assert(c.map(_._1) === Array("a", "b", "c", "d"))
+    assert(c.map(_._2) === Array(4, 1, 2, 3))
+    assert(c.map(_._3) === Array(2, 1, 1, 2))
+  }
+
   test("isSorted detects order and disorder") {
     val sortedDf = Seq(1, 2, 3).toDF("n")
     val unsortedDf = Seq(2, 1, 3).toDF("n")
