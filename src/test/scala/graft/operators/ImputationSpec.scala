@@ -46,4 +46,34 @@ class ImputationSpec extends SparkSpec {
     // patient (2,2) is rank-closer to (1,1) than (10,10)
     assert(out.filter($"a" === 2.0).select("v").as[Double].head() === 100.0)
   }
+
+  test("reference NN vectors: exact source match donates (test_imputation.py:4-16)") {
+    // [[1,2,3],[1,2,None],[5,5,5],[6,6,6]] sources a,b target c → row 2 gets 3
+    val d = Seq(
+      (1.0, 2.0, Some(3.0)), (1.0, 2.0, None), (5.0, 5.0, Some(5.0)), (6.0, 6.0, Some(6.0))
+    ).toDF("a", "b", "c")
+    val out = Imputation.nearestNeighbour(d, "c", Seq("a", "b"))
+      .orderBy("a", "b").select("c").as[Double].collect()
+    assert(out === Array(3.0, 3.0, 5.0, 6.0))
+  }
+
+  test("reference NN vectors: closest donor wins (test_imputation.py:65-80)") {
+    // [[1,2,None],[5,5,5],[6,6,6]] → (1,2) is rank-closer to (5,5) → 5
+    val d = Seq(
+      (1.0, 2.0, None), (5.0, 5.0, Some(5.0)), (6.0, 6.0, Some(6.0))
+    ).toDF("a", "b", "c")
+    val out = Imputation.nearestNeighbour(d, "c", Seq("a", "b"))
+      .orderBy("a").select("c").as[Double].collect()
+    assert(out === Array(5.0, 5.0, 6.0))
+  }
+
+  test("reference NN vectors: several missing share a donor (test_imputation.py:82-114)") {
+    // [[1,2,None],[5,5,None],[5,5,5],[6,6,6]] → both missing rows get 5
+    val d = Seq(
+      (1.0, 2.0, None), (5.0, 5.0, None), (5.0, 5.0, Some(5.0)), (6.0, 6.0, Some(6.0))
+    ).toDF("a", "b", "c")
+    val out = Imputation.nearestNeighbour(d, "c", Seq("a", "b"))
+      .orderBy("a", "c").select("c").as[Double].collect()
+    assert(out === Array(5.0, 5.0, 5.0, 6.0))
+  }
 }
