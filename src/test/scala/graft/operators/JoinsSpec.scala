@@ -61,6 +61,30 @@ class JoinsSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("tutorial join-logic golden multisets (test_new_tutorial.py:340-460)") {
+    val numbers = Seq(
+      (Option(1), "black"), (Option(2), "blue"), (Option(3), "white"),
+      (Option(4), "white"), (Option.empty[Int], "blue")).toDF("number", "colour")
+    val letters = Seq(
+      (Option("a"), "blue"), (Option("b"), "white"), (Option("c"), "orange"),
+      (Option("d"), "white"), (Option.empty[String], "blue")).toDF("letter", "color")
+    def rows(kind: String): Seq[(Option[Int], Option[String])] =
+      Joins.join(numbers, letters, Seq("colour"), Seq("color"), kind,
+        leftColumns = Some(Seq("number")), rightColumns = Some(Seq("letter")))
+        .collect().map(r =>
+          (if (r.isNullAt(0)) None else Some(r.getInt(0)), Option(r.getString(1))))
+        .toSeq.sortBy(t => (t._1.getOrElse(-1), t._2.getOrElse("")))
+    val leftExpected = Seq(
+      (Some(1), None), (Some(2), Some("a")), (Some(2), None), (None, Some("a")),
+      (None, None), (Some(3), Some("b")), (Some(3), Some("d")),
+      (Some(4), Some("b")), (Some(4), Some("d")))
+      .sortBy(t => (t._1.getOrElse(-1), t._2.getOrElse("")))
+    assert(rows("left") === leftExpected)
+    assert(rows("inner") === leftExpected.filterNot(_ == ((Some(1), None))))
+    assert(rows("full") === (leftExpected :+ ((None, Some("c"))))
+      .sortBy(t => (t._1.getOrElse(-1), t._2.getOrElse(""))))
+  }
+
   test("uniqueName suffixes until free") {
     assert(Joins.uniqueName("a", Set("a", "a_1")) === "a_2")
     assert(Joins.uniqueName("b", Set("a")) === "b")
