@@ -525,6 +525,22 @@ object SparkEntry {
       Ann.ivfRecallAtK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
         k = 10, nList = 32, nProbe = 4)
     }),
+    // IVFADC: 64-dim float vector (256 B) → 8-byte PQ code; candidate
+    // scan = m table lookups per row (the memory-bound 100 TB ANN path)
+    "q_ann_pq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val coarse = Ann.trainCentroids(e, "embedding", nList = 32)
+      val codebooks = Ann.trainPq(e, "embedding", coarse, m = 8)
+      val idx = Ann.buildPqIndex(e, "vec_id", "embedding", coarse, codebooks)
+      Ann.pqKnn(idx, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        coarse, codebooks, k = 5, nProbe = 4)
+        .select(col("query_id"), col("neighbour_id"), col("rank"))
+    }),
+    "q_ann_pq_recall" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Ann.pqRecallAtK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
+        k = 10, nList = 32, m = 8, nProbe = 4)
+    }),
 
     // ---- multimodal plumbing ----------------------------------------
     "q_multimodal" -> ((s, dir) => {

@@ -148,6 +148,253 @@ object Ann {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  // ---- IVFADC: product quantization on top of IVF -------------------
+  //
+  // Jégou, Douze, Schmid 2011 ("Product quantization for nearest
+  // neighbor search"): store each vector as its coarse list id + an
+  // m-byte code of the RESIDUAL (vec − coarse centroid), quantized per
+  // subspace against a 256-entry sub-codebook. At 100 TB this is the
+  // memory story: a 64-dim float vector (256 B) becomes 8 B + a list id,
+  // and search cost per candidate is m table lookups (ADC), no float ops.
+
+  /** Train PQ sub-codebooks over residuals of a corpus sample. Runs
+    * Lloyd's locally on the collected sample (≤ `sampleN` rows — the
+    * same driver-side footprint as the coarse centroids): m × codeK ×
+    * (d/m) doubles out. Deterministic (seeded init, fixed iterations).
+    */
+  private val pqMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
+  def trainPq(
+      corpus: DataFrame,
+      vecCol: String,
+      coarse: Array[Array[Double]],
+      m: Int = 8,
+      codeK: Int = 256,
+      sampleN: Int = 20000,
+      seed: Long = 42L,
+      maxIter: Int = 10): Array[Array[Double]] = {
+    val key = corpus.queryExecution.analyzed.canonicalized.toString +
+      s"|$vecCol|${coarse.length}|$m|$codeK|$sampleN|$seed|$maxIter"
+    pqMemo.computeIfAbsent(key, _ => trainPqUncached(
+      corpus, vecCol, coarse, m, codeK, sampleN, seed, maxIter))
+  }
+
+  private def trainPqUncached(
+      corpus: DataFrame,
+      vecCol: String,
+      coarse: Array[Array[Double]],
+      m: Int,
+      codeK: Int,
+      sampleN: Int,
+      seed: Long,
+      maxIter: Int): Array[Array[Double]] = {
+    val rows = corpus.select(col(vecCol)).limit(sampleN).collect()
+      .map(_.getSeq[Any](0).map {
+        case f: Float  => f.toDouble
+        case d: Double => d
+        case x         => x.toString.toDouble
+      }.toArray)
+    require(rows.nonEmpty, "empty PQ training sample")
+    val d = rows.head.length
+    require(d % m == 0, s"dim $d not divisible by m=$m")
+    val dsub = d / m
+    // residuals against each vector's nearest coarse centroid
+    val residuals = rows.map { v =>
+      var best = 0
+      var bestD = Double.MaxValue
+      var ci = 0
+      while (ci < coarse.length) {
+        var dist = 0.0
+        var j = 0
+        while (j < d) { val df = v(j) - coarse(ci)(j); dist += df * df; j += 1 }
+        if (dist < bestD) { bestD = dist; best = ci }
+        ci += 1
+      }
+      val r = new Array[Double](d)
+      var j = 0
+      while (j < d) { r(j) = v(j) - coarse(best)(j); j += 1 }
+      r
+    }
+    val rnd = new scala.util.Random(seed)
+    Array.tabulate(m) { i =>
+      val pts = residuals.map(_.slice(i * dsub, (i + 1) * dsub))
+      val k = math.min(codeK, pts.length)
+      // init: distinct sample points (k-means++ unnecessary for a coarse
+      // sub-quantizer); short Lloyd refinement
+      val centroids = rnd.shuffle(pts.indices.toVector).take(k).map(pts(_).clone).toArray
+      val assign = new Array[Int](pts.length)
+      var iter = 0
+      while (iter < maxIter) {
+        var p = 0
+        while (p < pts.length) {
+          var best = 0
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < k) {
+            var dist = 0.0
+            var j = 0
+            while (j < dsub) { val df = pts(p)(j) - centroids(c)(j); dist += df * df; j += 1 }
+            if (dist < bestD) { bestD = dist; best = c }
+            c += 1
+          }
+          assign(p) = best
+          p += 1
+        }
+        val sums = Array.fill(k)(new Array[Double](dsub))
+        val counts = new Array[Int](k)
+        p = 0
+        while (p < pts.length) {
+          val c = assign(p)
+          counts(c) += 1
+          var j = 0
+          while (j < dsub) { sums(c)(j) += pts(p)(j); j += 1 }
+          p += 1
+        }
+        var c = 0
+        while (c < k) { // empty cells keep their previous centroid
+          if (counts(c) > 0) {
+            var j = 0
+            while (j < dsub) { centroids(c)(j) = sums(c)(j) / counts(c); j += 1 }
+          }
+          c += 1
+        }
+        iter += 1
+      }
+      // flatten row-major codeK×dsub (pad to codeK with copies if k < codeK)
+      val flat = new Array[Double](codeK * dsub)
+      var c = 0
+      while (c < codeK) {
+        val src = centroids(c % k)
+        var j = 0
+        while (j < dsub) { flat(c * dsub + j) = src(j); j += 1 }
+        c += 1
+      }
+      flat
+    }
+  }
+
+  /** PQ index: (id, coarse list, m-byte residual code) — one map-side
+    * pass, codebooks as expression constants. Persist this partitioned
+    * by `list` at real scale; it is ~30× smaller than the raw vectors.
+    */
+  def buildPqIndex(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      coarse: Array[Array[Double]], flatCodebooks: Array[Array[Double]],
+      codeK: Int = 256): DataFrame = {
+    corpus
+      .withColumn("list", element_at(Kernels.nearestCentroids(col(vecCol), coarse, 1), 1))
+      .select(col(idCol).as("neighbour_id"), col("list"),
+        Kernels.pqEncode(col(vecCol), col("list"), coarse, flatCodebooks, codeK)
+          .as("code"))
+  }
+
+  /** IVFADC search: queries collect to the driver (they are the small
+    * probe set, like the centroids), per-(query, probed list) ADC tables
+    * precompute every sub-distance, and the scan costs m byte-indexed
+    * lookups per candidate. Distances are squared L2 over residuals —
+    * the PQ-approximated L2 (ties to cosine only for normalized
+    * vectors; documented).
+    */
+  def pqKnn(
+      index: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      coarse: Array[Array[Double]],
+      flatCodebooks: Array[Array[Double]],
+      k: Int = 10,
+      nProbe: Int = 4,
+      codeK: Int = 256): DataFrame = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val m = flatCodebooks.length
+    val d = coarse.head.length
+    val dsub = d / m
+    val qs = queries.select(col(idCol), col(vecCol)).collect().map { r =>
+      val v = r.getSeq[Any](1).map {
+        case f: Float  => f.toDouble
+        case dd: Double => dd
+        case x         => x.toString.toDouble
+      }.toArray
+      (r.getLong(0), v)
+    }
+    val tables = new java.util.HashMap[String, Array[Float]]()
+    val pairs = qs.flatMap { case (qid, qv) =>
+      // nProbe nearest coarse lists for the query
+      val byDist = coarse.indices.map { ci =>
+        var dist = 0.0
+        var j = 0
+        while (j < d) { val df = qv(j) - coarse(ci)(j); dist += df * df; j += 1 }
+        ci -> dist
+      }.sortBy(_._2).take(nProbe).map(_._1)
+      byDist.map { list =>
+        val tab = new Array[Float](m * codeK)
+        var i = 0
+        while (i < m) {
+          var c = 0
+          while (c < codeK) {
+            var dist = 0.0
+            var j = 0
+            while (j < dsub) {
+              val res = qv(i * dsub + j) - coarse(list)(i * dsub + j)
+              val df = res - flatCodebooks(i)(c * dsub + j)
+              dist += df * df
+              j += 1
+            }
+            tab(i * codeK + c) = dist.toFloat
+            c += 1
+          }
+          i += 1
+        }
+        tables.put(s"$qid:$list", tab)
+        (qid, list)
+      }
+    }
+    val probed = pairs.toSeq.toDF("query_id", "list")
+    val scored = probed.join(index, Seq("list"))
+      .filter(col("query_id") =!= col("neighbour_id"))
+      .select(col("query_id"), col("neighbour_id"),
+        Kernels.adcDist(concat_ws(":", col("query_id"), col("list")), col("code"),
+          tables, codeK).as("adc"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc").asc, col("neighbour_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Recall@k of IVFADC against exact L2 brute force. */
+  def pqRecallAtK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 10,
+      nList: Int = 32,
+      m: Int = 8,
+      nProbe: Int = 4): DataFrame = {
+    val coarse = trainCentroids(corpus, vecCol, nList)
+    val codebooks = trainPq(corpus, vecCol, coarse, m)
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbour_id"), col(vecCol).as("cv"))
+    val wExact = Window.partitionBy("query_id")
+      .orderBy(col("l2").asc, col("neighbour_id").asc)
+    val exact = c.join(broadcast(q), col("query_id") =!= col("neighbour_id"))
+      .select(col("query_id"), col("neighbour_id"),
+        Kernels.l2Dist(col("qv"), col("cv")).as("l2"))
+      .withColumn("rank", row_number().over(wExact)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbour_id")).cache()
+    val approx = pqKnn(buildPqIndex(corpus, idCol, vecCol, coarse, codebooks),
+      queries, idCol, vecCol, coarse, codebooks, k, nProbe)
+      .select(col("query_id"), col("neighbour_id"))
+    try {
+      val hits = exact.intersect(approx).count().toDouble
+      val total = exact.count().toDouble
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      Seq((k, if (total == 0) 0.0 else hits / total)).toDF("k", "recall")
+    } finally exact.unpersist(blocking = false)
+  }
+
   /** Recall@k of the IVF index against exact brute force. */
   def ivfRecallAtK(
       corpus: DataFrame,

@@ -317,6 +317,77 @@ object Kernels {
     new GenericArrayData(bestI)
   }
 
+  /** Squared L2 distance of two numeric arrays. elemKind as above. */
+  def l2DistEval(a: ArrayData, b: ArrayData, aIsFloat: Boolean, bIsFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var d = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bIsFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      val diff = x - y
+      d += diff * diff
+      i += 1
+    }
+    d
+  }
+
+  /** Product-quantization encode (Jégou et al. 2011): subtract the
+    * coarse centroid (IVFADC residual), then per subspace emit the index
+    * of the nearest sub-codebook centroid. Output: m bytes.
+    * `flatCodebooks(i)` holds subspace i's codeK×dsub centroids row-major.
+    */
+  def pqEncodeEval(
+      vec: ArrayData, list: Int, coarse: Array[Array[Double]],
+      flatCodebooks: Array[Array[Double]], codeK: Int, elemKind: Int): Array[Byte] = {
+    val m = flatCodebooks.length
+    val d = vec.numElements()
+    val dsub = d / m
+    val cc = coarse(list)
+    val out = new Array[Byte](m)
+    var i = 0
+    while (i < m) {
+      val cb = flatCodebooks(i)
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < codeK) {
+        var dist = 0.0
+        var j = 0
+        while (j < dsub) {
+          val idx = i * dsub + j
+          val v = (if (elemKind == 0) vec.getFloat(idx).toDouble else vec.getDouble(idx)) - cc(idx)
+          val diff = v - cb(c * dsub + j)
+          dist += diff * diff
+          j += 1
+        }
+        if (dist < bestD) { bestD = dist; best = c }
+        c += 1
+      }
+      out(i) = best.toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Asymmetric-distance (ADC) lookup: the per-(query,list) table holds
+    * precomputed sub-distances table[i*codeK + c]; the distance to a
+    * coded vector is m table lookups — no float math per candidate.
+    */
+  def adcDistEval(
+      tables: java.util.HashMap[String, Array[Float]],
+      key: UTF8String, code: Array[Byte], codeK: Int): Double = {
+    val tab = tables.get(key.toString)
+    if (tab == null) return Double.MaxValue
+    var d = 0.0
+    var i = 0
+    while (i < code.length) {
+      d += tab(i * codeK + (code(i) & 0xFF))
+      i += 1
+    }
+    d
+  }
+
   private def isGrouping3(s: String, sep: Char): Boolean = {
     // ^[+-]?\d{1,3}(sep\d{3})+$
     var i = 0
@@ -543,6 +614,68 @@ object Kernels {
       copy(child = c)
   }
 
+  /** Squared L2 distance of two numeric arrays (float or double). */
+  case class L2DistExpr(left: Expression, right: Expression) extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    @transient private lazy val aIsFloat =
+      left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    @transient private lazy val bIsFloat =
+      right.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    override def nullSafeEval(l: Any, r: Any): Any =
+      l2DistEval(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData], aIsFloat, bIsFloat)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.plans.Kernels.l2DistEval($a, $b, $aIsFloat, $bIsFloat);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): L2DistExpr =
+      copy(left = l, right = r)
+  }
+
+  /** PQ residual encode: (vec, coarse list id) → m-byte code. Codebooks
+    * and coarse centroids ride as expression constants (map-side, no
+    * shuffle — same pattern as [[NearestCentroidsExpr]]).
+    */
+  case class PqEncodeExpr(
+      left: Expression, right: Expression,
+      coarse: Array[Array[Double]], flatCodebooks: Array[Array[Double]], codeK: Int)
+      extends BinaryExpression {
+    override def dataType: DataType = BinaryType
+    @transient private lazy val elemKind =
+      left.dataType.asInstanceOf[ArrayType].elementType match {
+        case FloatType => 0
+        case _         => 1
+      }
+    override def nullSafeEval(v: Any, l: Any): Any =
+      pqEncodeEval(v.asInstanceOf[ArrayData], l.asInstanceOf[Int],
+        coarse, flatCodebooks, codeK, elemKind)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val coarseRef = ctx.addReferenceObj("pqCoarse", coarse, "double[][]")
+      val cbRef = ctx.addReferenceObj("pqCodebooks", flatCodebooks, "double[][]")
+      nullSafeCodeGen(ctx, ev, (v, l) =>
+        s"${ev.value} = graft.plans.Kernels.pqEncodeEval($v, $l, $coarseRef, $cbRef, $codeK, $elemKind);")
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): PqEncodeExpr =
+      copy(left = l, right = r)
+  }
+
+  /** ADC distance: (table key, code) → double via per-(query,list)
+    * lookup tables broadcast as an expression constant.
+    */
+  case class AdcDistExpr(
+      left: Expression, right: Expression,
+      tables: java.util.HashMap[String, Array[Float]], codeK: Int)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(k: Any, c: Any): Any =
+      adcDistEval(tables, k.asInstanceOf[UTF8String], c.asInstanceOf[Array[Byte]], codeK)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val tabRef = ctx.addReferenceObj("adcTables", tables, "java.util.HashMap")
+      nullSafeCodeGen(ctx, ev, (k, c) =>
+        s"${ev.value} = graft.plans.Kernels.adcDistEval($tabRef, $k, $c, $codeK);")
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): AdcDistExpr =
+      copy(left = l, right = r)
+  }
+
   /** Locale-tolerant number parse (the reference's ingest differentiator,
     * infertypes.nim:26-120): "1,000,000.5" (US), "1.000.000,5" (EU),
     * "1 000 000" (space/nbsp/apostrophe groupings) → double; null on
@@ -593,4 +726,14 @@ object Kernels {
     ExpressionUtils.column(RepStatsExpr(ExpressionUtils.expression(arr)))
   def lineRepStats(text: Column): Column =
     ExpressionUtils.column(LineRepStatsExpr(ExpressionUtils.expression(text)))
+  def l2Dist(a: Column, b: Column): Column =
+    ExpressionUtils.column(L2DistExpr(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+  def pqEncode(vec: Column, list: Column, coarse: Array[Array[Double]],
+      flatCodebooks: Array[Array[Double]], codeK: Int): Column =
+    ExpressionUtils.column(PqEncodeExpr(ExpressionUtils.expression(vec),
+      ExpressionUtils.expression(list), coarse, flatCodebooks, codeK))
+  def adcDist(key: Column, code: Column,
+      tables: java.util.HashMap[String, Array[Float]], codeK: Int): Column =
+    ExpressionUtils.column(AdcDistExpr(ExpressionUtils.expression(key),
+      ExpressionUtils.expression(code), tables, codeK))
 }

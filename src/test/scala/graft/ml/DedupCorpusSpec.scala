@@ -1,6 +1,7 @@
 package graft.ml
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 class DedupCorpusSpec extends SparkSpec {
   import spark.implicits._
@@ -77,6 +78,44 @@ class DedupCorpusSpec extends SparkSpec {
     val uncapped = pairs(maxBucket = 2000)
     val salted = pairs(maxBucket = 4)
     assert(uncapped.nonEmpty && salted === uncapped)
+  }
+
+  test("IVFADC: with <=256 sample points the quantizer memorizes, full probe = exact L2 top-k") {
+    // 40 vectors, sample covers all → every residual subvector becomes a
+    // codebook entry, ADC distance == true residual L2 → PQ == exact
+    val vecs = (0 until 40).map { i =>
+      val rnd = new scala.util.Random(i * 131 + 7)
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 10f))
+    }.toDF("vec_id", "embedding")
+    val coarse = Ann.trainCentroids(vecs, "embedding", nList = 4, sampleN = 1000)
+    val codebooks = Ann.trainPq(vecs, "embedding", coarse, m = 4, maxIter = 15)
+    val idx = Ann.buildPqIndex(vecs, "vec_id", "embedding", coarse, codebooks)
+    assert(idx.select("code").head().getAs[Array[Byte]](0).length === 4) // 16 floats → 4 bytes
+    val queries = vecs.filter($"vec_id" < 5)
+    val pq = Ann.pqKnn(idx, queries, "vec_id", "embedding", coarse, codebooks,
+      k = 3, nProbe = 4) // nProbe = nList → full probe
+      .select("query_id", "neighbour_id").as[(Long, Long)].collect().toSet
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy(col("l2").asc, col("neighbour_id").asc)
+    val exact = vecs.select($"vec_id".as("neighbour_id"), $"embedding".as("cv"))
+      .join(broadcast(queries.select($"vec_id".as("query_id"), $"embedding".as("qv"))),
+        $"query_id" =!= $"neighbour_id")
+      .select($"query_id", $"neighbour_id",
+        graft.plans.Kernels.l2Dist($"qv", $"cv").as("l2"))
+      .withColumn("rank", row_number().over(w)).filter($"rank" <= 3)
+      .select("query_id", "neighbour_id").as[(Long, Long)].collect().toSet
+    assert(pq === exact)
+  }
+
+  test("IVFADC recall on a larger corpus is sane and codes are 8 bytes") {
+    val vecs = (0 until 400).map { i =>
+      val rnd = new scala.util.Random(i * 977 + 3)
+      (i.toLong, Array.fill(32)(rnd.nextFloat()))
+    }.toDF("vec_id", "embedding")
+    val recall = Ann.pqRecallAtK(vecs, vecs.filter($"vec_id" < 10),
+      "vec_id", "embedding", k = 5, nList = 8, m = 8, nProbe = 8)
+      .collect().head.getDouble(1)
+    assert(recall > 0.3 && recall <= 1.0, s"recall=$recall")
   }
 
   test("semDedup removes planted exact copies and keeps distinct vectors") {
