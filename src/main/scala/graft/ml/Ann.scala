@@ -216,8 +216,12 @@ object Ann {
       while (j < d) { r(j) = v(j) - coarse(best)(j); j += 1 }
       r
     }
-    val rnd = new scala.util.Random(seed)
-    Array.tabulate(m) { i =>
+    // subspaces are independent — train them concurrently (driver cores)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val subFutures = (0 until m).map { i => Future {
+      val rnd = new scala.util.Random(seed + i)
       val pts = residuals.map(_.slice(i * dsub, (i + 1) * dsub))
       val k = math.min(codeK, pts.length)
       // init: distinct sample points (k-means++ unnecessary for a coarse
@@ -271,7 +275,8 @@ object Ann {
         c += 1
       }
       flat
-    }
+    } }
+    Await.result(Future.sequence(subFutures), Duration.Inf).toArray
   }
 
   /** PQ index: (id, coarse list, m-byte residual code) — one map-side
