@@ -126,10 +126,12 @@ object SparkEntry {
       Filters.filterSplit(t(s, dir, "lineitem"),
         Seq(Criterion.cc("l_discount", "<", "l_tax")), "all")._1
         .select(col("l_orderkey"), col("l_linenumber"), col("l_discount"), col("l_tax"))),
+    // "in" = left value contained in the right string — the idiomatic
+    // use is membership in a list-like string (reference semantics)
     "q_filter_contains" -> ((s, dir) =>
       Filters.filterSplit(t(s, dir, "part"),
-        Seq(Criterion.cv("p_type", "in", "BRASS")), "all")._1
-        .select(col("p_partkey"), col("p_type"))),
+        Seq(Criterion.cv("p_brand", "in", "Brand#11 Brand#22 Brand#33")), "all")._1
+        .select(col("p_partkey"), col("p_brand"))),
     "q_all_kwargs" -> ((s, dir) =>
       Filters.filterAll(t(s, dir, "lineitem"),
         Map("l_returnflag" -> "A", "l_linestatus" -> "F"))),
@@ -679,7 +681,7 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_discount, l_tax FROM lineitem
          WHERE l_discount < l_tax""",
     "q_filter_contains" ->
-      "SELECT p_partkey, p_type FROM part WHERE contains(p_type, 'BRASS')",
+      "SELECT p_partkey, p_brand FROM part WHERE contains('Brand#11 Brand#22 Brand#33', p_brand)",
     "q_all_kwargs" ->
       "SELECT * FROM lineitem WHERE l_returnflag = 'A' AND l_linestatus = 'F'",
     "q_any_kwargs" ->

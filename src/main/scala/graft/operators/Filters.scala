@@ -16,10 +16,12 @@ object Filters {
 
   /** One criterion: `left op right` where each side is a column or a literal.
     * Ops: > >= == < <= != in  (reference: nimlite/funcs/filter.nim:62-82).
-    * "in" follows the Nim kernel's `contains(left, right)` semantics
-    * (substring / membership on strings); the legacy Python path reversed
-    * the operands (tablite/mp_utils.py:13-18) — we standardize on the Nim
-    * kernel and document the divergence.
+    * "in" follows the reference's OBSERVABLE semantics — `str(left) in
+    * str(right)`, i.e. the left value is a substring of the right
+    * (tablite/mp_utils.py:13-18, pinned by tests/test_filter.py:40-46
+    * where `A in "12"` keeps rows "1" and "2"). The Nim kernel reverses
+    * the operands (filter.nim:74) but the reference's own tests assert
+    * the Python direction, so that is what we match.
     */
   final case class Criterion(
       left: Either[String, Any],   // Left=column name, Right=literal
@@ -48,7 +50,7 @@ object Filters {
       case "<"          => l < r
       case "<="         => l <= r
       case "!=" | "<>"  => l =!= r
-      case "in"         => l.cast("string").contains(r.cast("string"))
+      case "in"         => r.cast("string").contains(l.cast("string"))
       case other        => throw new IllegalArgumentException(s"unknown filter op: $other")
     }
   }
@@ -81,6 +83,18 @@ object Filters {
   /** `t.any(colA = v, colB = v2)` — equality disjunction. */
   def filterAny(df: DataFrame, kwargs: Map[String, Any]): DataFrame =
     df.filter(kwargs.map { case (k, v) => col(k) <=> lit(v) }.reduce(_ || _))
+
+  /** The reference's CALLABLE kwargs (`t.all(a=lambda, ...)`,
+    * redux.py:80-123, tests/test_any_and_all.py:7-43): arbitrary
+    * per-column predicates. Scala `Column => Column` functions instead
+    * of Python lambdas — the predicate stays a Catalyst expression
+    * (codegen, pushdown) rather than an opaque UDF.
+    */
+  def filterAllWhere(df: DataFrame, preds: Map[String, Column => Column]): DataFrame =
+    df.filter(preds.map { case (k, f) => f(col(k)) }.reduce(_ && _))
+
+  def filterAnyWhere(df: DataFrame, preds: Map[String, Column => Column]): DataFrame =
+    df.filter(preds.map { case (k, f) => f(col(k)) }.reduce(_ || _))
 
   /** Drop rows containing any of `values` in any column (redux.py:88-104).
     * Type-aware: a value is only compared against columns of a compatible

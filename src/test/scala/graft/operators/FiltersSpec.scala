@@ -25,10 +25,34 @@ class FiltersSpec extends SparkSpec {
     assert(pass.select("id").as[Int].collect().sorted === Array(1, 4))
   }
 
-  test("'in' criterion is contains(left, right) per the Nim kernel") {
-    val d2 = Seq("LARGE BRASS", "SMALL TIN").toDF("t")
-    val (pass, _) = Filters.filterSplit(d2, Seq(Criterion.cv("t", "in", "BRASS")))
-    assert(pass.count() === 1)
+  test("'in' criterion: left value in right string (test_filter.py:40-46)") {
+    // reference golden case: A in "12" keeps "1" and "2", drops "3"
+    val d2 = Seq("1", "2", "3").toDF("A")
+    val (pass, fail) = Filters.filterSplit(d2, Seq(Criterion.cv("A", "in", "12")))
+    assert(pass.select("A").as[String].collect().sorted === Array("1", "2"))
+    assert(fail.select("A").as[String].collect() === Array("3"))
+  }
+
+  test("callable kwargs golden vectors (test_any_and_all.py:7-43)") {
+    val t = Seq((1, 10), (2, 20), (3, 30), (4, 40)).toDF("a", "b")
+    // t.any(a = x==4, b = x<20) → [[1,10],[4,40]]
+    val anyOut = Filters.filterAnyWhere(t,
+      Map("a" -> ((c: org.apache.spark.sql.Column) => c === 4),
+          "b" -> ((c: org.apache.spark.sql.Column) => c < 20)))
+      .orderBy("a").as[(Int, Int)].collect()
+    assert(anyOut === Array((1, 10), (4, 40)))
+    // t.all(a = x>=2, b = x<=30) → [[2,20],[3,30]]
+    val allOut = Filters.filterAllWhere(t,
+      Map("a" -> ((c: org.apache.spark.sql.Column) => c >= 2),
+          "b" -> ((c: org.apache.spark.sql.Column) => c <= 30)))
+      .orderBy("a").as[(Int, Int)].collect()
+    assert(allOut === Array((2, 20), (3, 30)))
+    // t.all(B = x is not None) over [None, true, false] → A = [2,3]
+    val tn = Seq((1, Option.empty[Boolean]), (2, Some(true)), (3, Some(false))).toDF("A", "B")
+    val notNone = Filters.filterAllWhere(tn,
+      Map("B" -> ((c: org.apache.spark.sql.Column) => c.isNotNull)))
+      .orderBy("A").select("A").as[Int].collect()
+    assert(notNone === Array(2, 3))
   }
 
   test("filterAll / filterAny kwargs") {
