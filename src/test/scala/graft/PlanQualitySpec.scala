@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Physical-plan invariants for the 100 TB posture: these assertions pin
+  * the plan SHAPES that make the operators scale — partial (map-side)
+  * aggregation, broadcast of small dimensions, filter/projection
+  * pushdown to the parquet scans, no stray exchanges. A regression here
+  * is a performance bug even when results stay correct.
+  */
+class PlanQualitySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("q1-shaped agg runs partial+final HashAggregate around one exchange") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val p = plan(li.groupBy("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity"), avg("l_extendedprice")))
+    assert("HashAggregate".r.findAllIn(p).size === 2, p) // partial + final
+    assert("Exchange".r.findAllIn(p).size === 1, p)
+  }
+
+  test("fact-dim join broadcasts the dimension, not the fact") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val supplier = spark.read.parquet(s"$dir/supplier.parquet")
+    val p = plan(li.join(supplier, li("l_suppkey") === supplier("s_suppkey")))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("filter and projection reach the parquet scan") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val q = li.filter(col("l_quantity") < 10).select("l_orderkey", "l_quantity")
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,"), p)
+    // pruned read schema: only the two referenced columns are read
+    assert(p.contains("l_orderkey") && !p.contains("l_extendedprice"), p)
+  }
+
+  test("keep-first dedup is an aggregation, not a window sort") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val p = plan(graft.operators.Filters.dropDuplicatesKeepFirst(
+      li.select("l_orderkey", "l_linenumber", "l_quantity"),
+      Seq("l_orderkey"), Seq("l_linenumber")))
+    assert(!p.contains("Window"), p)
+    assert("Exchange".r.findAllIn(p).size === 1, p)
+  }
+
+  test("top-k is TakeOrdered / rank-limit, not a global sort of everything") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val p = plan(li.orderBy(col("l_extendedprice").desc).limit(5))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("dedup pair pipelines shuffle band keys, not shingle arrays") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    val bandRows = docs.select(col("doc_id"),
+      explode(graft.functions.Similarity.lshBands(
+        graft.plans.Kernels.minhashSig(
+          graft.plans.Kernels.wordShingles(col("text"), 3), 64), 16, 4)).as("bandkey"))
+    val joined = bandRows.alias("a").join(bandRows.alias("b"), Seq("bandkey"))
+    val exchanges = joined.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    // every shuffle in the candidate join carries only (id, bandkey)
+    exchanges.foreach { e =>
+      val cols = e.output.map(_.name).toSet
+      assert(!cols.contains("text") && cols.forall(c => c == "doc_id" || c == "bandkey"),
+        s"shuffle carries: $cols")
+    }
+  }
+}
