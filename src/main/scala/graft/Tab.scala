@@ -36,6 +36,17 @@ final case class Tab(df: DataFrame) {
     if (step == 1) Tab(Slicing.slice(df, orderBy, start, stop))
     else Tab(Slicing.sliceStep(df, orderBy, start, stop, step))
 
+  /** Full Python `t[start:stop:step]` semantics incl. negative indices
+    * and steps (tests/test_slice_rules.py parity).
+    */
+  def pySlice(orderBy: Seq[String], start: Option[Long] = None,
+      stop: Option[Long] = None, step: Option[Long] = None): Tab =
+    Tab(Slicing.pySlice(df, orderBy, start, stop, step))
+
+  /** Reproducible hash sample — deterministic across reruns/retries. */
+  def sample(idCol: String, fraction: Double, seed: Int = 0): Tab =
+    Tab(graft.operators.Sampling.deterministicSample(df, idCol, fraction, seed))
+
   // ---- filters ------------------------------------------------------
   /** Structured filter returning (pass, fail) (core.py:343-364). */
   def filter(criteria: Seq[Criterion], filterType: String = "all"): (Tab, Tab) = {
