@@ -79,6 +79,27 @@ object Streams {
       .withColumn(textCol, TextFunctions.redactPii(text))
   }
 
+  /** Stream-static AS-OF enrichment: join each micro-batch against a
+    * static dimension (quotes, rates, slowly-changing attributes) as-of
+    * the event's time, through the native zero-shuffle
+    * [[graft.plans.BroadcastAsofJoinExec]]. Structured Streaming plans
+    * only equality stream-static joins, so the as-of runs inside
+    * `foreachBatch` — each batch is an ordinary batch plan where the
+    * custom strategy applies; use the returned function as
+    * `stream.writeStream.foreachBatch { (b, id) => sink(enrich(b)) }`.
+    */
+  def asofEnrichBatch(
+      dim: DataFrame,
+      leftKeys: Seq[String],
+      rightKeys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightValues: Seq[String],
+      direction: String = "backward"): DataFrame => DataFrame =
+    (batch: DataFrame) =>
+      graft.plans.AsofJoinPlan.asofJoin(batch, dim, leftKeys, rightKeys,
+        leftTime, rightTime, rightValues, direction, hint = "broadcast")
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(start: Long, lastTs: Long, n: Int, sum: Double)
   final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,

@@ -125,6 +125,32 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static as-of enrichment joins each batch via the broadcast exec") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val quotes = Seq(("A", 5L, 1.0), ("A", 10L, 2.0), ("B", 20L, 9.0))
+      .toDF("sym", "t", "px")
+    val enrich = Streams.asofEnrichBatch(quotes, Seq("sym"), Seq("sym"),
+      "t", "t", Seq("px"))
+    val in = MemoryStream[(String, Long, String)]
+    val collected = new java.util.concurrent.ConcurrentLinkedQueue[(String, Option[Double])]()
+    val q = in.toDS().toDF("sym", "t", "trade")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        enrich(batch).collect().foreach { r =>
+          collected.add(r.getAs[String]("trade") ->
+            Option(r.getAs[Any]("px")).map(_.asInstanceOf[Double]))
+        }
+      }.start()
+    try {
+      in.addData(("A", 12L, "t1"), ("B", 15L, "t2"))
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val out = collected.asScala.toMap
+      assert(out === Map("t1" -> Some(2.0), "t2" -> None))
+    } finally q.stop()
+  }
+
   test("transformWithState sessionizer matches the FMGWS one on timer close") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val s: org.apache.spark.sql.SparkSession = spark
