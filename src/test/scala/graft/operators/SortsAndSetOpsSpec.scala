@@ -72,6 +72,24 @@ class SortsAndSetOpsSpec extends SparkSpec {
     assert(m === Map(1 -> "-", 2 -> "=", 3 -> "+"))
   }
 
+  test("diff multiset totals match the reference's row-level counts (test_table_diff.py)") {
+    // t1 = 10 rows, t2 = t3+t1+t3 = 24 rows; reference asserts:
+    // '=' rows == len(t1)=10, total == len(t2)=24, '-' rows == 14
+    val s1 = Seq(1, 2, 3, 4, 5, 1, 2, 3, 4, 5)
+    val s2 = Seq(2, 2, 2, 2, 3, 3, 3, 3, 4, 4)
+    val s3 = Seq(1, 1, 1, 1, 1, 1, 1)
+    val t1 = s1.zip(s2).toDF("A", "B")
+    val t2 = ((s3.map(x => (x, x))) ++ s1.zip(s2) ++ s3.map(x => (x, x))).toDF("A", "B")
+    val d = SetOps.diff(t1, t2)
+    val (common, onlyB, totalB) = d.select(
+      sum(least($"count_a", $"count_b")),
+      sum(greatest($"count_b" - $"count_a", lit(0L))),
+      sum($"count_b")).as[(Long, Long, Long)].head()
+    assert(common === s1.length) // all of t1 appears in t2
+    assert(onlyB === t2.count() - t1.count())
+    assert(totalB === 24L)
+  }
+
   test("tablesEqual is content equality over multisets") {
     val a = Seq((1, "a"), (1, "a"), (2, "b")).toDF("k", "v")
     val b = Seq((2, "b"), (1, "a"), (1, "a")).toDF("k", "v")
