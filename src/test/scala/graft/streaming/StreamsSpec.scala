@@ -125,6 +125,37 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("checkpointed streaming dedup resumes: cross-restart duplicates stay dropped") {
+    val base = Files.createTempDirectory("graftchk").toString
+    val (in, out, chk) = (base + "/in", base + "/out", base + "/chk")
+    def run(): Unit = {
+      val schema = spark.read.parquet(in).schema
+      val stream = Streams.readParquetStream(spark, in, schema)
+      val q = Streams.streamingDedup(stream, "ts", "1 hour", Seq("event_id"))
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", chk)
+        .format("parquet").option("path", out).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    // batch 1: two events, one internal duplicate
+    Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 10:01:00"), 2.0)
+    ).toDF("event_id", "ts", "value").coalesce(1).write.mode("append").parquet(in)
+    run()
+    assert(spark.read.parquet(out).count() === 2)
+    // batch 2 after restart: one new event + a replay of event 1 — the
+    // restored state must still drop it
+    Seq(
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 10:02:00"), 3.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0)
+    ).toDF("event_id", "ts", "value").coalesce(1).write.mode("append").parquet(in)
+    run()
+    val ids = spark.read.parquet(out).select("event_id").as[Long].collect().sorted
+    assert(ids === Array(1L, 2L, 3L))
+  }
+
   test("stream-static as-of enrichment joins each batch via the broadcast exec") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
