@@ -124,6 +124,8 @@ final case class Tab(df: DataFrame) {
   def mergeWhere(criteria: Column, left: String, right: String, out: String): Tab =
     Tab(SetOps.mergeWhere(df, criteria, left, right, out))
   def diff(other: Tab): Tab = Tab(SetOps.diff(df, other.df))
+  /** Exact difflib-parity ordered diff (driver-side, capped). */
+  def diffOrdered(other: Tab): Tab = Tab(SetOps.diffOrdered(df, other.df))
   def ===(other: Tab): Boolean = SetOps.tablesEqual(df, other.df)
 
   // ---- io -----------------------------------------------------------

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Concat / stack / repeat / merge / diff (tablite/base.py:1464-1663,
@@ -56,6 +56,81 @@ object SetOps {
           when(col("__na").isNull, "+")
             .when(col("__nb").isNull, "-")
             .otherwise("=").as("marker")): _*)
+  }
+
+  /** Order-sensitive diff with the reference's exact difflib semantics
+    * (diff.py:8-88): SequenceMatcher opcodes over row tuples, output =
+    * rows tagged in `1st`/`2nd` marker columns — insert → "-"/"+"
+    * (row of `b`), delete → "+"/"-" (row of `a`), equal → "="/"="
+    * (row of `b`), replace → "r"/"r" (only `b`'s rows, like difflib's
+    * opcode consumption in the reference). Driver-side by design — LCS
+    * is inherently sequential; same scale posture as the reference,
+    * enforced by `maxRows`. The scalable multiset variant is [[diff]].
+    */
+  def diffOrdered(a: DataFrame, b: DataFrame, maxRows: Int = 100000): DataFrame = {
+    val cols = a.columns.toSeq.filter(b.columns.contains)
+    val aRows = a.select(cols.map(col): _*).limit(maxRows + 1).collect()
+    val bRows = b.select(cols.map(col): _*).limit(maxRows + 1).collect()
+    require(aRows.length <= maxRows && bRows.length <= maxRows,
+      s"diffOrdered is a driver-side op capped at $maxRows rows")
+    val av = aRows.map(_.toSeq)
+    val bv = bRows.map(_.toSeq)
+
+    // difflib.SequenceMatcher.find_longest_match (no junk handling)
+    def longestMatch(alo: Int, ahi: Int, blo: Int, bhi: Int): (Int, Int, Int) = {
+      val b2j = scala.collection.mutable.Map.empty[Seq[Any], List[Int]]
+      var j = bhi - 1
+      while (j >= blo) { b2j(bv(j)) = j :: b2j.getOrElse(bv(j), Nil); j -= 1 }
+      var (besti, bestj, bestsize) = (alo, blo, 0)
+      var j2len = Map.empty[Int, Int]
+      var i = alo
+      while (i < ahi) {
+        val next = scala.collection.mutable.Map.empty[Int, Int]
+        b2j.getOrElse(av(i), Nil).foreach { jj =>
+          val k = j2len.getOrElse(jj - 1, 0) + 1
+          next(jj) = k
+          if (k > bestsize) { besti = i - k + 1; bestj = jj - k + 1; bestsize = k }
+        }
+        j2len = next.toMap
+        i += 1
+      }
+      (besti, bestj, bestsize)
+    }
+
+    // matching blocks by recursion, then opcodes (difflib get_opcodes)
+    val blocks = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+    def recurse(alo: Int, ahi: Int, blo: Int, bhi: Int): Unit = {
+      val (i, j, k) = longestMatch(alo, ahi, blo, bhi)
+      if (k > 0) {
+        recurse(alo, i, blo, j)
+        blocks += ((i, j, k))
+        recurse(i + k, ahi, j + k, bhi)
+      }
+    }
+    recurse(0, av.length, 0, bv.length)
+    blocks += ((av.length, bv.length, 0)) // sentinel
+
+    val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var (ai, bi) = (0, 0)
+    def emit(vals: Seq[Any], m1: String, m2: String): Unit =
+      out += Row.fromSeq(vals ++ Seq(m1, m2))
+    blocks.foreach { case (i, j, k) =>
+      if (ai < i && bi < j) (bi until j).foreach(x => emit(bv(x), "r", "r"))
+      else if (ai < i) (ai until i).foreach(x => emit(av(x), "+", "-"))
+      else if (bi < j) (bi until j).foreach(x => emit(bv(x), "-", "+"))
+      ai = i; bi = j
+      (0 until k).foreach(x => emit(bv(j + x), "=", "="))
+      ai = i + k; bi = j + k
+    }
+
+    val spark = a.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(
+      a.select(cols.map(col): _*).schema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField(
+          graft.operators.Joins.uniqueName("1st", cols.toSet), org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField(
+          graft.operators.Joins.uniqueName("2nd", cols.toSet), org.apache.spark.sql.types.StringType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(out.toSeq, 1), schema)
   }
 
   /** Deep table equality (base.py:1320-1344): same schema and same row

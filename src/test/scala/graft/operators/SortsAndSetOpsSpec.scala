@@ -90,6 +90,25 @@ class SortsAndSetOpsSpec extends SparkSpec {
     assert(totalB === 24L)
   }
 
+  test("diffOrdered reproduces the reference's difflib output exactly (test_table_diff.py)") {
+    val s1 = Seq(1, 2, 3, 4, 5, 1, 2, 3, 4, 5)
+    val s2 = Seq(2, 2, 2, 2, 3, 3, 3, 3, 4, 4)
+    val s3 = Seq(1, 1, 1, 1, 1, 1, 1)
+    val t1 = s1.zip(s2).toDF("A", "B")
+    val t2 = (s3.map(x => (x, x)) ++ s1.zip(s2) ++ s3.map(x => (x, x))).toDF("A", "B")
+    val out = SetOps.diffOrdered(t1, t2).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2), r.getString(3)))
+    // the reference's shown table: 7 leading (-,+), 10 (=,=), 7 trailing (-,+)
+    assert(out.length === 24)
+    assert(out.take(7).forall { case (a, b, m1, m2) => a == 1 && b == 1 && m1 == "-" && m2 == "+" })
+    assert(out.slice(7, 17).map(r => (r._1, r._2)).toSeq === s1.zip(s2))
+    assert(out.slice(7, 17).forall { case (_, _, m1, m2) => m1 == "=" && m2 == "=" })
+    assert(out.drop(17).forall { case (a, b, m1, m2) => a == 1 && b == 1 && m1 == "-" && m2 == "+" })
+    // counts the reference asserts
+    assert(out.count(_._3 == "=") === s1.length)
+    assert(out.count(_._3 == "-") === t2.count() - t1.count())
+  }
+
   test("tablesEqual is content equality over multisets") {
     val a = Seq((1, "a"), (1, "a"), (2, "b")).toDF("k", "v")
     val b = Seq((2, "b"), (1, "a"), (1, "a")).toDF("k", "v")
