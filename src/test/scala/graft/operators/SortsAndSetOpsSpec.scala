@@ -90,6 +90,27 @@ class SortsAndSetOpsSpec extends SparkSpec {
     assert(totalB === 24L)
   }
 
+  test("reindex gathers rows by position (test_indexing_functions.py:4-10)") {
+    val t = Seq(("c", 3, 0L), ("b", 2, 1L), ("a", 1, 2L)).toDF("k", "n", "ord")
+    val positions = Seq((0L, 2L), (1L, 1L), (2L, 0L)).toDF("out_ord", "pos")
+    val out = Sorts.reindex(t, positions, "pos", "ord")
+      .orderBy("out_ord").select("n").as[Int].collect()
+    assert(out === Array(1, 2, 3))
+  }
+
+  test("drop_duplicates keep-first vectors (test_indexing_functions.py:12-27)") {
+    val t = Seq((1, 4, 0), (1, 4, 1), (2, 3, 2), (2, 3, 3),
+      (3, 2, 4), (3, 2, 5), (4, 1, 6), (5, 1, 7)).toDF("c1", "c2", "ord")
+    // no args → all columns
+    val allCols = Filters.dropDuplicatesKeepFirst(t.drop("ord").withColumn("ord", lit(0)),
+      Seq("c1", "c2"), Seq("ord")).orderBy("c1").select("c1", "c2").as[(Int, Int)].collect()
+    assert(allCols === Array((1, 4), (2, 3), (3, 2), (4, 1), (5, 1)))
+    // by one column, keep the FIRST row's other values
+    val byOne = Filters.dropDuplicatesKeepFirst(t, Seq("c1"), Seq("ord"))
+      .orderBy("c1").select("c1", "c2").as[(Int, Int)].collect()
+    assert(byOne === Array((1, 4), (2, 3), (3, 2), (4, 1), (5, 1)))
+  }
+
   test("diffOrdered reproduces the reference's difflib output exactly (test_table_diff.py)") {
     val s1 = Seq(1, 2, 3, 4, 5, 1, 2, 3, 4, 5)
     val s2 = Seq(2, 2, 2, 2, 3, 3, 3, 3, 4, 4)
