@@ -100,9 +100,11 @@ object SparkEntry {
         .select(col("l_returnflag"),
           round(col("RefMedian(l_extendedprice)"), 4).as("ref_median"),
           col("RefMode(l_linestatus)").as("ref_mode"))),
+    // mode's count-tie winner is engine-specific (both Spark and DuckDB
+    // pick arbitrarily) — gate the deterministic stats, keep mode in the op
     "q_stats" -> ((s, dir) =>
       GroupBy.statistics(t(s, dir, "lineitem"), "l_quantity")
-        .withColumn("stdev", round(col("stdev"), 6))),
+        .withColumn("stdev", round(col("stdev"), 6)).drop("mode")),
     "q_stats_string" -> ((s, dir) =>
       GroupBy.statisticsString(t(s, dir, "part"), "p_type")),
     "q_histogram" -> ((s, dir) =>
@@ -628,7 +630,9 @@ object SparkEntry {
          sum(l_quantity) AS sum, count(DISTINCT l_quantity) AS "distinct",
          quantile_cont(l_quantity, 0.25) AS iqr_low,
          quantile_cont(l_quantity, 0.75) AS iqr_high,
-         count(*) AS summary_length FROM lineitem""",
+         count(*) AS summary_length,
+         quantile_cont(l_quantity, 0.75) - quantile_cont(l_quantity, 0.25) AS iqr
+         FROM lineitem""",
     "q_stats_string" ->
       """SELECT min(length(p_type)) AS shortest, max(length(p_type)) AS longest,
          avg(length(p_type)) AS mean_length, mode(p_type) AS mode,

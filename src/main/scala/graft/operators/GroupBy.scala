@@ -83,6 +83,12 @@ object GroupBy {
   /** Column.statistics() equivalent (tablite/utils.py:188-398):
     * one-row frame of summary stats for a numeric column.
     */
+  /** Column.statistics() stat block (base.py:1007-1024, utils.py:233-275).
+    * Quartile DIVERGENCE (documented): the reference interpolates on
+    * count thresholds (utils.py:241-270); we use the standard continuous
+    * percentile — e.g. [1,2,3] gives iqr_low 1.5 here vs 1 there. Every
+    * other field matches. `mode` tie-breaks are engine-arbitrary.
+    */
   def statistics(df: DataFrame, c: String): DataFrame =
     df.agg(
       min(col(c)).as("min"),
@@ -90,11 +96,13 @@ object GroupBy {
       avg(col(c)).as("mean"),
       percentile(col(c), lit(0.5)).as("median"),
       coalesce(stddev_samp(col(c)), lit(0.0)).as("stdev"),
+      mode(col(c)).as("mode"),
       sum(col(c).cast("double")).as("sum"),
       countDistinct(col(c)).as("distinct"),
       percentile(col(c), lit(0.25)).as("iqr_low"),
       percentile(col(c), lit(0.75)).as("iqr_high"),
       count(lit(1)).as("summary_length"))
+      .withColumn("iqr", col("iqr_high") - col("iqr_low"))
 
   /** Column.histogram(): value → occurrence count (base.py:981-1005). */
   def histogram(df: DataFrame, c: String): DataFrame =

@@ -60,6 +60,24 @@ class GroupBySpec extends SparkSpec {
     assert(st.getAs[Long]("summary_length") === 3L)
   }
 
+  test("summary statistics golden vector [1,2,3] (test_api_basics.py:662-681)") {
+    val t = Seq(1, 2, 3).toDF("a")
+    val st = GroupBy.statistics(t, "a").collect().head
+    assert(st.getAs[Int]("min") === 1)
+    assert(st.getAs[Int]("max") === 3)
+    assert(st.getAs[Double]("mean") === 2.0)
+    assert(st.getAs[Double]("median") === 2.0)
+    assert(st.getAs[Double]("stdev") === 1.0)
+    assert(st.getAs[Int]("mode") === 1)
+    assert(st.getAs[Double]("sum") === 6.0)
+    assert(st.getAs[Long]("distinct") === 3L)
+    // quartile method divergence (documented): continuous percentile
+    // gives 1.5/2.5/1.0 where the reference's count-threshold gives 1/3/2
+    assert(st.getAs[Double]("iqr_low") === 1.5)
+    assert(st.getAs[Double]("iqr_high") === 2.5)
+    assert(st.getAs[Double]("iqr") === 1.0)
+  }
+
   test("histogram preserves value counts") {
     val h = GroupBy.histogram(df, "v").collect()
       .map(r => Option(r.get(0)) -> r.getLong(1)).toMap
