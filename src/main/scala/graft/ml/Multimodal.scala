@@ -63,4 +63,37 @@ object Multimodal {
     media.select(col("media_id"),
       explode(sequence(lit(0), greatest(col(frameCountCol) - 1, lit(0)), lit(everyN)))
         .as("frame_no"))
+
+  /** Batched variant with the exact `mapInPandas` batch shape: the codec
+    * receives BATCHES of rows (an Arrow record batch's analogue), which
+    * is how a vectorized decoder amortizes per-call overhead;
+    * `batchSize` bounds executor memory against fat media rows. Results
+    * are identical to [[extractFeatures]] — only the call shape differs.
+    */
+  def extractFeaturesBatched(media: DataFrame, batchSize: Int = 64)(
+      implicit spark: SparkSession): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // ??? a real impl hands the whole batch to the codec vectorized
+        batch.map { m =>
+          val bytes = Option(m.bytes).getOrElse(Array.emptyByteArray)
+          MediaFeatures(m.media_id, m.kind, bytes.length.toLong,
+            bytes.foldLeft(0L)((a, b) => a * 31 + b), decodeStub(bytes))
+        }
+      }
+    }
+  }
+
+  /** Media near-dup detection: decoded features feed the embedding dedup
+    * path ([[Dedup.embeddingPairs]]) — the image/audio analogue of text
+    * minhash. Returns (id_a, id_b, cosine) pairs above `threshold`.
+    */
+  def mediaNearDupPairs(media: DataFrame, threshold: Double = 0.999)(
+      implicit spark: SparkSession): DataFrame = {
+    val feats = extractFeatures(media).toDF()
+      .select(col("media_id"), col("feature"))
+    Dedup.embeddingPairs(feats, "media_id", "feature", dim = 8,
+      threshold = threshold, nPlanes = 6)
+  }
 }

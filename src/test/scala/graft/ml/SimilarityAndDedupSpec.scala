@@ -181,4 +181,20 @@ class SimilarityAndDedupSpec extends SparkSpec {
     assert(feats.head.n_bytes === 7L)
     assert(feats.head.feature.length === 8)
   }
+
+  test("batched media extraction matches row-at-a-time; near-dup pairs find the planted copy") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val payloads = (0 until 100).map(i => (i.toLong, s"media-payload-$i")) :+
+      (999L, "media-payload-42") // exact byte copy of id 42
+    val media = Multimodal.asMediaTable(
+      payloads.toDF("id", "data").withColumn("bin", $"data".cast("binary")),
+      "id", "bin", "audio")
+    val a = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    val b = Multimodal.extractFeaturesBatched(media, batchSize = 7).collect().sortBy(_.media_id)
+    assert(a.map(f => (f.media_id, f.checksum, f.feature.toSeq)).toSeq ===
+      b.map(f => (f.media_id, f.checksum, f.feature.toSeq)).toSeq)
+    val pairs = Multimodal.mediaNearDupPairs(media)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.contains((42L, 999L)), pairs.mkString(","))
+  }
 }
