@@ -404,6 +404,15 @@ object SparkEntry {
         .groupBy(col("gram")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("gram").asc)
         .limit(100)),
+    // same vocab top-k via SpaceSaving: bounded capacity-entry summaries
+    // merge map-side — the shuffle carries ≤ capacity entries per task
+    // instead of one row per distinct gram (exact here: 916 < 4096)
+    "q_vocab_approx" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(graft.plans.Kernels.wordShingles(col("text"), 2)).as("gram"))
+        .agg(graft.plans.ApproxTopK.approxTopK(col("gram"), k = 100, capacity = 4096).as("t"))
+        .select(explode(col("t")).as("e"))
+        .select(col("e.value").as("gram"), col("e.count").as("n"))),
     // end-to-end curation: lang/length/repetition filters → exact dedup
     // → reproducible sample → PII scrub, one declarative plan
     "q_curate" -> ((s, dir) =>
@@ -875,6 +884,20 @@ object SparkEntry {
     // share a k-means cell, min-id keep-one ⇒ survivors are the originals
     "q_semdedup" -> "SELECT vec_id FROM embeddings",
     "q_vocab" ->
+      """WITH toks AS (
+           SELECT doc_id, list_filter(string_split(
+             regexp_replace(lower(text), '[^a-z0-9]', ' ', 'g'), ' '),
+             x -> x <> '') AS tk
+           FROM documents
+         ), grams AS (
+           SELECT unnest([tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]) AS gram
+           FROM toks
+         )
+         SELECT gram, count(*) AS n FROM grams GROUP BY 1
+         ORDER BY n DESC, gram LIMIT 100""",
+    // SpaceSaving is exact below capacity (sf0.01: 916 distinct < 4096),
+    // so the same exact-top-k SQL is the oracle
+    "q_vocab_approx" ->
       """WITH toks AS (
            SELECT doc_id, list_filter(string_split(
              regexp_replace(lower(text), '[^a-z0-9]', ' ', 'g'), ' '),

@@ -68,7 +68,12 @@ object GraftExtensions {
         RefAggregates.RefMedian(RefAggregates.medianInput(es.head)).toAggregateExpression()),
     ("graft_ref_mode", info("graft_ref_mode",
       "_FUNC_(v) - reference mode, count ties break to largest value (aggregate)"),
-      (es: Seq[Expression]) => RefAggregates.RefMode(es.head).toAggregateExpression()))
+      (es: Seq[Expression]) => RefAggregates.RefMode(es.head).toAggregateExpression()),
+    ("graft_approx_top_k", info("graft_approx_top_k",
+      "_FUNC_(v, k, capacity) - SpaceSaving heavy hitters (aggregate)"),
+      (es: Seq[Expression]) => ApproxTopK.SpaceSavingTopK(es.head,
+        if (es.length > 1) intArg(es(1), 10) else 10,
+        if (es.length > 2) intArg(es(2), 1024) else 1024).toAggregateExpression()))
 
   /** Register into an already-running session. */
   def register(spark: SparkSession): Unit =
