@@ -107,6 +107,11 @@ object SparkEntry {
         .withColumn("stdev", round(col("stdev"), 6)).drop("mode")),
     "q_stats_string" -> ((s, dir) =>
       GroupBy.statisticsString(t(s, dir, "part"), "p_type")),
+    // exact reference summary_statistics parity: count-threshold
+    // quartiles + smallest-tie mode (fully deterministic → full oracle)
+    "q_stats_ref" -> ((s, dir) =>
+      GroupBy.statisticsRef(t(s, dir, "lineitem"), "l_quantity")
+        .withColumn("stdev", round(col("stdev"), 6))),
     "q_histogram" -> ((s, dir) =>
       GroupBy.histogram(t(s, dir, "lineitem"), "l_quantity")),
     "q_unique" -> ((s, dir) =>
@@ -641,6 +646,39 @@ object SparkEntry {
          quantile_cont(l_quantity, 0.75) AS iqr_high,
          count(*) AS summary_length,
          quantile_cont(l_quantity, 0.75) - quantile_cont(l_quantity, 0.25) AS iqr
+         FROM lineitem""",
+    // mirrors utils.py:241-270 count-threshold quartiles exactly (same
+    // straddle/==-threshold branches, same interpolation arithmetic)
+    "q_stats_ref" ->
+      """WITH vc AS (SELECT l_quantity AS v, count(*) AS c FROM lineitem GROUP BY 1),
+         w AS (SELECT v, c,
+           coalesce(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+             AND 1 PRECEDING), 0) AS cnt0,
+           sum(c) OVER (ORDER BY v) AS cntn,
+           sum(c) OVER () AS total,
+           lag(v) OVER (ORDER BY v) AS v0
+           FROM vc),
+         qs AS (SELECT
+           max(CASE WHEN cnt0 < CAST(total AS DOUBLE)*1/4 AND CAST(total AS DOUBLE)*1/4 < cntn THEN v
+                    WHEN cnt0 = CAST(total AS DOUBLE)*1/4
+                      THEN (v0*(4-((1*(total-1))%4)) + v*((1*(total-1))%4))/4.0 END) AS iqr_low,
+           max(CASE WHEN cnt0 < CAST(total AS DOUBLE)*2/4 AND CAST(total AS DOUBLE)*2/4 < cntn THEN v
+                    WHEN cnt0 = CAST(total AS DOUBLE)*2/4
+                      THEN (v0*(4-((2*(total-1))%4)) + v*((2*(total-1))%4))/4.0 END) AS median,
+           max(CASE WHEN cnt0 < CAST(total AS DOUBLE)*3/4 AND CAST(total AS DOUBLE)*3/4 < cntn THEN v
+                    WHEN cnt0 = CAST(total AS DOUBLE)*3/4
+                      THEN (v0*(4-((3*(total-1))%4)) + v*((3*(total-1))%4))/4.0 END) AS iqr_high
+           FROM w)
+         SELECT min(l_quantity) AS min, max(l_quantity) AS max,
+           avg(l_quantity) AS mean,
+           (SELECT median FROM qs) AS median,
+           round(coalesce(stddev_samp(l_quantity), 0.0), 6) AS stdev,
+           (SELECT v FROM vc ORDER BY c DESC, v LIMIT 1) AS mode,
+           (SELECT iqr_low FROM qs) AS iqr_low,
+           (SELECT iqr_high FROM qs) AS iqr_high,
+           sum(l_quantity) AS sum, count(DISTINCT l_quantity) AS "distinct",
+           count(*) AS summary_length,
+           (SELECT iqr_high - iqr_low FROM qs) AS iqr
          FROM lineitem""",
     "q_stats_string" ->
       """SELECT min(length(p_type)) AS shortest, max(length(p_type)) AS longest,

@@ -104,6 +104,32 @@ object GroupBy {
       count(lit(1)).as("summary_length"))
       .withColumn("iqr", col("iqr_high") - col("iqr_low"))
 
+  /** EXACT-parity stat block: the reference's `summary_statistics`
+    * semantics field for field (utils.py:233-275) — count-threshold
+    * quartiles ([[graft.plans.RefAggregates.RefQuartile]]) and
+    * smallest-value mode ties. One histogram shuffle per aggregate,
+    * like RefMedian/RefMode. Pinned by test_api_basics.py:662-681.
+    */
+  def statisticsRef(df: DataFrame, c: String): DataFrame = {
+    import graft.plans.RefAggregates
+    import org.apache.spark.sql.graftbridge.{ExprBridge => EU}
+    val modeSmallTie = EU.column(
+      RefAggregates.RefMode(EU.expression(col(c)), tieLargest = false).toAggregateExpression())
+    df.agg(
+      min(col(c)).as("min"),
+      max(col(c)).as("max"),
+      avg(col(c)).as("mean"),
+      RefAggregates.refQuartile(col(c), 2).as("median"),
+      coalesce(stddev_samp(col(c)), lit(0.0)).as("stdev"),
+      modeSmallTie.as("mode"),
+      RefAggregates.refQuartile(col(c), 1).as("iqr_low"),
+      RefAggregates.refQuartile(col(c), 3).as("iqr_high"),
+      sum(col(c).cast("double")).as("sum"),
+      countDistinct(col(c)).as("distinct"),
+      count(lit(1)).as("summary_length"))
+      .withColumn("iqr", col("iqr_high") - col("iqr_low"))
+  }
+
   /** Column.histogram(): value → occurrence count (base.py:981-1005). */
   def histogram(df: DataFrame, c: String): DataFrame =
     df.groupBy(col(c)).agg(count(lit(1)).as("count"))

@@ -209,6 +209,7 @@ object RefAggregates {
     */
   case class RefMode(
       child: Expression,
+      tieLargest: Boolean = true,
       mutableAggBufferOffset: Int = 0,
       inputAggBufferOffset: Int = 0) extends HistogramAgg {
 
@@ -216,6 +217,9 @@ object RefAggregates {
     override def prettyName: String = "graft_ref_mode"
     @transient private lazy val valueOrd = TypeUtils.getInterpretedOrdering(child.dataType)
 
+    // groupby mode ties to the LARGEST value (groupby.nim:394-441);
+    // summary_statistics mode ties to the SMALLEST (utils.py ascending
+    // scan with strict `>`) — tieLargest selects which contract
     override def eval(buf: Hist): Any = {
       if (buf.isEmpty) return null
       var bestV: Any = null
@@ -224,7 +228,8 @@ object RefAggregates {
       while (it.hasNext) {
         val e = it.next()
         val c = e.getValue.longValue()
-        if (c > bestC || (c == bestC && valueOrd.compare(e.getKey, bestV) > 0)) {
+        val cmp = if (bestV == null) 0 else valueOrd.compare(e.getKey, bestV)
+        if (c > bestC || (c == bestC && (if (tieLargest) cmp > 0 else cmp < 0))) {
           bestV = e.getKey
           bestC = c
         }
@@ -242,6 +247,64 @@ object RefAggregates {
   /** Wrap a median input in the double coercion the aggregate expects
     * (no-op casts are removed by the optimizer).
     */
+  /** Count-threshold quartile — the reference's `summary_statistics`
+    * quantile method (utils.py:241-270), distinct from [[RefMedian]]'s
+    * distinct-parity groupby median. `p` is the quarter numerator
+    * (1 = iqr_low, 2 = median, 3 = iqr_high). Walking the sorted
+    * histogram with cumulative counts: a value strictly straddling
+    * `total·p/4` wins outright; landing exactly ON the threshold
+    * interpolates with the predecessor by `divmod(p·(total−1), 4)`
+    * weights. Pinned by test_api_basics.py:662-681 ([1,2,3] →
+    * 1 / 2 / 3 where continuous percentile gives 1.5 / 2 / 2.5).
+    */
+  case class RefQuartile(
+      child: Expression,
+      p: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0) extends HistogramAgg {
+    require(p >= 1 && p <= 3, s"quarter numerator: $p")
+
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = s"graft_ref_quartile_$p"
+
+    override def eval(buf: Hist): Any = {
+      if (buf.isEmpty) return null
+      val entries = new Array[(Double, Long)](buf.size())
+      val it = buf.entrySet().iterator()
+      var i = 0
+      var total = 0L
+      while (it.hasNext) {
+        val e = it.next()
+        entries(i) = (e.getKey.asInstanceOf[Double], e.getValue.longValue())
+        total += e.getValue.longValue()
+        i += 1
+      }
+      java.util.Arrays.sort(entries, Ordering.by((x: (Double, Long)) => x._1))
+      val thr = total.toDouble * p / 4.0
+      var cum = 0L
+      var prev = Double.NaN
+      i = 0
+      while (i < entries.length) {
+        val before = cum
+        cum += entries(i)._2
+        if (before < thr && thr < cum) return entries(i)._1
+        else if (before.toDouble == thr) {
+          val delta = (p.toLong * (total - 1)) % 4
+          return (prev * (4 - delta) + entries(i)._1 * delta) / 4.0
+        }
+        prev = entries(i)._1
+        i += 1
+      }
+      entries(entries.length - 1)._1
+    }
+
+    override def withNewMutableAggBufferOffset(offset: Int): RefQuartile =
+      copy(mutableAggBufferOffset = offset)
+    override def withNewInputAggBufferOffset(offset: Int): RefQuartile =
+      copy(inputAggBufferOffset = offset)
+    override protected def withNewChildInternal(c: Expression): RefQuartile = copy(child = c)
+  }
+
   def medianInput(e: Expression): Expression = Cast(e, DoubleType)
 
   // Column-API wrappers
@@ -250,4 +313,7 @@ object RefAggregates {
       RefMedian(medianInput(ExpressionUtils.expression(c))).toAggregateExpression())
   def refMode(c: Column): Column =
     ExpressionUtils.column(RefMode(ExpressionUtils.expression(c)).toAggregateExpression())
+  def refQuartile(c: Column, p: Int): Column =
+    ExpressionUtils.column(
+      RefQuartile(medianInput(ExpressionUtils.expression(c)), p).toAggregateExpression())
 }

@@ -85,6 +85,28 @@ class GroupBySpec extends SparkSpec {
     assert(h(None) === 1L)
   }
 
+  test("statisticsRef reproduces the reference summary EXACTLY (test_api_basics.py:662-681)") {
+    val t = Seq(1, 2, 3).toDF("a")
+    val st = GroupBy.statisticsRef(t, "a").collect().head
+    assert(st.getAs[Int]("min") === 1)
+    assert(st.getAs[Int]("max") === 3)
+    assert(st.getAs[Double]("mean") === 2.0)
+    assert(st.getAs[Double]("median") === 2.0)
+    assert(st.getAs[Double]("stdev") === 1.0)
+    assert(st.getAs[Int]("mode") === 1)
+    assert(st.getAs[Double]("iqr_low") === 1.0)  // count-threshold, not 1.5
+    assert(st.getAs[Double]("iqr_high") === 3.0) // count-threshold, not 2.5
+    assert(st.getAs[Double]("iqr") === 2.0)
+    assert(st.getAs[Double]("sum") === 6.0)
+    assert(st.getAs[Long]("distinct") === 3L)
+    // interpolation branch: [1,2,3,4] median lands ON the threshold
+    val st4 = GroupBy.statisticsRef(Seq(1, 2, 3, 4).toDF("a"), "a").collect().head
+    assert(st4.getAs[Double]("median") === 2.5)
+    // mode tie → smallest value (summary scan), not largest (groupby)
+    val stTie = GroupBy.statisticsRef(Seq(1, 1, 9, 9).toDF("a"), "a").collect().head
+    assert(stTie.getAs[Int]("mode") === 1)
+  }
+
   test("approx_count_distinct (HLL extension) lands within rsd of exact") {
     import org.apache.spark.sql.functions.{approx_count_distinct, col, count_distinct}
     val ids = spark.range(100000).select((col("id") % 9973).as("k"))
