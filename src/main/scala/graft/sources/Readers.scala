@@ -26,7 +26,8 @@ object Readers {
       stripWhitespace: Boolean = true,
       skipEmpty: String = "NONE",          // NONE | ANY | ALL
       start: Int = 0,                      // data-row window
-      limit: Int = Int.MaxValue)
+      limit: Int = Int.MaxValue,
+      multiLine: Boolean = false)          // quoted embedded newlines
 
   /** `get_headers`-style peek (file_reader_utils.py:273-316): first
     * `linecount` parsed rows + the sniffed delimiter.
@@ -80,6 +81,31 @@ object Readers {
     */
   def readCsv(spark: SparkSession, path: String, opts: CsvOptions = CsvOptions()): DataFrame = {
     import spark.implicits._
+    // quoted embedded newlines can't survive the line-oriented window
+    // path (spark.read.text splits records at every newline), so
+    // multiLine routes to the direct csv scan. SCALE NOTE: multiLine
+    // parsing is per-file single-task (a record may span split
+    // boundaries) — keep such inputs in many small files.
+    if (opts.multiLine) {
+      require(opts.headerRowIndex == 0,
+        "multiLine does not compose with header_row_index (line semantics)")
+      val delimiter = opts.delimiter.getOrElse(
+        sniffDelimiter(spark.read.textFile(path).take(10).toSeq))
+      var df = spark.read
+        .option("header", opts.firstRowHasHeaders)
+        .option("sep", delimiter)
+        .option("quote", opts.textQualifier)
+        .option("multiLine", true)
+        .option("encoding", opts.encoding.getOrElse(sniffEncoding(spark, path)))
+        .option("ignoreLeadingWhiteSpace", opts.stripWhitespace)
+        .option("ignoreTrailingWhiteSpace", opts.stripWhitespace)
+        .csv(path)
+      if (opts.columns.nonEmpty) df = df.select(opts.columns.map(col): _*)
+      if (opts.start > 0) df = df.offset(opts.start)
+      if (opts.limit != Int.MaxValue) df = df.limit(opts.limit)
+      return if (opts.guessDatatypes)
+        graft.functions.TypeInference.applyBestTypes(df) else df
+    }
     val encoding = opts.encoding.getOrElse(sniffEncoding(spark, path))
     // textFile is UTF-8-only; other charsets decode per FILE (one task per
     // file — the parallelism tradeoff for exotic encodings; re-encode to

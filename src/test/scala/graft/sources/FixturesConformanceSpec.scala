@@ -101,4 +101,33 @@ class FixturesConformanceSpec extends SparkSpec {
     val df = Readers.readCsv(spark, p, CsvOptions(guessDatatypes = false))
     assert(df.collect().head.getString(0) === "x,y")
   }
+
+  test("split_lines.csv: quoted embedded newlines stay in the cell (multiLine)") {
+    val p = write("a,b,c\n\"aaa\nbbb\",1,0\n\"ccc\nddd\",2,0\neee,3,0\n")
+    val df = Readers.readCsv(spark, p,
+      CsvOptions(guessDatatypes = false, multiLine = true))
+    assert(df.count() === 3)
+    val byB = df.collect().map(r => r.getString(1) -> r.getString(0)).toMap
+    assert(byB("1") === "aaa\nbbb")
+    assert(byB("2") === "ccc\nddd")
+    assert(byB("3") === "eee")
+  }
+
+  test("sap.txt-style pipe table: '|' sniffed, padding stripped") {
+    val p = write(
+      "| Delivery |  Item|Route |\n| 255332458|000010|KR-SSH|\n| 255337984|000010|KR-SS |\n",
+      suffix = ".txt")
+    val df = Readers.readCsv(spark, p, CsvOptions(guessDatatypes = false))
+    // leading '|' produces an empty first column; the named ones parse
+    assert(df.columns.contains("Delivery") && df.columns.contains("Route"))
+    assert(df.select("Delivery").as[String].collect().toSet === Set("255332458", "255337984"))
+    assert(df.select("Route").as[String].collect().toSet === Set("KR-SSH", "KR-SS"))
+  }
+
+  test("no_separator.csv: single column, sniffer does not crash") {
+    val p = write("header\npadding\npadding\n")
+    val df = Readers.readCsv(spark, p, CsvOptions(guessDatatypes = false))
+    assert(df.columns.length === 1)
+    assert(df.count() === 2)
+  }
 }
