@@ -79,6 +79,51 @@ object Streams {
       .withColumn(textCol, TextFunctions.redactPii(text))
   }
 
+  /** Streaming MinHash near-dup dedup — the streaming face of
+    * `Dedup.minhashPairs`, via two chained stateful operators (supported
+    * append-mode combo since Spark 3.5):
+    *
+    *  1. explode each doc into its LSH band keys and claim first
+    *     ownership per band with `dropDuplicatesWithinWatermark` —
+    *     state holds band keys only (no text, no signatures), evicted
+    *     at the watermark;
+    *  2. a tumbling-window count of owned bands per doc; a doc that
+    *     owns ALL `bands` keys has no band in common with any earlier
+    *     doc → kept. A near-dup shares ≥1 band with its original (the
+    *     LSH guarantee), owns fewer than `bands`, and is dropped.
+    *
+    * Versus batch: candidates are dropped WITHOUT the exact-Jaccard
+    * verification pass (state cannot hold the earlier doc's shingles),
+    * so LSH false positives become false drops — tune `bands`/`rowsPer`
+    * conservatively, or route kept-vs-dropped through the batch
+    * verifier offline. Output (append, fires at window close):
+    * (window, id, kept_bands).
+    */
+  def streamingMinhashDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      tsCol: String,
+      watermark: String,
+      window_ : String = "1 minute",
+      k: Int = 64,
+      bands: Int = 16): DataFrame = {
+    import graft.plans.Kernels
+    import graft.functions.Similarity
+    val banded = docs
+      .withWatermark(tsCol, watermark)
+      .select(col(idCol).as("id"), col(tsCol).as("__ts"),
+        explode(Similarity.lshBands(
+          Kernels.minhashSig(Kernels.wordShingles(col(textCol), 3), k),
+          bands, k / bands)).as("band"))
+    val owned = banded.dropDuplicatesWithinWatermark("band")
+    owned
+      .groupBy(window(col("__ts"), window_), col("id"))
+      .agg(count(lit(1)).as("owned_bands"))
+      .filter(col("owned_bands") === bands)
+      .select(col("window"), col("id"), col("owned_bands"))
+  }
+
   /** Stream-static AS-OF enrichment: join each micro-batch against a
     * static dimension (quotes, rates, slowly-changing attributes) as-of
     * the event's time, through the native zero-shuffle

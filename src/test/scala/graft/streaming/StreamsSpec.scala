@@ -125,6 +125,35 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming minhash dedup: near-dup loses shared bands and is dropped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val original = "the quick brown fox jumps over the lazy dog near the river bank " +
+      "on a bright morning while everyone watches the slow water drift past the old mill"
+    val nearDup = original + " today"
+    val distinct_ = "completely different content about distributed query engines " +
+      "shuffles partitions and catalyst optimizer rules in modern analytics systems"
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val kept = Streams.streamingMinhashDedup(
+      in.toDS().toDF("doc_id", "text", "ts"), "doc_id", "text", "ts",
+      watermark = "0 seconds", window_ = "1 minute")
+    val q = kept.writeStream.outputMode("append")
+      .format("memory").queryName("mh_dedup").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+      val t1 = java.sql.Timestamp.valueOf("2024-01-01 10:00:05")
+      in.addData((1L, original, t0), (2L, nearDup, t1), (3L, distinct_, t1))
+      q.processAllAvailable()
+      // advance the watermark past the window so the aggregation emits
+      in.addData((99L, "late watermark advancer row", java.sql.Timestamp.valueOf("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT id FROM mh_dedup").collect().map(_.getLong(0)).toSet
+      assert(ids.contains(1L), s"original kept: $ids")   // owns all bands
+      assert(!ids.contains(2L), s"near-dup dropped: $ids") // lost shared bands
+      assert(ids.contains(3L), s"distinct kept: $ids")
+    } finally q.stop()
+  }
+
   test("checkpointed streaming dedup resumes: cross-restart duplicates stay dropped") {
     val base = Files.createTempDirectory("graftchk").toString
     val (in, out, chk) = (base + "/in", base + "/out", base + "/chk")
