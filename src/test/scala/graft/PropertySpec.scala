@@ -75,4 +75,33 @@ class PropertySpec extends SparkSpec {
       assert(out === expected)
     }
   }
+
+  test("pySlice equals Python slice semantics for random (start, stop, step)") {
+    // in-test oracle: CPython's PySlice_AdjustIndices + stepping
+    def local(n: Int, start: Option[Long], stop: Option[Long], step: Option[Long]): Seq[Int] = {
+      val st = step.getOrElse(1L)
+      def norm(v: Option[Long], dPos: Long, dNeg: Long): Long = v match {
+        case None => if (st > 0) dPos else dNeg
+        case Some(x0) =>
+          val x = if (x0 < 0) x0 + n else x0
+          if (x < 0) { if (st > 0) 0L else -1L }
+          else if (x >= n) { if (st > 0) n.toLong else n - 1L }
+          else x
+      }
+      val a = norm(start, 0L, n - 1L)
+      val b = norm(stop, n.toLong, -1L)
+      val ixs = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var i = a
+      while (if (st > 0) i < b else i > b) { ixs += i.toInt; i += st }
+      ixs.toSeq
+    }
+    val n = 5
+    val df = (0 until n).toDF("v")
+    val bound = Gen.option(Gen.chooseNum(-7L, 7L))
+    val gen = Gen.zip(bound, bound, Gen.oneOf(-3L, -2L, -1L, 1L, 2L, 3L).map(Option(_)))
+    samples(gen, n = 30).foreach { case (start, stop, step) =>
+      val got = Slicing.pySlice(df, Seq("v"), start, stop, step).as[Int].collect().toSeq
+      assert(got === local(n, start, stop, step), s"slice($start, $stop, $step)")
+    }
+  }
 }
