@@ -110,6 +110,25 @@ class XlsxSpec extends SparkSpec {
     assert(viaCsv.columns.toSeq === df.columns.toSeq)
   }
 
+  test("real fixture sweep: excel_dates / gdocs1 / simple header offset") {
+    val base = "/root/reference/tests/data"
+    assume(new java.io.File(s"$base/excel_dates.xlsx").exists())
+    // serial-date decoding against a real Excel file: 42674 = 2016-10-31
+    val dates = Xlsx.readXlsx(spark, s"$base/excel_dates.xlsx")
+    val types = dates.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    assert(types("Date") === "date")
+    assert(dates.select("Date").collect().map(_.getDate(0).toString).sorted ===
+      Array("1920-01-01", "2016-10-31"))
+    // Google-Docs-produced file: 45x6 numeric grid
+    val gdocs = Xlsx.readXlsx(spark, s"$base/gdocs1.xlsx")
+    assert(gdocs.count() === 45 && gdocs.columns.toSeq === Seq("a", "b", "c", "d", "e", "f"))
+    assert(gdocs.schema.fields.forall(_.dataType.simpleString == "bigint"))
+    // header_row_index skips the junk row, like the csv path
+    val simple = Xlsx.readXlsx(spark, s"$base/simple.xlsx", headerRowIndex = 1)
+    assert(simple.columns.toSeq === Seq("header"))
+    assert(simple.count() === 5)
+  }
+
   test("xlsx through the Tab.fromFile dispatch") {
     val p = writeXlsx()
     val t = graft.Tab.fromFile(spark, p)
