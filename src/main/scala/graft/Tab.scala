@@ -132,6 +132,7 @@ final case class Tab(df: DataFrame) {
   def save(path: String): Unit = Writers.save(df, path)
   def toCsv(path: String): Unit = Writers.toCsv(df, path)
   def toTsv(path: String): Unit = Writers.toTsv(df, path)
+  def toXlsx(path: String): Unit = Xlsx.writeXlsx(df, path)
   def toSqlText(tableName: String): String = Writers.toSql(df, tableName)
   def toJsonText: String = Writers.toColumnarJson(df)
   def toHtmlText: String = Writers.toHtml(df)

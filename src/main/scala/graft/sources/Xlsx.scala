@@ -289,4 +289,90 @@ object Xlsx {
     val zip = new ZipFile(path)
     try sheetTargets(zip).map(_._1) finally zip.close()
   }
+
+  private def xmlEscape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  private def colRef(i: Int): String = {
+    var n = i + 1
+    val sb = new StringBuilder
+    while (n > 0) { val r = (n - 1) % 26; sb.insert(0, ('A' + r).toChar); n = (n - 1) / 26 }
+    sb.toString
+  }
+
+  /** Pure-JDK xlsx writer (export_utils.py:108-136 semantics): one
+    * sheet, header row, inline strings, numeric/bool cells typed,
+    * date/timestamp as serials with date/datetime styles. Driver-side
+    * with a row cap, same as the reference (which stringifies >2^32−1
+    * ints — we keep longs numeric; Excel shows 15 significant digits).
+    */
+  def writeXlsx(df: DataFrame, path: String, sheetName: String = "Sheet1",
+      maxRows: Int = 1000000): Unit = {
+    val rows = df.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows, s"writeXlsx is a driver-side op capped at $maxRows rows")
+    val cols = df.columns
+    val epoch = LocalDate.of(1899, 12, 30)
+    val sb = new StringBuilder
+    sb.append("""<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+    sb.append("<row r=\"1\">")
+    cols.zipWithIndex.foreach { case (c, i) =>
+      sb.append(s"""<c r="${colRef(i)}1" t="inlineStr"><is><t>${xmlEscape(c)}</t></is></c>""")
+    }
+    sb.append("</row>")
+    rows.zipWithIndex.foreach { case (row, ri) =>
+      val rn = ri + 2
+      sb.append(s"""<row r="$rn">""")
+      cols.indices.foreach { i =>
+        if (!row.isNullAt(i)) {
+          val ref = s"${colRef(i)}$rn"
+          row.get(i) match {
+            case b: Boolean =>
+              sb.append(s"""<c r="$ref" t="b"><v>${if (b) 1 else 0}</v></c>""")
+            case n: java.lang.Number =>
+              sb.append(s"""<c r="$ref"><v>$n</v></c>""")
+            case d: java.sql.Date =>
+              val serial = java.time.temporal.ChronoUnit.DAYS.between(epoch, d.toLocalDate)
+              sb.append(s"""<c r="$ref" s="1"><v>$serial</v></c>""")
+            case t: java.sql.Timestamp =>
+              val ldt = t.toLocalDateTime
+              val serial = java.time.temporal.ChronoUnit.DAYS.between(epoch, ldt.toLocalDate) +
+                ldt.toLocalTime.toSecondOfDay / 86400.0
+              sb.append(s"""<c r="$ref" s="2"><v>$serial</v></c>""")
+            case other =>
+              sb.append(s"""<c r="$ref" t="inlineStr"><is><t>${xmlEscape(other.toString)}</t></is></c>""")
+          }
+        }
+      }
+      sb.append("</row>")
+    }
+    sb.append("</sheetData></worksheet>")
+
+    val zip = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(path)))
+    def put(name: String, content: String): Unit = {
+      zip.putNextEntry(new java.util.zip.ZipEntry(name))
+      zip.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      zip.closeEntry()
+    }
+    try {
+      put("[Content_Types].xml",
+        """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+          """<Default Extension="xml" ContentType="application/xml"/>""" +
+          """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
+          """<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""" +
+          """</Types>""")
+      put("_rels/.rels",
+        """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+          """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/></Relationships>""")
+      put("xl/workbook.xml",
+        s"""<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="${xmlEscape(sheetName)}" sheetId="1" r:id="rId1"/></sheets></workbook>""")
+      put("xl/_rels/workbook.xml.rels",
+        """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+          """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>""")
+      put("xl/styles.xml",
+        """<?xml version="1.0"?><styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">""" +
+          """<cellXfs count="3"><xf numFmtId="0"/><xf numFmtId="14" applyNumberFormat="1"/><xf numFmtId="22" applyNumberFormat="1"/></cellXfs></styleSheet>""")
+      put("xl/worksheets/sheet1.xml", sb.toString)
+    } finally zip.close()
+  }
 }

@@ -129,6 +129,27 @@ class XlsxSpec extends SparkSpec {
     assert(simple.count() === 5)
   }
 
+  test("xlsx write/read roundtrip preserves types and values") {
+    val out = Files.createTempFile("graftout", ".xlsx").toString
+    val src = Seq(
+      ("widget", 5L, 2.5, true, java.sql.Date.valueOf("2024-01-01"),
+        java.sql.Timestamp.valueOf("2024-01-01 12:30:00")),
+      ("<&gadget>", 7L, 0.25, false, java.sql.Date.valueOf("1999-12-31"),
+        java.sql.Timestamp.valueOf("2000-02-29 23:59:59"))
+    ).toDF("name", "n", "x", "flag", "day", "at")
+    Xlsx.writeXlsx(src, out)
+    val back = Xlsx.readXlsx(spark, out)
+    assert(back.columns.toSeq === src.columns.toSeq)
+    val types = back.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    assert(types("n") === "bigint" && types("x") === "double")
+    assert(types("flag") === "boolean")
+    assert(types("day") === "date" && types("at") === "timestamp")
+    val rows = back.orderBy("n").collect()
+    assert(rows(0).getString(0) === "widget" && rows(1).getString(0) === "<&gadget>")
+    assert(rows(0).getDate(4).toString === "2024-01-01")
+    assert(rows(1).getTimestamp(5).toString === "2000-02-29 23:59:59.0") // leap day
+  }
+
   test("xlsx through the Tab.fromFile dispatch") {
     val p = writeXlsx()
     val t = graft.Tab.fromFile(spark, p)
