@@ -3,7 +3,7 @@ package graft
 import graft.operators._
 import graft.operators.ColumnSelect.ColSpec
 import graft.operators.Filters.Criterion
-import graft.sources.{Readers, Writers, Xlsx}
+import graft.sources.{Ods, Readers, Writers, Xlsx}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
 
@@ -146,6 +146,9 @@ object Tab {
     val lower = path.toLowerCase
     if (lower.endsWith(".parquet")) Tab(spark.read.parquet(path))
     else if (lower.endsWith(".xlsx")) Tab(Xlsx.readXlsx(spark, path,
+      firstRowHasHeaders = opts.firstRowHasHeaders, headerRowIndex = opts.headerRowIndex,
+      skipEmpty = opts.skipEmpty, guessDatatypes = opts.guessDatatypes))
+    else if (lower.endsWith(".ods")) Tab(Ods.readOds(spark, path,
       firstRowHasHeaders = opts.firstRowHasHeaders, headerRowIndex = opts.headerRowIndex,
       skipEmpty = opts.skipEmpty, guessDatatypes = opts.guessDatatypes))
     else if (lower.endsWith(".json")) Tab(Readers.readColumnarJson(spark, path))

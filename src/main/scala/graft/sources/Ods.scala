@@ -1,0 +1,162 @@
+package graft.sources
+
+import java.util.zip.ZipFile
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** OpenDocument spreadsheet (.ods) reader — pure JDK, like [[Xlsx]]:
+  * an .ods is a zip with `content.xml` holding `table:table` elements
+  * (import_utils.py:371-421 reads these via pandas/odfpy; this parses
+  * them directly). Supported: typed cells via `office:value-type` +
+  * `office:value` / `date-value` / `time-value` / `boolean-value`,
+  * `text:p` string content, `number-columns-repeated` /
+  * `number-rows-repeated` expansion (with trailing-padding trim —
+  * LibreOffice pads rows to 1024 columns), sheet selection by name.
+  * Cells canonicalize to strings and flow through the shared
+  * [[Xlsx.gridToDf]] inference, so csv/xlsx/ods parity holds.
+  */
+object Ods {
+
+  private val factory = {
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f
+  }
+
+  private val maxRepeat = 16384 // cap padding expansion
+
+  private def attr(r: javax.xml.stream.XMLStreamReader, local: String): Option[String] =
+    (0 until r.getAttributeCount)
+      .find(i => r.getAttributeLocalName(i) == local)
+      .map(r.getAttributeValue)
+
+  /** PT13H37M12S → "13:37:12" (office:time-value durations). */
+  private def durationToTime(s: String): String = {
+    val m = java.util.regex.Pattern
+      .compile("PT(?:(\\d+)H)?(?:(\\d+)M)?(?:(\\d+(?:\\.\\d+)?)S)?").matcher(s)
+    if (m.matches()) {
+      def g(i: Int): Long = Option(m.group(i)).map(_.takeWhile(_ != '.').toLong).getOrElse(0L)
+      f"${g(1)}%02d:${g(2)}%02d:${g(3)}%02d"
+    } else s
+  }
+
+  private def canonical(valueType: String, r: javax.xml.stream.XMLStreamReader,
+      textOf: () => String): String = valueType match {
+    case "float" | "percentage" | "currency" =>
+      attr(r, "value").map { v =>
+        val d = v.toDouble
+        if (d == math.rint(d) && math.abs(d) < 1e15 && !v.contains(".") &&
+          !v.toLowerCase.contains("e")) v
+        else if (d == math.rint(d) && math.abs(d) < 1e15) math.round(d).toString
+        else d.toString
+      }.getOrElse(textOf())
+    case "boolean" => attr(r, "boolean-value").getOrElse(textOf())
+    case "date" =>
+      attr(r, "date-value").map { dv =>
+        if (dv.contains("T")) {
+          val norm = dv.replace("T", " ")
+          if (norm.endsWith(" 00:00:00")) norm.dropRight(9) else norm
+        } else dv
+      }.getOrElse(textOf())
+    case "time" => attr(r, "time-value").map(durationToTime).getOrElse(textOf())
+    case _ => textOf() // string and friends
+  }
+
+  private def readGrid(zip: ZipFile, sheet: Option[String]): Seq[Array[String]] = {
+    val entry = Option(zip.getEntry("content.xml"))
+      .getOrElse(throw new IllegalArgumentException("no content.xml — not an .ods?"))
+    val in = zip.getInputStream(entry)
+    val r = factory.createXMLStreamReader(in)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Array[String]]
+    try {
+      var inTargetTable = false
+      var seenTarget = false
+      var tableDepth = 0
+      var cells: scala.collection.mutable.ArrayBuffer[String] = null
+      var rowRepeat = 1
+      // cell capture state
+      var cellRepeat = 1
+      var cellType = ""
+      var cellText: StringBuilder = null
+      var cellValue: String = null
+      var inText = false
+      while (r.hasNext && !(seenTarget && !inTargetTable)) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+            case "table" if !seenTarget =>
+              val name = attr(r, "name")
+              if (sheet.forall(name.contains(_)) || (sheet.isEmpty && !seenTarget)) {
+                val matches = sheet match {
+                  case Some(want) => name.contains(want)
+                  case None       => true
+                }
+                if (matches) { inTargetTable = true; seenTarget = true }
+              }
+              tableDepth += 1
+            case "table-row" if inTargetTable =>
+              cells = scala.collection.mutable.ArrayBuffer.empty
+              rowRepeat = attr(r, "number-rows-repeated").map(_.toInt).getOrElse(1)
+            case "table-cell" if inTargetTable && cells != null =>
+              cellRepeat = attr(r, "number-columns-repeated").map(_.toInt).getOrElse(1)
+              cellType = attr(r, "value-type").getOrElse("")
+              cellText = new StringBuilder
+              cellValue = canonical(cellType, r, () => null)
+            case "p" if cellText != null =>
+              if (cellText.nonEmpty) cellText.append('\n')
+              inText = true
+            case _ =>
+          }
+          case XMLStreamConstants.CHARACTERS if inText && cellText != null =>
+            cellText.append(r.getText)
+          case XMLStreamConstants.END_ELEMENT => r.getLocalName match {
+            case "p" => inText = false
+            case "table-cell" if cells != null =>
+              val v =
+                if (cellValue != null) cellValue
+                else if (cellText != null && cellText.nonEmpty) cellText.toString
+                else null
+              val n = math.min(cellRepeat, maxRepeat)
+              var i = 0
+              while (i < n) { cells += v; i += 1 }
+              cellText = null; cellValue = null
+            case "table-row" if cells != null =>
+              // trim the trailing null padding LibreOffice adds
+              var end = cells.length
+              while (end > 0 && cells(end - 1) == null) end -= 1
+              val arr = cells.take(end).toArray
+              val n = math.min(rowRepeat, maxRepeat)
+              var i = 0
+              while (i < n) { rows += arr; i += 1 }
+              cells = null
+            case "table" =>
+              if (inTargetTable) inTargetTable = false
+              tableDepth -= 1
+            case _ =>
+          }
+          case _ =>
+        }
+      }
+    } finally { r.close(); in.close() }
+    // trim trailing fully-empty rows (row padding)
+    var end = rows.length
+    while (end > 0 && rows(end - 1).isEmpty) end -= 1
+    rows.take(end).toSeq
+  }
+
+  def readOds(
+      spark: SparkSession,
+      path: String,
+      sheet: Option[String] = None,
+      firstRowHasHeaders: Boolean = true,
+      headerRowIndex: Int = 0,
+      skipEmpty: String = "NONE",
+      guessDatatypes: Boolean = true): DataFrame = {
+    val zip = new ZipFile(path)
+    try {
+      val grid = readGrid(zip, sheet)
+      Xlsx.gridToDf(spark, grid, firstRowHasHeaders, headerRowIndex, skipEmpty, guessDatatypes)
+    } finally zip.close()
+  }
+}

@@ -258,30 +258,51 @@ object Xlsx {
         case None => sheets.head._2
       }
       val all = sheetRows(zip, target, sharedStrings(zip), dateStyles(zip))
-        .drop(headerRowIndex)
-      val (headers, data) =
-        if (firstRowHasHeaders && all.nonEmpty) {
-          val h = all.head.zipWithIndex.map { case (v, i) => Option(v).getOrElse(s"_$i") }
-          (h.toSeq, all.tail)
-        } else {
-          val width = all.map(_.length).maxOption.getOrElse(0)
-          ((0 until width).map(i => s"_$i"), all)
-        }
-      val width = headers.length
-      val padded = data.map { r =>
-        Row.fromSeq((0 until width).map(i => if (i < r.length) r(i) else null))
-      }
-      val filtered = skipEmpty.toUpperCase match {
-        case "ANY" => padded.filter(row => (0 until width).forall(i => row.get(i) != null))
-        case "ALL" => padded.filter(row => (0 until width).exists(i => row.get(i) != null))
-        case _     => padded
-      }
-      val schema = StructType(headers.map(h => StructField(h, StringType, nullable = true)))
-      val df = spark.createDataFrame(
-        spark.sparkContext.parallelize(filtered.toSeq, math.max(1, filtered.length / 10000 + 1)),
-        schema)
-      if (guessDatatypes) graft.functions.TypeInference.applyBestTypes(df) else df
+      gridToDf(spark, all, firstRowHasHeaders, headerRowIndex, skipEmpty, guessDatatypes)
     } finally zip.close()
+  }
+
+  /** Shared grid-of-strings → typed DataFrame plumbing (header row,
+    * padding, skip_empty, rank-based inference) — used by the xlsx and
+    * ods readers so every spreadsheet format infers like the CSV path.
+    */
+  private[sources] def gridToDf(
+      spark: SparkSession,
+      rows: Seq[Array[String]],
+      firstRowHasHeaders: Boolean,
+      headerRowIndex: Int,
+      skipEmpty: String,
+      guessDatatypes: Boolean): DataFrame = {
+    val all = rows.drop(headerRowIndex)
+    // width = the table's full extent, not the header row's (an empty
+    // header row still yields the data's columns — reference behavior,
+    // test_filereader_formats.py:793-813); empty/duplicate header cells
+    // uniquify as "", "_1", "_2" ... (utils.py unique_name)
+    val width = all.map(_.length).maxOption.getOrElse(0)
+    val (headers, data) =
+      if (firstRowHasHeaders && all.nonEmpty) {
+        var taken = Set.empty[String]
+        val h = (0 until width).map { i =>
+          val raw = if (i < all.head.length) Option(all.head(i)).getOrElse("") else ""
+          val n = graft.operators.Joins.uniqueName(raw, taken)
+          taken += n
+          n
+        }
+        (h, all.tail)
+      } else ((0 until width).map(i => s"_$i"), all)
+    val padded = data.map { r =>
+      Row.fromSeq((0 until width).map(i => if (i < r.length) r(i) else null))
+    }
+    val filtered = skipEmpty.toUpperCase match {
+      case "ANY" => padded.filter(row => (0 until width).forall(i => row.get(i) != null))
+      case "ALL" => padded.filter(row => (0 until width).exists(i => row.get(i) != null))
+      case _     => padded
+    }
+    val schema = StructType(headers.map(h => StructField(h, StringType, nullable = true)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(filtered.toSeq, math.max(1, filtered.length / 10000 + 1)),
+      schema)
+    if (guessDatatypes) graft.functions.TypeInference.applyBestTypes(df) else df
   }
 
   /** Sheet names, workbook order. */
