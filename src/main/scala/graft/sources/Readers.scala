@@ -75,6 +75,37 @@ object Readers {
       else "UTF-8"
     } catch { case _: Exception => "UTF-8" }
 
+  /** `from_html` (import_utils.py:125-174): scrape the first table's
+    * `<tr>` rows, cells from `<th>`/`<td>`; first row = headers, rest =
+    * data, types guessed like the CSV path. Driver-side, same as the
+    * reference's serial scan. `skipDataRows` drops presentation rows
+    * after the header (e.g. the dtype subheader `Writers.toHtml` emits).
+    */
+  def readHtml(spark: SparkSession, path: String, skipDataRows: Int = 0,
+      guessDatatypes: Boolean = true): DataFrame = {
+    val text = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    def unescape(s: String): String = s
+      .replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
+      .replace("&#39;", "'").replace("&apos;", "'").replace("&nbsp;", " ")
+      .replace("&amp;", "&")
+    val rowRe = "(?s)<tr[^>]*>(.*?)</tr>".r
+    val cellRe = "(?s)<t[hd][^>]*>(.*?)</t[hd]>".r
+    val tagRe = "(?s)<[^>]*>".r
+    val grid = rowRe.findAllMatchIn(text).map { m =>
+      cellRe.findAllMatchIn(m.group(1))
+        .map(c => unescape(tagRe.replaceAllIn(c.group(1), "")).trim)
+        .map(v => if (v.isEmpty || v == "None") null else v)
+        .toArray
+    }.filter(_.nonEmpty).toSeq
+    val windowed = grid match {
+      case head +: tail => head +: tail.drop(skipDataRows)
+      case empty        => empty
+    }
+    Xlsx.gridToDf(spark, windowed, firstRowHasHeaders = true, headerRowIndex = 0,
+      skipEmpty = "NONE", guessDatatypes = guessDatatypes)
+  }
+
   /** The CSV/TSV/TXT reader. Returns string-typed columns unless
     * `guessDatatypes` (then TypeInference casts each column to its
     * best-ranked type).

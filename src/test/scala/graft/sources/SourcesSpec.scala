@@ -102,6 +102,27 @@ class SourcesSpec extends SparkSpec {
     (0 until 8).foreach(i => assert(row.getBoolean(i), s"domain check $i"))
   }
 
+  test("readHtml scrapes th/td rows; toHtml roundtrips through it") {
+    val dir = Files.createTempDirectory("grafthtml")
+    // reference-style table (all <th>, like tablite's own to_html)
+    val p1 = dir.resolve("ref.html")
+    Files.writeString(p1,
+      "<table><tr><th>a</th><th>b</th></tr><tr><th>1</th><th>x &amp; y</th></tr>" +
+        "<tr><th>2</th><th>z</th></tr></table>")
+    val df1 = Readers.readHtml(spark, p1.toString)
+    assert(df1.columns.toSeq === Seq("a", "b"))
+    assert(df1.schema.fields.head.dataType.simpleString === "bigint")
+    assert(df1.orderBy("a").collect().map(_.getString(1)).toSeq === Seq("x & y", "z"))
+    // roundtrip through our own writer (skip its dtype subheader row)
+    val src = Seq((1L, "p"), (2L, "q")).toDF("id", "s")
+    val p2 = dir.resolve("out.html")
+    Files.writeString(p2, Writers.toHtml(src))
+    val back = Readers.readHtml(spark, p2.toString, skipDataRows = 1)
+    assert(back.columns.toSeq === Seq("id", "s"))
+    assert(back.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((1L, "p"), (2L, "q")))
+  }
+
   test("dateRange: [start, stop) with (stop-start)/step values, like the reference") {
     val ts = java.sql.Timestamp.valueOf(_: String)
     val out = Datasets.dateRange(spark, ts("2024-01-01 00:00:00"),
