@@ -3,7 +3,7 @@ package graft
 import graft.operators._
 import graft.operators.ColumnSelect.ColSpec
 import graft.operators.Filters.Criterion
-import graft.sources.{Ods, Readers, Writers, Xlsx}
+import graft.sources.{Ods, Readers, Tpz, Writers, Xlsx}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
 
@@ -145,6 +145,8 @@ object Tab {
       opts: Readers.CsvOptions = Readers.CsvOptions()): Tab = {
     val lower = path.toLowerCase
     if (lower.endsWith(".parquet")) Tab(spark.read.parquet(path))
+    else if (lower.endsWith(".tpz")) Tab(Tpz.readTpz(spark, path,
+      guessDatatypes = opts.guessDatatypes))
     else if (lower.endsWith(".xlsx")) Tab(Xlsx.readXlsx(spark, path,
       firstRowHasHeaders = opts.firstRowHasHeaders, headerRowIndex = opts.headerRowIndex,
       skipEmpty = opts.skipEmpty, guessDatatypes = opts.guessDatatypes))
