@@ -124,6 +124,30 @@ class FixturesConformanceSpec extends SparkSpec {
     assert(df.select("Route").as[String].collect().toSet === Set("KR-SSH", "KR-SS"))
   }
 
+  test("real win1250_test.csv: explicit legacy encoding decodes diacritics") {
+    val p = "/root/reference/tests/data/win1250_test.csv"
+    assume(new java.io.File(p).exists())
+    val df = Readers.readCsv(spark, p,
+      CsvOptions(encoding = Some("windows-1250"), guessDatatypes = false))
+    assert(df.columns.contains("Materiál")) // á survives the decode
+    assert(df.columns.toSeq ===
+      Seq("Item", "Materiál", "Objem", "Jednotka objemu", "Free Inv Pcs"))
+    assert(df.count() > 0)
+    // EU-locale volumes parse through the locale kernel
+    val typed = Readers.readCsv(spark, p, CsvOptions(encoding = Some("windows-1250")))
+    assert(typed.schema("Objem").dataType.simpleString === "double")
+    assert(typed.filter(org.apache.spark.sql.functions.col("Item") === 1000028L)
+      .select("Objem").collect().head.getDouble(0) === 1248.0) // "1.248,000"
+  }
+
+  test("real utf16_test.csv: BOM-sniffed encoding, ; delimiter") {
+    val p = "/root/reference/tests/data/utf16_test.csv"
+    assume(new java.io.File(p).exists())
+    val df = Readers.readCsv(spark, p, CsvOptions(guessDatatypes = false))
+    assert(df.columns.length > 1) // ; sniffed, not one fat column
+    assert(df.count() > 0)
+  }
+
   test("no_separator.csv: single column, sniffer does not crash") {
     val p = write("header\npadding\npadding\n")
     val df = Readers.readCsv(spark, p, CsvOptions(guessDatatypes = false))
