@@ -57,7 +57,10 @@ object TypeInference {
     "dd-MM-yyyy", "dd/MM/yyyy", "dd.MM.yyyy", "MM/dd/yyyy")
   private val datetimeFormats = Seq(
     "yyyy-MM-dd HH:mm:ss.SSSSSS", "yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd'T'HH:mm:ss",
-    "yyyy-MM-dd'T'HH:mm:ss.SSSSSS", "dd/MM/yyyy HH:mm:ss", "yyyy/MM/dd HH:mm:ss")
+    "yyyy-MM-dd'T'HH:mm:ss.SSSSSS", "dd/MM/yyyy HH:mm:ss", "yyyy/MM/dd HH:mm:ss",
+    // minute precision (f12.csv's "01/01/2012 00:00" — day first, like
+    // the date table's year-last rule)
+    "yyyy-MM-dd HH:mm", "dd/MM/yyyy HH:mm", "dd-MM-yyyy HH:mm", "dd.MM.yyyy HH:mm")
 
   def parseDateMulti(c: Column): Column =
     coalesce(dateFormats.map(f => try_to_timestamp(c, lit(f)).cast("date")): _*)

@@ -140,6 +140,17 @@ class FixturesConformanceSpec extends SparkSpec {
       .select("Objem").collect().head.getDouble(0) === 1248.0) // "1.248,000"
   }
 
+  test("real f12.csv: 20-col business extract, day-first minute datetimes") {
+    val p = "/root/reference/tests/data/f12.csv"
+    assume(new java.io.File(p).exists())
+    val df = Readers.readCsv(spark, p)
+    val types = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    assert(types("sale_date") === "timestamp") // "01/01/2012 00:00"
+    assert(types("Prod Slbl") === "bigint")
+    assert(types("SKU") === "bigint")
+    assert(df.count() > 0)
+  }
+
   test("real utf16_test.csv: BOM-sniffed encoding, ; delimiter") {
     val p = "/root/reference/tests/data/utf16_test.csv"
     assume(new java.io.File(p).exists())
