@@ -102,7 +102,7 @@ object TypeInference {
     import java.time.format.DateTimeFormatter
     val stringCols = df.schema.fields.filter(_.dataType == StringType).map(_.name).toSeq
     if (stringCols.isEmpty) return (Map.empty, Map.empty)
-    val rows = df.select(stringCols.map(col): _*).limit(sampleRows).collect()
+    val rows = df.select(stringCols.map(qcol): _*).limit(sampleRows).collect()
     val noneSet = noneish.toSet
     val numberKernel = graft.plans.Kernels.LocaleNumberExpr(
       org.apache.spark.sql.catalyst.expressions.Literal("0"))
@@ -161,14 +161,20 @@ object TypeInference {
   def bestTypes(df: DataFrame, sampleRows: Int = 10000): Map[String, String] =
     profileTypes(df, sampleRows)._1
 
+  /** Backtick-quoted column ref — raw names can contain dots ("SOrg."
+    * in the reference's sap.txt fixture), which unquoted `col` parses
+    * as struct-field access.
+    */
+  def qcol(name: String): Column = col("`" + name.replace("`", "``") + "`")
+
   /** Cast every string column of `df` to its best-ranked type. */
   def applyBestTypes(df: DataFrame): DataFrame = {
     val (types, formats) = profileTypes(df, 10000)
     df.select(df.columns.map { c =>
       types.get(c) match {
-        case None | Some("string") => col(c)
+        case None | Some("string") => qcol(c)
         case Some(t) =>
-          val v = when(trim(col(c)).isin(noneish: _*), lit(null)).otherwise(trim(col(c)))
+          val v = when(trim(qcol(c)).isin(noneish: _*), lit(null)).otherwise(trim(qcol(c)))
           val castExpr = t match {
             case "double"    => parseNumber(v)
             case "bigint"    => parseNumber(v).try_cast("bigint")

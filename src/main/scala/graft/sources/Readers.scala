@@ -189,8 +189,11 @@ object Readers {
     if (opts.columns.nonEmpty) df = df.select(opts.columns.map(col): _*)
 
     df = opts.skipEmpty.toUpperCase match {
-      case "ANY" => df.filter(!df.columns.map(c => col(c).isNull).reduce(_ || _))
-      case "ALL" => df.filter(!df.columns.map(c => col(c).isNull).reduce(_ && _))
+      // qcol: raw headers may contain dots (sap.txt "SOrg.")
+      case "ANY" => df.filter(!df.columns.map(c =>
+        graft.functions.TypeInference.qcol(c).isNull).reduce(_ || _))
+      case "ALL" => df.filter(!df.columns.map(c =>
+        graft.functions.TypeInference.qcol(c).isNull).reduce(_ && _))
       case _     => df
     }
 

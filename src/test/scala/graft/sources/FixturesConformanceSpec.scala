@@ -159,6 +159,27 @@ class FixturesConformanceSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("robustness sweep: every reference csv/tsv/txt fixture parses without error") {
+    val dir = new java.io.File("/root/reference/tests/data")
+    assume(dir.isDirectory)
+    val files = dir.listFiles().filter { f =>
+      val n = f.getName.toLowerCase
+      n.endsWith(".csv") || n.endsWith(".tsv") || n.endsWith(".txt")
+    }
+    assume(files.nonEmpty)
+    val failures = files.flatMap { f =>
+      try {
+        // win1250 has no BOM — the sniffer falls back to UTF-8; pass the
+        // real encoding where the name declares it (as a user would)
+        val enc = if (f.getName.contains("1250")) Some("windows-1250") else None
+        Readers.readCsv(spark, f.getPath,
+          CsvOptions(encoding = enc, guessDatatypes = true)).count()
+        None
+      } catch { case e: Exception => Some(f.getName -> e.toString.take(120)) }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("no_separator.csv: single column, sniffer does not crash") {
     val p = write("header\npadding\npadding\n")
     val df = Readers.readCsv(spark, p, CsvOptions(guessDatatypes = false))
