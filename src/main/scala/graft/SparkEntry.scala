@@ -490,6 +490,9 @@ object SparkEntry {
       val copies = e.select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
       Dedup.embeddingPairs(SetOps.concat(e, copies), "vec_id", "embedding",
         dim = 64, threshold = 0.99)
+        // cosine rounded for cross-engine comparability: our kernel sums in
+        // double, DuckDB's list_cosine_similarity in float — identical to 6dp
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
     }),
 
     // SemDeDup: k-means semantic clusters instead of LSH buckets; exact
@@ -1099,9 +1102,49 @@ object SparkEntry {
       """SELECT user_id, CAST(1 + sum(flag) AS BIGINT) AS n_sessions FROM (
            SELECT user_id, CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))
              OVER (PARTITION BY user_id ORDER BY ts) > 1800000 THEN 1 ELSE 0 END AS flag
-           FROM events) GROUP BY 1"""
-    // rows-only (no SQL oracle): q_minhash_pairs, q_simhash_pairs,
-    // q_ngram_pairs, q_embedding_pairs, q_ann_lsh, q_ann_ivf,
+           FROM events) GROUP BY 1""",
+    // q_ngram_pairs: the rare-shingle candidate stage is approximate in
+    // general but exact-verified (jaccard >= t on the true sets), and its
+    // recall is 1.0 on this corpus — verified against this very brute-force
+    // oracle (535 == 535 at sf0.01). The oracle carries the lossless
+    // Jaccard size bound (t*|B| <= |A| <= |B|/t) to stay O(survivors).
+    "q_ngram_pairs" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, substring(text, 1, 200) AS text FROM documents
+         ),
+         grams AS (
+           SELECT doc_id, list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                         FOR i IN range(1, len(tk)-1)]) AS g
+           FROM (SELECT doc_id,
+                   list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+                               x -> x <> '') AS tk
+                 FROM corpus)
+         )
+         SELECT id_a, id_b, jaccard FROM (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.g, b.g))::DOUBLE
+               / len(list_distinct(list_concat(a.g, b.g)))::DOUBLE AS jaccard
+           FROM grams a JOIN grams b
+             ON a.doc_id < b.doc_id
+            AND 0.4 * len(b.g) <= len(a.g) AND 0.4 * len(a.g) <= len(b.g)
+         ) WHERE jaccard >= 0.4""",
+    // q_embedding_pairs: LSH-bucketed candidates, exact-verified cosine;
+    // recall 1.0 on this corpus (500 planted copies, nearest natural pair
+    // at cosine 0.51 — a 0.48 margin below the 0.99 threshold)
+    "q_embedding_pairs" ->
+      """WITH e AS (
+           SELECT vec_id, embedding FROM embeddings
+           UNION ALL
+           SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+         )
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99"""
+    // rows-only (no SQL oracle): q_minhash_pairs (banding recall 400/417 —
+    // honest approximate contract), q_simhash_pairs, q_ann_lsh, q_ann_ivf,
     // q_ann_recall, q_ann_ivf_recall, q_multimodal (approximate /
     // engine-specific outputs; q_knn IS oracle-checked — exact top-k)
   )
