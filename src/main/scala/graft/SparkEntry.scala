@@ -184,6 +184,31 @@ object SparkEntry {
     "q_join_cross" -> ((s, dir) =>
       Joins.crossJoin(t(s, dir, "region").select(col("r_name")),
         t(s, dir, "nation").select(col("n_name")))),
+    // fact side pruned map-side by the dim's key bloom BEFORE the join
+    // shuffle — result identical to the plain join (oracle = plain SQL)
+    "q_join_bloom" -> ((s, dir) =>
+      Joins.bloomPruneJoin(t(s, dir, "lineitem"),
+        t(s, dir, "part").filter(col("p_size") <= 2), "l_partkey", "p_partkey")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"), col("p_size"))),
+    // hot-key-safe join: salt spreads each key over 16 tasks; result is
+    // provably the plain join (oracle = plain SQL)
+    "q_join_salted" -> ((s, dir) =>
+      Joins.saltedJoin(t(s, dir, "lineitem"), t(s, dir, "orders"),
+        Seq("l_orderkey"), Seq("o_orderkey"), "inner", buckets = 16)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("o_totalprice"))),
+    // layout op: z-order-cluster lineitem on (l_partkey, l_suppkey), read
+    // back through a 2-D range filter — layout changes file pruning, never
+    // rows (oracle = plain SQL over the unclustered table)
+    "q_zorder" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_z").toString
+      graft.sources.Layout.zorderWrite(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey")),
+        Seq("l_partkey", "l_suppkey"), s"$tmp/z", numFiles = 8, bits = 6)
+      s.read.parquet(s"$tmp/z")
+        .filter(col("l_partkey").between(100, 300) && col("l_suppkey").between(10, 60))
+    }),
     "q_semi" -> ((s, dir) =>
       t(s, dir, "customer").join(
         t(s, dir, "orders").filter(col("o_totalprice") > 450000),
@@ -768,6 +793,16 @@ object SparkEntry {
          ON c.nk IS NOT DISTINCT FROM n.nk2 GROUP BY 1""",
     "q_join_cross" ->
       "SELECT r_name, n_name FROM region CROSS JOIN nation",
+    "q_join_bloom" ->
+      """SELECT l.l_orderkey, l.l_partkey, l.l_quantity, p.p_size
+         FROM lineitem l JOIN (SELECT * FROM part WHERE p_size <= 2) p
+         ON l.l_partkey = p.p_partkey""",
+    "q_join_salted" ->
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_totalprice
+         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""",
+    "q_zorder" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM lineitem
+         WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 60""",
     "q_semi" ->
       """SELECT c_custkey, c_name FROM customer WHERE EXISTS
          (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 450000)""",

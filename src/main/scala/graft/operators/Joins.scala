@@ -166,6 +166,38 @@ object Joins {
       rightColumns = Some(right.columns.toSeq))
   }
 
+  /** Bloom-pruned equi-join: build a bloom filter over the SMALL side's
+    * key (a distributed sketch aggregation — the small side never
+    * collects), broadcast it into a native predicate on the LARGE side,
+    * and only then join. The point at 100 TB: the fact side is pruned
+    * map-side inside its scan's codegen span, BEFORE the join shuffle —
+    * with a selective dim filter this deletes most of the shuffle I/O.
+    * Spark's AQE runtime bloom filter does this automatically for some
+    * plans; the explicit form is deterministic and works under any join
+    * strategy. False positives only weaken pruning — the equi-join
+    * afterwards keeps the result exactly equal to the un-pruned join.
+    * Sound for "inner"/"semi" only (pruned left rows would need to
+    * survive as null-matches under left/outer kinds).
+    */
+  def bloomPruneJoin(
+      large: DataFrame,
+      small: DataFrame,
+      largeKey: String,
+      smallKey: String,
+      kind: String = "inner",
+      fpp: Double = 0.01): DataFrame = {
+    require(kind == "inner" || kind == "semi",
+      s"bloom pruning is only sound for inner/semi joins, got: $kind")
+    val n = math.max(small.count(), 1L)
+    val bloom = small.stat.bloomFilter(smallKey, n, fpp)
+    val pruned = large.filter(graft.plans.Kernels.bloomMightContain(col(largeKey), bloom))
+    if (kind == "semi")
+      pruned.alias("l").join(small.alias("r"),
+        col(s"l.$largeKey") === col(s"r.$smallKey"), "left_semi")
+    else
+      join(pruned, small, Seq(largeKey), Seq(smallKey), "inner", nullSafe = false)
+  }
+
   /** As-of join (no reference analogue; the natural generalization of
     * `lookup` with a time criterion, and table stakes for event data).
     * For each left row: the right row with the greatest `rightTime` <=

@@ -93,6 +93,61 @@ object Kernels {
     if (denom == 0.0) 0.0 else dot / denom
   }
 
+  /** keyKind: 0 = long/int (mightContainLong), 1 = string (UTF-8 bytes —
+    * matches `BloomFilter.putString`'s encoding without a `String` alloc
+    * per row).
+    */
+  def bloomMightContainEval(
+      bloom: org.apache.spark.util.sketch.BloomFilter, v: Any, keyKind: Int): Boolean =
+    if (keyKind == 0) {
+      v match {
+        case l: java.lang.Long    => bloom.mightContainLong(l)
+        case i: java.lang.Integer => bloom.mightContainLong(i.longValue())
+        case s: java.lang.Short   => bloom.mightContainLong(s.longValue())
+        case b: java.lang.Byte    => bloom.mightContainLong(b.longValue())
+        case _                    => true // unknown type: never prune
+      }
+    } else {
+      bloom.mightContainBinary(v.asInstanceOf[UTF8String].getBytes)
+    }
+
+  /** Z-order value: per column, binary-search its quantile boundaries to a
+    * bucket id (`bits` bits), then interleave the columns' bucket bits
+    * MSB-first. Nulls sort to bucket 0. One tight loop per row, no alloc.
+    */
+  def zValueEval(arr: ArrayData, boundaries: Array[Array[Double]], bits: Int): Long = {
+    val k = boundaries.length
+    val buckets = new Array[Int](k)
+    var c = 0
+    while (c < k) {
+      buckets(c) =
+        if (arr.isNullAt(c)) 0
+        else {
+          val v = arr.getDouble(c)
+          val bs = boundaries(c)
+          // first index whose boundary exceeds v == count of boundaries <= v
+          var lo = 0; var hi = bs.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (bs(mid) <= v) lo = mid + 1 else hi = mid
+          }
+          lo
+        }
+      c += 1
+    }
+    var z = 0L
+    var b = bits - 1
+    while (b >= 0) {
+      var c2 = 0
+      while (c2 < k) {
+        z = (z << 1) | ((buckets(c2) >>> b) & 1)
+        c2 += 1
+      }
+      b -= 1
+    }
+    z
+  }
+
   /** elemKind: 0 = float, 1 = double, 2 = other (contributes 0.0). */
   def hyperplaneEval(a: ArrayData, nPlanes: Int, elemKind: Int): Long = {
     val n = a.numElements()
@@ -676,6 +731,49 @@ object Kernels {
       copy(left = l, right = r)
   }
 
+  /** Bloom-filter membership over a broadcast sketch (the explicit form of
+    * Spark's runtime row-level bloom join filter): the small side's key
+    * sketch rides into codegen as a reference object — like the centroid
+    * kernels — so the 100 TB fact side is pruned map-side BEFORE its
+    * shuffle, inside the scan's WholeStageCodegen span. False positives
+    * only fail to prune; the downstream join keeps the result exact.
+    */
+  case class BloomMightContainExpr(
+      child: Expression, bloom: org.apache.spark.util.sketch.BloomFilter)
+      extends UnaryExpression {
+    override def dataType: DataType = BooleanType
+    @transient private lazy val keyKind = child.dataType match {
+      case StringType => 1
+      case _          => 0
+    }
+    override def nullSafeEval(v: Any): Any = bloomMightContainEval(bloom, v, keyKind)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bRef = ctx.addReferenceObj("bloom", bloom,
+        "org.apache.spark.util.sketch.BloomFilter")
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = graft.plans.Kernels.bloomMightContainEval($bRef, $v, $keyKind);")
+    }
+    override protected def withNewChildInternal(c: Expression): BloomMightContainExpr =
+      copy(child = c)
+  }
+
+  /** Z-order curve value over an array of double-cast columns; quantile
+    * boundaries (driver-computed sketch) ride as a reference object.
+    */
+  case class ZValueExpr(child: Expression, boundaries: Array[Array[Double]], bits: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(v: Any): Any =
+      zValueEval(v.asInstanceOf[ArrayData], boundaries, bits)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val bRef = ctx.addReferenceObj("zBoundaries", boundaries, "double[][]")
+      nullSafeCodeGen(ctx, ev, v =>
+        s"${ev.value} = graft.plans.Kernels.zValueEval($v, $bRef, $bits);")
+    }
+    override protected def withNewChildInternal(c: Expression): ZValueExpr =
+      copy(child = c)
+  }
+
   /** Locale-tolerant number parse (the reference's ingest differentiator,
     * infertypes.nim:26-120): "1,000,000.5" (US), "1.000.000,5" (EU),
     * "1 000 000" (space/nbsp/apostrophe groupings) → double; null on
@@ -736,4 +834,8 @@ object Kernels {
       tables: java.util.HashMap[String, Array[Float]], codeK: Int): Column =
     ExpressionUtils.column(AdcDistExpr(ExpressionUtils.expression(key),
       ExpressionUtils.expression(code), tables, codeK))
+  def bloomMightContain(key: Column, bloom: org.apache.spark.util.sketch.BloomFilter): Column =
+    ExpressionUtils.column(BloomMightContainExpr(ExpressionUtils.expression(key), bloom))
+  def zValue(cols: Column, boundaries: Array[Array[Double]], bits: Int): Column =
+    ExpressionUtils.column(ZValueExpr(ExpressionUtils.expression(cols), boundaries, bits))
 }

@@ -1,0 +1,52 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.plans.Kernels
+
+/** Data-layout control for scan-side pruning at scale.
+  *
+  * The reference gets O(1) point access from page pointers on one disk
+  * (tablite/base.py:277-339); the distributed analogue is clustering the
+  * FILES so that parquet min/max statistics prune row groups for
+  * multi-column range predicates. A plain sort clusters only the leading
+  * column; a Z-order (Morton) curve interleaves the bits of several
+  * columns' quantile-bucket ranks, so a selective range on ANY of the
+  * curve columns maps to a small fraction of files.
+  */
+object Layout {
+
+  /** Compute the z-value column for `cols` (numeric/date-castable) using
+    * `2^bits` quantile buckets per column. Quantiles come from a single
+    * distributed `approxQuantile` sketch pass; the boundary table rides
+    * into executor codegen as a reference object (no shuffle, no join).
+    */
+  def zValueFor(df: DataFrame, cols: Seq[String], bits: Int = 8): org.apache.spark.sql.Column = {
+    require(cols.nonEmpty && cols.length * bits <= 63,
+      s"z-value must fit a long: cols=${cols.length} bits=$bits")
+    val probes = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
+    val casted = df.select(cols.map(c => col(c).cast("double").as(c)): _*)
+    val boundaries: Array[Array[Double]] =
+      casted.stat.approxQuantile(cols.toArray, probes, 0.001)
+        // de-dup plateaued boundaries so constant-ish columns don't burn bits
+        .map(_.distinct)
+    Kernels.zValue(array(cols.map(c => col(c).cast("double")): _*), boundaries, bits)
+  }
+
+  /** Write `df` as parquet clustered on the Z-order curve of `cols`:
+    * range-partition by z-value into `numFiles` tasks (range, not hash —
+    * neighbouring curve cells land in the same file), sort within each
+    * task so row groups are tight, then drop the helper column. Row SET
+    * is unchanged — layout only affects which files a filter touches.
+    */
+  def zorderWrite(df: DataFrame, cols: Seq[String], path: String,
+      numFiles: Int = 32, bits: Int = 8): Unit = {
+    val z = zValueFor(df, cols, bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+}

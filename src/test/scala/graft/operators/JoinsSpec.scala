@@ -61,6 +61,37 @@ class JoinsSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("bloomPruneJoin equals the plain inner join (long and string keys)") {
+    val large = (1 to 2000).map(i => (i.toLong, s"row$i")).toDF("k", "lv")
+    val small = Seq((5L, "A"), (700L, "B"), (9999L, "C")).toDF("k", "rv")
+    val plain = Joins.join(large, small, Seq("k"), Seq("k"), "inner")
+      .collect().map(_.toString).sorted
+    val bloomed = Joins.bloomPruneJoin(large, small, "k", "k")
+      .collect().map(_.toString).sorted
+    assert(bloomed === plain)
+    assert(bloomed.length === 2)
+
+    val largeS = (1 to 500).map(i => (s"key$i", i)).toDF("k", "lv")
+    val smallS = Seq(("key7", 1), ("key444", 2)).toDF("k", "rv")
+    val plainS = Joins.join(largeS, smallS, Seq("k"), Seq("k"), "inner")
+      .collect().map(_.toString).sorted
+    assert(Joins.bloomPruneJoin(largeS, smallS, "k", "k")
+      .collect().map(_.toString).sorted === plainS)
+  }
+
+  test("bloom predicate actually prunes the large side before the join") {
+    val large = (1 to 10000).map(i => (i.toLong, i.toString)).toDF("k", "lv")
+    val small = Seq(42L, 4242L).toDF("k")
+    val bloom = small.stat.bloomFilter("k", 2, 0.01)
+    val survivors = large
+      .filter(graft.plans.Kernels.bloomMightContain($"k", bloom)).count()
+    // 0.01 fpp over 10k rows → ~100 expected FPs; 1000 is a 10x-safe bound
+    assert(survivors >= 2 && survivors < 1000)
+    // semi kind: pruned left-semi equals plain left-semi
+    val semi = Joins.bloomPruneJoin(large, small.toDF("k"), "k", "k", kind = "semi")
+    assert(semi.collect().map(_.getLong(0)).sorted === Array(42L, 4242L))
+  }
+
   test("tutorial join-logic golden multisets (test_new_tutorial.py:340-460)") {
     val numbers = Seq(
       (Option(1), "black"), (Option(2), "blue"), (Option(3), "white"),
