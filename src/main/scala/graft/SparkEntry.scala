@@ -510,6 +510,15 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(SetOps.concat(docs, truncated), "doc_id", "text",
         threshold = 0.4)
     }),
+    // EXACT ssjoin (prefix filter): finds ALL 417 pairs at t=0.5 where the
+    // minhash banding path finds 400 — recall 1.0 by construction, oracled
+    "q_ssjoin_exact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val truncated = docs.select((col("doc_id") + 1000000).as("doc_id"),
+        substring(col("text"), 1, 200).as("text"))
+      Dedup.jaccardJoinExact(SetOps.concat(docs, truncated), "doc_id", "text",
+        threshold = 0.5)
+    }),
     "q_embedding_pairs" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val copies = e.select((col("vec_id") + 1000000).as("vec_id"), col("embedding"))
@@ -1165,6 +1174,31 @@ object SparkEntry {
              ON a.doc_id < b.doc_id
             AND 0.4 * len(b.g) <= len(a.g) AND 0.4 * len(a.g) <= len(b.g)
          ) WHERE jaccard >= 0.4""",
+    // q_ssjoin_exact: prefix filtering is exact by construction — the
+    // oracle is the same brute force at t=0.5 (417 pairs; banding minhash
+    // stops at 400, which is why THAT one stays rows-only)
+    "q_ssjoin_exact" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, substring(text, 1, 200) AS text FROM documents
+         ),
+         grams AS (
+           SELECT doc_id, list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                         FOR i IN range(1, len(tk)-1)]) AS g
+           FROM (SELECT doc_id,
+                   list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+                               x -> x <> '') AS tk
+                 FROM corpus)
+         )
+         SELECT id_a, id_b, jaccard FROM (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.g, b.g))::DOUBLE
+               / len(list_distinct(list_concat(a.g, b.g)))::DOUBLE AS jaccard
+           FROM grams a JOIN grams b
+             ON a.doc_id < b.doc_id
+            AND 0.5 * len(b.g) <= len(a.g) AND 0.5 * len(a.g) <= len(b.g)
+         ) WHERE jaccard >= 0.5""",
     // q_embedding_pairs: LSH-bucketed candidates, exact-verified cosine;
     // recall 1.0 on this corpus (500 planted copies, nearest natural pair
     // at cosine 0.51 — a 0.48 margin below the 0.99 threshold)

@@ -128,6 +128,36 @@ class SimilarityAndDedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("jaccardJoinExact equals brute force on adversarial random corpora") {
+    // word soup from a tiny vocabulary → many pairs hover AT the
+    // threshold, exactly where a lossy prefix/size bound would break
+    val vocab = Array("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val rng = new scala.util.Random(7)
+    val docs = (0 until 60).map { i =>
+      val n = 5 + rng.nextInt(12)
+      (i.toLong, (0 until n).map(_ => vocab(rng.nextInt(vocab.length))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val got = Dedup.jaccardJoinExact(df, "doc_id", "text", shingleN = 2, threshold = t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      // in-test brute force over the same shingle definition
+      def grams(s: String): Set[String] = {
+        val tk = s.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        if (tk.length < 2) Set.empty else tk.sliding(2).map(_.mkString(" ")).toSet
+      }
+      val want = (for {
+        (ia, ta) <- docs; (ib, tb) <- docs if ia < ib
+        ga = grams(ta); gb = grams(tb)
+        if ga.nonEmpty && gb.nonEmpty
+        j = (ga & gb).size.toDouble / (ga | gb).size.toDouble
+        if j >= t
+      } yield (ia, ib)).toSet
+      assert(got === want, s"threshold $t: got ${got.size}, want ${want.size}")
+    }
+  }
+
   test("salted bucket self-join preserves recall on oversized buckets") {
     // 12 near-identical docs land in one band/quadrant bucket; with
     // maxBucket=3 the old guard dropped the bucket (0 pairs) — the salted
