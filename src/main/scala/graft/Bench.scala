@@ -55,7 +55,7 @@ object Bench {
       val n = li.count()
       val tmp = java.nio.file.Files.createTempDirectory("graft_bench").toString
       results("io_parquet_save") = timed {
-        li.write.mode("overwrite").parquet(s"$tmp/li.parquet")
+        graft.sources.Writers.save(li, s"$tmp/li.parquet")
       }
       results("io_parquet_load") = timed {
         spark.read.parquet(s"$tmp/li.parquet").count()

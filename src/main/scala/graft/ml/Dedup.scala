@@ -247,17 +247,21 @@ object Dedup {
     val prefix = posting.join(dfTab, Seq("shingle"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")).cast("int") + 1)
-      .select(col("id"), col("shingle"))
+      .select(col("id"), col("sz"), col("rn"), col("shingle"))
+    // two lossless cuts INSIDE the candidate join, while a pair is still
+    // a handful of ints: the size bound (t*|B| <= |A| <= |B|/t) and
+    // PPJoin's positional filter — matching at prefix positions (ra, rb)
+    // caps the achievable overlap at 1 + min(|A|-ra, |B|-rb), which must
+    // reach the Jaccard-implied minimum t*(|A|+|B|)/(1+t)
     val cand = prefix.as("x").join(prefix.as("y"), Seq("shingle"))
-      .filter(col("x.id") < col("y.id"))
+      .filter(col("x.id") < col("y.id") &&
+        lit(threshold) * col("y.sz") <= col("x.sz") &&
+        lit(threshold) * col("x.sz") <= col("y.sz") &&
+        (lit(1) + least(col("x.sz") - col("x.rn"), col("y.sz") - col("y.rn"))) * (lit(1.0) + threshold)
+          >= lit(threshold) * (col("x.sz") + col("y.sz")))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
       .distinct()
-    val sizes = sh.select(col("id"), col("sz"))
     cand
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), Seq("id_a"))
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), Seq("id_b"))
-      .filter(lit(threshold) * col("sz_b") <= col("sz_a") &&
-        lit(threshold) * col("sz_a") <= col("sz_b"))
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), Kernels.jaccardSim(col("sh_a"), col("sh_b")).as("jaccard"))

@@ -12,12 +12,24 @@ import org.apache.spark.sql.types._
   */
 object Writers {
 
+  /** Writers inherit the scan's partitioning, so a table read from one
+    * modest file writes single-task while 31 cores idle. When the plan
+    * has fewer partitions than the cluster has slots, fan out before
+    * writing (round-robin — cheap, no key shuffle). At real scale the
+    * input already has >= cores partitions and this is a no-op, which is
+    * exactly the right behavior: never add a shuffle to a big write.
+    */
+  private def fanOut(df: DataFrame): DataFrame = {
+    val slots = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < slots) df.repartition(slots) else df
+  }
+
   /** CSV/TSV/TXT by suffix (export_utils.py:153-187; delimiter defaults
     * core.py:131-137). None → "" matches the reference's empty-string
     * null encoding.
     */
   def writeDelimited(df: DataFrame, path: String, delimiter: String = ","): Unit =
-    df.write.mode(SaveMode.Overwrite)
+    fanOut(df).write.mode(SaveMode.Overwrite)
       .option("sep", delimiter)
       .option("header", "true")
       .option("emptyValue", "")
@@ -33,7 +45,7 @@ object Writers {
     * predicate pushdown.
     */
   def save(df: DataFrame, path: String): Unit =
-    df.write.mode(SaveMode.Overwrite).parquet(path)
+    fanOut(df).write.mode(SaveMode.Overwrite).parquet(path)
 
   /** Bucketed persisted table: pre-shuffles once at write time so every
     * later equi-join/aggregation on `keys` runs shuffle-free (both sides
