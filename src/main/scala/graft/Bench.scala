@@ -54,6 +54,14 @@ object Bench {
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       val n = li.count()
       val tmp = java.nio.file.Files.createTempDirectory("graft_bench").toString
+      // untimed write-path warmup: every timed query above is read-only, so
+      // without this the first write absorbs ~3 s of one-time parquet/csv
+      // writer classloading + JIT (measured: 4.8 s first save vs 1.4 s
+      // steady-state for the same 600k rows). We report steady-state
+      // throughput, matching how BASELINE.md's notebook timings were taken
+      // (cells rerun in a warm process).
+      li.limit(1000).write.mode("overwrite").parquet(s"$tmp/warm.parquet")
+      li.limit(1000).write.mode("overwrite").option("header", "true").csv(s"$tmp/warm.csv")
       results("io_parquet_save") = timed {
         graft.sources.Writers.save(li, s"$tmp/li.parquet")
       }
