@@ -36,18 +36,25 @@ object Dedup {
       payloadCols: Seq[String],
       maxBucket: Int,
       hardCap: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(bk)
-    val sized = rows.withColumn("bsize", count(lit(1)).over(w))
+    // Bucket sizing WITHOUT a window: a per-key window shuffle holds whole
+    // buckets in one task and (worse) the r3 shape recomputed the upstream
+    // signature plan once per branch. Instead: partial-agg count on the
+    // narrow bucket key, keep only the SKEWED keys (> maxBucket) — few by
+    // definition at any data scale, so they broadcast — and persist the
+    // input once so both branches read cache, not the upstream pipeline.
+    val cached = rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val big = cached.groupBy(bk).agg(count(lit(1)).as("bsize"))
+      .filter(col("bsize") > maxBucket)
 
     def side(df: DataFrame, suffix: String, extra: Seq[(String, String)]): DataFrame =
       df.select(col(bk) +: extra.map { case (c, n) => col(c).as(n) } ++:
         payloadCols.map(c => col(c).as(c + suffix)): _*)
 
-    val small = sized.filter(col("bsize") <= maxBucket).drop("bsize")
+    val small = cached.join(broadcast(big), Seq(bk), "left_anti")
     val plain = side(small, "_a", Nil).join(side(small, "_b", Nil), Seq(bk))
 
-    val medium = sized
-      .filter(col("bsize") > maxBucket && col("bsize") <= hardCap)
+    val medium = cached
+      .join(broadcast(big.filter(col("bsize") <= hardCap)), Seq(bk))
       .withColumn("g", ceil(col("bsize") / lit(maxBucket)).cast("int"))
       .withColumn("c", pmod(xxhash64(col(payloadCols.head)), col("g")).cast("int"))
     val aSide = side(

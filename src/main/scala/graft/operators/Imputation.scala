@@ -22,11 +22,58 @@ object Imputation {
     // carried value partition-order-dependent; pass tieBreak columns when
     // orderCol alone is not unique
     val orderCols = (orderCol +: tieBreak).map(col)
-    val w0 = if (partitionBy.isEmpty) Window.orderBy(orderCols: _*)
-             else Window.partitionBy(partitionBy.map(col): _*).orderBy(orderCols: _*)
-    val w = w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    if (partitionBy.isEmpty) return ffillGlobal(df, targets, orderCols)
+    val w = Window.partitionBy(partitionBy.map(col): _*).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     targets.foldLeft(df)((acc, c) =>
       acc.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+  }
+
+  /** Unkeyed ffill without the single-task global window: range-partitioned
+    * sort, then (1) a lightweight boundary job collecting each partition's
+    * last non-null per target — numPartitions rows to the driver, (2) a
+    * per-partition imperative carry seeded with the prefix-merged
+    * boundaries. The sort shuffle materializes once and serves both jobs;
+    * no task ever sees more than its own partition.
+    */
+  private def ffillGlobal(df: DataFrame, targets: Seq[String], orderCols: Seq[Column]): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.orderBy(orderCols: _*)
+    val schema = sorted.schema
+    val tIdx = targets.map(schema.fieldIndex).toArray
+    val rdd = sorted.rdd
+    val perPart: Array[Array[Any]] = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val acc = new Array[Any](tIdx.length)
+      it.foreach { r =>
+        var i = 0
+        while (i < tIdx.length) { val v = r.get(tIdx(i)); if (v != null) acc(i) = v; i += 1 }
+      }
+      Iterator((pid, acc))
+    }.collect().sortBy(_._1).map(_._2)
+    // carry-in for partition p = last non-null over all partitions < p
+    val carryIn = Array.ofDim[Array[Any]](perPart.length)
+    val run = new Array[Any](tIdx.length)
+    var p = 0
+    while (p < perPart.length) {
+      carryIn(p) = run.clone()
+      var i = 0
+      while (i < tIdx.length) { if (perPart(p)(i) != null) run(i) = perPart(p)(i); i += 1 }
+      p += 1
+    }
+    val filled = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val carry = carryIn(pid).clone()
+      it.map { r =>
+        val vals = r.toSeq.toArray
+        var i = 0
+        while (i < tIdx.length) {
+          val v = vals(tIdx(i))
+          if (v == null) vals(tIdx(i)) = carry(i) else carry(i) = v
+          i += 1
+        }
+        org.apache.spark.sql.Row.fromSeq(vals.toIndexedSeq)
+      }
+    }
+    spark.createDataFrame(filled, schema)
   }
 
   /** mean / mode imputation (imputation.py:128-158): one aggregate pass,
@@ -72,14 +119,25 @@ object Imputation {
     // Deterministic for unique-valued sources; duplicate source values
     // fall back to the exact multi-source path.
     if (sources.length == 1) return nearestNeighbour1D(df, target, sources.head)
-    // rank() (not percent_rank) keeps rank distances exact integers, so
+    // Integer ranks (not percent_rank) keep rank distances exact, so
     // equidistant donors tie EXACTLY and the tie-break below is
     // deterministic; ties in the source value share a rank, matching the
-    // Nim kernel's unix-rank (imputation.nim:47-68). Normalization to
-    // [0,1] happens inside the distance term as a single exact division.
-    val ranked = sources.foldLeft(df) { (acc, c) =>
-      acc.withColumn(s"__r_$c", (rank().over(Window.orderBy(col(c))) - 1).cast("long"))
-    }.withColumn("__n", count(lit(1)).over(Window.partitionBy()))
+    // Nim kernel's unix-rank (imputation.nim:47-68). Ranks are computed
+    // WITHOUT a global window: per column, a zipWithIndex row index over
+    // the value sort, reduced to min-index-per-value (= SQL rank - 1) and
+    // joined back on the value — every stage is a parallel shuffle, no
+    // single task ever holds the table. Normalization to [0,1] happens
+    // inside the distance term as a single exact division.
+    def rankTable(c: String): DataFrame =
+      Sorts.withRowIndex(df.select(col(c).as(s"__v_$c")), Seq(col(s"__v_$c")), "__idx")
+        .groupBy(s"__v_$c").agg(min("__idx").as(s"__r_$c"))
+    val rankJoined = sources.foldLeft(df) { (acc, c) =>
+      acc.join(rankTable(c), acc(c) <=> col(s"__v_$c"), "left").drop(s"__v_$c")
+    }
+    // row count as a 1-row broadcast (a count().over(Window.partitionBy())
+    // would be one more global window)
+    val ranked = rankJoined.crossJoin(
+      broadcast(df.agg(count(lit(1)).as("__n"))))
     val donors = ranked.filter(col(target).isNotNull)
       .select((Seq(col(target).as("__donor_val")) ++
         sources.map(c => col(s"__r_$c").as(s"__dr_$c"))): _*)
@@ -92,8 +150,14 @@ object Imputation {
     val dist = sources.map(c =>
       abs(col(s"__r_$c") - col(s"__dr_$c")).cast("double") /
         greatest(col("__n") - 1, lit(1L)).cast("double")).reduce(_ + _)
-    // tie-break equidistant donors by the donor value itself (deterministic)
-    val filled = broadcast(patients).crossJoin(donors)
+    // tie-break equidistant donors by the donor value itself (deterministic).
+    // No forced broadcast: patients are unbounded (a column 50% null would
+    // broadcast half the corpus) — Catalyst/AQE picks broadcast-NL only
+    // when the side actually fits the threshold, else a distributed
+    // cartesian (p×q bounded tasks). Exact NN is inherently
+    // |patients|×|donors| work — same as the reference's O(n²) scan, but
+    // spread over the cluster instead of one node.
+    val filled = patients.crossJoin(donors)
       .groupBy(patients.columns.map(col): _*)
       .agg(min_by(col("__donor_val"), struct(dist, col("__donor_val"))).as("__fill"))
       .withColumn(target, coalesce(col(target), col("__fill")))

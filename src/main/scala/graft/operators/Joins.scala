@@ -185,17 +185,23 @@ object Joins {
       largeKey: String,
       smallKey: String,
       kind: String = "inner",
-      fpp: Double = 0.01): DataFrame = {
+      fpp: Double = 0.01,
+      expectedItems: Long = -1L): DataFrame = {
     require(kind == "inner" || kind == "semi",
       s"bloom pruning is only sound for inner/semi joins, got: $kind")
-    val n = math.max(small.count(), 1L)
-    val bloom = small.stat.bloomFilter(smallKey, n, fpp)
+    // The small side feeds two pre-join passes (sizing + bloom build) plus
+    // the join itself; if it's a filtered subquery over a big table those
+    // passes would repeat its scan. Persist it across all three, and let
+    // callers who know the cardinality skip the count() job entirely.
+    val sm = small.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = if (expectedItems > 0) expectedItems else math.max(sm.count(), 1L)
+    val bloom = sm.stat.bloomFilter(smallKey, n, fpp)
     val pruned = large.filter(graft.plans.Kernels.bloomMightContain(col(largeKey), bloom))
     if (kind == "semi")
-      pruned.alias("l").join(small.alias("r"),
+      pruned.alias("l").join(sm.alias("r"),
         col(s"l.$largeKey") === col(s"r.$smallKey"), "left_semi")
     else
-      join(pruned, small, Seq(largeKey), Seq(smallKey), "inner", nullSafe = false)
+      join(pruned, sm, Seq(largeKey), Seq(smallKey), "inner", nullSafe = false)
   }
 
   /** As-of join (no reference analogue; the natural generalization of

@@ -21,13 +21,13 @@ object Slicing {
     if (start <= 0) limited else limited.offset(start)
   }
 
-  /** `t[start:stop:step]` — stepped slice; needs a rank, so it carries a
-    * global ordering window. Use only when step != 1.
+  /** `t[start:stop:step]` — stepped slice; needs a rank. Uses the
+    * zipWithIndex row index (parallel range-partitioned sort + offset
+    * stamping), never a single-task global window. Use only when step != 1.
     */
   def sliceStep(df: DataFrame, orderCols: Seq[String], start: Int, stop: Int, step: Int): DataFrame = {
     require(step > 0, "negative steps: reverse the order columns instead")
-    val w = Window.orderBy(orderCols.map(col): _*)
-    df.withColumn("__rn", row_number().over(w) - 1)
+    Sorts.withRowIndex(df, orderCols.map(col), "__rn")
       .filter(col("__rn") >= start && col("__rn") < stop &&
         (col("__rn") - start) % step === 0)
       .drop("__rn")
@@ -64,8 +64,7 @@ object Slicing {
     }
     val a = norm(start, 0L, n - 1)
     val b = norm(stop, n, -1L)
-    val w = Window.orderBy(orderCols.map(col): _*)
-    val ranked = df.withColumn("__rn", row_number().over(w).cast("long") - 1L)
+    val ranked = Sorts.withRowIndex(df, orderCols.map(col), "__rn")
     val filtered =
       if (st > 0)
         ranked.filter(col("__rn") >= a && col("__rn") < b &&

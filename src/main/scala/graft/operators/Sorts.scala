@@ -39,13 +39,33 @@ object Sorts {
   def sorted(df: DataFrame, mapping: Seq[(String, Boolean)], mode: String = "excel"): DataFrame =
     df.orderBy(mapping.map { case (c, rev) => sortKey(c, rev, mode) }: _*)
 
-  /** `t.sort_index` — the permutation without applying it
-    * (sortation.py:17-69): original position + rank.
+  /** Global 0-based row index over a total order WITHOUT a global window:
+    * range-partitioned sort, then the classic zipWithIndex shape — one
+    * lightweight count job over the sorted partitions to learn offsets,
+    * then a map stamping `offset + local position`. The sort shuffle is
+    * materialized once and reused by both jobs; no task ever holds more
+    * than its own partition. This is the scale primitive behind
+    * sortIndex / stepped slices / reindex (a `row_number().over(
+    * Window.orderBy(...))` would funnel the whole table through ONE task).
     */
-  def sortIndex(df: DataFrame, mapping: Seq[(String, Boolean)], mode: String = "excel"): DataFrame = {
-    val w = Window.orderBy(mapping.map { case (c, rev) => sortKey(c, rev, mode) }: _*)
-    df.withColumn("sort_index", row_number().over(w) - 1)
+  def withRowIndex(df: DataFrame, orderBy: Seq[Column], out: String): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.orderBy(orderBy: _*)
+    val schema = org.apache.spark.sql.types.StructType(
+      sorted.schema.fields :+
+        org.apache.spark.sql.types.StructField(out, org.apache.spark.sql.types.LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(rdd, schema)
   }
+
+  /** `t.sort_index` — the permutation without applying it
+    * (sortation.py:17-69): original position + rank. Built on
+    * [[withRowIndex]]: parallel range-partitioned sort, no global window.
+    */
+  def sortIndex(df: DataFrame, mapping: Seq[(String, Boolean)], mode: String = "excel"): DataFrame =
+    withRowIndex(df, mapping.map { case (c, rev) => sortKey(c, rev, mode) }, "sort_index")
 
   /** `t.is_sorted` (sortation.py:165-177): true iff the frame already obeys
     * the given order in its current (input) row order. Pairwise lag check:
@@ -80,8 +100,7 @@ object Sorts {
     * -1 positions produce all-NULL rows (the reference's None row).
     */
   def reindex(df: DataFrame, positions: DataFrame, posCol: String, orderCol: String): DataFrame = {
-    val w = Window.orderBy(col(orderCol))
-    val numbered = df.withColumn("__pos", row_number().over(w) - 1)
+    val numbered = withRowIndex(df, Seq(col(orderCol)), "__pos")
     positions.join(numbered, col(posCol) === col("__pos"), "left")
       .drop("__pos")
   }

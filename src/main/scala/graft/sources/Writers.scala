@@ -20,8 +20,29 @@ object Writers {
     * exactly the right behavior: never add a shuffle to a big write.
     */
   private def fanOut(df: DataFrame): DataFrame = {
-    val slots = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < slots) df.repartition(slots) else df
+    val spark = df.sparkSession
+    val slots = spark.sparkContext.defaultParallelism
+    // Planning only — never touch df.rdd here. With AQE on, .rdd finalizes
+    // the adaptive plan and EXECUTES every upstream stage; the subsequent
+    // .write is a new QueryExecution with no cross-execution exchange
+    // reuse, so the whole upstream pipeline would run twice per save.
+    val plan = df.queryExecution.sparkPlan
+    val hasExchange = plan.exists {
+      case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => true
+      case _ => false
+    }
+    if (hasExchange) df // shuffle output already lands on ~shuffle.partitions tasks
+    else {
+      // narrow scan-rooted plan: estimate scan parallelism from the leaf
+      // files and size (both metadata — no job). Fan out only when the
+      // scan genuinely under-fills the cluster, i.e. small inputs; a big
+      // input splits to >= slots partitions via maxPartitionBytes anyway.
+      val maxPartBytes = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
+      val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+      val estParts = math.max(df.inputFiles.length.toLong,
+        (bytes / BigInt(maxPartBytes)).toLong)
+      if (estParts < slots) df.repartition(slots) else df
+    }
   }
 
   /** CSV/TSV/TXT by suffix (export_utils.py:153-187; delimiter defaults
