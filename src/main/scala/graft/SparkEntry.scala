@@ -508,18 +508,27 @@ object SparkEntry {
     // ---- dedup / similarity -----------------------------------------
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
+    // planted EXACT copies + threshold 1.0 make banding recall provably
+    // 1.0 (identical shingle sets → identical minhash signatures → every
+    // band collides), so the pair set is deterministic and oracle-able;
+    // the corpus's natural near-dups top out at J≈0.989 < 1.0
     "q_minhash_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val truncated = docs.select((col("doc_id") + 1000000).as("doc_id"),
-        substring(col("text"), 1, 200).as("text"))
-      Dedup.minhashPairs(SetOps.concat(docs, truncated), "doc_id", "text",
-        threshold = 0.5)
+      val copies = docs.select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      Dedup.minhashPairs(SetOps.concat(docs, copies), "doc_id", "text",
+        threshold = 1.0)
     }),
+    // simhash is not SQL-expressible, so the oracle needs a corpus where
+    // the expected pair set is forced: 12 md5-derived tokens per doc —
+    // distinct docs share no tokens (simhash distance ~32 bits), planted
+    // exact copies sit at hamming 0 — so the ≤3 result is exactly the
+    // planted pairs
     "q_simhash_pairs" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val truncated = docs.select((col("doc_id") + 1000000).as("doc_id"),
-        substring(col("text"), 1, 200).as("text"))
-      Dedup.simhashPairs(SetOps.concat(docs, truncated), "doc_id", "text", maxHamming = 3)
+      val base = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws(" ", (0 until 12).map(i =>
+          md5(concat(lit("tok"), col("doc_id").cast("string"), lit(s"-$i")))): _*).as("text"))
+      val copies = base.select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      Dedup.simhashPairs(SetOps.concat(base, copies), "doc_id", "text", maxHamming = 3)
     }),
     "q_ngram_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -558,12 +567,14 @@ object SparkEntry {
         nList = 32, threshold = 0.99).select(col("vec_id"))
     }),
 
+    // exact-copy plant at t=1.0: every component is {d, d+1M} (recall 1.0
+    // by construction, no natural J=1.0 pairs) → survivors are exactly
+    // the originals, so the whole pairs→CC→keep-min pipeline is oracled
     "q_dedup_corpus" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val truncated = docs.select((col("doc_id") + 1000000).as("doc_id"),
-        substring(col("text"), 1, 200).as("text"))
-      val corpus = SetOps.concat(docs, truncated)
-      val pairs = Dedup.minhashPairs(corpus, "doc_id", "text", threshold = 0.5)
+      val copies = docs.select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+      val corpus = SetOps.concat(docs, copies)
+      val pairs = Dedup.minhashPairs(corpus, "doc_id", "text", threshold = 1.0)
       Dedup.dedupedCorpus(corpus, "doc_id", pairs).select(col("doc_id"))
     }),
 
@@ -1230,10 +1241,44 @@ object SparkEntry {
          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
          FROM e a JOIN e b ON a.vec_id < b.vec_id
-         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99"""
-    // rows-only (no SQL oracle): q_minhash_pairs (banding recall 400/417 —
-    // honest approximate contract), q_simhash_pairs, q_ann_lsh, q_ann_ivf,
-    // q_ann_recall, q_ann_ivf_recall, q_multimodal (approximate /
+         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.99""",
+    // q_minhash_pairs: exact-copy plant at t=1.0 — banding recall is
+    // provably 1.0 (identical sigs), so brute-force J>=1.0 is the truth
+    "q_minhash_pairs" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text FROM documents
+         ),
+         grams AS (
+           SELECT doc_id, list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                         FOR i IN range(1, len(tk)-1)]) AS g
+           FROM (SELECT doc_id,
+                   list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+                               x -> x <> '') AS tk
+                 FROM corpus)
+         )
+         SELECT id_a, id_b, jaccard FROM (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.g, b.g))::DOUBLE
+               / len(list_distinct(list_concat(a.g, b.g)))::DOUBLE AS jaccard
+           FROM grams a JOIN grams b
+             ON a.doc_id < b.doc_id AND len(a.g) = len(b.g) AND len(a.g) > 0
+         ) WHERE jaccard >= 1.0""",
+    // q_simhash_pairs: md5-token corpus — distinct docs share no tokens,
+    // so the only pairs within hamming 3 are the planted exact copies
+    "q_simhash_pairs" ->
+      "SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, 0 AS hamming FROM documents",
+    // q_dedup_corpus: components are exactly {d, d+1M} → survivors = originals
+    "q_dedup_corpus" ->
+      "SELECT doc_id FROM documents",
+    // q_multimodal: n_bytes/md5 over the utf-8 payload are engine-neutral
+    "q_multimodal" ->
+      """SELECT doc_id AS media_id, 'text' AS kind,
+         octet_length(CAST(text AS BLOB)) AS n_bytes, md5(text) AS checksum
+         FROM documents"""
+    // rows-only (no SQL oracle): q_ann_lsh, q_ann_ivf, q_ann_pq,
+    // q_ann_recall, q_ann_ivf_recall, q_ann_pq_recall (approximate /
     // engine-specific outputs; q_knn IS oracle-checked — exact top-k)
   )
 }

@@ -106,9 +106,14 @@ object Dedup {
     // distinct shingle count computed ONCE per doc: the scalar Jaccard
     // size-bound (t*|B| <= |A| <= |B|/t) prunes candidate pairs before
     // any array is compared
+    // sz=0 docs (under shingleN tokens) are dropped: they have no signal
+    // for NEAR-dup detection (exact dedup owns them) and would otherwise
+    // all share the empty-array minhash signature — one degenerate
+    // quadratic bucket per corpus
     val sh = docs.select(col(idCol).as("id"),
       Kernels.wordShingles(col(textCol), shingleN).as("sh"))
       .withColumn("sz", size(array_distinct(col("sh"))))
+      .filter(col("sz") > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // only (id, bandkey) goes through the shuffle — never the shingle
     // arrays; band buckets over maxBucket are salted (triangle sub-join),

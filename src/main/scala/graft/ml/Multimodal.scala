@@ -19,7 +19,17 @@ object Multimodal {
   case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte],
       width: Int, height: Int, sample_rate: Int)
   case class MediaFeatures(media_id: Long, kind: String, n_bytes: Long,
-      checksum: Long, feature: Array[Float])
+      checksum: String, feature: Array[Float])
+
+  /** md5 hex of the raw payload — a real content checksum (and cross-
+    * engine verifiable: DuckDB/PostgreSQL md5() produce the same digest).
+    */
+  private def md5Hex(bytes: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    val sb = new StringBuilder(32)
+    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
+    sb.toString
+  }
 
   /** Wrap a binary payload with metadata — the ingest schema. */
   def asMediaTable(df: DataFrame, idCol: String, binCol: String, kind: String): DataFrame =
@@ -50,7 +60,7 @@ object Multimodal {
       it.map { m =>
         val bytes = Option(m.bytes).getOrElse(Array.emptyByteArray)
         MediaFeatures(m.media_id, m.kind, bytes.length.toLong,
-          bytes.foldLeft(0L)((a, b) => a * 31 + b), decodeStub(bytes))
+          md5Hex(bytes), decodeStub(bytes))
       }
     }
   }
@@ -79,7 +89,7 @@ object Multimodal {
         batch.map { m =>
           val bytes = Option(m.bytes).getOrElse(Array.emptyByteArray)
           MediaFeatures(m.media_id, m.kind, bytes.length.toLong,
-            bytes.foldLeft(0L)((a, b) => a * 31 + b), decodeStub(bytes))
+            md5Hex(bytes), decodeStub(bytes))
         }
       }
     }

@@ -37,6 +37,22 @@ object Imputation {
     * no task ever sees more than its own partition.
     */
   private def ffillGlobal(df: DataFrame, targets: Seq[String], orderCols: Seq[Column]): DataFrame = {
+    // same adaptive dispatch as Sorts.withRowIndex: a one-task window is
+    // optimal below the threshold; the boundary-carry shape above it
+    val smallBytes = df.sparkSession.conf
+      .getOption("graft.rowIndex.localThresholdBytes").map(_.toLong)
+      .getOrElse(256L << 20)
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= smallBytes) {
+      val w = Window.orderBy(orderCols: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      return targets.foldLeft(df)((acc, c) =>
+        acc.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    }
+    ffillBoundaryCarry(df, targets, orderCols)
+  }
+
+  /** The unconditional scale path of unkeyed ffill. */
+  private[graft] def ffillBoundaryCarry(df: DataFrame, targets: Seq[String], orderCols: Seq[Column]): DataFrame = {
     val spark = df.sparkSession
     val sorted = df.orderBy(orderCols: _*)
     val schema = sorted.schema

@@ -49,6 +49,21 @@ object Sorts {
     * Window.orderBy(...))` would funnel the whole table through ONE task).
     */
   def withRowIndex(df: DataFrame, orderBy: Seq[Column], out: String): DataFrame = {
+    // adaptive dispatch: below the threshold a one-task window IS the
+    // optimal plan (no extra job, no Row round-trip); above it the
+    // zipWithIndex shape keeps every task bounded by its own partition.
+    // The threshold is a session conf so tests can pin either path.
+    val smallBytes = df.sparkSession.conf
+      .getOption("graft.rowIndex.localThresholdBytes").map(_.toLong)
+      .getOrElse(256L << 20)
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= smallBytes) {
+      val w = Window.orderBy(orderBy: _*)
+      df.withColumn(out, row_number().over(w).cast("long") - 1L)
+    } else withRowIndexDistributed(df, orderBy, out)
+  }
+
+  /** The unconditional scale path of [[withRowIndex]]. */
+  def withRowIndexDistributed(df: DataFrame, orderBy: Seq[Column], out: String): DataFrame = {
     val spark = df.sparkSession
     val sorted = df.orderBy(orderBy: _*)
     val schema = org.apache.spark.sql.types.StructType(

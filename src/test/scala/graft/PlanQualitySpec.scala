@@ -54,6 +54,50 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("row-index scale path matches the window path; sort is range-partitioned") {
+    import spark.implicits._
+    val df = (1 to 5000).map(i => ((i * 2654435761L) % 100000, i)).toDF("k", "v")
+    val viaWindow = df.withColumn("__rn",
+      row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("k"), col("v"))).cast("long") - 1L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._3)
+    val viaDist = graft.operators.Sorts.withRowIndexDistributed(df, Seq(col("k"), col("v")), "__rn")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._3)
+    assert(viaDist === viaWindow)
+    // the distributed path's sort is a parallel range exchange, not the
+    // single-partition funnel a global window would force
+    val sortPlan = df.orderBy(col("k"), col("v")).queryExecution.executedPlan.toString
+    assert(sortPlan.toLowerCase.contains("rangepartitioning"), sortPlan)
+    assert(!sortPlan.contains("SinglePartition"), sortPlan)
+  }
+
+  test("unkeyed ffill boundary-carry matches the window path") {
+    import spark.implicits._
+    val df = (1 to 3000).map { i =>
+      (i, if (i % 7 == 0 || i < 5) None else Some(i * 3)) }.toDF("ord", "x")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("ord"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val viaWindow = df.withColumn("x", last(col("x"), ignoreNulls = true).over(w))
+      .collect().map(r => (r.getInt(0), if (r.isNullAt(1)) null else r.getInt(1))).sortBy(_._1)
+    val viaCarry = graft.operators.Imputation.ffillBoundaryCarry(df, Seq("x"), Seq(col("ord")))
+      .collect().map(r => (r.getInt(0), if (r.isNullAt(1)) null else r.getInt(1))).sortBy(_._1)
+    assert(viaCarry === viaWindow)
+  }
+
+  test("multi-source NN imputation has no global window and no forced broadcast") {
+    import spark.implicits._
+    spark.conf.set("graft.rowIndex.localThresholdBytes", "0")
+    try {
+      val df = (1 to 500).map { i =>
+        (i.toDouble, (i % 37).toDouble, if (i % 5 == 0) None else Some(i * 1.5)) }
+        .toDF("a", "b", "v")
+      val out = graft.operators.Imputation.nearestNeighbour(df, "v", Seq("a", "b"))
+      val p = out.queryExecution.executedPlan.toString
+      assert(!p.contains("Window"), p)
+      assert(out.filter(col("v").isNull).count() === 0)
+    } finally spark.conf.unset("graft.rowIndex.localThresholdBytes")
+  }
+
   test("dedup pair pipelines shuffle band keys, not shingle arrays") {
     val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
     val bandRows = docs.select(col("doc_id"),
