@@ -3,7 +3,7 @@ package graft
 import graft.operators._
 import graft.operators.ColumnSelect.ColSpec
 import graft.operators.Filters.Criterion
-import graft.sources.{Ods, Readers, Tpz, Writers, Xlsx}
+import graft.sources.{Ods, Readers, Tpz, Writers, Xls, Xlsx}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
 
@@ -133,6 +133,8 @@ final case class Tab(df: DataFrame) {
   def toCsv(path: String): Unit = Writers.toCsv(df, path)
   def toTsv(path: String): Unit = Writers.toTsv(df, path)
   def toXlsx(path: String): Unit = Xlsx.writeXlsx(df, path)
+  def toOds(path: String): Unit = Ods.writeOds(df, path)
+  def toTpz(path: String): Unit = Tpz.writeTpz(df, path)
   def toSqlText(tableName: String): String = Writers.toSql(df, tableName)
   def toJsonText: String = Writers.toColumnarJson(df)
   def toHtmlText: String = Writers.toHtml(df)
@@ -147,7 +149,13 @@ object Tab {
     if (lower.endsWith(".parquet")) Tab(spark.read.parquet(path))
     else if (lower.endsWith(".tpz")) Tab(Tpz.readTpz(spark, path,
       guessDatatypes = opts.guessDatatypes))
-    else if (lower.endsWith(".xlsx")) Tab(Xlsx.readXlsx(spark, path,
+    else if (lower.endsWith(".xlsx") || lower.endsWith(".xlsm"))
+      // .xlsm is the same zip/XML package as .xlsx plus a macro part the
+      // reader ignores (reference dispatches both, import_utils.py:633-650)
+      Tab(Xlsx.readXlsx(spark, path,
+        firstRowHasHeaders = opts.firstRowHasHeaders, headerRowIndex = opts.headerRowIndex,
+        skipEmpty = opts.skipEmpty, guessDatatypes = opts.guessDatatypes))
+    else if (lower.endsWith(".xls")) Tab(Xls.readXls(spark, path,
       firstRowHasHeaders = opts.firstRowHasHeaders, headerRowIndex = opts.headerRowIndex,
       skipEmpty = opts.skipEmpty, guessDatatypes = opts.guessDatatypes))
     else if (lower.endsWith(".ods")) Tab(Ods.readOds(spark, path,

@@ -294,12 +294,13 @@ object Ann {
           .as("code"))
   }
 
-  /** IVFADC search: queries collect to the driver (they are the small
-    * probe set, like the centroids), per-(query, probed list) ADC tables
-    * precompute every sub-distance, and the scan costs m byte-indexed
-    * lookups per candidate. Distances are squared L2 over residuals —
-    * the PQ-approximated L2 (ties to cosine only for normalized
-    * vectors; documented).
+  /** IVFADC search, fully distributed: the query table broadcast-joins
+    * the index on the probed list (queries never collect to the driver —
+    * a query TABLE is a first-class input, not an eval artifact), and the
+    * ADC distance is computed per candidate by a codegen'd kernel with
+    * the codebooks as expression constants. Distances are squared L2
+    * over residuals — the PQ-approximated L2 (ties to cosine only for
+    * normalized vectors; documented).
     */
   def pqKnn(
       index: DataFrame,
@@ -311,57 +312,13 @@ object Ann {
       k: Int = 10,
       nProbe: Int = 4,
       codeK: Int = 256): DataFrame = {
-    val spark = index.sparkSession
-    import spark.implicits._
-    val m = flatCodebooks.length
-    val d = coarse.head.length
-    val dsub = d / m
-    val qs = queries.select(col(idCol), col(vecCol)).collect().map { r =>
-      val v = r.getSeq[Any](1).map {
-        case f: Float  => f.toDouble
-        case dd: Double => dd
-        case x         => x.toString.toDouble
-      }.toArray
-      (r.getLong(0), v)
-    }
-    val tables = new java.util.HashMap[String, Array[Float]]()
-    val pairs = qs.flatMap { case (qid, qv) =>
-      // nProbe nearest coarse lists for the query
-      val byDist = coarse.indices.map { ci =>
-        var dist = 0.0
-        var j = 0
-        while (j < d) { val df = qv(j) - coarse(ci)(j); dist += df * df; j += 1 }
-        ci -> dist
-      }.sortBy(_._2).take(nProbe).map(_._1)
-      byDist.map { list =>
-        val tab = new Array[Float](m * codeK)
-        var i = 0
-        while (i < m) {
-          var c = 0
-          while (c < codeK) {
-            var dist = 0.0
-            var j = 0
-            while (j < dsub) {
-              val res = qv(i * dsub + j) - coarse(list)(i * dsub + j)
-              val df = res - flatCodebooks(i)(c * dsub + j)
-              dist += df * df
-              j += 1
-            }
-            tab(i * codeK + c) = dist.toFloat
-            c += 1
-          }
-          i += 1
-        }
-        tables.put(s"$qid:$list", tab)
-        (qid, list)
-      }
-    }
-    val probed = pairs.toSeq.toDF("query_id", "list")
-    val scored = probed.join(index, Seq("list"))
+    val probed = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      explode(Kernels.nearestCentroids(col(vecCol), coarse, nProbe)).as("list"))
+    val scored = index.join(broadcast(probed), Seq("list"))
       .filter(col("query_id") =!= col("neighbour_id"))
       .select(col("query_id"), col("neighbour_id"),
-        Kernels.adcDist(concat_ws(":", col("query_id"), col("list")), col("code"),
-          tables, codeK).as("adc"))
+        Kernels.pqAdcDist(col("qv"), col("list"), col("code"),
+          coarse, flatCodebooks).as("adc"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc").asc, col("neighbour_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)

@@ -127,8 +127,8 @@ object Dedup {
     cand
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a"), col("sz").as("sz_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b"), col("sz").as("sz_b")), Seq("id_b"))
-      .filter(lit(threshold) * col("sz_b") <= col("sz_a") &&
-        lit(threshold) * col("sz_a") <= col("sz_b"))
+      .filter(lit(threshold) * col("sz_b") - lit(1e-9) <= col("sz_a") &&
+        lit(threshold) * col("sz_a") - lit(1e-9) <= col("sz_b"))
       .select(col("id_a"), col("id_b"), Kernels.jaccardSim(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
@@ -215,8 +215,8 @@ object Dedup {
     val candSized = cand
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), Seq("id_a"))
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), Seq("id_b"))
-      .filter(lit(threshold) * col("sz_b") <= col("sz_a") &&
-        lit(threshold) * col("sz_a") <= col("sz_b"))
+      .filter(lit(threshold) * col("sz_b") - lit(1e-9) <= col("sz_a") &&
+        lit(threshold) * col("sz_a") - lit(1e-9) <= col("sz_b"))
       .select("id_a", "id_b")
     candSized
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
@@ -256,22 +256,34 @@ object Dedup {
     val dfTab = posting.groupBy("shingle").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("df"), col("shingle"))
+    // prefix length |d| - ceil(t*|d|) + 1: the t*sz product is computed in
+    // doubles, and at exact-boundary sizes can misround UP (0.1*30 →
+    // 3.0000000000000004 → ceil 4), silently shortening the prefix and
+    // dropping threshold-equal pairs. The 1e-9 nudge makes misrounding
+    // only ever LENGTHEN the prefix — extra candidates, never lost ones.
     val prefix = posting.join(dfTab, Seq("shingle"))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")).cast("int") + 1)
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)).cast("int") + 1)
       .select(col("id"), col("sz"), col("rn"), col("shingle"))
-    // two lossless cuts INSIDE the candidate join, while a pair is still
-    // a handful of ints: the size bound (t*|B| <= |A| <= |B|/t) and
-    // PPJoin's positional filter — matching at prefix positions (ra, rb)
-    // caps the achievable overlap at 1 + min(|A|-ra, |B|-rb), which must
-    // reach the Jaccard-implied minimum t*(|A|+|B|)/(1+t)
-    val cand = prefix.as("x").join(prefix.as("y"), Seq("shingle"))
-      .filter(col("x.id") < col("y.id") &&
-        lit(threshold) * col("y.sz") <= col("x.sz") &&
-        lit(threshold) * col("x.sz") <= col("y.sz") &&
-        (lit(1) + least(col("x.sz") - col("x.rn"), col("y.sz") - col("y.rn"))) * (lit(1.0) + threshold)
-          >= lit(threshold) * (col("x.sz") + col("y.sz")))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+    // The prefix self-join runs through bucketSelfJoin with hardCap=∞:
+    // a hot prefix shingle (one ubiquitous token that survives into many
+    // prefixes) is SALTED into bounded triangle sub-tasks instead of one
+    // straggler posting-list task — recall stays 1.0 because no bucket is
+    // dropped. Then two lossless cuts while a pair is still a handful of
+    // ints: the size bound (t*|B| <= |A| <= |B|/t) and PPJoin's positional
+    // filter — matching at prefix positions (ra, rb) caps the achievable
+    // overlap at 1 + min(|A|-ra, |B|-rb), which must reach the
+    // Jaccard-implied minimum t*(|A|+|B|)/(1+t). Both bounds are loosened
+    // by 1e-9 so float rounding can only ADMIT extra candidates (the exact
+    // verify below keeps the result identical).
+    val cand = bucketSelfJoin(prefix, "shingle", Seq("id", "sz", "rn"),
+        maxBucket = 2000, hardCap = Int.MaxValue)
+      .filter(col("id_a") < col("id_b") &&
+        lit(threshold) * col("sz_b") - lit(1e-9) <= col("sz_a") &&
+        lit(threshold) * col("sz_a") - lit(1e-9) <= col("sz_b") &&
+        (lit(1) + least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b"))) * (lit(1.0) + threshold)
+          >= lit(threshold) * (col("sz_a") + col("sz_b")) - lit(1e-9))
+      .select(col("id_a"), col("id_b"))
       .distinct()
     cand
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))

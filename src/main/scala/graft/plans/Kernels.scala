@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.{ExprBridge => ExpressionUtils}
 import org.apache.spark.sql.types._
@@ -425,22 +425,36 @@ object Kernels {
     out
   }
 
-  /** Asymmetric-distance (ADC) lookup: the per-(query,list) table holds
-    * precomputed sub-distances table[i*codeK + c]; the distance to a
-    * coded vector is m table lookups — no float math per candidate.
+  /** Asymmetric distance (ADC) computed directly from (query vector,
+    * coarse list, residual code): per subspace, the query residual
+    * against the list centroid minus the sub-codebook entry the code
+    * names. Fully distributed — the query rides in a broadcast-joined
+    * row, not a driver-built lookup table (a FAISS-style per-query table
+    * is an executor-local optimization this kernel can grow later).
     */
-  def adcDistEval(
-      tables: java.util.HashMap[String, Array[Float]],
-      key: UTF8String, code: Array[Byte], codeK: Int): Double = {
-    val tab = tables.get(key.toString)
-    if (tab == null) return Double.MaxValue
-    var d = 0.0
+  def pqAdcDistEval(
+      q: ArrayData, list: Int, code: Array[Byte],
+      coarse: Array[Array[Double]], flatCodebooks: Array[Array[Double]],
+      elemKind: Int): Double = {
+    val m = flatCodebooks.length
+    val d = coarse(0).length
+    val dsub = d / m
+    val cc = coarse(list)
+    var dist = 0.0
     var i = 0
-    while (i < code.length) {
-      d += tab(i * codeK + (code(i) & 0xFF))
+    while (i < m) {
+      val cb = flatCodebooks(i)
+      val c = code(i) & 0xFF
+      var j = 0
+      while (j < dsub) {
+        val qv = if (elemKind == 0) q.getFloat(i * dsub + j).toDouble else q.getDouble(i * dsub + j)
+        val df = (qv - cc(i * dsub + j)) - cb(c * dsub + j)
+        dist += df * df
+        j += 1
+      }
       i += 1
     }
-    d
+    dist
   }
 
   private def isGrouping3(s: String, sep: Char): Boolean = {
@@ -712,23 +726,31 @@ object Kernels {
       copy(left = l, right = r)
   }
 
-  /** ADC distance: (table key, code) → double via per-(query,list)
-    * lookup tables broadcast as an expression constant.
+  /** ADC distance: (query vector, coarse list, residual code) → double,
+    * codebooks as codegen reference constants (same pattern as
+    * [[NearestCentroidsExpr]]).
     */
-  case class AdcDistExpr(
-      left: Expression, right: Expression,
-      tables: java.util.HashMap[String, Array[Float]], codeK: Int)
-      extends BinaryExpression {
+  case class PqAdcDistExpr(
+      first: Expression, second: Expression, third: Expression,
+      coarse: Array[Array[Double]], flatCodebooks: Array[Array[Double]])
+      extends TernaryExpression {
     override def dataType: DataType = DoubleType
-    override def nullSafeEval(k: Any, c: Any): Any =
-      adcDistEval(tables, k.asInstanceOf[UTF8String], c.asInstanceOf[Array[Byte]], codeK)
+    @transient private lazy val elemKind =
+      first.dataType.asInstanceOf[ArrayType].elementType match {
+        case FloatType => 0
+        case _         => 1
+      }
+    override def nullSafeEval(q: Any, l: Any, c: Any): Any =
+      pqAdcDistEval(q.asInstanceOf[ArrayData], l.asInstanceOf[Int],
+        c.asInstanceOf[Array[Byte]], coarse, flatCodebooks, elemKind)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-      val tabRef = ctx.addReferenceObj("adcTables", tables, "java.util.HashMap")
-      nullSafeCodeGen(ctx, ev, (k, c) =>
-        s"${ev.value} = graft.plans.Kernels.adcDistEval($tabRef, $k, $c, $codeK);")
+      val coarseRef = ctx.addReferenceObj("pqCoarse", coarse, "double[][]")
+      val cbRef = ctx.addReferenceObj("pqCodebooks", flatCodebooks, "double[][]")
+      nullSafeCodeGen(ctx, ev, (q, l, c) =>
+        s"${ev.value} = graft.plans.Kernels.pqAdcDistEval($q, $l, $c, $coarseRef, $cbRef, $elemKind);")
     }
-    override protected def withNewChildrenInternal(l: Expression, r: Expression): AdcDistExpr =
-      copy(left = l, right = r)
+    override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): PqAdcDistExpr =
+      copy(first = f, second = s, third = t)
   }
 
   /** Bloom-filter membership over a broadcast sketch (the explicit form of
@@ -830,10 +852,11 @@ object Kernels {
       flatCodebooks: Array[Array[Double]], codeK: Int): Column =
     ExpressionUtils.column(PqEncodeExpr(ExpressionUtils.expression(vec),
       ExpressionUtils.expression(list), coarse, flatCodebooks, codeK))
-  def adcDist(key: Column, code: Column,
-      tables: java.util.HashMap[String, Array[Float]], codeK: Int): Column =
-    ExpressionUtils.column(AdcDistExpr(ExpressionUtils.expression(key),
-      ExpressionUtils.expression(code), tables, codeK))
+  def pqAdcDist(qv: Column, list: Column, code: Column,
+      coarse: Array[Array[Double]], flatCodebooks: Array[Array[Double]]): Column =
+    ExpressionUtils.column(PqAdcDistExpr(ExpressionUtils.expression(qv),
+      ExpressionUtils.expression(list), ExpressionUtils.expression(code),
+      coarse, flatCodebooks))
   def bloomMightContain(key: Column, bloom: org.apache.spark.util.sketch.BloomFilter): Column =
     ExpressionUtils.column(BloomMightContainExpr(ExpressionUtils.expression(key), bloom))
   def zValue(cols: Column, boundaries: Array[Array[Double]], bits: Int): Column =

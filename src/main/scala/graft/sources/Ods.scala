@@ -159,4 +159,85 @@ object Ods {
       Xlsx.gridToDf(spark, grid, firstRowHasHeaders, headerRowIndex, skipEmpty, guessDatatypes)
     } finally zip.close()
   }
+
+  private def xmlEscape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;")
+
+  /** Pure-JDK `.ods` writer (the reference's `excel_writer` emits ods via
+    * pyexcel for the .ods suffix — export_utils.py:108-136): one sheet,
+    * header row as strings, typed cells (float / boolean / date with the
+    * proper `office:*-value` attributes). Driver-side with a row cap,
+    * same posture as the xlsx writer.
+    */
+  def writeOds(df: DataFrame, path: String, sheetName: String = "Sheet1",
+      maxRows: Int = 1000000): Unit = {
+    val rows = df.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows, s"writeOds is a driver-side op capped at $maxRows rows")
+    val cols = df.columns
+    val sb = new StringBuilder
+    sb.append("""<?xml version="1.0" encoding="UTF-8"?>""")
+    sb.append("""<office:document-content""")
+    sb.append(""" xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"""")
+    sb.append(""" xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0"""")
+    sb.append(""" xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0" office:version="1.2">""")
+    sb.append("""<office:body><office:spreadsheet>""")
+    sb.append(s"""<table:table table:name="${xmlEscape(sheetName)}">""")
+    def stringCell(v: String): String =
+      s"""<table:table-cell office:value-type="string"><text:p>${xmlEscape(v)}</text:p></table:table-cell>"""
+    sb.append("<table:table-row>")
+    cols.foreach(c => sb.append(stringCell(c)))
+    sb.append("</table:table-row>")
+    rows.foreach { row =>
+      sb.append("<table:table-row>")
+      cols.indices.foreach { i =>
+        if (row.isNullAt(i)) sb.append("<table:table-cell/>")
+        else row.get(i) match {
+          case b: Boolean =>
+            sb.append(s"""<table:table-cell office:value-type="boolean" office:boolean-value="$b"><text:p>$b</text:p></table:table-cell>""")
+          case n: java.lang.Number =>
+            sb.append(s"""<table:table-cell office:value-type="float" office:value="$n"><text:p>$n</text:p></table:table-cell>""")
+          case d: java.sql.Date =>
+            sb.append(s"""<table:table-cell office:value-type="date" office:date-value="$d"><text:p>$d</text:p></table:table-cell>""")
+          case t: java.sql.Timestamp =>
+            val iso = t.toLocalDateTime.toLocalDate.toString + "T" +
+              t.toLocalDateTime.toLocalTime.toString
+            sb.append(s"""<table:table-cell office:value-type="date" office:date-value="$iso"><text:p>$iso</text:p></table:table-cell>""")
+          case other => sb.append(stringCell(other.toString))
+        }
+      }
+      sb.append("</table:table-row>")
+    }
+    sb.append("""</table:table></office:spreadsheet></office:body></office:document-content>""")
+
+    val zip = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(path)))
+    try {
+      // mimetype must be the FIRST entry and STORED (uncompressed) per the
+      // ODF package spec, so sniffers can read it at a fixed offset
+      val mime = "application/vnd.oasis.opendocument.spreadsheet"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val me = new java.util.zip.ZipEntry("mimetype")
+      me.setMethod(java.util.zip.ZipOutputStream.STORED)
+      me.setSize(mime.length)
+      val crc = new java.util.zip.CRC32
+      crc.update(mime)
+      me.setCrc(crc.getValue)
+      zip.putNextEntry(me)
+      zip.write(mime)
+      zip.closeEntry()
+      def put(name: String, content: String): Unit = {
+        zip.putNextEntry(new java.util.zip.ZipEntry(name))
+        zip.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        zip.closeEntry()
+      }
+      put("META-INF/manifest.xml",
+        """<?xml version="1.0" encoding="UTF-8"?>""" +
+          """<manifest:manifest xmlns:manifest="urn:oasis:names:tc:opendocument:xmlns:manifest:1.0" manifest:version="1.2">""" +
+          """<manifest:file-entry manifest:full-path="/" manifest:media-type="application/vnd.oasis.opendocument.spreadsheet"/>""" +
+          """<manifest:file-entry manifest:full-path="content.xml" manifest:media-type="text/xml"/>""" +
+          """</manifest:manifest>""")
+      put("content.xml", sb.toString)
+    } finally zip.close()
+  }
 }

@@ -166,4 +166,115 @@ object Tpz {
       if (guessDatatypes) graft.functions.TypeInference.applyBestTypes(typed) else typed
     } finally zip.close()
   }
+
+  // ---- writer ---------------------------------------------------------
+
+  /** NPY v1 page: magic + padded header dict + little-endian buffer. */
+  private def npyBytes(descr: String, n: Int, body: ByteBuffer): Array[Byte] = {
+    val dict = s"{'descr': '$descr', 'fortran_order': False, 'shape': ($n,), }"
+    // total header (magic 8 + len 2 + dict + pad + \n) must be a multiple of 64
+    val unpadded = 10 + dict.length + 1
+    val pad = (64 - unpadded % 64) % 64
+    val header = dict + (" " * pad) + "\n"
+    val out = ByteBuffer.allocate(10 + header.length + body.position())
+      .order(ByteOrder.LITTLE_ENDIAN)
+    out.put(0x93.toByte).put("NUMPY".getBytes(StandardCharsets.US_ASCII))
+      .put(1.toByte).put(0.toByte)
+      .putShort(header.length.toShort)
+      .put(header.getBytes(StandardCharsets.US_ASCII))
+    body.flip()
+    out.put(body)
+    out.array()
+  }
+
+  private val NaT = Long.MinValue
+
+  /** One column of collected values → an .npy page. Type mapping follows
+    * numpy's own None coercion where the reference would fall back to a
+    * pickled object page (which [[readNpy]] rejects): null-bearing ints
+    * promote to f8/NaN, null-bearing bools/strings become `<U` pages
+    * with the empty string as null; dates/timestamps carry NaT natively.
+    */
+  private def columnPage(values: Array[Any], dt: org.apache.spark.sql.types.DataType): Array[Byte] = {
+    import org.apache.spark.sql.types._
+    val n = values.length
+    val hasNull = values.exists(_ == null)
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType if !hasNull =>
+        val b = ByteBuffer.allocate(8 * n).order(ByteOrder.LITTLE_ENDIAN)
+        values.foreach(v => b.putLong(v.asInstanceOf[Number].longValue))
+        npyBytes("<i8", n, b)
+      case LongType | IntegerType | ShortType | ByteType | DoubleType | FloatType | _: DecimalType =>
+        val b = ByteBuffer.allocate(8 * n).order(ByteOrder.LITTLE_ENDIAN)
+        values.foreach(v => b.putDouble(
+          if (v == null) Double.NaN else v.asInstanceOf[Number].doubleValue))
+        npyBytes("<f8", n, b)
+      case BooleanType if !hasNull =>
+        val b = ByteBuffer.allocate(n).order(ByteOrder.LITTLE_ENDIAN)
+        values.foreach(v => b.put(if (v.asInstanceOf[Boolean]) 1.toByte else 0.toByte))
+        npyBytes("|b1", n, b)
+      case DateType =>
+        val b = ByteBuffer.allocate(8 * n).order(ByteOrder.LITTLE_ENDIAN)
+        values.foreach(v => b.putLong(
+          if (v == null) NaT else v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay))
+        npyBytes("<M8[D]", n, b)
+      case TimestampType =>
+        val b = ByteBuffer.allocate(8 * n).order(ByteOrder.LITTLE_ENDIAN)
+        values.foreach { v =>
+          if (v == null) b.putLong(NaT)
+          else {
+            val t = v.asInstanceOf[java.sql.Timestamp]
+            b.putLong(t.getTime * 1000L + (t.getNanos / 1000L) % 1000L)
+          }
+        }
+        npyBytes("<M8[us]", n, b)
+      case _ => // strings, null-bearing bools, everything else: fixed-width unicode
+        val strs = values.map(v => if (v == null) "" else v.toString)
+        val cps = strs.map(s => s.codePoints().toArray)
+        val width = math.max(1, cps.map(_.length).maxOption.getOrElse(1))
+        val b = ByteBuffer.allocate(4 * width * n).order(ByteOrder.LITTLE_ENDIAN)
+        cps.foreach { a =>
+          var i = 0
+          while (i < width) { b.putInt(if (i < a.length) a(i) else 0); i += 1 }
+        }
+        npyBytes(s"<U$width", n, b)
+    }
+  }
+
+  /** `.tpz` writer (base.py:1350-1418): `table.yml` manifest + one `.npy`
+    * page per (column, pageSize) chunk, in the reference's layout so a
+    * tablite user can `Table.load` the file. Driver-side with a row cap —
+    * the reference's save materializes pages the same way; parquet is the
+    * scale format here.
+    */
+  def writeTpz(df: DataFrame, path: String, pageSize: Int = 1000000,
+      maxRows: Int = 10000000): Unit = {
+    val rows = df.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows, s"writeTpz is a driver-side op capped at $maxRows rows")
+    val fields = df.schema.fields
+    val zip = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(path)))
+    try {
+      val colPages = fields.zipWithIndex.map { case (f, ci) =>
+        val values = rows.map(_.get(ci))
+        val chunks = if (values.isEmpty) Seq(values) else values.grouped(pageSize).toSeq
+        f.name -> chunks.zipWithIndex.map { case (chunk, pi) =>
+          s"page_${ci}_$pi.npy" -> columnPage(chunk, f.dataType)
+        }
+      }
+      val yml = "columns:\n" + colPages.map { case (name, pages) =>
+        s"  $name:\n    pages: [${pages.map(_._1).mkString(", ")}]"
+      }.mkString("\n") + "\n"
+      zip.putNextEntry(new java.util.zip.ZipEntry("table.yml"))
+      zip.write(yml.getBytes(StandardCharsets.UTF_8))
+      zip.closeEntry()
+      colPages.foreach { case (_, pages) =>
+        pages.foreach { case (pname, bytes) =>
+          zip.putNextEntry(new java.util.zip.ZipEntry(pname))
+          zip.write(bytes)
+          zip.closeEntry()
+        }
+      }
+    } finally zip.close()
+  }
 }

@@ -1,0 +1,400 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Legacy Excel 97-2003 `.xls` reader: BIFF8 records inside an OLE2
+  * compound-file (CFB) container, pure JDK — a clean-room implementation
+  * from the public MS-CFB / MS-XLS specifications. The reference
+  * dispatches `.xls`/`.xlsm` alongside `.xlsx` (tablite
+  * import_utils.py:633-650, core.py:50-218); `.xlsm` is zip/XML like
+  * xlsx and routes through [[Xlsx.readXlsx]], so this file only covers
+  * the binary BIFF8 generation.
+  *
+  * Like the xlsx/ods readers this parses driver-side: spreadsheets are
+  * interchange files (bounded by Excel's 1,048,576-row ceiling), not
+  * scale inputs; the resulting DataFrame distributes from there.
+  *
+  * Supported records: SST/CONTINUE (with the per-CONTINUE grbit rule for
+  * strings split across records), LABELSST, LABEL, NUMBER, RK, MULRK,
+  * BOOLERR, FORMULA cached results (+ STRING), BLANK/MULBLANK,
+  * BOUNDSHEET, FORMAT/XF for serial-date detection (builtin ids + custom
+  * y/m/d/h/s token sniffing, matching the xlsx reader's rules).
+  */
+object Xls {
+
+  // ---- OLE2 / CFB container -----------------------------------------
+
+  private final val EndOfChain = 0xFFFFFFFE
+  private final val FreeSect = 0xFFFFFFFF
+
+  private class Cfb(bytes: Array[Byte]) {
+    require(bytes.length >= 512 &&
+      (bytes(0) & 0xFF) == 0xD0 && (bytes(1) & 0xFF) == 0xCF &&
+      (bytes(2) & 0xFF) == 0x11 && (bytes(3) & 0xFF) == 0xE0,
+      "not an OLE2 compound file (bad magic)")
+
+    private def u16(off: Int): Int = (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8)
+    private def i32(off: Int): Int =
+      (bytes(off) & 0xFF) | ((bytes(off + 1) & 0xFF) << 8) |
+      ((bytes(off + 2) & 0xFF) << 16) | ((bytes(off + 3) & 0xFF) << 24)
+
+    val sectorSize: Int = 1 << u16(30)
+    val miniSectorSize: Int = 1 << u16(32)
+    val miniCutoff: Int = i32(56)
+    private val firstDirSector = i32(48)
+    private val firstMiniFatSector = i32(60)
+    private val numMiniFatSectors = i32(64)
+    private val firstDifatSector = i32(68)
+    private val numDifatSectors = i32(72)
+
+    private def sectorOff(sid: Int): Int = (sid + 1) * sectorSize
+
+    // FAT sector list: 109 header DIFAT entries + chained DIFAT sectors
+    private val fat: Array[Int] = {
+      val fatSectors = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var i = 0
+      while (i < 109) {
+        val s = i32(76 + i * 4)
+        if (s != FreeSect && s != EndOfChain) fatSectors += s
+        i += 1
+      }
+      var difat = firstDifatSector
+      var guard = 0
+      while (difat != EndOfChain && difat != FreeSect && guard <= numDifatSectors) {
+        val base = sectorOff(difat)
+        val perSector = sectorSize / 4 - 1
+        var j = 0
+        while (j < perSector) {
+          val s = i32(base + j * 4)
+          if (s != FreeSect && s != EndOfChain) fatSectors += s
+          j += 1
+        }
+        difat = i32(base + perSector * 4)
+        guard += 1
+      }
+      val entries = new Array[Int](fatSectors.length * (sectorSize / 4))
+      var k = 0
+      fatSectors.foreach { fs =>
+        val base = sectorOff(fs)
+        var j = 0
+        while (j < sectorSize / 4) { entries(k) = i32(base + j * 4); j += 1; k += 1 }
+      }
+      entries
+    }
+
+    private def chainBytes(start: Int, size: Long): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      var sid = start
+      var guard = 0
+      val maxSectors = bytes.length / sectorSize + 2
+      while (sid != EndOfChain && sid != FreeSect && guard < maxSectors) {
+        val off = sectorOff(sid)
+        out.write(bytes, off, math.min(sectorSize, bytes.length - off))
+        sid = fat(sid)
+        guard += 1
+      }
+      val all = out.toByteArray
+      if (size >= 0 && size < all.length) java.util.Arrays.copyOf(all, size.toInt) else all
+    }
+
+    // directory entries: (name, objType, startSector, size)
+    private val dirEntries: Seq[(String, Int, Int, Long)] = {
+      val dir = chainBytes(firstDirSector, -1L)
+      (0 until dir.length / 128).map { e =>
+        val base = e * 128
+        val nameLen = (dir(base + 64) & 0xFF) | ((dir(base + 65) & 0xFF) << 8)
+        val name = if (nameLen >= 2)
+          new String(dir, base, nameLen - 2, java.nio.charset.StandardCharsets.UTF_16LE)
+        else ""
+        val objType = dir(base + 66) & 0xFF
+        val start = (dir(base + 116) & 0xFF) | ((dir(base + 117) & 0xFF) << 8) |
+          ((dir(base + 118) & 0xFF) << 16) | ((dir(base + 119) & 0xFF) << 24)
+        val size = (0 until 8).map(i => (dir(base + 120 + i) & 0xFFL) << (8 * i)).sum
+        (name, objType, start, size)
+      }
+    }
+
+    private lazy val miniFat: Array[Int] = {
+      val mf = chainBytes(firstMiniFatSector, numMiniFatSectors.toLong * sectorSize)
+      Array.tabulate(mf.length / 4)(i =>
+        (mf(i * 4) & 0xFF) | ((mf(i * 4 + 1) & 0xFF) << 8) |
+        ((mf(i * 4 + 2) & 0xFF) << 16) | ((mf(i * 4 + 3) & 0xFF) << 24))
+    }
+
+    private lazy val miniStream: Array[Byte] = {
+      val root = dirEntries.find(_._2 == 5).getOrElse(
+        throw new IllegalArgumentException("CFB: no root directory entry"))
+      chainBytes(root._3, root._4)
+    }
+
+    def stream(names: Seq[String]): Option[Array[Byte]] =
+      dirEntries.find(e => e._2 == 2 && names.contains(e._1)).map { case (_, _, start, size) =>
+        if (size >= miniCutoff) chainBytes(start, size)
+        else {
+          // mini-FAT chain over the root's mini stream (64-byte sectors)
+          val out = new java.io.ByteArrayOutputStream()
+          var sid = start
+          var guard = 0
+          while (sid != EndOfChain && sid != FreeSect && guard < miniFat.length + 2) {
+            val off = sid * miniSectorSize
+            out.write(miniStream, off, math.min(miniSectorSize, miniStream.length - off))
+            sid = if (sid < miniFat.length) miniFat(sid) else EndOfChain
+            guard += 1
+          }
+          val all = out.toByteArray
+          if (size < all.length) java.util.Arrays.copyOf(all, size.toInt) else all
+        }
+      }
+  }
+
+  // ---- BIFF8 record stream ------------------------------------------
+
+  private def u16(b: Array[Byte], off: Int): Int = (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+  private def i32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) | ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+  private def f64(b: Array[Byte], off: Int): Double = {
+    var bits = 0L
+    var i = 7
+    while (i >= 0) { bits = (bits << 8) | (b(off + i) & 0xFFL); i -= 1 }
+    java.lang.Double.longBitsToDouble(bits)
+  }
+
+  /** RK number: 30-bit payload, bit0 = ÷100, bit1 = integer-vs-float. */
+  private def rkValue(rk: Int): Double = {
+    val base =
+      if ((rk & 2) != 0) (rk >> 2).toDouble
+      else java.lang.Double.longBitsToDouble((rk.toLong & 0xFFFFFFFCL) << 32)
+    if ((rk & 1) != 0) base / 100.0 else base
+  }
+
+  private case class Record(id: Int, data: Array[Byte])
+
+  private def records(stream: Array[Byte], from: Int): Iterator[Record] = new Iterator[Record] {
+    private var pos = from
+    def hasNext: Boolean = pos + 4 <= stream.length
+    def next(): Record = {
+      val id = u16(stream, pos)
+      val len = u16(stream, pos + 2)
+      val data = java.util.Arrays.copyOfRange(stream, pos + 4, math.min(pos + 4 + len, stream.length))
+      pos += 4 + len
+      Record(id, data)
+    }
+  }
+
+  /** Cursor over the SST record's data followed by its CONTINUE records'
+    * data. Strings may split across the record boundary — at character
+    * granularity only, and each CONTINUE restarts with a fresh grbit
+    * byte that re-declares the compression of the REMAINDER of the
+    * in-flight string (MS-XLS 2.5.293).
+    */
+  private class SegCursor(segs: Array[Array[Byte]]) {
+    private var si = 0
+    private var off = 0
+    private def seg = segs(si)
+    private def ensure(): Unit = {
+      while (off >= seg.length && si < segs.length - 1) { si += 1; off = 0 }
+    }
+    def hasMore: Boolean = { ensure(); off < seg.length }
+    def atSegBoundary: Boolean = { ensure(); off == 0 && si > 0 }
+    def u8(): Int = { ensure(); val v = seg(off) & 0xFF; off += 1; v }
+    def u16v(): Int = u8() | (u8() << 8)
+    def i32v(): Int = u8() | (u8() << 8) | (u8() << 16) | (u8() << 24)
+    def skip(n: Int): Unit = { var i = 0; while (i < n) { u8(); i += 1 } }
+
+    /** XLUnicodeRichExtendedString (the SST entry form). */
+    def readString(): String = {
+      val cch = u16v()
+      val flags = u8()
+      var high = (flags & 1) != 0
+      val rich = (flags & 8) != 0
+      val ext = (flags & 4) != 0
+      val cRun = if (rich) u16v() else 0
+      val cbExt = if (ext) i32v() else 0
+      val sb = new java.lang.StringBuilder(cch)
+      var remaining = cch
+      while (remaining > 0) {
+        ensure()
+        if (atSegBoundary) high = (u8() & 1) != 0 // fresh grbit after CONTINUE split
+        val c = if (high) (u8() | (u8() << 8)).toChar else u8().toChar
+        sb.append(c)
+        remaining -= 1
+      }
+      skip(cRun * 4)
+      skip(cbExt)
+      sb.toString
+    }
+  }
+
+  /** Short string (BOUNDSHEET sheet name): u8 length + grbit + chars. */
+  private def shortString(b: Array[Byte], off: Int): String = {
+    val cch = b(off) & 0xFF
+    val high = (b(off + 1) & 1) != 0
+    if (high) new String(b, off + 2, cch * 2, java.nio.charset.StandardCharsets.UTF_16LE)
+    else new String(b, off + 2, cch, java.nio.charset.StandardCharsets.ISO_8859_1)
+  }
+
+  /** Long string inline in a record (LABEL, FORMAT, STRING). */
+  private def longString(b: Array[Byte], off: Int): String = {
+    val cch = u16(b, off)
+    val high = (b(off + 2) & 1) != 0
+    if (high) new String(b, off + 3, cch * 2, java.nio.charset.StandardCharsets.UTF_16LE)
+    else new String(b, off + 3, cch, java.nio.charset.StandardCharsets.ISO_8859_1)
+  }
+
+  // ---- the reader ----------------------------------------------------
+
+  private case class Globals(
+      sst: IndexedSeq[String],
+      sheets: Seq[(String, Int)],           // name -> BOF offset
+      xfKind: IndexedSeq[Int])              // xf index -> 0/1/2 (like dateStyles)
+
+  private def parseGlobals(wb: Array[Byte]): Globals = {
+    val sst = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sheets = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+    val formats = scala.collection.mutable.Map.empty[Int, Int] // ifmt -> kind
+    val xfFmts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val it = records(wb, 0)
+    val pending = scala.collection.mutable.ArrayBuffer.empty[Record]
+    var collectingSst = false
+    def flushSst(): Unit = if (pending.nonEmpty) {
+      val cur = new SegCursor(pending.map(_.data).toArray)
+      cur.i32v() // total refs
+      val unique = cur.i32v()
+      var i = 0
+      while (i < unique && cur.hasMore) { sst += cur.readString(); i += 1 }
+      pending.clear()
+    }
+    var depth = 0
+    while (it.hasNext) {
+      val r = it.next()
+      if (collectingSst && r.id != 0x003C) { collectingSst = false; flushSst() }
+      r.id match {
+        case 0x0809 => depth += 1           // BOF (globals, then each sheet)
+        case 0x000A => depth -= 1; if (depth <= 0) return Globals(sst.toIndexedSeq, sheets.toSeq, xfFmts.map(f =>
+          if (Xlsx.builtinDateOnly(f)) 1
+          else if (Xlsx.builtinDateTime(f)) 2
+          else formats.getOrElse(f, 0)).toIndexedSeq)
+        case 0x00FC => pending += r; collectingSst = true   // SST
+        case 0x003C if collectingSst => pending += r        // CONTINUE
+        case 0x0085 =>                       // BOUNDSHEET
+          sheets += shortString(r.data, 6) -> i32(r.data, 0)
+        case 0x041E =>                       // FORMAT
+          val ifmt = u16(r.data, 0)
+          val code = longString(r.data, 2)
+          val bare = code.replaceAll("\"[^\"]*\"", "").replaceAll("\\[[^\\]]*\\]", "")
+          val hasDate = bare.exists(c => "ymd".contains(c.toLower))
+          val hasTime = bare.exists(c => "hs".contains(c.toLower))
+          if (hasTime) formats(ifmt) = 2 else if (hasDate) formats(ifmt) = 1
+        case 0x00E0 =>                       // XF
+          xfFmts += u16(r.data, 2)
+        case _ =>
+      }
+    }
+    flushSst()
+    Globals(sst.toIndexedSeq, sheets.toSeq, xfFmts.map(f =>
+      if (Xlsx.builtinDateOnly(f)) 1
+      else if (Xlsx.builtinDateTime(f)) 2
+      else formats.getOrElse(f, 0)).toIndexedSeq)
+  }
+
+  private def parseSheet(wb: Array[Byte], bofOff: Int, g: Globals): Seq[Array[String]] = {
+    val cells = scala.collection.mutable.Map.empty[(Int, Int), String]
+    def kind(ixfe: Int): Int = if (ixfe >= 0 && ixfe < g.xfKind.length) g.xfKind(ixfe) else 0
+    def putNum(row: Int, c: Int, ixfe: Int, v: Double): Unit =
+      cells((row, c)) =
+        if (kind(ixfe) > 0) Xlsx.serialToIso(v, kind(ixfe))
+        else Xlsx.numToString(if (v == math.rint(v) && math.abs(v) < 1e15) math.round(v).toString else v.toString)
+    val it = records(wb, bofOff)
+    var depth = 0
+    var pendingStringCell: (Int, Int) = null
+    var started = false
+    while (it.hasNext) {
+      val r = it.next()
+      r.id match {
+        case 0x0809 => depth += 1; started = true
+        case 0x000A => depth -= 1; if (started && depth <= 0) return toGrid(cells)
+        case 0x00FD => // LABELSST
+          val isst = i32(r.data, 6)
+          if (isst >= 0 && isst < g.sst.length)
+            cells((u16(r.data, 0), u16(r.data, 2))) = g.sst(isst)
+        case 0x0204 => // LABEL (inline string, pre-SST producers)
+          cells((u16(r.data, 0), u16(r.data, 2))) = longString(r.data, 6)
+        case 0x0203 => // NUMBER
+          putNum(u16(r.data, 0), u16(r.data, 2), u16(r.data, 4), f64(r.data, 6))
+        case 0x027E => // RK
+          putNum(u16(r.data, 0), u16(r.data, 2), u16(r.data, 4), rkValue(i32(r.data, 6)))
+        case 0x00BD => // MULRK: rw, colFirst, (ixfe+rk)*, colLast
+          val row = u16(r.data, 0)
+          val colFirst = u16(r.data, 2)
+          val n = (r.data.length - 6) / 6
+          var i = 0
+          while (i < n) {
+            putNum(row, colFirst + i, u16(r.data, 4 + i * 6), rkValue(i32(r.data, 6 + i * 6)))
+            i += 1
+          }
+        case 0x0205 => // BOOLERR: rw, col, ixfe, bBoolErr, fError
+          val isBool = (r.data(7) & 0xFF) == 0
+          if (isBool)
+            cells((u16(r.data, 0), u16(r.data, 2))) = if (r.data(6) != 0) "true" else "false"
+        case 0x0006 => // FORMULA: cached result in bytes 6..13
+          val row = u16(r.data, 0); val c = u16(r.data, 2); val ixfe = u16(r.data, 4)
+          if (u16(r.data, 12) == 0xFFFF) {
+            (r.data(6) & 0xFF) match {
+              case 0 => pendingStringCell = (row, c)   // value in next STRING record
+              case 1 => cells((row, c)) = if (r.data(8) != 0) "true" else "false"
+              case _ =>                                // error / empty string
+            }
+          } else putNum(row, c, ixfe, f64(r.data, 6))
+        case 0x0207 if pendingStringCell != null => // STRING (formula result)
+          cells(pendingStringCell) = longString(r.data, 0)
+          pendingStringCell = null
+        case _ => // BLANK/MULBLANK/ROW/DIMENSIONS etc: no value
+      }
+    }
+    toGrid(cells)
+  }
+
+  private def toGrid(cells: scala.collection.mutable.Map[(Int, Int), String]): Seq[Array[String]] = {
+    if (cells.isEmpty) return Seq.empty
+    val maxRow = cells.keys.map(_._1).max
+    val width = cells.keys.map(_._2).max + 1
+    (0 to maxRow).map { r =>
+      val arr = new Array[String](width)
+      cells.foreach { case ((rr, cc), v) => if (rr == r) arr(cc) = v }
+      arr
+    }
+  }
+
+  def sheetNames(path: String): Seq[String] = {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val wb = new Cfb(bytes).stream(Seq("Workbook", "Book")).getOrElse(
+      throw new IllegalArgumentException(s"no Workbook stream in $path"))
+    parseGlobals(wb).sheets.map(_._1)
+  }
+
+  /** The reader — same option surface as [[Xlsx.readXlsx]]; shares its
+    * grid→typed-DataFrame plumbing so xls infers exactly like xlsx/csv.
+    */
+  def readXls(
+      spark: SparkSession,
+      path: String,
+      sheet: Option[String] = None,
+      firstRowHasHeaders: Boolean = true,
+      headerRowIndex: Int = 0,
+      skipEmpty: String = "NONE",
+      guessDatatypes: Boolean = true): DataFrame = {
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val wb = new Cfb(bytes).stream(Seq("Workbook", "Book")).getOrElse(
+      throw new IllegalArgumentException(s"no Workbook stream in $path"))
+    val g = parseGlobals(wb)
+    require(g.sheets.nonEmpty, s"no sheets in $path")
+    val bof = sheet match {
+      case Some(name) => g.sheets.find(_._1 == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"sheet '$name' not found; have ${g.sheets.map(_._1).mkString(", ")}"))._2
+      case None => g.sheets.head._2
+    }
+    val grid = parseSheet(wb, bof, g)
+    Xlsx.gridToDf(spark, grid, firstRowHasHeaders, headerRowIndex, skipEmpty, guessDatatypes)
+  }
+}

@@ -95,8 +95,8 @@ object Xlsx {
     out.toIndexedSeq
   }
 
-  private val builtinDateOnly = Set(14, 15, 16, 17)
-  private val builtinDateTime = Set(18, 19, 20, 21, 22, 45, 46, 47)
+  private[sources] val builtinDateOnly = Set(14, 15, 16, 17)
+  private[sources] val builtinDateTime = Set(18, 19, 20, 21, 22, 45, 46, 47)
 
   /** style index → 0 (not temporal) / 1 (date-only) / 2 (datetime) via
     * cellXfs numFmtId resolution; custom formats classified by tokens
@@ -154,7 +154,7 @@ object Xlsx {
     * epoch 1899-12-30 (the 1900-leap-bug-adjusted base every modern
     * reader uses).
     */
-  private def serialToIso(serial: Double, kind: Int): String = {
+  private[sources] def serialToIso(serial: Double, kind: Int): String = {
     val days = math.floor(serial).toLong
     val frac = serial - days
     val date = LocalDate.of(1899, 12, 30).plusDays(days)
@@ -166,7 +166,7 @@ object Xlsx {
     }
   }
 
-  private def numToString(s: String): String = {
+  private[sources] def numToString(s: String): String = {
     val d = s.toDouble
     if (d == math.rint(d) && math.abs(d) < 1e15 && !s.toLowerCase.contains("e") && !s.contains("."))
       s // integral literal stays integral

@@ -36,4 +36,31 @@ class OdsSpec extends SparkSpec {
     assert(Ods.readOds(spark, p, skipEmpty = "ALL", guessDatatypes = false).count() === 3)
     assert(Ods.readOds(spark, p, skipEmpty = "ANY", guessDatatypes = false).count() === 2)
   }
+
+  test("writeOds roundtrip: typed columns survive write → read → infer") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      ("widget", 7L, 1.5, true, "2023-03-15", "2023-03-15 18:00:00"),
+      ("gadget", 9L, 8.25, false, "2023-03-16", "2023-03-16 06:30:00"))
+      .toDF("name", "qty", "price", "flag", "d", "ts")
+      .withColumn("d", col("d").cast("date"))
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val p = java.nio.file.Files.createTempFile("graft", ".ods").toString
+    Ods.writeOds(df, p)
+    val back = Ods.readOds(spark, p)
+    assert(back.columns.toSeq === df.columns.toSeq)
+    assert(back.schema.fields.map(_.dataType.simpleString).toSeq ===
+      Seq("string", "bigint", "double", "boolean", "date", "timestamp"))
+    val a = df.orderBy("name").collect().map(_.toSeq)
+    val b = back.orderBy("name").collect().map(_.toSeq)
+    assert(a === b)
+    // the package is a spec-conforming ODF zip: mimetype first + stored
+    val zf = new java.util.zip.ZipFile(p)
+    try {
+      val first = zf.entries().nextElement()
+      assert(first.getName === "mimetype")
+      assert(first.getMethod === java.util.zip.ZipEntry.STORED)
+    } finally zf.close()
+  }
 }
