@@ -83,31 +83,73 @@ object Sorts {
     withRowIndex(df, mapping.map { case (c, rev) => sortKey(c, rev, mode) }, "sort_index")
 
   /** `t.is_sorted` (sortation.py:165-177): true iff the frame already obeys
-    * the given order in its current (input) row order. Pairwise lag check:
-    * each row's keys must not sort strictly before its predecessor's.
-    * The global window is a diagnostic-op tradeoff; the scale path is the
-    * same lag check per partition + a tiny driver-side boundary merge.
+    * the given order in its current (input) row order. Scale shape: the
+    * pairwise prev≤cur check runs per partition (`monotonically_increasing_id`
+    * is ordered within a partition by construction), and partition FIRST/LAST
+    * boundary rows — numPartitions of them — merge with one tiny
+    * aggregation; no global window, no single-task funnel.
     */
   def isSorted(df: DataFrame, mapping: Seq[(String, Boolean)], mode: String = "excel"): Boolean = {
     val nullsLast = mode.toLowerCase == "excel"
     val withIn = df.withColumn("__in", monotonically_increasing_id())
-    val w = Window.orderBy(col("__in"))
+      .withColumn("__pid", spark_partition_id())
+    val w = Window.partitionBy(col("__pid")).orderBy(col("__in"))
     // lexicographic "prev <= cur" under per-column direction + null placement
     def nullRank(x: Column): Column =
       if (nullsLast) when(x.isNull, 1).otherwise(0) else when(x.isNull, 0).otherwise(1)
-    val ok: Column = mapping.foldRight(lit(true)) { case ((c, rev), rest) =>
-      val curRaw = if (mode.toLowerCase == "alphanumeric") col(c).cast("string") else col(c)
-      val cur = curRaw
-      val prv = lag(cur, 1).over(w)
+    def key(c: String): Column =
+      if (mode.toLowerCase == "alphanumeric") col(c).cast("string") else col(c)
+    def pairOk(prev: String => Column): Column =
+      mapping.foldRight(lit(true)) { case ((c, rev), rest) =>
+        val cur = key(c)
+        val prv = prev(c)
+        val (lo, hi) = if (rev) (cur, prv) else (prv, cur)
+        val strictBefore = coalesce(
+          (nullRank(lo) < nullRank(hi)) || (nullRank(lo) === nullRank(hi) && lo < hi),
+          lit(false))
+        strictBefore || ((prv <=> cur) && rest)
+      }
+    val ok = pairOk(c => lag(key(c), 1).over(w))
+    val prevExists = lag(lit(1), 1).over(w).isNotNull
+    val localSorted = withIn.withColumn("__ok", !prevExists || ok)
+      .filter(!col("__ok")).isEmpty
+    if (!localSorted) return false
+    // boundary merge: last row of partition p vs first row of partition p+1
+    val wAsc = Window.partitionBy(col("__pid")).orderBy(col("__in"))
+    val wDesc = Window.partitionBy(col("__pid")).orderBy(col("__in").desc)
+    val firsts = withIn.withColumn("__rn", row_number().over(wAsc)).filter(col("__rn") === 1)
+    val lasts = withIn.withColumn("__rn", row_number().over(wDesc)).filter(col("__rn") === 1)
+    // empty partitions leave pid gaps — densify over the (numPartitions-
+    // sized, bounded) pid set so adjacent non-empty partitions pair up
+    val pidRank = withIn.select(col("__pid")).distinct()
+      .withColumn("__dense", row_number().over(Window.orderBy(col("__pid"))))
+    val edges = lasts.join(pidRank, "__pid").alias("a")
+      .join(firsts.join(pidRank, "__pid").alias("b"),
+        col("a.__dense") + 1 === col("b.__dense"))
+    boundaryOk(edges, mapping, mode)
+  }
+
+  /** prev-row (a.*) ≤ cur-row (b.*) lexicographic check on the joined
+    * partition-boundary frame.
+    */
+  private def boundaryOk(edges: DataFrame, mapping: Seq[(String, Boolean)], mode: String): Boolean = {
+    val nullsLast = mode.toLowerCase == "excel"
+    def nullRank(x: Column): Column =
+      if (nullsLast) when(x.isNull, 1).otherwise(0) else when(x.isNull, 0).otherwise(1)
+    def key(side: String, c: String): Column = {
+      val k = col(s"$side.$c")
+      if (mode.toLowerCase == "alphanumeric") k.cast("string") else k
+    }
+    val ok = mapping.foldRight(lit(true)) { case ((c, rev), rest) =>
+      val prv = key("a", c)
+      val cur = key("b", c)
       val (lo, hi) = if (rev) (cur, prv) else (prv, cur)
       val strictBefore = coalesce(
         (nullRank(lo) < nullRank(hi)) || (nullRank(lo) === nullRank(hi) && lo < hi),
         lit(false))
-      val eq = prv <=> cur
-      strictBefore || (eq && rest)
+      strictBefore || ((prv <=> cur) && rest)
     }
-    val prevExists = lag(lit(1), 1).over(w).isNotNull
-    withIn.withColumn("__ok", !prevExists || ok).filter(!col("__ok")).isEmpty
+    edges.filter(!ok).isEmpty
   }
 
   /** `t.reindex(index)` — gather rows by position array (reindex.py:8-50).
