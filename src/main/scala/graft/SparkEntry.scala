@@ -578,6 +578,17 @@ object SparkEntry {
       Dedup.dedupedCorpus(corpus, "doc_id", pairs).select(col("doc_id"))
     }),
 
+    // benchmark decontamination: excerpts of every 25th doc form the
+    // "benchmark"; docs containing any of its 8-grams are removed. Exact
+    // operator (bloom prune + exact join) → full SQL oracle.
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") % 25 === 0)
+        .select(substring(col("text"), 50, 300).as("bench_text"))
+      graft.ml.Decontaminate.decontaminate(docs, "doc_id", "text", bench, "bench_text", n = 8)
+        .select(col("doc_id"))
+    }),
+
     // ---- similarity search ------------------------------------------
     "q_ann_recall" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -1265,6 +1276,35 @@ object SparkEntry {
            FROM grams a JOIN grams b
              ON a.doc_id < b.doc_id AND len(a.g) = len(b.g) AND len(a.g) > 0
          ) WHERE jaccard >= 1.0""",
+    // q_decontaminate: exact n-gram overlap → brute-force SQL truth
+    "q_decontaminate" ->
+      """WITH tok AS (
+           SELECT doc_id,
+             list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+                         x -> x <> '') AS tk
+           FROM documents
+         ),
+         btok AS (
+           SELECT list_filter(string_split(regexp_replace(lower(substring(text, 50, 300)), '[^a-z0-9]+', ' ', 'g'), ' '),
+                         x -> x <> '') AS tk
+           FROM documents WHERE doc_id % 25 = 0
+         ),
+         bgrams AS (
+           SELECT DISTINCT g FROM (
+             SELECT unnest([tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4]||' '||tk[i+5]||' '||tk[i+6]||' '||tk[i+7]
+                            FOR i IN range(1, len(tk)-6)]) AS g
+             FROM btok)
+         ),
+         contaminated AS (
+           SELECT DISTINCT doc_id FROM (
+             SELECT doc_id,
+               unnest([tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4]||' '||tk[i+5]||' '||tk[i+6]||' '||tk[i+7]
+                       FOR i IN range(1, len(tk)-6)]) AS g
+             FROM tok) d
+           JOIN bgrams USING (g)
+         )
+         SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)""",
     // q_simhash_pairs: md5-token corpus — distinct docs share no tokens,
     // so the only pairs within hamming 3 are the planted exact copies
     "q_simhash_pairs" ->

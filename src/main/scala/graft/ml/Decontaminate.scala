@@ -1,0 +1,65 @@
+package graft.ml
+
+import graft.plans.Kernels
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — the GPT-3/PaLM-style pass that removes
+  * training documents sharing any word n-gram (classically 13) with an
+  * evaluation benchmark, so test answers can't leak into the training
+  * set. (No reference analogue; table stakes for a 100 TB training-data
+  * pipeline alongside dedup/quality/PII.)
+  *
+  * Scale shape: the benchmark n-gram dictionary is tiny relative to the
+  * corpus (benchmarks are MBs, corpora are TBs). Corpus grams are pruned
+  * map-side by a bloom filter over the dictionary's 64-bit gram hashes
+  * BEFORE any shuffle — the classic small-side-sketch pattern shared
+  * with [[graft.operators.Joins.bloomPruneJoin]] — then an exact hash
+  * equi-join kills the bloom's false positives. Only (id, hash64) pairs
+  * that survive the bloom ever enter an exchange; the 50-byte gram
+  * strings never shuffle. A 64-bit hash collision could over-flag a
+  * clean doc with probability ~(corpus grams × dict grams)/2^64 —
+  * negligible and deterministic.
+  */
+object Decontaminate {
+
+  /** Distinct ids of docs sharing ≥ `minHits` word n-grams with the
+    * benchmark corpus.
+    */
+  def contaminatedIds(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bench: DataFrame,
+      benchTextCol: String,
+      n: Int = 13,
+      minHits: Int = 1): DataFrame = {
+    val dict = bench
+      .select(explode(Kernels.wordShingles(col(benchTextCol), n)).as("g"))
+      .select(xxhash64(col("g")).as("h")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDict = math.max(dict.count(), 1L)
+    val bloom = dict.stat.bloomFilter("h", nDict, 0.01)
+    docs
+      .select(col(idCol).as("id"), explode(Kernels.wordShingles(col(textCol), n)).as("g"))
+      .select(col("id"), xxhash64(col("g")).as("h"))
+      .filter(Kernels.bloomMightContain(col("h"), bloom))
+      .join(dict, Seq("h"))
+      .groupBy("id").agg(count(lit(1)).as("hits"))
+      .filter(col("hits") >= minHits)
+      .select(col("id"))
+  }
+
+  /** The clean corpus: docs with no (or < `minHits`) benchmark overlap. */
+  def decontaminate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bench: DataFrame,
+      benchTextCol: String,
+      n: Int = 13,
+      minHits: Int = 1): DataFrame = {
+    val bad = contaminatedIds(docs, idCol, textCol, bench, benchTextCol, n, minHits)
+    docs.join(bad, docs(idCol) === bad("id"), "left_anti")
+  }
+}
