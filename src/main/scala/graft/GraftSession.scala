@@ -18,6 +18,9 @@ object GraftSession {
       .builder()
       .master(master)
       .appName("graft")
+      // graft kernels as SQL functions, the as-of planner strategy, and
+      // the ASOF JOIN SQL syntax (delegating parser + resolution rule)
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

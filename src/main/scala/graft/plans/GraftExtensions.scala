@@ -21,6 +21,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectOptimizerRule(_ => JaccardBoundsRule)
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
+    // ASOF JOIN SQL syntax: delegating parser rewrite + resolution swap
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    ext.injectResolutionRule(_ => ResolveAsofJoinSql)
   }
 }
 
@@ -73,7 +76,12 @@ object GraftExtensions {
       "_FUNC_(v, k, capacity) - SpaceSaving heavy hitters (aggregate)"),
       (es: Seq[Expression]) => ApproxTopK.SpaceSavingTopK(es.head,
         if (es.length > 1) intArg(es(1), 10) else 10,
-        if (es.length > 2) intArg(es(2), 1024) else 1024).toAggregateExpression()))
+        if (es.length > 2) intArg(es(2), 1024) else 1024).toAggregateExpression()),
+    ("graft_asof_marker", info("graft_asof_marker",
+      "_FUNC_(mode) - internal ASOF JOIN marker planted by the SQL rewrite"),
+      (es: Seq[Expression]) => AsofMarkerExpr(es.headOption.collect {
+        case Literal(s: org.apache.spark.unsafe.types.UTF8String, _) => s.toString
+      }.getOrElse("inner"))))
 
   /** Register into an already-running session. */
   def register(spark: SparkSession): Unit =
