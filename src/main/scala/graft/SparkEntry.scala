@@ -578,6 +578,33 @@ object SparkEntry {
       Dedup.dedupedCorpus(corpus, "doc_id", pairs).select(col("doc_id"))
     }),
 
+    // line-level boilerplate dedup: every doc gets a shared footer line
+    // (df = all docs) plus a unique marker line (df = 1); the footer is
+    // removed everywhere, everything else survives in order — exact
+    // operator, fully oracled
+    "q_dedup_lines" -> ((s, dir) => {
+      val aug = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit("\nCOMMON FOOTER boilerplate line\nuniq marker "),
+          col("doc_id").cast("string")).as("text"))
+      Dedup.dedupLines(aug, "doc_id", "text", maxDocFreq = 10)
+    }),
+
+    // ASOF JOIN through the SQL surface (injectParser + resolution rule
+    // + native exec); DuckDB's own ASOF JOIN is the oracle
+    "q_asof_sql" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .createOrReplaceTempView("clicks")
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("u"), col("ts").as("pts"), col("value").as("pval"))
+        .createOrReplaceTempView("purchases")
+      s.sql(
+        """SELECT c.event_id, c.user_id, p.pts, p.pval
+          |FROM clicks c ASOF JOIN purchases p
+          |  ON c.user_id = p.u AND c.ts >= p.pts""".stripMargin)
+    }),
+
     // benchmark decontamination: excerpts of every 25th doc form the
     // "benchmark"; docs containing any of its 8-grams are removed. Exact
     // operator (bloom prune + exact join) → full SQL oracle.
@@ -1276,6 +1303,40 @@ object SparkEntry {
            FROM grams a JOIN grams b
              ON a.doc_id < b.doc_id AND len(a.g) = len(b.g) AND len(a.g) > 0
          ) WHERE jaccard >= 1.0""",
+    // q_dedup_lines: exact line-df boilerplate removal → SQL truth
+    "q_dedup_lines" ->
+      """WITH aug AS (
+           SELECT doc_id,
+             text || chr(10) || 'COMMON FOOTER boilerplate line' || chr(10)
+                  || 'uniq marker ' || CAST(doc_id AS VARCHAR) AS text
+           FROM documents
+         ),
+         lines AS (
+           SELECT doc_id,
+             unnest(string_split(text, chr(10))) AS line,
+             unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos
+           FROM aug
+         ),
+         boiler AS (
+           SELECT trim(line) AS tl FROM lines WHERE trim(line) <> ''
+           GROUP BY 1 HAVING count(DISTINCT doc_id) > 10
+         )
+         SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+         FROM lines
+         WHERE trim(line) NOT IN (SELECT tl FROM boiler)
+         GROUP BY doc_id""",
+    // q_asof_sql: DuckDB's native ASOF JOIN is the oracle for ours
+    "q_asof_sql" ->
+      """WITH clicks AS (
+           SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+         ),
+         purchases AS (
+           SELECT user_id AS u, ts AS pts, value AS pval FROM events
+           WHERE event_type = 'purchase'
+         )
+         SELECT c.event_id, c.user_id, p.pts, p.pval
+         FROM clicks c ASOF JOIN purchases p
+           ON c.user_id = p.u AND c.ts >= p.pts""",
     // q_decontaminate: exact n-gram overlap → brute-force SQL truth
     "q_decontaminate" ->
       """WITH tok AS (

@@ -22,6 +22,11 @@ final case class Tab(df: DataFrame) {
   def rename(mapping: (String, String)*): Tab =
     Tab(mapping.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) })
   def rows: Long = df.count()
+  /** `nbytes` (base.py:1134-1149): estimated size in bytes. Catalyst plan
+    * statistics (file sizes + column stats) substitute for the
+    * reference's page-byte sum — an estimate, not a heap measure.
+    */
+  def nbytes: BigInt = df.queryExecution.optimizedPlan.stats.sizeInBytes
   def columns: Seq[String] = df.columns.toSeq
   def types: Map[String, String] = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
 

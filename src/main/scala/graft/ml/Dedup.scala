@@ -368,6 +368,39 @@ object Dedup {
       .drop("id", "label")
   }
 
+  /** Line-level boilerplate dedup (C4/RefinedWeb-style): remove every
+    * line whose TRIMMED text appears in more than `maxDocFreq` distinct
+    * documents (navigation chrome, footers, cookie banners), keeping each
+    * doc's remaining lines in order. Docs reduced to nothing disappear.
+    *
+    * Scale shape: the doc-frequency count runs on (line-hash, id) —
+    * 8-byte hashes, never line text — with a distinct + partial-agg
+    * shuffle; the boilerplate table is small by construction (only lines
+    * repeated across > maxDocFreq docs) so Catalyst broadcasts the anti
+    * join; reassembly is one exchange on the doc id with per-doc bounded
+    * state (a doc's own lines).
+    */
+  def dedupLines(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDocFreq: Int = 10): DataFrame = {
+    val lines = docs.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
+      .withColumn("h", xxhash64(trim(col("line"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val boiler = lines.filter(trim(col("line")) =!= "")
+      .select(col("h"), col("id")).distinct()
+      .groupBy("h").agg(count(lit(1)).as("docs"))
+      .filter(col("docs") > maxDocFreq)
+      .select("h")
+    lines.join(boiler, Seq("h"), "left_anti")
+      .groupBy("id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("line")))).as("ls"))
+      .select(col("id").as(idCol),
+        concat_ws("\n", expr("transform(ls, x -> x.line)")).as(textCol))
+  }
+
   /** Embedding near-dup pairs: hyperplane-LSH bucket then exact cosine
     * within buckets.
     */

@@ -54,6 +54,9 @@ class TabIntegrationSpec extends SparkSpec {
     // 6. text exports exist and carry content
     assert(byRegion.toSqlText("by_region").contains("INSERT INTO by_region"))
     assert(byRegion.toJsonText.contains("total_rows"))
+
+    // 7. nbytes: plan-stats size estimate is positive and grows with data
+    assert(byRegion.nbytes > 0)
   }
 
 }
