@@ -317,6 +317,88 @@ object Streams {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  // ---- streaming as-of enrichment -----------------------------------
+
+  /** Unioned input row for [[streamingAsofEnrich]]: `isRef` = a
+    * reference update (price/state change), else a query row to enrich.
+    */
+  case class AsofIn(key: Long, ts: java.sql.Timestamp, isRef: Boolean, value: Double)
+  case class AsofOut(key: Long, ts: java.sql.Timestamp,
+      ref_ts: Option[java.sql.Timestamp], ref_value: Option[Double])
+
+  /** Per-key state: reference history as (tsMs, value), ascending. */
+  case class AsofHistory(ts: Array[Long], v: Array[Double])
+
+  class AsofEnrichProcessor(maxHistory: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, AsofIn, AsofOut] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig}
+    import org.apache.spark.sql.{Encoders, streaming => ss}
+
+    @transient private var hist: ss.ValueState[AsofHistory] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      hist = getHandle.getValueState[AsofHistory]("hist",
+        Encoders.product[AsofHistory], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[AsofIn],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[AsofOut] = {
+      var (ts, vs) = if (hist.exists()) {
+        val h = hist.get(); (h.ts.toBuffer, h.v.toBuffer)
+      } else (scala.collection.mutable.Buffer.empty[Long], scala.collection.mutable.Buffer.empty[Double])
+      val out = scala.collection.mutable.ArrayBuffer.empty[AsofOut]
+      // process the micro-batch in event-time order so a query sees every
+      // reference update at-or-before it FROM THE SAME BATCH too
+      rows.toSeq.sortBy(r => (r.ts.getTime, !r.isRef)).foreach { r =>
+        val t = r.ts.getTime
+        if (r.isRef) {
+          // insert keeping ascending order (late updates land mid-array)
+          var i = ts.length
+          while (i > 0 && ts(i - 1) > t) i -= 1
+          ts.insert(i, t); vs.insert(i, r.value)
+          if (ts.length > maxHistory) { ts.remove(0); vs.remove(0) }
+        } else {
+          // greatest reference ts <= query ts (backward as-of)
+          var lo = 0; var hi = ts.length - 1; var best = -1
+          while (lo <= hi) {
+            val mid = (lo + hi) >>> 1
+            if (ts(mid) <= t) { best = mid; lo = mid + 1 } else hi = mid - 1
+          }
+          out += (if (best < 0) AsofOut(key, r.ts, None, None)
+                  else AsofOut(key, r.ts,
+                    Some(new java.sql.Timestamp(ts(best))), Some(vs(best))))
+        }
+      }
+      hist.update(AsofHistory(ts.toArray, vs.toArray))
+      out.iterator
+    }
+  }
+
+  /** Streaming as-of enrichment — the streaming face of the batch as-of
+    * join: reference updates (right side) accumulate per-key history in
+    * RocksDB state; each query row (left side) is enriched with the
+    * latest reference value at-or-before its event time. Union the two
+    * sides into [[AsofIn]] (`isRef` tags the reference stream).
+    *
+    * Contract and bounds (documented, not hidden): history is capped at
+    * `maxHistory` entries per key (oldest evicted — bounded state at any
+    * scale); within a micro-batch, rows apply in event-time order, so
+    * same-batch out-of-orderness is handled exactly; a query row is
+    * matched against the reference rows that have ARRIVED by its
+    * micro-batch — a reference update arriving later than a query it
+    * should have matched is the cross-stream ordering gap every
+    * low-latency enrichment accepts (run the batch as-of for the exact
+    * backfill).
+    */
+  def streamingAsofEnrich(
+      input: Dataset[AsofIn],
+      maxHistory: Int = 1024)(implicit spark: SparkSession): Dataset[AsofOut] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    input.groupByKey(_.key)
+      .transformWithState(new AsofEnrichProcessor(maxHistory),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Rate-source adapter shaped like the events table — the kafka-shaped
     * demo/load-test source (`format("rate")` is Spark's built-in
     * monotonically-timestamped generator; swapping in

@@ -269,4 +269,48 @@ class StreamsSpec extends SparkSpec {
       assert(types.subsetOf(Set("click", "purchase")))
     } finally q.stop()
   }
+
+  test("streaming as-of enrichment: latest reference at-or-before, across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def ts(s0: String) = java.sql.Timestamp.valueOf(s0)
+    val in = MemoryStream[Streams.AsofIn]
+    val out = Streams.streamingAsofEnrich(in.toDS())
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("asof_enrich").start()
+    try {
+      // batch 1: two reference updates for key 1, OUT OF ORDER, plus an
+      // interleaved query — same-batch rows apply in event-time order
+      in.addData(
+        Streams.AsofIn(1L, ts("2024-01-01 10:20:00"), isRef = true, 2.0),
+        Streams.AsofIn(1L, ts("2024-01-01 10:00:00"), isRef = true, 1.0),
+        Streams.AsofIn(1L, ts("2024-01-01 10:10:00"), isRef = false, 0.0))
+      q.processAllAvailable()
+      // batch 2: queries against accumulated state; key 2 has no refs
+      in.addData(
+        Streams.AsofIn(1L, ts("2024-01-01 10:30:00"), isRef = false, 0.0),
+        Streams.AsofIn(1L, ts("2024-01-01 09:00:00"), isRef = false, 0.0),
+        Streams.AsofIn(2L, ts("2024-01-01 10:00:00"), isRef = false, 0.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT key, ts, ref_value FROM asof_enrich").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString.take(19),
+          if (r.isNullAt(2)) null else r.getDouble(2))).toSet
+      assert(rows === Set(
+        (1L, "2024-01-01 10:10:00", 1.0),   // saw the 10:00 ref despite arrival order
+        (1L, "2024-01-01 10:30:00", 2.0),   // latest ref from the earlier batch
+        (1L, "2024-01-01 09:00:00", null),  // before any reference
+        (2L, "2024-01-01 10:00:00", null))) // key with no reference stream
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None    => spark.conf.unset(providerKey)
+      }
+    }
+  }
 }
