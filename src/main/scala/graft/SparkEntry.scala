@@ -444,6 +444,12 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextFunctions.fingerprint(col("text")).as("fp"))),
+    // unicode repair (ftfy/C4 step): plant mojibake-adjacent damage —
+    // control chars, CR, a combining accent — and normalize it away
+    "q_normalize_text" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.normalizeText(concat(col("text"),
+          lit("\u0001x\u0007y\r\ne\u0301 fin"))).as("text"))),
     // corpus vocabulary analytics: top bigrams by frequency — explode →
     // map-side partial agg on the gram → TakeOrdered (no full sort)
     "q_vocab" -> ((s, dir) =>
@@ -589,6 +595,19 @@ object SparkEntry {
       Dedup.dedupLines(aug, "doc_id", "text", maxDocFreq = 10)
     }),
 
+    // exact duplicated-substring removal (Lee et al. 2022 shape): a
+    // 13-token passage planted in every 5th doc is duplicated cross-doc,
+    // so its windows (and any natural cross-doc 8-gram repeats) are
+    // removed; rolling-hash windows keep the df shuffle at 8 bytes/window
+    "q_dedup_spans" -> ((s, dir) => {
+      val aug = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"),
+            lit(" shared passage alpha beta gamma delta epsilon zeta eta theta iota kappa")))
+          .otherwise(col("text")).as("text"))
+      Dedup.dedupSpans(aug, "doc_id", "text", minLen = 8)
+    }),
+
     // ASOF JOIN through the SQL surface (injectParser + resolution rule
     // + native exec); DuckDB's own ASOF JOIN is the oracle
     "q_asof_sql" -> ((s, dir) => {
@@ -619,8 +638,10 @@ object SparkEntry {
     // ---- similarity search ------------------------------------------
     "q_ann_recall" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
+      // nProbes=32 of 2^8 buckets = 12.5% scan — the same fraction as
+      // the IVF eval's nProbe=4 of 32 lists, so the recalls compare
       Ann.recallAtK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
-        dim = 64, k = 10)
+        dim = 64, k = 10, nPlanes = 8, nProbes = 32)
     }),
     "q_knn" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -1029,6 +1050,16 @@ object SparkEntry {
     "q_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text),
          '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp FROM documents""",
+    // q_normalize_text: NFC + control-strip parity — utf8proc NFC
+    // (DuckDB) and java.text.Normalizer agree; chr(769) is the
+    // combining acute that must fold into a precomposed e-acute
+    "q_normalize_text" ->
+      """SELECT doc_id,
+         regexp_replace(nfc_normalize(
+           text || chr(1) || 'x' || chr(7) || 'y' || chr(13) || chr(10)
+                || 'e' || chr(769) || ' fin'),
+           '[\x01-\x08\x0B-\x1F\x7F]', '', 'g') AS text
+         FROM documents""",
     "q_dedup_exact" ->
       """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
          '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp,
@@ -1325,6 +1356,58 @@ object SparkEntry {
          FROM lines
          WHERE trim(line) NOT IN (SELECT tl FROM boiler)
          GROUP BY doc_id""",
+    // q_dedup_spans: window df computed on the literal token windows in
+    // SQL (the Spark side's 64-bit rolling hashes are collision-free on
+    // this corpus, so the df sets agree); islands-merge via covered
+    // positions
+    "q_dedup_spans" ->
+      """WITH aug AS (
+           SELECT doc_id, CASE WHEN doc_id % 5 = 0
+             THEN text || ' shared passage alpha beta gamma delta epsilon zeta eta theta iota kappa'
+             ELSE text END AS text
+           FROM documents
+         ),
+         tkd AS (
+           SELECT doc_id, text, regexp_split_to_array(text, '\s+') AS tk FROM aug
+         ),
+         toks AS (
+           SELECT doc_id, unnest(tk) AS tok,
+                  unnest(range(0, len(tk))) AS pos
+           FROM tkd
+         ),
+         wins AS (
+           SELECT doc_id,
+                  unnest(range(0, greatest(len(tk) - 7, 0))) AS s,
+                  unnest(list_transform(range(0, greatest(len(tk) - 7, 0)),
+                         i -> array_to_string(tk[i + 1 : i + 8], ' '))) AS w
+           FROM tkd
+         ),
+         dup AS (
+           SELECT w FROM wins GROUP BY w HAVING count(DISTINCT doc_id) > 1
+         ),
+         cov AS (
+           SELECT DISTINCT doc_id, pos FROM (
+             SELECT doc_id, unnest(range(s, s + 8)) AS pos
+             FROM wins WHERE w IN (SELECT w FROM dup)
+           )
+         ),
+         kept AS (
+           SELECT t.doc_id, t.pos, t.tok
+           FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+           WHERE c.pos IS NULL
+         ),
+         agg AS (
+           SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+           FROM kept GROUP BY doc_id
+         ),
+         rem AS (
+           SELECT doc_id, count(*) AS removed_tokens FROM cov GROUP BY doc_id
+         )
+         SELECT a.doc_id, coalesce(g.text, '') AS text,
+                coalesce(r.removed_tokens, 0) AS removed_tokens
+         FROM aug a
+         LEFT JOIN agg g ON a.doc_id = g.doc_id
+         LEFT JOIN rem r ON a.doc_id = r.doc_id""",
     // q_asof_sql: DuckDB's native ASOF JOIN is the oracle for ours
     "q_asof_sql" ->
       """WITH clicks AS (

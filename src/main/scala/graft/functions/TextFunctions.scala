@@ -26,6 +26,12 @@ object TextFunctions {
   def normalized(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
 
+  /** Unicode repair for ingest (the ftfy/C4 cleanup step): NFC
+    * normalization plus control-character removal (tab/newline kept, CR
+    * stripped). Codegen'd single pass — see `Kernels.normalizeTextEval`.
+    */
+  def normalizeText(text: Column): Column = graft.plans.Kernels.normalizeText(text)
+
   /** Document fingerprint: md5 of the normalized text (hex). The rolling
     * n-gram variant for partial-overlap detection is `Similarity.shingles`
     * + minhash.

@@ -40,9 +40,11 @@ object Ann {
 
   /** IVF/LSH-bucketed ANN: corpus is pre-bucketed by hyperplane LSH (this
     * is the "index build" — persist `buildIndex`'s output partitioned by
-    * bucket at real scale); queries probe only their own bucket.
-    * Recall < 1.0 by construction; increase `nPlanes` overlap by probing
-    * neighbouring buckets (1-bit flips) with `probeBits` > 0.
+    * bucket at real scale); queries probe their own bucket plus the
+    * `nProbes − 1` cheapest perturbation buckets, chosen query-directed
+    * (Lv et al. multi-probe LSH: flip the planes the query barely
+    * cleared first). Recall < 1.0 by construction; it grows with
+    * `nProbes` at a cost of ~nProbes/2^nPlanes of the corpus per query.
     */
   def buildIndex(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
       nPlanes: Int = 8): DataFrame =
@@ -57,21 +59,18 @@ object Ann {
       dim: Int,
       k: Int = 10,
       nPlanes: Int = 8,
-      probeBits: Int = 1): DataFrame = {
-    val qb = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      Kernels.hyperplaneBucket(col(vecCol), nPlanes).as("b0"))
-    // multi-probe: own bucket + every 1-bit-flip neighbour bucket
-    val probes = col("b0") +: (if (probeBits >= 1)
-      (0 until nPlanes).map(p => col("b0").bitwiseXOR(lit(1L << p))) else Nil)
-    val probed = qb.select(col("query_id"), col("qv"),
-      explode(array(probes: _*)).as("bucket"))
+      nProbes: Int = 16): DataFrame = {
+    // query-directed probe sequence, computed map-side on the small side;
+    // probe buckets are distinct by construction (no dedup needed)
+    val probed = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      explode(Kernels.hyperplaneProbes(col(vecCol), nPlanes, nProbes)).as("bucket"))
     val scored = probed.join(index, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbour_id"))
       .select(col("query_id"), col("neighbour_id"),
         Kernels.cosineSim(col("qv"), col("cv")).as("cosine"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbour_id").asc)
-    scored.distinct().withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
   // ---- IVF (inverted-file) path ------------------------------------
@@ -384,7 +383,7 @@ object Ann {
   }
 
   /** Recall@k of the LSH index against exact brute force — the eval loop
-    * for tuning nPlanes/probeBits. One row: (k, recall).
+    * for tuning nPlanes/nProbes. One row: (k, recall).
     */
   def recallAtK(
       corpus: DataFrame,
@@ -393,11 +392,12 @@ object Ann {
       vecCol: String,
       dim: Int,
       k: Int = 10,
-      nPlanes: Int = 8): DataFrame = {
+      nPlanes: Int = 8,
+      nProbes: Int = 16): DataFrame = {
     val exact = bruteForceKnn(corpus, queries, idCol, vecCol, k)
       .select(col("query_id"), col("neighbour_id")).cache()
     val approx = lshKnn(buildIndex(corpus, idCol, vecCol, dim, nPlanes),
-      queries, idCol, vecCol, dim, k, nPlanes)
+      queries, idCol, vecCol, dim, k, nPlanes, nProbes)
       .select(col("query_id"), col("neighbour_id"))
     try {
       val hits = exact.intersect(approx).count().toDouble

@@ -401,6 +401,49 @@ object Dedup {
         concat_ws("\n", expr("transform(ls, x -> x.line)")).as(textCol))
   }
 
+  /** Exact duplicated-substring removal (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better", at token-window
+    * granularity): every `minLen`-token window whose token sequence
+    * occurs in more than `maxDocFreq` distinct documents is a duplicated
+    * span; overlapping spans union per document and the covered tokens
+    * are removed (all occurrences — the corpus-boilerplate semantics of
+    * [[dedupLines]], not Lee et al.'s keep-first). Output: one row per
+    * input doc with the cleaned text (whitespace normalized to single
+    * spaces, `""` if fully covered) and `removed_tokens`.
+    *
+    * Scale shape: window identity is an 8-byte rolling hash computed in
+    * one codegen pass ([[Kernels.tokenWindowHashes]]) — window strings
+    * never materialize and never shuffle; the df pass is a partial-agg
+    * groupBy on hashes; dup-window starts aggregate per doc (bounded by
+    * the doc's own length) and span removal is a single kernel pass over
+    * each doc, so the TEXT travels through exactly one join — no
+    * token-level explode or (doc, pos) shuffle. Everything is linear in
+    * corpus tokens (the suffix-array construction this approximates is
+    * superlinear and centralized).
+    */
+  def dedupSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLen: Int = 8,
+      maxDocFreq: Int = 1): DataFrame = {
+    val base = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+    val wins = base.select(col("id"),
+      posexplode(Kernels.tokenWindowHashes(col("text"), minLen)).as(Seq("s", "h")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dup = wins.select(col("h"), col("id")).distinct()
+      .groupBy("h").agg(count(lit(1)).as("d"))
+      .filter(col("d") > maxDocFreq)
+      .select("h")
+    val spans = wins.join(dup, Seq("h"), "left_semi")
+      .groupBy("id").agg(sort_array(collect_list(col("s"))).as("ss"))
+    val noSpans = lit(Array.empty[Int])
+    base.join(spans, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        Kernels.removeSpans(col("text"), coalesce(col("ss"), noSpans), minLen).as(textCol),
+        Kernels.coveredCount(coalesce(col("ss"), noSpans), minLen).as("removed_tokens"))
+  }
+
   /** Embedding near-dup pairs: hyperplane-LSH bucket then exact cosine
     * within buckets.
     */

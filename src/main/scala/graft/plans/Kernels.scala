@@ -173,6 +173,188 @@ object Kernels {
     out
   }
 
+  /** Query-directed multi-probe LSH (Lv et al., VLDB'07): emit the base
+    * bucket plus the `nProbes − 1` cheapest perturbation buckets, where a
+    * perturbation's cost is the summed |margin| of the flipped planes —
+    * flipping the planes the vector barely cleared first. Subsets are
+    * enumerated in nondecreasing cost with the classic shift/expand heap,
+    * so cost is O(nProbes log nProbes) after the plane dot products —
+    * no 2^nPlanes enumeration. Query-side only; the index keeps one
+    * bucket per vector.
+    */
+  def hyperplaneProbesEval(
+      a: ArrayData, nPlanes: Int, nProbes: Int, elemKind: Int): ArrayData = {
+    val n = a.numElements()
+    val margins = new Array[Double](nPlanes)
+    var base = 0L
+    var p = 0
+    while (p < nPlanes) {
+      var d = 0.0
+      var i = 0
+      while (i < n) {
+        val v =
+          if (elemKind == 0) a.getFloat(i).toDouble
+          else if (elemKind == 1) a.getDouble(i)
+          else 0.0
+        val h = XXH64.hashLong(i.toLong, p.toLong)
+        val comp = ((h & 0xFFFFFFL).toDouble / 0x1000000L.toDouble) - 0.5
+        d += v * comp
+        i += 1
+      }
+      if (d > 0) base |= (1L << p)
+      // |margin| score (Lv et al. use x_i²; linear measured equal-or-
+      // better on near-uniform data and is ordering-compatible)
+      margins(p) = math.abs(d)
+      p += 1
+    }
+    val out = new Array[Any](math.min(nProbes, 1 << nPlanes))
+    out(0) = base
+    if (out.length > 1) {
+      // plane ids sorted by margin ascending; a perturbation set is a
+      // bitmask over positions in this order
+      val order = Array.range(0, nPlanes).sortBy(margins)
+      val costOf = (mask: Long) => {
+        var c = 0.0
+        var b = 0
+        while (b < nPlanes) { if ((mask & (1L << b)) != 0) c += margins(order(b)); b += 1 }
+        c
+      }
+      val heap = new java.util.PriorityQueue[Long](16,
+        (x: Long, y: Long) => java.lang.Double.compare(costOf(x), costOf(y)))
+      heap.add(1L)
+      var k = 1
+      while (k < out.length && !heap.isEmpty) {
+        val mask = heap.poll()
+        var bucket = base
+        var b = 0
+        var maxB = 0
+        while (b < nPlanes) {
+          if ((mask & (1L << b)) != 0) { bucket ^= 1L << order(b); maxB = b }
+          b += 1
+        }
+        out(k) = bucket
+        k += 1
+        if (maxB + 1 < nPlanes) {
+          heap.add(mask | (1L << (maxB + 1)))                       // expand
+          heap.add((mask & ~(1L << maxB)) | (1L << (maxB + 1)))     // shift
+        }
+      }
+      if (k < out.length) return new GenericArrayData(out.take(k))
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Rolling-hash token windows for exact duplicated-substring dedup
+    * (Lee et al. 2022 at token-window granularity): one pass emits the
+    * 64-bit polynomial rolling hash of every `winLen`-token window, so
+    * window identity travels as 8 bytes — window STRINGS never
+    * materialize and never shuffle (the string form would be a winLen×
+    * blowup of the corpus in the df shuffle). Tokenization is `\s+`
+    * with trailing-empty retention (limit −1), matching Spark's
+    * `split(col, "\\s+")` and DuckDB's regexp_split_to_array, so window
+    * positions align across engines.
+    */
+  def tokenWindowHashesEval(input: UTF8String, winLen: Int): ArrayData = {
+    val toks = input.toString.split("\\s+", -1)
+    val t = toks.length
+    val n = t - winLen + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    val th = new Array[Long](t)
+    var i = 0
+    while (i < t) {
+      val b = toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      th(i) = XXH64.hashUnsafeBytes(b,
+        org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length,
+        0x9E3779B97F4A7C15L)
+      i += 1
+    }
+    val B = 0x100000001B3L // odd multiplier → full-period mod 2^64
+    var bPowL = 1L
+    i = 0
+    while (i < winLen) { bPowL *= B; i += 1 }
+    val out = new Array[Any](n)
+    var h = 0L
+    i = 0
+    while (i < winLen) { h = h * B + th(i); i += 1 }
+    out(0) = h
+    var s = 1
+    while (s < n) {
+      h = h * B + th(s + winLen - 1) - bPowL * th(s - 1)
+      out(s) = h
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Unicode repair for ingest (the ftfy/C4 cleanup step): NFC
+    * normalization (combining sequences → precomposed) plus removal of
+    * control characters other than tab and newline (CR included — C4
+    * newline normalization). Single pass post-normalize; DuckDB's
+    * `nfc_normalize` + a control-class regexp_replace is the oracle
+    * equivalent.
+    */
+  def normalizeTextEval(input: UTF8String): UTF8String = {
+    val s = java.text.Normalizer.normalize(input.toString,
+      java.text.Normalizer.Form.NFC)
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if ((c >= 0x20 && c != 0x7F) || c == '\n' || c == '\t') sb.append(c)
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** Remove the `winLen`-token spans starting at `starts` from the text
+    * (tokenize `\s+`, skip covered tokens, rejoin single-spaced — the
+    * whitespace normalization applies to untouched docs too, keeping
+    * output uniform). Companion of [[tokenWindowHashesEval]]: `starts`
+    * are positions in ITS token numbering, which this tokenizer shares.
+    */
+  def removeSpansEval(input: UTF8String, starts: ArrayData, winLen: Int): UTF8String = {
+    val toks = input.toString.split("\\s+", -1)
+    val covered = new Array[Boolean](toks.length)
+    var i = 0
+    while (i < starts.numElements()) {
+      val s = starts.getInt(i)
+      var j = s
+      val e = math.min(s + winLen, toks.length)
+      while (j < e) { covered(j) = true; j += 1 }
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder(input.numBytes())
+    var first = true
+    i = 0
+    while (i < toks.length) {
+      if (!covered(i)) {
+        if (!first) sb.append(' ')
+        sb.append(toks(i))
+        first = false
+      }
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** Union length of the intervals [s, s+winLen) for ascending-sorted
+    * `starts` — the removed-token count, without touching the text.
+    */
+  def coveredCountEval(starts: ArrayData, winLen: Int): Long = {
+    val ns = starts.numElements()
+    var covered = 0L
+    var end = Int.MinValue
+    var i = 0
+    while (i < ns) {
+      val s = starts.getInt(i)
+      val e = s + winLen
+      if (s >= end) { covered += winLen; end = e }
+      else if (e > end) { covered += e - end; end = e }
+      i += 1
+    }
+    covered
+  }
+
   def wordShinglesEval(input: UTF8String, n: Int): ArrayData = {
     val s = input.toString
     val sb = new java.lang.StringBuilder(s.length)
@@ -425,13 +607,30 @@ object Kernels {
     out
   }
 
-  /** Asymmetric distance (ADC) computed directly from (query vector,
-    * coarse list, residual code): per subspace, the query residual
-    * against the list centroid minus the sub-codebook entry the code
-    * names. Fully distributed — the query rides in a broadcast-joined
-    * row, not a driver-built lookup table (a FAISS-style per-query table
-    * is an executor-local optimization this kernel can grow later).
+  /** Asymmetric distance (ADC) from (query vector, coarse list, residual
+    * code), FAISS-style: an executor-thread-local lookup table
+    * T[subspace][code] = ||q_residual_sub − codebook entry||² is built
+    * once per distinct (query, probed list) and the per-candidate cost
+    * drops from codeK·d flops to d (hash/verify) + m table lookups. The
+    * table is keyed by query content + list + codebook identity, so
+    * concurrent indexes in one JVM (tests) cannot cross-contaminate; a
+    * probe scan visits each (query, list) pair over a contiguous-ish run
+    * of candidates, so a tiny LRU suffices and memory stays bounded
+    * (m·codeK doubles ≈ 16 KB per entry).
     */
+  private final class AdcEntry(
+      val q: Array[Double], val cb: Array[Array[Double]], val list: Int,
+      val table: Array[Double])
+
+  private val adcCache =
+    new ThreadLocal[java.util.LinkedHashMap[java.lang.Long, AdcEntry]] {
+      override def initialValue(): java.util.LinkedHashMap[java.lang.Long, AdcEntry] =
+        new java.util.LinkedHashMap[java.lang.Long, AdcEntry](64, 0.75f, true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[java.lang.Long, AdcEntry]): Boolean = size() > 32
+        }
+    }
+
   def pqAdcDistEval(
       q: ArrayData, list: Int, code: Array[Byte],
       coarse: Array[Array[Double]], flatCodebooks: Array[Array[Double]],
@@ -439,20 +638,50 @@ object Kernels {
     val m = flatCodebooks.length
     val d = coarse(0).length
     val dsub = d / m
-    val cc = coarse(list)
-    var dist = 0.0
+    val codeK = flatCodebooks(0).length / dsub
+    // copy + hash the query (O(d)) — candidates vastly outnumber distinct
+    // (query, list) pairs, so the table build amortizes away
+    val qa = new Array[Double](d)
+    var h = 1125899906842597L * (list + 1) + System.identityHashCode(flatCodebooks)
     var i = 0
-    while (i < m) {
-      val cb = flatCodebooks(i)
-      val c = code(i) & 0xFF
-      var j = 0
-      while (j < dsub) {
-        val qv = if (elemKind == 0) q.getFloat(i * dsub + j).toDouble else q.getDouble(i * dsub + j)
-        val df = (qv - cc(i * dsub + j)) - cb(c * dsub + j)
-        dist += df * df
-        j += 1
-      }
+    while (i < d) {
+      val v = if (elemKind == 0) q.getFloat(i).toDouble else q.getDouble(i)
+      qa(i) = v
+      h = h * 31 + java.lang.Double.doubleToLongBits(v)
       i += 1
+    }
+    val cache = adcCache.get()
+    val key = java.lang.Long.valueOf(h)
+    var e = cache.get(key)
+    if (e == null || e.list != list || (e.cb ne flatCodebooks) ||
+        !java.util.Arrays.equals(e.q, qa)) {
+      val cc = coarse(list)
+      val table = new Array[Double](m * codeK)
+      var s = 0
+      while (s < m) {
+        val cb = flatCodebooks(s)
+        var c = 0
+        while (c < codeK) {
+          var dist = 0.0
+          var j = 0
+          while (j < dsub) {
+            val df = (qa(s * dsub + j) - cc(s * dsub + j)) - cb(c * dsub + j)
+            dist += df * df
+            j += 1
+          }
+          table(s * codeK + c) = dist
+          c += 1
+        }
+        s += 1
+      }
+      e = new AdcEntry(qa, flatCodebooks, list, table)
+      cache.put(key, e)
+    }
+    var dist = 0.0
+    var s2 = 0
+    while (s2 < m) {
+      dist += e.table(s2 * codeK + (code(s2) & 0xFF))
+      s2 += 1
     }
     dist
   }
@@ -586,6 +815,80 @@ object Kernels {
       nullSafeCodeGen(ctx, ev, c =>
         s"${ev.value} = graft.plans.Kernels.hyperplaneEval($c, $nPlanes, $elemKind);")
     override protected def withNewChildInternal(c: Expression): HyperplaneBucketExpr =
+      copy(child = c)
+  }
+
+  /** Query-directed multi-probe buckets (see [[hyperplaneProbesEval]]):
+    * base bucket + the cheapest margin-ordered perturbations. Applied to
+    * the (small) query side only — the corpus keeps one bucket per row.
+    */
+  case class HyperplaneProbesExpr(child: Expression, nPlanes: Int, nProbes: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    @transient private lazy val elemKind =
+      child.dataType.asInstanceOf[ArrayType].elementType match {
+        case FloatType  => 0
+        case DoubleType => 1
+        case _          => 2
+      }
+    override def nullSafeEval(input: Any): Any =
+      hyperplaneProbesEval(input.asInstanceOf[ArrayData], nPlanes, nProbes, elemKind)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.plans.Kernels.hyperplaneProbesEval($c, $nPlanes, $nProbes, $elemKind);")
+    override protected def withNewChildInternal(c: Expression): HyperplaneProbesExpr =
+      copy(child = c)
+  }
+
+  /** Unicode repair (see [[normalizeTextEval]]). */
+  case class NormalizeTextExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(input: Any): Any =
+      normalizeTextEval(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.plans.Kernels.normalizeTextEval($c);")
+    override protected def withNewChildInternal(c: Expression): NormalizeTextExpr =
+      copy(child = c)
+  }
+
+  /** Rolling window hashes (see [[tokenWindowHashesEval]]); index in the
+    * output array IS the window's token start position.
+    */
+  case class TokenWindowHashesExpr(child: Expression, winLen: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      tokenWindowHashesEval(input.asInstanceOf[UTF8String], winLen)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.plans.Kernels.tokenWindowHashesEval($c, $winLen);")
+    override protected def withNewChildInternal(c: Expression): TokenWindowHashesExpr =
+      copy(child = c)
+  }
+
+  /** Span removal (see [[removeSpansEval]]). */
+  case class RemoveSpansExpr(left: Expression, right: Expression, winLen: Int)
+      extends BinaryExpression {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(text: Any, starts: Any): Any =
+      removeSpansEval(text.asInstanceOf[UTF8String], starts.asInstanceOf[ArrayData], winLen)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (t, s) =>
+        s"${ev.value} = graft.plans.Kernels.removeSpansEval($t, $s, $winLen);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): RemoveSpansExpr =
+      copy(left = l, right = r)
+  }
+
+  /** Covered-token count (see [[coveredCountEval]]). */
+  case class CoveredCountExpr(child: Expression, winLen: Int) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(starts: Any): Any =
+      coveredCountEval(starts.asInstanceOf[ArrayData], winLen)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.plans.Kernels.coveredCountEval($c, $winLen);")
+    override protected def withNewChildInternal(c: Expression): CoveredCountExpr =
       copy(child = c)
   }
 
@@ -831,6 +1134,17 @@ object Kernels {
     ExpressionUtils.column(CosineSimExpr(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
   def hyperplaneBucket(vec: Column, nPlanes: Int): Column =
     ExpressionUtils.column(HyperplaneBucketExpr(ExpressionUtils.expression(vec), nPlanes))
+  def hyperplaneProbes(vec: Column, nPlanes: Int, nProbes: Int): Column =
+    ExpressionUtils.column(HyperplaneProbesExpr(ExpressionUtils.expression(vec), nPlanes, nProbes))
+  def tokenWindowHashes(text: Column, winLen: Int): Column =
+    ExpressionUtils.column(TokenWindowHashesExpr(ExpressionUtils.expression(text), winLen))
+  def normalizeText(text: Column): Column =
+    ExpressionUtils.column(NormalizeTextExpr(ExpressionUtils.expression(text)))
+  def removeSpans(text: Column, starts: Column, winLen: Int): Column =
+    ExpressionUtils.column(RemoveSpansExpr(
+      ExpressionUtils.expression(text), ExpressionUtils.expression(starts), winLen))
+  def coveredCount(starts: Column, winLen: Int): Column =
+    ExpressionUtils.column(CoveredCountExpr(ExpressionUtils.expression(starts), winLen))
   def wordShingles(text: Column, n: Int): Column =
     ExpressionUtils.column(WordShinglesExpr(ExpressionUtils.expression(text), n))
   def localeNumber(s: Column): Column =

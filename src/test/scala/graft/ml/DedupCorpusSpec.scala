@@ -31,6 +31,31 @@ class DedupCorpusSpec extends SparkSpec {
     assert(kept === Array(1L, 5L))
   }
 
+  test("multi-probe LSH: probes distinct and base-first; full probe = exact") {
+    val vecs = (0 until 80).map { i =>
+      val rnd = new scala.util.Random(i * 313 + 11)
+      (i.toLong, Array.fill(8)(rnd.nextFloat() - 0.5f))
+    }.toDF("vec_id", "embedding")
+    val probes = vecs.select(
+      graft.plans.Kernels.hyperplaneProbes($"embedding", 4, 16).as("p"),
+      graft.plans.Kernels.hyperplaneBucket($"embedding", 4).as("b"))
+      .as[(Seq[Long], Long)].collect()
+    probes.foreach { case (p, b) =>
+      assert(p.length === 16 && p.head === b)
+      assert(p.distinct.length === p.length)       // each bucket probed once
+      assert(p.forall(x => x >= 0 && x < 16))      // valid 4-plane buckets
+    }
+    // probing all 2^nPlanes buckets makes LSH exhaustive = brute force
+    val idx = Ann.buildIndex(vecs, "vec_id", "embedding", dim = 8, nPlanes = 4)
+    val full = Ann.lshKnn(idx, vecs.filter($"vec_id" < 5), "vec_id", "embedding",
+      dim = 8, k = 5, nPlanes = 4, nProbes = 16)
+      .select("query_id", "neighbour_id").as[(Long, Long)].collect().toSet
+    val exact = Ann.bruteForceKnn(vecs, vecs.filter($"vec_id" < 5),
+      "vec_id", "embedding", k = 5)
+      .select("query_id", "neighbour_id").as[(Long, Long)].collect().toSet
+    assert(full === exact)
+  }
+
   test("recallAtK of the LSH index is sane (0 < recall <= 1)") {
     val vecs = (0 until 60).map { i =>
       (i.toLong, Array.tabulate(8)(j => math.sin(i * 17 + j * 3).toFloat))

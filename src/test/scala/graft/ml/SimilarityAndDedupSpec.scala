@@ -188,6 +188,67 @@ class SimilarityAndDedupSpec extends SparkSpec {
     assert(simUncapped.nonEmpty && simSalted === simUncapped)
   }
 
+  test("normalizeText: NFC folds combining marks; control chars stripped") {
+    val rows = Seq(
+      (1L, "abcd"),        // controls + DEL stripped
+      (2L, "line1\r\nline2\tok"),            // CR stripped, LF/tab kept
+      (3L, "café"),               // e + combining acute → é
+      (4L, "clean text stays")
+    ).toDF("id", "text")
+    val out = rows.select($"id", TextFunctions.normalizeText($"text").as("t"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) === "abcd")
+    assert(out(2L) === "line1\nline2\tok")
+    assert(out(3L) === "café")
+    assert(out(4L) === "clean text stays")
+  }
+
+  test("tokenWindowHashes: rolling hashes equal window identity") {
+    val rows = Seq(
+      (1L, "a b c d e f"),   // windows: [a b c], [b c d], [c d e], [d e f]
+      (2L, "x y a b c d z"), // shares [a b c] and [b c d] token windows
+      (3L, "a b"),           // shorter than winLen → no windows
+      (4L, "")
+    ).toDF("id", "text")
+    val hs = rows.select($"id", Kernels.tokenWindowHashes($"text", 3).as("h"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(hs(1L).length === 4 && hs(3L).isEmpty && hs(4L).isEmpty)
+    // same token window → same hash regardless of surrounding context
+    assert(hs(2L)(2) === hs(1L)(0)) // [a b c] at pos 2 of doc 2, pos 0 of doc 1
+    assert(hs(2L)(3) === hs(1L)(1)) // [b c d]
+    // distinct windows → distinct hashes (collision-free here)
+    assert(hs(1L).distinct.length === 4)
+    assert(hs(2L)(0) !== hs(1L)(0))
+  }
+
+  test("dedupSpans removes cross-doc duplicated windows, merged and counted") {
+    val docs = Seq(
+      (1L, "one two three four five six seven eight alpha beta"),
+      (2L, "x1 x2 one two three four five six seven eight y1 y2"),
+      (3L, "totally unrelated words with no shared window at all here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(docs, "doc_id", "text", minLen = 8)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    // docs 1 and 2 share the 8-token window "one..eight" exactly once → 8
+    // tokens removed from each; surrounding tokens survive
+    assert(out(0) === ((1L, "alpha beta", 8L)))
+    assert(out(1) === ((2L, "x1 x2 y1 y2", 8L)))
+    assert(out(2)._2 === "totally unrelated words with no shared window at all here")
+    assert(out(2)._3 === 0L)
+  }
+
+  test("dedupSpans merges overlapping spans and can empty a doc") {
+    val shared = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, shared),                  // fully covered → empty text
+      (2L, s"prefix $shared suffix") // covered interior, prefix/suffix kept
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(docs, "doc_id", "text", minLen = 8)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(out(0) === ((1L, "", 12L)))
+    assert(out(1) === ((2L, "prefix suffix", 12L)))
+  }
+
   test("bruteForceKnn ranks by cosine and excludes self") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
