@@ -32,6 +32,40 @@ object Bench {
       // q_zorder below measures the pruned READ the layout buys, not a
       // 6-second clustered write that masks plan regressions
       SparkEntry.queries.get("q_zorder").foreach(f => f(spark, sfDir).count())
+      // warm the heavy dedup/ANN pipelines on a tiny synthetic corpus:
+      // each timed query below runs exactly once, so without this the
+      // first-of-its-kind pipeline absorbs 2-10 s of Janino codegen
+      // compilation + kernel JIT that has nothing to do with the data
+      // (q_ssjoin_exact measured 21 s cold vs 8 s steady at sf0.1)
+      locally {
+        import org.apache.spark.sql.functions._
+        val docs = spark.range(300).selectExpr("id AS doc_id",
+          """concat('alpha beta gamma tok', id % 7, ' tok', id % 11,
+             ' delta epsilon zeta eta theta iota kappa lambda mu nu xi',
+             ' tok', id % 13, ' omicron pi rho sigma tau') AS text""")
+        graft.ml.Dedup.minhashPairs(docs, "doc_id", "text").count()
+        graft.ml.Dedup.simhashPairs(docs, "doc_id", "text").count()
+        graft.ml.Dedup.jaccardJoinExact(docs, "doc_id", "text").count()
+        graft.ml.Dedup.ngramJaccardPairs(docs, "doc_id", "text").count()
+        graft.ml.Dedup.dedupSpans(docs, "doc_id", "text").count()
+        graft.ml.Dedup.dedupLines(docs, "doc_id", "text").count()
+        graft.ml.Dedup.dedupedCorpus(docs, "doc_id",
+          graft.ml.Dedup.minhashPairs(docs, "doc_id", "text")).count()
+        val vecs = spark.range(300).selectExpr("id AS vec_id",
+          "transform(sequence(0, 15), j -> cast(sin(id * 31 + j) AS float)) AS embedding")
+        val q = vecs.filter(col("vec_id") < 3)
+        graft.ml.Ann.bruteForceKnn(vecs, q, "vec_id", "embedding", k = 3).count()
+        val cents = graft.ml.Ann.trainCentroids(vecs, "embedding", nList = 4, sampleN = 300)
+        val cbs = graft.ml.Ann.trainPq(vecs, "embedding", cents, m = 4, maxIter = 3)
+        graft.ml.Ann.pqKnn(
+          graft.ml.Ann.buildPqIndex(vecs, "vec_id", "embedding", cents, cbs),
+          q, "vec_id", "embedding", cents, cbs, k = 3, nProbe = 4).count()
+        graft.ml.Ann.lshKnn(
+          graft.ml.Ann.buildIndex(vecs, "vec_id", "embedding", dim = 16),
+          q, "vec_id", "embedding", dim = 16, k = 3).count()
+        graft.ml.Dedup.embeddingPairs(vecs, "vec_id", "embedding", dim = 16).count()
+        graft.ml.Dedup.semDedup(vecs, "vec_id", "embedding").count()
+      }
       spark.catalog.clearCache()
     } catch { case e: Throwable => System.err.println(s"[bench] warmup: ${e.getMessage}") }
 
