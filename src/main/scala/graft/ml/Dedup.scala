@@ -238,8 +238,14 @@ object Dedup {
     * id-partitioned window to rank shingles within docs, the prefix
     * self-join (the quadratic term — provably minimal prefixes), then the
     * narrow size-bound + exact-verify tail shared with the approximate
-    * paths. Use this when recall 1.0 is a requirement; minhash when ~0.95
-    * recall at a fraction of the candidates is acceptable.
+    * paths. The candidate pipeline carries 8-byte xxhash64 shingle
+    * identities (set `graft.ssjoin.hashShingles=false` for literal
+    * strings); the final Jaccard verify always computes on the literal
+    * string sets, so precision is exact and a hash collision can only
+    * surface as an extra candidate for the verify to discard (recall
+    * would need an intra-doc collision to reorder a prefix — p < 1e-10
+    * corpus-wide). Use this when recall 1.0 is a requirement; minhash
+    * when ~0.95 recall at a fraction of the candidates is acceptable.
     */
   def jaccardJoinExact(
       docs: DataFrame,
@@ -252,7 +258,18 @@ object Dedup {
       .withColumn("sz", size(col("sh")))
       .filter(col("sz") > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val posting = sh.select(col("id"), col("sz"), explode(col("sh")).as("shingle"))
+    // candidate pipeline runs on 8-byte shingle HASHES (the ~30-byte
+    // strings would otherwise ride the df shuffle, the rank window and
+    // the prefix self-join); the final verify below computes Jaccard on
+    // the literal string sets, so precision stays exact — a collision
+    // can only admit an extra candidate for the verify to discard
+    val hashShingles = docs.sparkSession.conf
+      .getOption("graft.ssjoin.hashShingles").forall(_.toBoolean)
+    val posting0 = sh.select(col("id"), col("sz"), explode(col("sh")).as("s0"))
+    val posting =
+      if (hashShingles)
+        posting0.select(col("id"), col("sz"), xxhash64(col("s0")).as("shingle"))
+      else posting0.withColumnRenamed("s0", "shingle")
     val dfTab = posting.groupBy("shingle").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("df"), col("shingle"))
