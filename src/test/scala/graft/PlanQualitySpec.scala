@@ -98,6 +98,38 @@ class PlanQualitySpec extends SparkSpec {
     } finally spark.conf.unset("graft.rowIndex.localThresholdBytes")
   }
 
+  test("dedupSpans shuffles 8-byte window hashes; text crosses one broadcast join") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    val out = graft.ml.Dedup.dedupSpans(docs, "doc_id", "text", minLen = 8)
+    // traverse into InMemoryRelation too — the persisted window frame
+    // hides its posexplode inside the cached plan
+    def deepCollect(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p.collect { case x => x }.flatMap {
+        case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          im +: deepCollect(im.relation.cachedPlan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a +: deepCollect(a.executedPlan)
+        case x => Seq(x)
+      }
+    val nodes = deepCollect(out.queryExecution.executedPlan)
+    // no shuffle carries the text or exploded tokens — window hashes,
+    // start positions and per-doc span arrays only
+    nodes.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.foreach { e =>
+      val cols = e.output.map(_.name).toSet
+      assert(!cols.contains("text") && !cols.contains("tok"), s"shuffle carries: $cols")
+    }
+    // exactly one DISTINCT Generate (the window-hash posexplode, seen
+    // through both scans of the shared cached relation); a token-level
+    // explode would be a second distinct one
+    val generates = nodes.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }
+    assert(generates.map(System.identityHashCode).distinct.size === 1,
+      out.queryExecution.executedPlan.toString)
+  }
+
   test("dedup pair pipelines shuffle band keys, not shingle arrays") {
     val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
     val bandRows = docs.select(col("doc_id"),
