@@ -121,6 +121,20 @@ object Ann {
     corpus.select(col(idCol).as("neighbour_id"), col(vecCol).as("cv"),
       element_at(Kernels.nearestCentroids(col(vecCol), centroids, 1), 1).as("list"))
 
+  /** Persist an IVF (or IVFADC) index partitioned by inverted list —
+    * the on-disk shape a large ANN corpus needs: a probe of `nProbe`
+    * lists then READS only nProbe/nList of the files. Spark prunes the
+    * partitions two ways: statically for `filter(col("list").isin(...))`,
+    * and via dynamic partition pruning when [[ivfKnn]]'s probe join
+    * broadcasts the (tiny) query-probe side against the partition
+    * column. `IvfIndexSpec`-style assertions live in `DedupCorpusSpec`.
+    */
+  def writeIvfIndex(index: DataFrame, path: String): Unit =
+    index.write.mode("overwrite").partitionBy("list").parquet(path)
+
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** IVF search: probe the `nProbe` nearest inverted lists per query,
     * exact cosine within the probed lists, top-k. Cost ~ nProbe/nList of
     * brute force; recall grows with nProbe (the classic IVF trade,

@@ -90,6 +90,39 @@ class DedupCorpusSpec extends SparkSpec {
     assert(recall > 0.0 && recall <= 1.0)
   }
 
+  test("persisted IVF index: probes read a pruned subset of list partitions") {
+    val vecs = (0 until 120).map { i =>
+      val rnd = new scala.util.Random(i * 613 + 5)
+      (i.toLong, Array.fill(8)(rnd.nextFloat() - 0.5f))
+    }.toDF("vec_id", "embedding")
+    val centroids = Ann.trainCentroids(vecs, "embedding", nList = 6, sampleN = 120)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    try {
+      Ann.writeIvfIndex(Ann.buildIvfIndex(vecs, "vec_id", "embedding", centroids), dir)
+      val idx = Ann.readIvfIndex(spark, dir)
+      // the index round-trips (list is now a partition column)
+      assert(idx.count() === 120)
+      // static pruning: a probe of 2 lists scans 2 of the 6 partitions
+      val pruned = idx.filter($"list".isin(0, 1))
+      val scan = pruned.queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.head
+      assert(scan.relation.partitionSchema.fieldNames.contains("list"))
+      assert(scan.metadata("PartitionFilters").contains("list"),
+        scan.metadata("PartitionFilters"))
+      // search over the persisted index matches search over the in-memory
+      // one (list comes back as int partition values)
+      val q = vecs.filter($"vec_id" < 3)
+      val fromDisk = Ann.ivfKnn(idx.withColumn("list", $"list".cast("int")),
+        q, "vec_id", "embedding", centroids, k = 3, nProbe = 6)
+        .select("query_id", "neighbour_id").as[(Long, Long)].collect().toSet
+      val fromMem = Ann.ivfKnn(Ann.buildIvfIndex(vecs, "vec_id", "embedding", centroids),
+        q, "vec_id", "embedding", centroids, k = 3, nProbe = 6)
+        .select("query_id", "neighbour_id").as[(Long, Long)].collect().toSet
+      assert(fromDisk === fromMem)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("embeddingPairs salt path matches the uncapped pair set") {
     val vecs = (0 until 30).map { i =>
       // two tight clusters → big LSH buckets
