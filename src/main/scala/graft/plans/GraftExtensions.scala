@@ -77,6 +77,18 @@ object GraftExtensions {
       (es: Seq[Expression]) => ApproxTopK.SpaceSavingTopK(es.head,
         if (es.length > 1) intArg(es(1), 10) else 10,
         if (es.length > 2) intArg(es(2), 1024) else 1024).toAggregateExpression()),
+    ("graft_normalize_text", info("graft_normalize_text",
+      "_FUNC_(text) - NFC normalization + control-character strip (unicode repair)"),
+      (es: Seq[Expression]) => Kernels.NormalizeTextExpr(es.head)),
+    ("graft_window_hashes", info("graft_window_hashes",
+      "_FUNC_(text, winLen) - rolling 64-bit hashes of every winLen-token window"),
+      (es: Seq[Expression]) => Kernels.TokenWindowHashesExpr(es.head,
+        if (es.length > 1) intArg(es(1), 8) else 8)),
+    ("graft_lsh_probes", info("graft_lsh_probes",
+      "_FUNC_(vec, nPlanes, nProbes) - query-directed multi-probe LSH buckets"),
+      (es: Seq[Expression]) => Kernels.HyperplaneProbesExpr(es.head,
+        if (es.length > 1) intArg(es(1), 12) else 12,
+        if (es.length > 2) intArg(es(2), 16) else 16)),
     ("graft_asof_marker", info("graft_asof_marker",
       "_FUNC_(mode) - internal ASOF JOIN marker planted by the SQL rewrite"),
       (es: Seq[Expression]) => AsofMarkerExpr(es.headOption.collect {

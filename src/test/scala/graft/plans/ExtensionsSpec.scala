@@ -28,6 +28,18 @@ class ExtensionsSpec extends SparkSpec {
     val mkh = spark.sql(
       "SELECT size(graft_min_k_hashes(array('a','b','c'), 2)) AS n").collect().head.getInt(0)
     assert(mkh === 2)
+    // Spark's chr() is ASCII-mod-256 (unlike DuckDB's unicode chr), so
+    // the combining acute rides in the Scala literal instead
+    val norm = spark.sql(
+      "SELECT graft_normalize_text('cafe\u0301') AS t").collect().head.getString(0)
+    assert(norm === "café")
+    val wh = spark.sql(
+      "SELECT size(graft_window_hashes('a b c d e', 3)) AS n").collect().head.getInt(0)
+    assert(wh === 3)
+    val probes = spark.sql(
+      "SELECT size(graft_lsh_probes(array(0.5D, -0.25D, 1.0D), 4, 7)) AS n")
+      .collect().head.getInt(0)
+    assert(probes === 7)
   }
 
   test("GraftExtensions class injects the same functions via session extensions") {
