@@ -441,6 +441,13 @@ object SparkEntry {
     "q_langid" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextFunctions.langId(col("text")).as("pred_lang"))),
+    // CCNet-style quality-classifier scoring with shipped coefficients
+    // (training is offline; scoring is map-side and SQL-mirrorable);
+    // 6dp rounding absorbs libm exp/log10 last-ulp differences
+    "q_quality_score" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        round(TextFunctions.qualityScore(col("text"),
+          Array(-1.0, 0.3, -2.0, -3.0, 4.0, 0.5)), 6).as("score"))),
     "q_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextFunctions.fingerprint(col("text")).as("fp"))),
@@ -1050,6 +1057,20 @@ object SparkEntry {
     "q_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text),
          '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp FROM documents""",
+    // q_quality_score: the full logistic recomputed in SQL over the same
+    // feature formulas the bit-exact q_quality oracle already pins
+    "q_quality_score" ->
+      """SELECT doc_id, round(1.0 / (1.0 + exp(-(-1.0
+           + 0.3 * (CAST(length(text) AS DOUBLE) / greatest(len(string_split(text, ' ')), 1))
+           - 2.0 * (CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+                    / greatest(length(text), 1))
+           - 3.0 * (CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE)
+                    / greatest(length(text), 1))
+           + 4.0 * (CAST(len(regexp_extract_all(lower(text),
+                      '\b(the|and|is|of|to|a|in|that|it|was)\b')) AS DOUBLE)
+                    / greatest(len(string_split(text, ' ')), 1))
+           + 0.5 * log10(CAST(length(text) AS DOUBLE) + 1.0)))), 6) AS score
+         FROM documents""",
     // q_normalize_text: NFC + control-strip parity — utf8proc NFC
     // (DuckDB) and java.text.Normalizer agree; chr(769) is the
     // combining acute that must fold into a precomposed e-acute

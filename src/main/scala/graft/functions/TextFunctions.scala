@@ -57,6 +57,27 @@ object TextFunctions {
       (nStop.cast("double") / greatest(nTokens, lit(1L))).as("stopword_ratio"))
   }
 
+  /** CCNet/fastText-style quality-classifier score: logistic over the
+    * [[qualityFeatures]] vector with caller-supplied weights
+    * (intercept, avg_token_len, punct_ratio, upper_ratio,
+    * stopword_ratio, log10(n_chars+1)). Training lives outside the hot
+    * path (fit offline on labeled docs, ship coefficients); scoring is a
+    * pure map-side codegen'd expression — the shape a 100 TB quality
+    * filter needs. Pure `functions._`, so the DuckDB oracle recomputes
+    * it bit-for-bit.
+    */
+  def qualityScore(text: Column, w: Array[Double]): Column = {
+    require(w.length == 6, "weights: intercept + 5 feature coefficients")
+    val f = qualityFeatures(text)
+    val z = lit(w(0)) +
+      f.getField("avg_token_len") * lit(w(1)) +
+      f.getField("punct_ratio") * lit(w(2)) +
+      f.getField("upper_ratio") * lit(w(3)) +
+      f.getField("stopword_ratio") * lit(w(4)) +
+      log10(f.getField("n_chars").cast("double") + lit(1.0)) * lit(w(5))
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
   /** Repetition quality signals (Gopher-style, Rae et al. 2021 §A1.1):
     * duplicate-line fractions over '\n'-split trimmed lines, plus
     * most-frequent word-n-gram shares over normalized n-grams. High

@@ -188,6 +188,34 @@ class SimilarityAndDedupSpec extends SparkSpec {
     assert(simUncapped.nonEmpty && simSalted === simUncapped)
   }
 
+  test("qualityScore: closed-form sigmoid; spark.ml-trained weights separate junk") {
+    // intercept-only weights: score is sigmoid(intercept) regardless of text
+    val s0 = Seq((1L, "anything")).toDF("id", "text")
+      .select(TextFunctions.qualityScore($"text", Array(0.3, 0, 0, 0, 0, 0)).as("s"))
+      .head().getDouble(0)
+    assert(math.abs(s0 - 1.0 / (1.0 + math.exp(-0.3))) < 1e-12)
+    // offline training path: fit LR on the feature vector, ship the
+    // coefficients into the map-side scorer
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.functions.array_to_vector
+    val good = (0 until 40).map(i =>
+      (s"the quick brown fox is on the mat and it was warm today number $i", 1.0))
+    val bad = (0 until 40).map(i =>
+      (s"!!!BUY NOW!!! $i CLICK??? WIN;;; ALL CAPS SPAM!!!", 0.0))
+    val df = (good ++ bad).toDF("text", "label")
+    val feats = df
+      .select($"label", TextFunctions.qualityFeatures($"text").as("f"))
+      .select($"label", array_to_vector(array(
+        $"f.avg_token_len", $"f.punct_ratio", $"f.upper_ratio", $"f.stopword_ratio",
+        log10($"f.n_chars".cast("double") + lit(1.0)))).as("features"))
+    val m = new LogisticRegression().setMaxIter(25).setRegParam(0.01).fit(feats)
+    val w = m.intercept +: m.coefficients.toArray
+    val scored = df.select($"label", TextFunctions.qualityScore($"text", w).as("s"))
+    val avgGood = scored.filter($"label" === 1.0).agg(avg($"s")).head().getDouble(0)
+    val avgBad = scored.filter($"label" === 0.0).agg(avg($"s")).head().getDouble(0)
+    assert(avgGood > 0.8 && avgBad < 0.2, s"good=$avgGood bad=$avgBad")
+  }
+
   test("normalizeText: NFC folds combining marks; control chars stripped") {
     val rows = Seq(
       (1L, "abcd"),        // controls + DEL stripped
