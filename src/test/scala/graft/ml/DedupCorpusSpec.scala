@@ -56,6 +56,36 @@ class DedupCorpusSpec extends SparkSpec {
     assert(full === exact)
   }
 
+  test("hyperplaneProbes truncates to 2^nPlanes when over-asked") {
+    val v = Seq((1L, Array(0.3f, -0.7f, 0.2f, 0.9f))).toDF("vec_id", "embedding")
+    val p = v.select(graft.plans.Kernels.hyperplaneProbes($"embedding", 2, 16).as("p"))
+      .as[Seq[Long]].collect().head
+    assert(p.length === 4 && p.distinct.length === 4 && p.forall(x => x >= 0 && x < 4))
+  }
+
+  test("ADC table cache keyed by codebook identity: interleaved indexes don't cross-talk") {
+    // two different corpora/codebooks queried alternately in one JVM —
+    // the executor-thread-local ADC tables must not leak across them
+    def corpus(seed: Int) = (0 until 60).map { i =>
+      val rnd = new scala.util.Random(i * seed + 17)
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 5f))
+    }.toDF("vec_id", "embedding")
+    val (va, vb) = (corpus(101), corpus(907))
+    def search(vecs: org.apache.spark.sql.DataFrame) = {
+      val cents = Ann.trainCentroids(vecs, "embedding", nList = 3, sampleN = 60)
+      val cbs = Ann.trainPq(vecs, "embedding", cents, m = 4, maxIter = 5)
+      Ann.pqKnn(Ann.buildPqIndex(vecs, "vec_id", "embedding", cents, cbs),
+        vecs.filter($"vec_id" < 4), "vec_id", "embedding", cents, cbs, k = 3, nProbe = 3)
+        .select("query_id", "neighbour_id").as[(Long, Long)].collect().toSet
+    }
+    val isolatedA = search(va)
+    val isolatedB = search(vb)
+    // interleave: run A and B again in alternation; same results
+    assert(search(va) === isolatedA)
+    assert(search(vb) === isolatedB)
+    assert(search(va) === isolatedA)
+  }
+
   test("recallAtK of the LSH index is sane (0 < recall <= 1)") {
     val vecs = (0 until 60).map { i =>
       (i.toLong, Array.tabulate(8)(j => math.sin(i * 17 + j * 3).toFloat))
