@@ -614,6 +614,16 @@ object SparkEntry {
           .otherwise(col("text")).as("text"))
       Dedup.dedupSpans(aug, "doc_id", "text", minLen = 8)
     }),
+    // keep-first variant (Lee et al. semantics): the corpus-wide first
+    // occurrence of each duplicated window survives
+    "q_dedup_spans_keepfirst" -> ((s, dir) => {
+      val aug = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 5 === 0,
+          concat(col("text"),
+            lit(" shared passage alpha beta gamma delta epsilon zeta eta theta iota kappa")))
+          .otherwise(col("text")).as("text"))
+      Dedup.dedupSpans(aug, "doc_id", "text", minLen = 8, keepFirst = true)
+    }),
 
     // ASOF JOIN through the SQL surface (injectParser + resolution rule
     // + native exec); DuckDB's own ASOF JOIN is the oracle
@@ -1410,6 +1420,61 @@ object SparkEntry {
            SELECT DISTINCT doc_id, pos FROM (
              SELECT doc_id, unnest(range(s, s + 8)) AS pos
              FROM wins WHERE w IN (SELECT w FROM dup)
+           )
+         ),
+         kept AS (
+           SELECT t.doc_id, t.pos, t.tok
+           FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+           WHERE c.pos IS NULL
+         ),
+         agg AS (
+           SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+           FROM kept GROUP BY doc_id
+         ),
+         rem AS (
+           SELECT doc_id, count(*) AS removed_tokens FROM cov GROUP BY doc_id
+         )
+         SELECT a.doc_id, coalesce(g.text, '') AS text,
+                coalesce(r.removed_tokens, 0) AS removed_tokens
+         FROM aug a
+         LEFT JOIN agg g ON a.doc_id = g.doc_id
+         LEFT JOIN rem r ON a.doc_id = r.doc_id""",
+    // q_dedup_spans_keepfirst: owner = row_number 1 per window ordered by
+    // (doc, position); only non-owner occurrences are removed
+    "q_dedup_spans_keepfirst" ->
+      """WITH aug AS (
+           SELECT doc_id, CASE WHEN doc_id % 5 = 0
+             THEN text || ' shared passage alpha beta gamma delta epsilon zeta eta theta iota kappa'
+             ELSE text END AS text
+           FROM documents
+         ),
+         tkd AS (
+           SELECT doc_id, text, regexp_split_to_array(text, '\s+') AS tk FROM aug
+         ),
+         toks AS (
+           SELECT doc_id, unnest(tk) AS tok,
+                  unnest(range(0, len(tk))) AS pos
+           FROM tkd
+         ),
+         wins AS (
+           SELECT doc_id,
+                  unnest(range(0, greatest(len(tk) - 7, 0))) AS s,
+                  unnest(list_transform(range(0, greatest(len(tk) - 7, 0)),
+                         i -> array_to_string(tk[i + 1 : i + 8], ' '))) AS w
+           FROM tkd
+         ),
+         dup AS (
+           SELECT w FROM wins GROUP BY w HAVING count(DISTINCT doc_id) > 1
+         ),
+         ranked AS (
+           SELECT doc_id, s,
+                  row_number() OVER (PARTITION BY w ORDER BY doc_id, s) AS rn
+           FROM wins WHERE w IN (SELECT w FROM dup)
+         ),
+         cov AS (
+           SELECT DISTINCT doc_id, pos FROM (
+             SELECT doc_id, unnest(range(s, s + 8)) AS pos
+             FROM ranked WHERE rn > 1
            )
          ),
          kept AS (

@@ -423,8 +423,10 @@ object Dedup {
     * granularity): every `minLen`-token window whose token sequence
     * occurs in more than `maxDocFreq` distinct documents is a duplicated
     * span; overlapping spans union per document and the covered tokens
-    * are removed (all occurrences — the corpus-boilerplate semantics of
-    * [[dedupLines]], not Lee et al.'s keep-first). Output: one row per
+    * are removed. Default removes ALL occurrences (the corpus-boilerplate
+    * semantics of [[dedupLines]]); `keepFirst = true` elects the
+    * corpus-wide first occurrence (min (doc, position)) of each window to
+    * survive — Lee et al.'s keep-one semantics. Output: one row per
     * input doc with the cleaned text (whitespace normalized to single
     * spaces, `""` if fully covered) and `removed_tokens`.
     *
@@ -443,7 +445,8 @@ object Dedup {
       idCol: String,
       textCol: String,
       minLen: Int = 8,
-      maxDocFreq: Int = 1): DataFrame = {
+      maxDocFreq: Int = 1,
+      keepFirst: Boolean = false): DataFrame = {
     val base = docs.select(col(idCol).as("id"), col(textCol).as("text"))
     val wins = base.select(col("id"),
       posexplode(Kernels.tokenWindowHashes(col("text"), minLen)).as(Seq("s", "h")))
@@ -452,7 +455,21 @@ object Dedup {
       .groupBy("h").agg(count(lit(1)).as("d"))
       .filter(col("d") > maxDocFreq)
       .select("h")
-    val spans = wins.join(dup, Seq("h"), "left_semi")
+    val dupWins = wins.join(dup, Seq("h"), "left_semi")
+    // keepFirst = Lee et al.'s semantics: the corpus-wide first occurrence
+    // (min (doc, position)) of each duplicated window survives; owner
+    // election is a partial agg + equi-join, not a per-hash window, so a
+    // ubiquitous window cannot create a straggler sort task
+    val removable =
+      if (!keepFirst) dupWins
+      else {
+        val owners = dupWins.groupBy("h")
+          .agg(min(struct(col("id"), col("s"))).as("o"))
+        dupWins.join(owners, Seq("h"))
+          .filter(!(col("id") === col("o.id") && col("s") === col("o.s")))
+          .select("id", "s", "h")
+      }
+    val spans = removable
       .groupBy("id").agg(sort_array(collect_list(col("s"))).as("ss"))
     val noSpans = lit(Array.empty[Int])
     base.join(spans, Seq("id"), "left")

@@ -265,6 +265,25 @@ class SimilarityAndDedupSpec extends SparkSpec {
     assert(out(2)._3 === 0L)
   }
 
+  test("dedupSpans keepFirst: the lowest (doc, pos) occurrence survives") {
+    val shared = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha $shared beta"),
+      (2L, s"x $shared y"),
+      (3L, shared)
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(docs, "doc_id", "text", minLen = 8, keepFirst = true)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    // doc 1 owns every shared window (lowest doc id) → untouched
+    assert(out(0) === ((1L, s"alpha $shared beta", 0L)))
+    assert(out(1) === ((2L, "x y", 12L)))
+    assert(out(2) === ((3L, "", 12L)))
+    // default mode removes all three occurrences
+    val all = Dedup.dedupSpans(docs, "doc_id", "text", minLen = 8)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(all(0) === ((1L, "alpha beta", 12L)))
+  }
+
   test("dedupSpans merges overlapping spans and can empty a doc") {
     val shared = (1 to 12).map(i => s"tok$i").mkString(" ")
     val docs = Seq(
