@@ -66,13 +66,25 @@ object Streams {
       watermark: String,
       textCol: String,
       langs: Set[String],
-      minTokens: Long = 1L): DataFrame = {
+      minTokens: Long = 1L,
+      normalize: Boolean = false,
+      qualityWeights: Option[Array[Double]] = None,
+      minQuality: Double = 0.5): DataFrame = {
     import graft.functions.TextFunctions
+    // unicode repair and quality-classifier scoring are stateless
+    // map-side expressions, so they compose into the stream for free —
+    // only the fingerprint dedup holds state
+    val pre =
+      if (normalize) docs.withColumn(textCol, TextFunctions.normalizeText(col(textCol)))
+      else docs
     val text = col(textCol)
-    docs.withWatermark(tsCol, watermark)
+    val flt = pre.withWatermark(tsCol, watermark)
       .withColumn("pred_lang", TextFunctions.langId(text))
       .withColumn("n_tokens", TextFunctions.tokenCount(text))
       .filter(col("pred_lang").isin(langs.toSeq: _*) && col("n_tokens") >= minTokens)
+    val scored = qualityWeights.fold(flt)(w =>
+      flt.filter(TextFunctions.qualityScore(text, w) >= minQuality))
+    scored
       .withColumn("__fp", TextFunctions.fingerprint(text))
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")

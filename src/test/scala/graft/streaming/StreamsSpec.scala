@@ -74,6 +74,33 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming curation with unicode repair and quality-classifier filter") {
+    val dir = Files.createTempDirectory("graftcurate2").toString + "/in"
+    val en = "the cat and the dog ran to the park and it was a fine day for all of us"
+    Seq(
+      // control chars in an otherwise-good doc: normalize repairs, doc kept
+      (java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "the cat and the dog ran to the park and it was a fine day"),
+      // shouty junk: language filter passes it ("the"), quality filter drops it
+      (java.sql.Timestamp.valueOf("2024-01-01 10:00:01"), 2L, "THE!!! BUY NOW!!! CLICK;;; WIN??? THE THE THE SPAM!!! ALL CAPS!!!"),
+      (java.sql.Timestamp.valueOf("2024-01-01 10:00:02"), 3L, en)
+    ).toDF("ts", "doc_id", "text").coalesce(1).write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = Streams.readParquetStream(spark, dir, schema)
+    // weights: punct/upper ratios punish junk, stopword ratio rewards prose
+    val curated = Streams.streamingCurate(stream, "ts", "1 hour", "text",
+      langs = Set("en"), minTokens = 5L, normalize = true,
+      qualityWeights = Some(Array(0.0, 0.0, -30.0, -10.0, 8.0, 0.0)))
+    val q = curated.writeStream.outputMode("append")
+      .format("memory").queryName("curate2_out").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT doc_id, text FROM curate2_out").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows.keySet === Set(1L, 3L), rows.keySet)
+      assert(!rows(1L).contains("")) // control char repaired away
+    } finally q.stop()
+  }
+
   test("stateful sessionizer emits gap-separated sessions") {
     val src = writeEventsParquet()
     val schema = spark.read.parquet(src).schema
