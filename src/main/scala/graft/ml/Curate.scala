@@ -36,7 +36,14 @@ object Curate {
       exactDedup: Boolean = true,
       sampleModulus: Int = 1,
       sampleKeep: Int = 1,
-      scrubPii: Boolean = true)
+      scrubPii: Boolean = true,
+      // opt-in stage 0: unicode repair (NFC + control strip) before any
+      // feature is computed — [[TextFunctions.normalizeText]]
+      normalize: Boolean = false,
+      // opt-in quality-classifier filter after the cheap filters:
+      // logistic over quality features with shipped coefficients
+      qualityWeights: Option[Array[Double]] = None,
+      minQuality: Double = 0.5)
 
   /** Returns the curated corpus: `idCol`, `pred_lang`, `n_tokens`,
     * `textCol` (scrubbed when `cfg.scrubPii`).
@@ -44,7 +51,10 @@ object Curate {
   def curate(docs: DataFrame, idCol: String, textCol: String,
       cfg: Config = Config()): DataFrame = {
     val text = col(textCol)
-    val staged = docs
+    val pre =
+      if (cfg.normalize) docs.withColumn(textCol, TextFunctions.normalizeText(text))
+      else docs
+    val staged0 = pre
       .withColumn("pred_lang", TextFunctions.langId(text))
       .withColumn("n_tokens", TextFunctions.tokenCount(text))
       .withColumn("__rep", TextFunctions.repetitionFeatures(text, 2))
@@ -52,6 +62,8 @@ object Curate {
       .filter(col("n_tokens").between(cfg.minTokens, cfg.maxTokens))
       .filter(col("__rep.dup_line_frac") <= cfg.maxDupLineFrac &&
         col("__rep.top_ngram_char_share") <= cfg.maxTopNgramCharShare)
+    val staged = cfg.qualityWeights.fold(staged0)(w =>
+        staged0.filter(TextFunctions.qualityScore(text, w) >= cfg.minQuality))
       .select(col(idCol), col("pred_lang"), col("n_tokens"), text)
     val deduped =
       if (!cfg.exactDedup) staged

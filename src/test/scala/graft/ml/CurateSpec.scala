@@ -40,6 +40,18 @@ class CurateSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).size === 1, plan)
   }
 
+  test("curate opt-in stages: unicode repair and quality-classifier filter") {
+    val junk = "THE!!! BUY NOW!!! CLICK;;; WIN??? THE THE SPAM!!! CAPS!!!"
+    val damaged = good + "\r trailing"
+    val docs = Seq((1L, damaged), (2L, junk)).toDF("doc_id", "text")
+    val out = Curate.curate(docs, "doc_id", "text",
+      Curate.Config(langs = Set("en"), minTokens = 1L, normalize = true,
+        qualityWeights = Some(Array(0.0, 0.0, -30.0, -10.0, 8.0, 0.0))))
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(out.keySet === Set(1L)) // junk dropped on score
+    assert(!out(1L).contains("") && !out(1L).contains("\r"))
+  }
+
   test("curate stage toggles: no dedup keeps the dup, sampling thins ids") {
     val docs = Seq((1L, good), (5L, good)).toDF("doc_id", "text")
     val keepBoth = Curate.curate(docs, "doc_id", "text",
