@@ -249,6 +249,25 @@ class SimilarityAndDedupSpec extends SparkSpec {
     assert(hs(2L)(0) !== hs(1L)(0))
   }
 
+  test("rolling window hashes induce exactly string-window equality (property)") {
+    // small token alphabet → many genuine repeats; the hash-equality
+    // relation must match string-window equality in BOTH directions
+    val rnd = new scala.util.Random(42)
+    val texts = (0 until 50).map { i =>
+      (i.toLong, Array.fill(25)(s"t${rnd.nextInt(6)}").mkString(" "))
+    }
+    val n = 3
+    val hs = texts.toDF("id", "text")
+      .select($"id", Kernels.tokenWindowHashes($"text", n).as("h"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val all = texts.flatMap { case (id, text) =>
+      val toks = text.split(" ")
+      toks.sliding(n).zipWithIndex.map { case (w, s) => (w.mkString(" "), hs(id)(s)) }
+    }
+    for (((w1, h1), i) <- all.zipWithIndex; (w2, h2) <- all.drop(i))
+      assert((w1 == w2) === (h1 == h2), s"'$w1'/$h1 vs '$w2'/$h2")
+  }
+
   test("dedupSpans removes cross-doc duplicated windows, merged and counted") {
     val docs = Seq(
       (1L, "one two three four five six seven eight alpha beta"),
