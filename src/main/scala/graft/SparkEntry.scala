@@ -543,6 +543,22 @@ object SparkEntry {
       val copies = base.select((col("doc_id") + 1000000).as("doc_id"), col("text"))
       Dedup.simhashPairs(SetOps.concat(base, copies), "doc_id", "text", maxHamming = 3)
     }),
+    // incremental dedup: a new batch (exact copies of every 4th corpus
+    // doc + fresh md5-token docs) checked AGAINST the corpus index —
+    // no corpus self-join. t=1.0 exact-copy plant keeps banding recall
+    // provably 1.0, so brute-force inc×corpus J>=1.0 is the truth
+    "q_dedup_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val copies = docs.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"), col("text"))
+      val fresh = docs.filter(col("doc_id") % 4 === 1)
+        .select((col("doc_id") + 3000000).as("doc_id"),
+          concat_ws(" ", (0 until 8).map(i =>
+            md5(concat(col("doc_id").cast("string"), lit(s"-$i")))): _*).as("text"))
+      val idx = Dedup.minhashIndex(docs, "doc_id", "text")
+      Dedup.incrementalMinhashPairs(SetOps.concat(copies, fresh), idx,
+        "doc_id", "text", threshold = 1.0)
+    }),
     "q_ngram_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val truncated = docs.select((col("doc_id") + 1000000).as("doc_id"),
@@ -1364,6 +1380,45 @@ object SparkEntry {
                / len(list_distinct(list_concat(a.g, b.g)))::DOUBLE AS jaccard
            FROM grams a JOIN grams b
              ON a.doc_id < b.doc_id AND len(a.g) = len(b.g) AND len(a.g) > 0
+         ) WHERE jaccard >= 1.0""",
+    // q_dedup_incremental: same grams construction, but the join is
+    // increment × corpus (never corpus × corpus)
+    "q_dedup_incremental" ->
+      """WITH inc AS (
+           SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 4 = 0
+           UNION ALL
+           SELECT doc_id + 3000000 AS doc_id,
+             md5(CAST(doc_id AS VARCHAR) || '-0') || ' ' ||
+             md5(CAST(doc_id AS VARCHAR) || '-1') || ' ' ||
+             md5(CAST(doc_id AS VARCHAR) || '-2') || ' ' ||
+             md5(CAST(doc_id AS VARCHAR) || '-3') || ' ' ||
+             md5(CAST(doc_id AS VARCHAR) || '-4') || ' ' ||
+             md5(CAST(doc_id AS VARCHAR) || '-5') || ' ' ||
+             md5(CAST(doc_id AS VARCHAR) || '-6') || ' ' ||
+             md5(CAST(doc_id AS VARCHAR) || '-7') AS text
+           FROM documents WHERE doc_id % 4 = 1
+         ),
+         gi AS (
+           SELECT doc_id, list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                         FOR i IN range(1, len(tk)-1)]) AS g
+           FROM (SELECT doc_id,
+                   list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+                               x -> x <> '') AS tk
+                 FROM inc)
+         ),
+         gc AS (
+           SELECT doc_id, list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                         FOR i IN range(1, len(tk)-1)]) AS g
+           FROM (SELECT doc_id,
+                   list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+                               x -> x <> '') AS tk
+                 FROM documents)
+         )
+         SELECT id_a, id_b, jaccard FROM (
+           SELECT i.doc_id AS id_a, c.doc_id AS id_b,
+             len(list_intersect(i.g, c.g))::DOUBLE
+               / len(list_distinct(list_concat(i.g, c.g)))::DOUBLE AS jaccard
+           FROM gi i JOIN gc c ON len(i.g) = len(c.g) AND len(i.g) > 0
          ) WHERE jaccard >= 1.0""",
     // q_dedup_lines: exact line-df boilerplate removal → SQL truth
     "q_dedup_lines" ->

@@ -14,9 +14,18 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        def dump(): Unit = fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        dump()
+        // transient-empty guard: one observed flake wrote an empty (but
+        // "successful") parquet for a query that deterministically
+        // returns rows — which the driver's gate reads as a hard
+        // correctness failure. If the dump is empty but the query
+        // isn't, re-dump once.
+        if (spark.read.parquet(s"$outDir/$name").isEmpty &&
+            !fn(spark, sfDir).isEmpty) dump()
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

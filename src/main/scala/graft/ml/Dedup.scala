@@ -133,6 +133,78 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Precomputed minhash band index of a corpus — the artifact
+    * INCREMENTAL dedup joins against. Build once and persist (at real
+    * scale, write `bands` out partitioned by band key); each new batch
+    * then pays only its own shingling plus a band join pruned to its own
+    * keys — the 100 TB corpus is never re-shingled and never self-joined
+    * again. `shingles` backs the exact verify of the (few) candidates;
+    * at scale that read is semi-join-pruned to candidate ids.
+    */
+  final case class MinhashIndex(bands: DataFrame, shingles: DataFrame)
+
+  def minhashIndex(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 64,
+      bands: Int = 16,
+      shingleN: Int = 3): MinhashIndex = {
+    val sh = corpus.select(col(idCol).as("id"),
+      Kernels.wordShingles(col(textCol), shingleN).as("sh"))
+      .withColumn("sz", size(array_distinct(col("sh"))))
+      .filter(col("sz") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandRows = sh.select(col("id"), explode(Similarity.lshBands(
+      Kernels.minhashSig(col("sh"), k), bands, k / bands)).as("bandkey"))
+    MinhashIndex(bandRows, sh)
+  }
+
+  /** Dedup an increment AGAINST an existing corpus index — the
+    * production shape: each incoming batch is checked without re-pairing
+    * the corpus with itself. The increment's band keys semi-join-prune
+    * the corpus postings; bands whose pruned posting exceeds `maxDf` are
+    * dropped as boilerplate (the same recall trade as [[minhashPairs]]'s
+    * saltCap — a doc pairs unless ALL its shared bands are boilerplate).
+    * Ids must be distinct across corpus and increment. Returns
+    * (id_a = increment id, id_b = corpus id, jaccard ≥ threshold).
+    */
+  def incrementalMinhashPairs(
+      increment: DataFrame,
+      index: MinhashIndex,
+      idCol: String,
+      textCol: String,
+      k: Int = 64,
+      bands: Int = 16,
+      shingleN: Int = 3,
+      threshold: Double = 0.7,
+      maxDf: Int = 1000): DataFrame = {
+    val shNew = increment.select(col(idCol).as("id"),
+      Kernels.wordShingles(col(textCol), shingleN).as("sh"))
+      .withColumn("sz", size(array_distinct(col("sh"))))
+      .filter(col("sz") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newBands = shNew.select(col("id").as("id_a"), explode(Similarity.lshBands(
+      Kernels.minhashSig(col("sh"), k), bands, k / bands)).as("bandkey"))
+    // corpus postings that an increment key actually touches (tiny vs
+    // the corpus); computed once per batch — a fraction of index.bands
+    val hit = index.bands.select(col("id").as("id_b"), col("bandkey"))
+      .join(newBands.select("bandkey").distinct(), Seq("bandkey"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ok = hit.groupBy("bandkey").agg(count(lit(1)).as("n"))
+      .filter(col("n") <= maxDf).select("bandkey")
+    val cand = newBands
+      .join(hit.join(ok, Seq("bandkey"), "left_semi"), Seq("bandkey"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(shNew.select(col("id").as("id_a"), col("sh").as("sh_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(index.shingles.select(col("id").as("id_b"), col("sh").as("sh_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .filter(lit(threshold) * col("sz_b") - lit(1e-9) <= col("sz_a") &&
+        lit(threshold) * col("sz_a") - lit(1e-9) <= col("sz_b"))
+      .select(col("id_a"), col("id_b"), Kernels.jaccardSim(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** SimHash near-dup pairs: 64-bit signature, bucket by the signature's
     * 4 16-bit quadrants (any pair within hamming distance 3 shares at
     * least one exact quadrant), verify hamming ≤ maxHamming.

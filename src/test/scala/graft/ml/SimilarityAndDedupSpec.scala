@@ -119,6 +119,19 @@ class SimilarityAndDedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("incremental dedup pairs the new batch against the corpus index only") {
+    val corpus = Seq((1L, docA), (2L, docC), (3L, docA)).toDF("doc_id", "text")
+    val inc = Seq(
+      (10L, docA), // copy of corpus docs 1 and 3
+      (11L, "fresh unrelated tokens nothing shared here at all today friends")
+    ).toDF("doc_id", "text")
+    val idx = Dedup.minhashIndex(corpus, "doc_id", "text")
+    val pairs = Dedup.incrementalMinhashPairs(inc, idx, "doc_id", "text", threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // the corpus-internal dup (1,3) must NOT appear — only inc × corpus
+    assert(pairs === Set((10L, 1L), (10L, 3L)))
+  }
+
   test("simhashPairs finds a planted near-duplicate") {
     val base = (1 to 40).map(i => s"unique$i token$i").mkString(" ")
     val near = base + " extra tail"
