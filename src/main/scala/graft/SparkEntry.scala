@@ -1105,7 +1105,7 @@ object SparkEntry {
          regexp_replace(nfc_normalize(
            text || chr(1) || 'x' || chr(7) || 'y' || chr(13) || chr(10)
                 || 'e' || chr(769) || ' fin'),
-           '[\x01-\x08\x0B-\x1F\x7F]', '', 'g') AS text
+           '[\x00-\x08\x0B-\x1F\x7F]', '', 'g') AS text
          FROM documents""",
     "q_dedup_exact" ->
       """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),

@@ -141,7 +141,9 @@ object Dedup {
     * again. `shingles` backs the exact verify of the (few) candidates;
     * at scale that read is semi-join-pruned to candidate ids.
     */
-  final case class MinhashIndex(bands: DataFrame, shingles: DataFrame)
+  final case class MinhashIndex(
+      bands: DataFrame, shingles: DataFrame,
+      k: Int, nBands: Int, shingleN: Int)
 
   def minhashIndex(
       corpus: DataFrame,
@@ -157,35 +159,37 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandRows = sh.select(col("id"), explode(Similarity.lshBands(
       Kernels.minhashSig(col("sh"), k), bands, k / bands)).as("bandkey"))
-    MinhashIndex(bandRows, sh)
+    MinhashIndex(bandRows, sh, k, bands, shingleN)
   }
 
   /** Dedup an increment AGAINST an existing corpus index — the
     * production shape: each incoming batch is checked without re-pairing
-    * the corpus with itself. The increment's band keys semi-join-prune
-    * the corpus postings; bands whose pruned posting exceeds `maxDf` are
-    * dropped as boilerplate (the same recall trade as [[minhashPairs]]'s
-    * saltCap — a doc pairs unless ALL its shared bands are boilerplate).
-    * Ids must be distinct across corpus and increment. Returns
-    * (id_a = increment id, id_b = corpus id, jaccard ≥ threshold).
+    * the corpus with itself. Banding parameters come FROM the index (a
+    * mismatched k/bands/shingleN would silently produce zero candidates).
+    * The increment's band keys semi-join-prune the corpus postings;
+    * bands whose pruned posting exceeds `maxDf` are dropped as
+    * boilerplate — same drop threshold as [[minhashPairs]]'s `saltCap`
+    * default (the self-join's intermediate salting tier is unnecessary
+    * here: this bipartite join has no quadratic bucket term, and AQE
+    * splits a skewed band's join at runtime). A doc loses a pair only
+    * if EVERY shared band is boilerplate. Ids must be distinct across
+    * corpus and increment. Returns (id_a = increment id, id_b = corpus
+    * id, jaccard ≥ threshold).
     */
   def incrementalMinhashPairs(
       increment: DataFrame,
       index: MinhashIndex,
       idCol: String,
       textCol: String,
-      k: Int = 64,
-      bands: Int = 16,
-      shingleN: Int = 3,
       threshold: Double = 0.7,
-      maxDf: Int = 1000): DataFrame = {
+      maxDf: Int = 20000): DataFrame = {
     val shNew = increment.select(col(idCol).as("id"),
-      Kernels.wordShingles(col(textCol), shingleN).as("sh"))
+      Kernels.wordShingles(col(textCol), index.shingleN).as("sh"))
       .withColumn("sz", size(array_distinct(col("sh"))))
       .filter(col("sz") > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val newBands = shNew.select(col("id").as("id_a"), explode(Similarity.lshBands(
-      Kernels.minhashSig(col("sh"), k), bands, k / bands)).as("bandkey"))
+      Kernels.minhashSig(col("sh"), index.k), index.nBands, index.k / index.nBands)).as("bandkey"))
     // corpus postings that an increment key actually touches (tiny vs
     // the corpus); computed once per batch — a fraction of index.bands
     val hit = index.bands.select(col("id").as("id_b"), col("bandkey"))

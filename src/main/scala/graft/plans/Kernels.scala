@@ -207,7 +207,11 @@ object Kernels {
       margins(p) = math.abs(d)
       p += 1
     }
-    val out = new Array[Any](math.min(nProbes, 1 << nPlanes))
+    // Long-safe cap: 1 << nPlanes wraps for nPlanes >= 31 (the Long
+    // bucket admits up to 63 planes)
+    val maxProbes =
+      if (nPlanes >= 63) Long.MaxValue else 1L << nPlanes
+    val out = new Array[Any](math.min(nProbes.toLong, maxProbes).toInt)
     out(0) = base
     if (out.length > 1) {
       // plane ids sorted by margin ascending; a perturbation set is a
@@ -625,9 +629,12 @@ object Kernels {
   private val adcCache =
     new ThreadLocal[java.util.LinkedHashMap[java.lang.Long, AdcEntry]] {
       override def initialValue(): java.util.LinkedHashMap[java.lang.Long, AdcEntry] =
-        new java.util.LinkedHashMap[java.lang.Long, AdcEntry](64, 0.75f, true) {
+        new java.util.LinkedHashMap[java.lang.Long, AdcEntry](256, 0.75f, true) {
+          // 128 entries × m·codeK doubles (≈16 KB at m=8) ≈ 2 MB/thread:
+          // roomy enough that a whole probe batch's (query, list) pairs
+          // stay resident even when the join streams them interleaved
           override def removeEldestEntry(
-              e: java.util.Map.Entry[java.lang.Long, AdcEntry]): Boolean = size() > 32
+              e: java.util.Map.Entry[java.lang.Long, AdcEntry]): Boolean = size() > 128
         }
     }
 
@@ -639,22 +646,39 @@ object Kernels {
     val d = coarse(0).length
     val dsub = d / m
     val codeK = flatCodebooks(0).length / dsub
-    // copy + hash the query (O(d)) — candidates vastly outnumber distinct
-    // (query, list) pairs, so the table build amortizes away
-    val qa = new Array[Double](d)
+    // hash the query in place (no allocation on the hit path) —
+    // candidates vastly outnumber distinct (query, list) pairs, so the
+    // codeK·d table build amortizes to the O(d) hash + m lookups per row
     var h = 1125899906842597L * (list + 1) + System.identityHashCode(flatCodebooks)
     var i = 0
     while (i < d) {
       val v = if (elemKind == 0) q.getFloat(i).toDouble else q.getDouble(i)
-      qa(i) = v
       h = h * 31 + java.lang.Double.doubleToLongBits(v)
       i += 1
     }
     val cache = adcCache.get()
     val key = java.lang.Long.valueOf(h)
     var e = cache.get(key)
-    if (e == null || e.list != list || (e.cb ne flatCodebooks) ||
-        !java.util.Arrays.equals(e.q, qa)) {
+    if (e != null && (e.list != list || (e.cb ne flatCodebooks))) e = null
+    if (e != null) {
+      // verify content equality without materializing the query
+      var j = 0
+      var same = e.q.length == d
+      while (same && j < d) {
+        val v = if (elemKind == 0) q.getFloat(j).toDouble else q.getDouble(j)
+        same = java.lang.Double.doubleToLongBits(v) ==
+          java.lang.Double.doubleToLongBits(e.q(j))
+        j += 1
+      }
+      if (!same) e = null
+    }
+    if (e == null) {
+      val qa = new Array[Double](d)
+      var x = 0
+      while (x < d) {
+        qa(x) = if (elemKind == 0) q.getFloat(x).toDouble else q.getDouble(x)
+        x += 1
+      }
       val cc = coarse(list)
       val table = new Array[Double](m * codeK)
       var s = 0
