@@ -133,6 +133,24 @@ final case class Tab(df: DataFrame) {
   def diffOrdered(other: Tab): Tab = Tab(SetOps.diffOrdered(df, other.df))
   def ===(other: Tab): Boolean = SetOps.tablesEqual(df, other.df)
 
+  // ---- training-data pipeline bridges (extensions beyond tablite) ----
+  /** Unicode repair in place: NFC + control-char strip. */
+  def normalizeText(textCol: String): Tab =
+    Tab(df.withColumn(textCol,
+      graft.functions.TextFunctions.normalizeText(org.apache.spark.sql.functions.col(textCol))))
+  /** Quality-classifier score appended as `outCol` (see
+    * [[graft.functions.TextFunctions.qualityScore]]). */
+  def qualityScore(textCol: String, weights: Array[Double], outCol: String = "quality"): Tab =
+    Tab(df.withColumn(outCol,
+      graft.functions.TextFunctions.qualityScore(org.apache.spark.sql.functions.col(textCol), weights)))
+  /** Cross-doc boilerplate line removal (C4/RefinedWeb). */
+  def dedupLines(idCol: String, textCol: String, maxDocFreq: Int = 10): Tab =
+    Tab(graft.ml.Dedup.dedupLines(df, idCol, textCol, maxDocFreq))
+  /** Exact duplicated-substring removal (Lee et al. 2022 shape). */
+  def dedupSpans(idCol: String, textCol: String, minLen: Int = 8,
+      keepFirst: Boolean = false): Tab =
+    Tab(graft.ml.Dedup.dedupSpans(df, idCol, textCol, minLen, keepFirst = keepFirst))
+
   // ---- io -----------------------------------------------------------
   def save(path: String): Unit = Writers.save(df, path)
   def toCsv(path: String): Unit = Writers.toCsv(df, path)

@@ -59,4 +59,18 @@ class TabIntegrationSpec extends SparkSpec {
     assert(byRegion.nbytes > 0)
   }
 
+  test("pipeline bridges: normalize, quality score, span dedup through Tab") {
+    import spark.implicits._
+    val shared = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val t = Tab(Seq(
+      (1L, s"the quick brown fox ran home\r $shared"),
+      (2L, s"prefix $shared suffix")).toDF("doc_id", "text"))
+    val normalized = t.normalizeText("text")
+    assert(!normalized.df.collect().exists(_.getString(1).contains("\r")))
+    val scored = t.qualityScore("text", Array(0.5, 0, 0, 0, 0, 0))
+    assert(scored.columns.contains("quality"))
+    val deduped = normalized.dedupSpans("doc_id", "text")
+    val rows = deduped.df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(2L) === "prefix suffix")
+  }
 }
