@@ -315,6 +315,12 @@ object Ann {
     * over residuals — the PQ-approximated L2 (ties to cosine only for
     * normalized vectors; documented).
     */
+  /** `broadcastQueries` fits the usual shape (a probe/eval set small
+    * enough to ship to every executor — the corpus side then never
+    * shuffles). For a query TABLE too big to broadcast, pass false: the
+    * join shuffles both sides on the probed list instead of forcing a
+    * driver-side broadcast build of the exploded query frame.
+    */
   def pqKnn(
       index: DataFrame,
       queries: DataFrame,
@@ -324,10 +330,12 @@ object Ann {
       flatCodebooks: Array[Array[Double]],
       k: Int = 10,
       nProbe: Int = 4,
-      codeK: Int = 256): DataFrame = {
+      codeK: Int = 256,
+      broadcastQueries: Boolean = true): DataFrame = {
     val probed = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       explode(Kernels.nearestCentroids(col(vecCol), coarse, nProbe)).as("list"))
-    val scored = index.join(broadcast(probed), Seq("list"))
+    val scored = index.join(
+        if (broadcastQueries) broadcast(probed) else probed, Seq("list"))
       .filter(col("query_id") =!= col("neighbour_id"))
       .select(col("query_id"), col("neighbour_id"),
         Kernels.pqAdcDist(col("qv"), col("list"), col("code"),

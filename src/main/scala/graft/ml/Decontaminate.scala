@@ -44,6 +44,9 @@ object Decontaminate {
       .select(col(idCol).as("id"), explode(Kernels.wordShingles(col(textCol), n)).as("g"))
       .select(col("id"), xxhash64(col("g")).as("h"))
       .filter(Kernels.bloomMightContain(col("h"), bloom))
+      // DISTINCT (id, h): a gram repeated within one doc is one shared
+      // n-gram, not minHits-many — the contract counts distinct overlaps
+      .distinct()
       .join(dict, Seq("h"))
       .groupBy("id").agg(count(lit(1)).as("hits"))
       .filter(col("hits") >= minHits)

@@ -45,16 +45,23 @@ object Dedup {
     val cached = rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val big = cached.groupBy(bk).agg(count(lit(1)).as("bsize"))
       .filter(col("bsize") > maxBucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // skewed keys are few on every realistic corpus, but "few" is an
+    // observation, not a bound — fall back to a shuffle join rather than
+    // force-broadcasting millions of slightly-over keys onto the driver
+    // (the count also materializes `cached` before the branches fan out)
+    val broadcastable = big.count() <= 500000L
+    def hint(df: DataFrame): DataFrame = if (broadcastable) broadcast(df) else df
 
     def side(df: DataFrame, suffix: String, extra: Seq[(String, String)]): DataFrame =
       df.select(col(bk) +: extra.map { case (c, n) => col(c).as(n) } ++:
         payloadCols.map(c => col(c).as(c + suffix)): _*)
 
-    val small = cached.join(broadcast(big), Seq(bk), "left_anti")
+    val small = cached.join(hint(big), Seq(bk), "left_anti")
     val plain = side(small, "_a", Nil).join(side(small, "_b", Nil), Seq(bk))
 
     val medium = cached
-      .join(broadcast(big.filter(col("bsize") <= hardCap)), Seq(bk))
+      .join(hint(big.filter(col("bsize") <= hardCap)), Seq(bk))
       .withColumn("g", ceil(col("bsize") / lit(maxBucket)).cast("int"))
       .withColumn("c", pmod(xxhash64(col(payloadCols.head)), col("g")).cast("int"))
     val aSide = side(

@@ -91,8 +91,20 @@ object Sorts {
     */
   def isSorted(df: DataFrame, mapping: Seq[(String, Boolean)], mode: String = "excel"): Boolean = {
     val nullsLast = mode.toLowerCase == "excel"
+    // persist the indexed frame: the local check + boundary merge read it
+    // ~4×, and pinning the partitions also makes the verdict stable when
+    // the upstream's intra-partition order is not deterministic across
+    // re-executions (shuffle output order, sample) — the boundary rows
+    // checked in job 2 must be the rows validated in job 1
     val withIn = df.withColumn("__in", monotonically_increasing_id())
       .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try isSortedOn(withIn, mapping, mode, nullsLast)
+    finally withIn.unpersist(blocking = false)
+  }
+
+  private def isSortedOn(withIn: DataFrame, mapping: Seq[(String, Boolean)],
+      mode: String, nullsLast: Boolean): Boolean = {
     val w = Window.partitionBy(col("__pid")).orderBy(col("__in"))
     // lexicographic "prev <= cur" under per-column direction + null placement
     def nullRank(x: Column): Column =

@@ -56,16 +56,21 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?i)\b(ASOF\s+LEFT\s+JOIN|LEFT\s+ASOF\s+JOIN|ASOF\s+JOIN)\b""".r
 
   /** Replace each `ASOF [LEFT] JOIN ... ON <cond>` with
-    * `JOIN ... ON graft_asof_marker('<mode>') AND <cond>`. Quote-aware
-    * (no rewrites inside string literals) and paren-aware (the ON that
-    * belongs to THIS join is the first one at relation depth 0 after it).
+    * `JOIN ... ON graft_asof_marker('<mode>') AND <cond>`. Quote- AND
+    * comment-aware (no rewrites inside string literals, `--` line
+    * comments or `/* */` block comments), paren-aware, and join-scoped:
+    * the ON must belong to THIS join — if another clause keyword (JOIN,
+    * USING, WHERE, …) appears at relation depth 0 first, the ASOF join
+    * has no ON of its own and the documented error is raised instead of
+    * splicing the marker into a later join's condition.
     */
   private[plans] def rewrite(sql: String): String = {
     var text = sql
     var guard = 0
     while (guard < 64) {
       guard += 1
-      val m = asofRe.findAllMatchIn(text).find(mm => !inQuotes(text, mm.start)).getOrElse(return text)
+      val mk = maskOf(text)
+      val m = asofRe.findAllMatchIn(text).find(mm => !mk(mm.start)).getOrElse(return text)
       val mode = if (m.group(1).toUpperCase.contains("LEFT")) "left" else "inner"
       val afterJoin = text.substring(m.end)
       val onIdx = findOnClause(afterJoin)
@@ -79,42 +84,63 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     text
   }
 
-  /** Index just past this join's own `ON` keyword (depth-0, quote-aware)
-    * within `s`, or -1.
+  /** Positions inside string literals (' " `), `--` line comments or
+    * `/* */` block comments.
     */
-  private def findOnClause(s: String): Int = {
-    var depth = 0
+  private def maskOf(s: String): Array[Boolean] = {
+    val m = new Array[Boolean](s.length)
     var i = 0
     var quote: Char = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (quote != 0) { if (c == quote) quote = 0 }
-      else c match {
-        case '\'' | '"' | '`' => quote = c
-        case '(' => depth += 1
-        case ')' => depth -= 1
-        case 'o' | 'O' if depth == 0 && i + 1 < s.length &&
-            (s.charAt(i + 1) == 'n' || s.charAt(i + 1) == 'N') &&
-            (i == 0 || !Character.isLetterOrDigit(s.charAt(i - 1)) && s.charAt(i - 1) != '_') &&
-            (i + 2 >= s.length || !Character.isLetterOrDigit(s.charAt(i + 2)) && s.charAt(i + 2) != '_') =>
-          return i + 2
-        case _ =>
-      }
-      i += 1
+      if (quote != 0) { m(i) = true; if (c == quote) quote = 0; i += 1 }
+      else if (c == '\'' || c == '"' || c == '`') { m(i) = true; quote = c; i += 1 }
+      else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
+        while (i < s.length && s.charAt(i) != '\n') { m(i) = true; i += 1 }
+      } else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
+        m(i) = true; m(i + 1) = true; i += 2
+        while (i < s.length &&
+            !(s.charAt(i) == '*' && i + 1 < s.length && s.charAt(i + 1) == '/')) {
+          m(i) = true; i += 1
+        }
+        if (i < s.length) { m(i) = true; if (i + 1 < s.length) m(i + 1) = true; i += 2 }
+      } else i += 1
     }
-    -1
+    m
   }
 
-  private def inQuotes(s: String, pos: Int): Boolean = {
-    var quote: Char = 0
+  // a clause starting with one of these before ON means the ASOF join
+  // has no ON of its own
+  private val clauseStoppers = Set("JOIN", "USING", "WHERE", "GROUP", "ORDER",
+    "HAVING", "LIMIT", "UNION", "EXCEPT", "INTERSECT", "QUALIFY", "WINDOW")
+
+  /** Index just past this join's own `ON` keyword (depth-0, mask-aware)
+    * within `s`; -1 when another clause starts first or no ON exists.
+    */
+  private def findOnClause(s: String): Int = {
+    val mk = maskOf(s)
+    var depth = 0
     var i = 0
-    while (i < pos) {
+    while (i < s.length) {
       val c = s.charAt(i)
-      if (quote != 0) { if (c == quote) quote = 0 }
-      else if (c == '\'' || c == '"' || c == '`') quote = c
-      i += 1
+      if (mk(i)) i += 1
+      else if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') { depth -= 1; i += 1 }
+      else if (Character.isLetter(c) &&
+          (i == 0 || mk(i - 1) ||
+            (!Character.isLetterOrDigit(s.charAt(i - 1)) && s.charAt(i - 1) != '_'))) {
+        var j = i
+        while (j < s.length && !mk(j) &&
+            (Character.isLetterOrDigit(s.charAt(j)) || s.charAt(j) == '_')) j += 1
+        val w = s.substring(i, j).toUpperCase
+        if (depth == 0) {
+          if (w == "ON") return j
+          if (clauseStoppers.contains(w)) return -1
+        }
+        i = j
+      } else i += 1
     }
-    quote != 0
+    -1
   }
 }
 

@@ -196,7 +196,24 @@ object Ods {
           case b: Boolean =>
             sb.append(s"""<table:table-cell office:value-type="boolean" office:boolean-value="$b"><text:p>$b</text:p></table:table-cell>""")
           case n: java.lang.Number =>
-            sb.append(s"""<table:table-cell office:value-type="float" office:value="$n"><text:p>$n</text:p></table:table-cell>""")
+            val d = n.doubleValue()
+            if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d))
+              // office:value cannot carry NaN/Infinity — write as string
+              // rather than emit an attribute strict consumers reject
+              sb.append(stringCell(n.toString))
+            else {
+              // decimal notation, not scientific: "1.0E22" is not a
+              // valid office:value for every validator
+              val s = n match {
+                case _: java.lang.Double | _: java.lang.Float =>
+                  // valueOf keeps the shortest decimal form (0.1 stays
+                  // "0.1"); toPlainString expands 1.0E22 to digits
+                  java.math.BigDecimal.valueOf(d).toPlainString
+                case bd: java.math.BigDecimal => bd.toPlainString
+                case _ => n.toString
+              }
+              sb.append(s"""<table:table-cell office:value-type="float" office:value="$s"><text:p>$s</text:p></table:table-cell>""")
+            }
           case d: java.sql.Date =>
             sb.append(s"""<table:table-cell office:value-type="date" office:date-value="$d"><text:p>$d</text:p></table:table-cell>""")
           case t: java.sql.Timestamp =>

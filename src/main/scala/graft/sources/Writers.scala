@@ -33,14 +33,17 @@ object Writers {
     }
     if (hasExchange) df // shuffle output already lands on ~shuffle.partitions tasks
     else {
-      // narrow scan-rooted plan: estimate scan parallelism from the leaf
-      // files and size (both metadata — no job). Fan out only when the
-      // scan genuinely under-fills the cluster, i.e. small inputs; a big
-      // input splits to >= slots partitions via maxPartitionBytes anyway.
+      // narrow scan-rooted plan: estimate scan parallelism the way
+      // FilePartition packing actually computes it — (bytes + openCost
+      // per file) / maxPartitionBytes — all metadata, no job. A raw
+      // file COUNT would overestimate badly: 64 tiny files pack into
+      // ~1 scan partition, and the old count-based check skipped the
+      // fan-out exactly when it was needed.
       val maxPartBytes = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
+      val openCost = spark.sessionState.conf.filesOpenCostInBytes
       val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-      val estParts = math.max(df.inputFiles.length.toLong,
-        (bytes / BigInt(maxPartBytes)).toLong)
+      val packed = bytes + BigInt(openCost) * df.inputFiles.length
+      val estParts = ((packed + maxPartBytes - 1) / BigInt(maxPartBytes)).toLong
       if (estParts < slots) df.repartition(slots) else df
     }
   }

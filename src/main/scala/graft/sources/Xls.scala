@@ -237,8 +237,14 @@ object Xls {
   private def longString(b: Array[Byte], off: Int): String = {
     val cch = u16(b, off)
     val high = (b(off + 2) & 1) != 0
-    if (high) new String(b, off + 3, cch * 2, java.nio.charset.StandardCharsets.UTF_16LE)
-    else new String(b, off + 3, cch, java.nio.charset.StandardCharsets.ISO_8859_1)
+    // clamp to the record's actual payload: a >8224-byte inline string
+    // spills into a CONTINUE record this path does not stitch (only the
+    // SST path does) — better a truncated cell than an
+    // IndexOutOfBounds crash on a legitimate file
+    val want = if (high) cch * 2 else cch
+    val len = math.min(want, b.length - (off + 3))
+    if (high) new String(b, off + 3, len - (len % 2), java.nio.charset.StandardCharsets.UTF_16LE)
+    else new String(b, off + 3, len, java.nio.charset.StandardCharsets.ISO_8859_1)
   }
 
   // ---- the reader ----------------------------------------------------
@@ -358,11 +364,11 @@ object Xls {
     if (cells.isEmpty) return Seq.empty
     val maxRow = cells.keys.map(_._1).max
     val width = cells.keys.map(_._2).max + 1
-    (0 to maxRow).map { r =>
-      val arr = new Array[String](width)
-      cells.foreach { case ((rr, cc), v) => if (rr == r) arr(cc) = v }
-      arr
-    }
+    // single placement pass — a per-row rescan of the cell map is
+    // O(rows × cells) and melts down on big sheets
+    val grid = Array.fill(maxRow + 1)(new Array[String](width))
+    cells.foreach { case ((rr, cc), v) => grid(rr)(cc) = v }
+    grid.toSeq
   }
 
   def sheetNames(path: String): Seq[String] = {

@@ -95,4 +95,28 @@ class AsofSqlSpec extends SparkSpec {
     val rewritten = p.rewrite("SELECT * FROM a ASOF JOIN (SELECT * FROM x JOIN y ON x.k = y.k) b ON a.k = b.k AND a.t >= b.t")
     assert(rewritten.contains("JOIN (SELECT * FROM x JOIN y ON x.k = y.k) b ON graft_asof_marker('inner') AND"), rewritten)
   }
+
+  test("rewrite is comment-aware and join-scoped") {
+    val p = new GraftSqlParser(spark.sessionState.sqlParser)
+    // 'on' inside a line comment between the join and its real ON
+    val c1 = p.rewrite(
+      "SELECT * FROM a ASOF JOIN b -- match on time\n ON a.k = b.k AND a.t >= b.t")
+    assert(c1.contains("-- match on time\n ON graft_asof_marker('inner') AND a.k = b.k"), c1)
+    // 'on' inside a block comment
+    val c2 = p.rewrite(
+      "SELECT * FROM a ASOF JOIN b /* keyed on sym */ ON a.k = b.k AND a.t >= b.t")
+    assert(c2.contains("*/ ON graft_asof_marker('inner') AND"), c2)
+    // an ASOF JOIN mentioned in a comment is not rewritten
+    val c3 = "SELECT * FROM a JOIN b ON a.k = b.k -- ASOF JOIN someday"
+    assert(p.rewrite(c3) === c3)
+    // a following join's ON must NOT be captured: USING / missing ON errors
+    val e1 = intercept[IllegalArgumentException] {
+      p.rewrite("SELECT * FROM a ASOF JOIN b USING (k) JOIN c ON b.k = c.k")
+    }
+    assert(e1.getMessage.contains("USING"))
+    val e2 = intercept[IllegalArgumentException] {
+      p.rewrite("SELECT * FROM a ASOF JOIN b JOIN c ON b.k = c.k")
+    }
+    assert(e2.getMessage.contains("ON clause"))
+  }
 }
