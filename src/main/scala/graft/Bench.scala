@@ -5,21 +5,54 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main (driver contract): one JSON line on stdout with
   * per-query seconds over SPARK_GRAFT_SF_DIR, plus io_* entries
   * comparable to BASELINE.md's save/load/import figures.
+  *
+  * Noise-proofing: this host is multi-tenant and identical queries have
+  * been observed swinging 5 s → 105 s within one JVM under other
+  * tenants' load (two rounds of BENCH records were unusable because of
+  * it). Two defenses:
+  *   - every metric is the MIN over `SPARK_GRAFT_BENCH_REPS` runs
+  *     (default 3) — the minimum is the stable estimator of the
+  *     machine's actual cost under asymmetric contention noise;
+  *   - the 1-minute system loadavg is sampled before, between and after
+  *     the timed work and emitted as `load_before`/`load_max`/
+  *     `load_after`, so a contended record identifies ITSELF (cores
+  *     here = `cpus`; load_max far above the JVM's own expected load
+  *     means the numbers are polluted by neighbors).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = math.max(sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt, 1)
     // GraftSession → GraftExtensions (ASOF SQL parser, kernel functions)
     val spark = GraftSession.builder(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def timed(f: => Unit): Double = {
-      val t0 = System.nanoTime()
-      f
-      (System.nanoTime() - t0) / 1e9
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def loadavg: Double = osBean.getSystemLoadAverage
+    val loadBefore = loadavg
+    var loadMax = loadBefore
+
+    // min-of-N: run the body `reps` times, keep the fastest; sample
+    // loadavg after each rep so contention during ANY rep is recorded.
+    // `afterEach` runs between reps OUTSIDE the timed span (cache drops
+    // must happen per-rep — a rep reading rep 1's cache measures nothing
+    // — but their cost is not part of the query).
+    def timed(f: => Unit, afterEach: () => Unit = () => ()): Double = {
+      var best = Double.MaxValue
+      var i = 0
+      while (i < reps) {
+        val t0 = System.nanoTime()
+        f
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (dt < best) best = dt
+        afterEach()
+        loadMax = math.max(loadMax, loadavg)
+        i += 1
+      }
+      best
     }
 
     // untimed warmup: the first query otherwise absorbs ~5 s of JVM/JIT/
@@ -72,13 +105,10 @@ object Bench {
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     var ioRows = 0L
     SparkEntry.queries.foreach { case (name, fn) =>
-      results(name) = timed {
+      results(name) = timed({
         try fn(spark, sfDir).count()
         catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
-      }
-      // queries are timed independently — drop persisted frames a query
-      // leaves behind so later queries don't fight them for memory
-      spark.catalog.clearCache()
+      }, () => spark.catalog.clearCache())
     }
 
     // IO metrics vs BASELINE.md: the reference's .tpz save/load (~470k
@@ -114,7 +144,8 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"io_rows":$ioRows,"sf":"$sfDir"}""")
+    val loadAfter = loadavg
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"io_rows":$ioRows,"sf":"$sfDir","reps":$reps,"cpus":$cpus,"load_before":$loadBefore,"load_max":$loadMax,"load_after":$loadAfter}""")
     spark.stop()
   }
 }

@@ -718,6 +718,30 @@ object SparkEntry {
       Ann.pqRecallAtK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
         k = 10, nList = 32, m = 8, nProbe = 4)
     }),
+    // ANN recall GATE: the raw recall rows above are approximate by
+    // nature (no SQL oracle can reproduce them), but with fixed seeds
+    // and memoized quantizers the values are deterministic — so the
+    // threshold verdicts ARE oracle-checkable. A silent recall collapse
+    // (bad quantizer sample, broken probe sequence) now fails
+    // CORRECTNESS instead of passing a rows-only check. Floors are set
+    // at roughly half the observed recalls at these scan fractions
+    // (sf0.01: LSH 0.30 / IVF 0.415 / PQ 0.385 with 32/256 buckets ≈
+    // 4/32 lists ≈ 12.5% of the corpus scanned) — a collapse to
+    // near-random probing trips them; data-scale wobble does not.
+    "q_ann_gate" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 20)
+      def recall(df: DataFrame): Double = df.select(col("recall")).first().getDouble(0)
+      val lsh = recall(Ann.recallAtK(e, q, "vec_id", "embedding",
+        dim = 64, k = 10, nPlanes = 8, nProbes = 32))
+      val ivf = recall(Ann.ivfRecallAtK(e, q, "vec_id", "embedding",
+        k = 10, nList = 32, nProbe = 4))
+      val pq = recall(Ann.pqRecallAtK(e, q, "vec_id", "embedding",
+        k = 10, nList = 32, m = 8, nProbe = 4))
+      Seq((lsh >= 0.15, ivf >= 0.20, pq >= 0.20))
+        .toDF("lsh_ok", "ivf_ok", "pq_ok")
+    }),
 
     // ---- multimodal plumbing ----------------------------------------
     "q_multimodal" -> ((s, dir) => {
@@ -1601,9 +1625,14 @@ object SparkEntry {
     "q_multimodal" ->
       """SELECT doc_id AS media_id, 'text' AS kind,
          octet_length(CAST(text AS BLOB)) AS n_bytes, md5(text) AS checksum
-         FROM documents"""
+         FROM documents""",
+    // q_ann_gate: deterministic recall-threshold verdicts (seeded,
+    // memoized quantizers) — the approximate family's oracle hook
+    "q_ann_gate" ->
+      "SELECT true AS lsh_ok, true AS ivf_ok, true AS pq_ok"
     // rows-only (no SQL oracle): q_ann_lsh, q_ann_ivf, q_ann_pq,
     // q_ann_recall, q_ann_ivf_recall, q_ann_pq_recall (approximate /
-    // engine-specific outputs; q_knn IS oracle-checked — exact top-k)
+    // engine-specific outputs; q_knn IS oracle-checked — exact top-k,
+    // and q_ann_gate turns the recall floors into an oracled check)
   )
 }

@@ -143,13 +143,27 @@ final case class Tab(df: DataFrame) {
   def qualityScore(textCol: String, weights: Array[Double], outCol: String = "quality"): Tab =
     Tab(df.withColumn(outCol,
       graft.functions.TextFunctions.qualityScore(org.apache.spark.sql.functions.col(textCol), weights)))
-  /** Cross-doc boilerplate line removal (C4/RefinedWeb). */
-  def dedupLines(idCol: String, textCol: String, maxDocFreq: Int = 10): Tab =
-    Tab(graft.ml.Dedup.dedupLines(df, idCol, textCol, maxDocFreq))
-  /** Exact duplicated-substring removal (Lee et al. 2022 shape). */
+  /** Cross-doc boilerplate line removal (C4/RefinedWeb). Unlike the raw
+    * [[graft.ml.Dedup.dedupLines]] (which narrows to (id, text)), the
+    * facade keeps every other column by joining the cleaned text back on
+    * `idCol` — the same frame-preserving contract as [[normalizeText]].
+    * Docs whose every line was boilerplate still disappear.
+    */
+  def dedupLines(idCol: String, textCol: String, maxDocFreq: Int = 10): Tab = {
+    val cleaned = graft.ml.Dedup.dedupLines(df, idCol, textCol, maxDocFreq)
+    Tab(df.drop(textCol).join(cleaned, Seq(idCol))
+      .select(df.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*))
+  }
+  /** Duplicated-substring removal (Lee et al. 2022 shape), frame-
+    * preserving: non-text columns survive, `removed_tokens` is appended.
+    */
   def dedupSpans(idCol: String, textCol: String, minLen: Int = 8,
-      keepFirst: Boolean = false): Tab =
-    Tab(graft.ml.Dedup.dedupSpans(df, idCol, textCol, minLen, keepFirst = keepFirst))
+      keepFirst: Boolean = false): Tab = {
+    val cleaned = graft.ml.Dedup.dedupSpans(df, idCol, textCol, minLen, keepFirst = keepFirst)
+    Tab(df.drop(textCol).join(cleaned, Seq(idCol))
+      .select((df.columns.map(org.apache.spark.sql.functions.col) :+
+        org.apache.spark.sql.functions.col("removed_tokens")).toIndexedSeq: _*))
+  }
 
   // ---- io -----------------------------------------------------------
   def save(path: String): Unit = Writers.save(df, path)

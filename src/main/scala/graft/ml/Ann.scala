@@ -84,6 +84,22 @@ object Ann {
   private val centroidMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
 
+  /** Deterministic, partition-UNbiased quantizer training sample: order by
+    * a seeded 64-bit hash of the vector and keep the smallest `n`. A bare
+    * `limit(n)` returns whatever the first-scanned partitions hold — at
+    * 100 TB that is one or two parquet files, a temporally/spatially
+    * biased slice that mis-shapes every k-means cell downstream. Hash
+    * order makes every row compete independently of its file position,
+    * and `orderBy + limit` plans as TakeOrderedAndProject (per-partition
+    * top-n, driver merge of n) — one full scan, NO global sort shuffle.
+    * Seed-stable, so the quantizer memo keys stay valid.
+    */
+  private[ml] def trainingSample(
+      corpus: DataFrame, vecCol: String, n: Int, seed: Long): DataFrame =
+    corpus.select(col(vecCol))
+      .orderBy(xxhash64(col(vecCol), lit(seed)).asc)
+      .limit(n)
+
   /** Train the IVF coarse quantizer: k-means over a corpus sample.
     * Centroids are tiny (nList × dim doubles) — they come back to the
     * driver and ride into [[buildIvfIndex]]/[[ivfKnn]] as expression
@@ -101,7 +117,8 @@ object Ann {
     centroidMemo.computeIfAbsent(key, _ => {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
-      val sample = corpus.select(array_to_vector(col(vecCol)).as("features")).limit(sampleN)
+      val sample = trainingSample(corpus, vecCol, sampleN, seed)
+        .select(array_to_vector(col(vecCol)).as("features"))
       // random init, not k-means||: the parallel init alone costs several
       // passes, and a coarse quantizer (FAISS-style) doesn't need it
       val model = new KMeans().setK(nList).setSeed(seed).setMaxIter(maxIter)
@@ -202,7 +219,7 @@ object Ann {
       sampleN: Int,
       seed: Long,
       maxIter: Int): Array[Array[Double]] = {
-    val rows = corpus.select(col(vecCol)).limit(sampleN).collect()
+    val rows = trainingSample(corpus, vecCol, sampleN, seed).collect()
       .map(_.getSeq[Any](0).map {
         case f: Float  => f.toDouble
         case d: Double => d

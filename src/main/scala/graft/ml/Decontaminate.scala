@@ -34,13 +34,17 @@ object Decontaminate {
       benchTextCol: String,
       n: Int = 13,
       minHits: Int = 1): DataFrame = {
-    val dict = bench
+    // the dict feeds the bloom build, the count and the exact join in the
+    // returned plan; the scope unpersists it after the caller's first
+    // action (the bloom build + count are eager, so the cache is already
+    // materialized by the time this returns)
+    val scope = new graft.operators.CacheScope
+    val dict = scope.persist(bench
       .select(explode(Kernels.wordShingles(col(benchTextCol), n)).as("g"))
-      .select(xxhash64(col("g")).as("h")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(xxhash64(col("g")).as("h")).distinct())
     val nDict = math.max(dict.count(), 1L)
     val bloom = dict.stat.bloomFilter("h", nDict, 0.01)
-    docs
+    scope.releaseAfter(docs
       .select(col(idCol).as("id"), explode(Kernels.wordShingles(col(textCol), n)).as("g"))
       .select(col("id"), xxhash64(col("g")).as("h"))
       .filter(Kernels.bloomMightContain(col("h"), bloom))
@@ -50,7 +54,7 @@ object Decontaminate {
       .join(dict, Seq("h"))
       .groupBy("id").agg(count(lit(1)).as("hits"))
       .filter(col("hits") >= minHits)
-      .select(col("id"))
+      .select(col("id")))
   }
 
   /** The clean corpus: docs with no (or < `minHits`) benchmark overlap. */

@@ -1,6 +1,7 @@
 package graft.ml
 
 import graft.functions.{Similarity, TextFunctions}
+import graft.operators.CacheScope
 import graft.plans.Kernels
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -9,6 +10,14 @@ import org.apache.spark.sql.functions._
   * the shape: per-doc signature (narrow, codegen'd) → bucket key →
   * shuffle ON THE BUCKET KEY ONLY → per-bucket candidate verification.
   * Nothing ever shuffles full text except the final winner gather.
+  *
+  * Persist lifecycle: every pipeline routes its cached intermediates
+  * through a [[graft.operators.CacheScope]], which unpersists them after
+  * the caller's FIRST action on the returned frame — a long-lived
+  * curation session running batch after batch holds no zombie cached
+  * RDDs between batches. The one artifact that intentionally outlives
+  * its builder, [[MinhashIndex]], is caller-owned: call
+  * [[MinhashIndex.release]] when retiring it.
   */
 object Dedup {
 
@@ -35,17 +44,20 @@ object Dedup {
       bk: String,
       payloadCols: Seq[String],
       maxBucket: Int,
-      hardCap: Int): DataFrame = {
+      hardCap: Int,
+      scope: CacheScope): DataFrame = {
     // Bucket sizing WITHOUT a window: a per-key window shuffle holds whole
     // buckets in one task and (worse) the r3 shape recomputed the upstream
     // signature plan once per branch. Instead: partial-agg count on the
     // narrow bucket key, keep only the SKEWED keys (> maxBucket) — few by
     // definition at any data scale, so they broadcast — and persist the
     // input once so both branches read cache, not the upstream pipeline.
-    val cached = rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val big = cached.groupBy(bk).agg(count(lit(1)).as("bsize"))
-      .filter(col("bsize") > maxBucket)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Both persists live in the caller's CacheScope: released after the
+    // caller's first action on the pipeline result.
+    val cached = scope.persist(rows)
+    val big = scope.persist(
+      cached.groupBy(bk).agg(count(lit(1)).as("bsize"))
+        .filter(col("bsize") > maxBucket))
     // skewed keys are few on every realistic corpus, but "few" is an
     // observation, not a bound — fall back to a shuffle join rather than
     // force-broadcasting millions of slightly-over keys onto the driver
@@ -117,27 +129,27 @@ object Dedup {
     // for NEAR-dup detection (exact dedup owns them) and would otherwise
     // all share the empty-array minhash signature — one degenerate
     // quadratic bucket per corpus
-    val sh = docs.select(col(idCol).as("id"),
+    val scope = new CacheScope
+    val sh = scope.persist(docs.select(col(idCol).as("id"),
       Kernels.wordShingles(col(textCol), shingleN).as("sh"))
       .withColumn("sz", size(array_distinct(col("sh"))))
-      .filter(col("sz") > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .filter(col("sz") > 0))
     // only (id, bandkey) goes through the shuffle — never the shingle
     // arrays; band buckets over maxBucket are salted (triangle sub-join),
     // over saltCap dropped (boilerplate clusters exact dedup catches)
     val bandRows = sh.select(col("id"), explode(Similarity.lshBands(
       Kernels.minhashSig(col("sh"), k), bands, k / bands)).as("bandkey"))
     // distinct candidate pairs FIRST; verify each pair's Jaccard once
-    val cand = bucketSelfJoin(bandRows, "bandkey", Seq("id"), maxBucket, saltCap)
+    val cand = bucketSelfJoin(bandRows, "bandkey", Seq("id"), maxBucket, saltCap, scope)
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    cand
+    scope.releaseAfter(cand
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a"), col("sz").as("sz_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b"), col("sz").as("sz_b")), Seq("id_b"))
       .filter(lit(threshold) * col("sz_b") - lit(1e-9) <= col("sz_a") &&
         lit(threshold) * col("sz_a") - lit(1e-9) <= col("sz_b"))
       .select(col("id_a"), col("id_b"), Kernels.jaccardSim(col("sh_a"), col("sh_b")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+      .filter(col("jaccard") >= threshold))
   }
 
   /** Precomputed minhash band index of a corpus — the artifact
@@ -150,7 +162,14 @@ object Dedup {
     */
   final case class MinhashIndex(
       bands: DataFrame, shingles: DataFrame,
-      k: Int, nBands: Int, shingleN: Int)
+      k: Int, nBands: Int, shingleN: Int) {
+    /** Drop the index's cached shingle frame. The index intentionally
+      * outlives its builder (it serves every subsequent increment), so
+      * its lifecycle is caller-owned — call this when retiring it.
+      */
+    def release(): Unit =
+      try shingles.unpersist(blocking = false) catch { case _: Throwable => () }
+  }
 
   def minhashIndex(
       corpus: DataFrame,
@@ -190,30 +209,31 @@ object Dedup {
       textCol: String,
       threshold: Double = 0.7,
       maxDf: Int = 20000): DataFrame = {
-    val shNew = increment.select(col(idCol).as("id"),
+    val scope = new CacheScope
+    val shNew = scope.persist(increment.select(col(idCol).as("id"),
       Kernels.wordShingles(col(textCol), index.shingleN).as("sh"))
       .withColumn("sz", size(array_distinct(col("sh"))))
-      .filter(col("sz") > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .filter(col("sz") > 0))
     val newBands = shNew.select(col("id").as("id_a"), explode(Similarity.lshBands(
       Kernels.minhashSig(col("sh"), index.k), index.nBands, index.k / index.nBands)).as("bandkey"))
     // corpus postings that an increment key actually touches (tiny vs
-    // the corpus); computed once per batch — a fraction of index.bands
-    val hit = index.bands.select(col("id").as("id_b"), col("bandkey"))
-      .join(newBands.select("bandkey").distinct(), Seq("bandkey"), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the corpus); computed once per batch — a fraction of index.bands.
+    // Batch-scoped (unlike the index itself): released after this batch's
+    // terminal action.
+    val hit = scope.persist(index.bands.select(col("id").as("id_b"), col("bandkey"))
+      .join(newBands.select("bandkey").distinct(), Seq("bandkey"), "left_semi"))
     val ok = hit.groupBy("bandkey").agg(count(lit(1)).as("n"))
       .filter(col("n") <= maxDf).select("bandkey")
     val cand = newBands
       .join(hit.join(ok, Seq("bandkey"), "left_semi"), Seq("bandkey"))
       .select(col("id_a"), col("id_b")).distinct()
-    cand
+    scope.releaseAfter(cand
       .join(shNew.select(col("id").as("id_a"), col("sh").as("sh_a"), col("sz").as("sz_a")), Seq("id_a"))
       .join(index.shingles.select(col("id").as("id_b"), col("sh").as("sh_b"), col("sz").as("sz_b")), Seq("id_b"))
       .filter(lit(threshold) * col("sz_b") - lit(1e-9) <= col("sz_a") &&
         lit(threshold) * col("sz_a") - lit(1e-9) <= col("sz_b"))
       .select(col("id_a"), col("id_b"), Kernels.jaccardSim(col("sh_a"), col("sh_b")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+      .filter(col("jaccard") >= threshold))
   }
 
   /** SimHash near-dup pairs: 64-bit signature, bucket by the signature's
@@ -241,12 +261,14 @@ object Dedup {
     // joined rows first, so distinct deduplicates thousands of rows
     // instead of the full join output (bit_count is one codegen'd
     // instruction per row — far cheaper than shuffling rows to distinct)
-    bucketSelfJoin(quads, "qk", Seq("id", "sim"), maxBucket, saltCap)
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        Similarity.hamming64(col("sim_a"), col("sim_b")).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
+    val scope = new CacheScope
+    scope.releaseAfter(
+      bucketSelfJoin(quads, "qk", Seq("id", "sim"), maxBucket, saltCap, scope)
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          Similarity.hamming64(col("sim_a"), col("sim_b")).as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+        .distinct())
   }
 
   /** Exact n-gram Jaccard over ALL candidate pairs sharing at least one
@@ -262,9 +284,10 @@ object Dedup {
       threshold: Double = 0.5,
       perDocKeep: Int = 20,
       minShared: Int = 2): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), Kernels.wordShingles(col(textCol), shingleN).as("sh"))
-      .withColumn("sz", size(array_distinct(col("sh"))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val scope = new CacheScope
+    val sh = scope.persist(
+      docs.select(col(idCol).as("id"), Kernels.wordShingles(col(textCol), shingleN).as("sh"))
+        .withColumn("sz", size(array_distinct(col("sh")))))
     // deterministic hash-sampled posting list — no per-doc window/sort;
     // the MinKHashes kernel picks each doc's `perDocKeep` smallest
     // distinct shingle hashes map-side in one pass (the classic
@@ -301,11 +324,11 @@ object Dedup {
       .filter(lit(threshold) * col("sz_b") - lit(1e-9) <= col("sz_a") &&
         lit(threshold) * col("sz_a") - lit(1e-9) <= col("sz_b"))
       .select("id_a", "id_b")
-    candSized
+    scope.releaseAfter(candSized
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), Kernels.jaccardSim(col("sh_a"), col("sh_b")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+      .filter(col("jaccard") >= threshold))
   }
 
   /** EXACT Jaccard self-join via prefix filtering (AllPairs, Bayardo et
@@ -336,11 +359,11 @@ object Dedup {
       textCol: String,
       shingleN: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
+    val scope = new CacheScope
+    val sh = scope.persist(docs.select(col(idCol).as("id"),
       array_distinct(Kernels.wordShingles(col(textCol), shingleN)).as("sh"))
       .withColumn("sz", size(col("sh")))
-      .filter(col("sz") > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .filter(col("sz") > 0))
     // candidate pipeline runs on 8-byte shingle HASHES (the ~30-byte
     // strings would otherwise ride the df shuffle, the rank window and
     // the prefix self-join); the final verify below computes Jaccard on
@@ -377,7 +400,7 @@ object Dedup {
     // by 1e-9 so float rounding can only ADMIT extra candidates (the exact
     // verify below keeps the result identical).
     val cand = bucketSelfJoin(prefix, "shingle", Seq("id", "sz", "rn"),
-        maxBucket = 2000, hardCap = Int.MaxValue)
+        maxBucket = 2000, hardCap = Int.MaxValue, scope)
       .filter(col("id_a") < col("id_b") &&
         lit(threshold) * col("sz_b") - lit(1e-9) <= col("sz_a") &&
         lit(threshold) * col("sz_a") - lit(1e-9) <= col("sz_b") &&
@@ -385,11 +408,11 @@ object Dedup {
           >= lit(threshold) * (col("sz_a") + col("sz_b")) - lit(1e-9))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    cand
+    scope.releaseAfter(cand
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), Kernels.jaccardSim(col("sh_a"), col("sh_b")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+      .filter(col("jaccard") >= threshold))
   }
 
   /** Connected components over near-dup pairs by iterative min-label
@@ -455,7 +478,12 @@ object Dedup {
     }
     edges.unpersist()
     fwd.unpersist(blocking = false)
-    labels // (id, label) — label = min id of the component
+    // (id, label) — label = min id of the component. The converged label
+    // frame is cached from the loop; release it once the caller's
+    // terminal action has consumed it.
+    val scope = new CacheScope
+    scope.track(labels)
+    scope.releaseAfter(labels)
   }
 
   /** End-to-end near-dup removal: pairs → components → keep one doc per
@@ -485,28 +513,35 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxDocFreq: Int = 10): DataFrame = {
-    val lines = docs.select(col(idCol).as("id"),
+    val scope = new CacheScope
+    val lines = scope.persist(docs.select(col(idCol).as("id"),
       posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
-      .withColumn("h", xxhash64(trim(col("line"))))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .withColumn("h", xxhash64(trim(col("line")))))
     val boiler = lines.filter(trim(col("line")) =!= "")
       .select(col("h"), col("id")).distinct()
       .groupBy("h").agg(count(lit(1)).as("docs"))
       .filter(col("docs") > maxDocFreq)
       .select("h")
-    lines.join(boiler, Seq("h"), "left_anti")
+    scope.releaseAfter(lines.join(boiler, Seq("h"), "left_anti")
       .groupBy("id")
       .agg(array_sort(collect_list(struct(col("pos"), col("line")))).as("ls"))
       .select(col("id").as(idCol),
-        concat_ws("\n", expr("transform(ls, x -> x.line)")).as(textCol))
+        concat_ws("\n", expr("transform(ls, x -> x.line)")).as(textCol)))
   }
 
-  /** Exact duplicated-substring removal (Lee et al. 2022, "Deduplicating
+  /** Duplicated-substring removal (Lee et al. 2022, "Deduplicating
     * Training Data Makes Language Models Better", at token-window
     * granularity): every `minLen`-token window whose token sequence
     * occurs in more than `maxDocFreq` distinct documents is a duplicated
     * span; overlapping spans union per document and the covered tokens
-    * are removed. Default removes ALL occurrences (the corpus-boilerplate
+    * are removed. Window identity is a 64-bit rolling hash, NOT the
+    * literal token sequence: two distinct windows collide with
+    * probability ~N²/2⁶⁵ over N distinct windows corpus-wide, and a
+    * collision removes legitimate text (there is no literal-string
+    * verify here, unlike [[jaccardJoinExact]]). At ~10¹² windows that is
+    * still ≪ 1 expected false span, but for larger corpora — or when
+    * `keepFirst` makes a deletion unrecoverable — widen the hash or add
+    * a post-hoc verify before trusting the removal as exact. Default removes ALL occurrences (the corpus-boilerplate
     * semantics of [[dedupLines]]); `keepFirst = true` elects the
     * corpus-wide first occurrence (min (doc, position)) of each window to
     * survive — Lee et al.'s keep-one semantics. Output: one row per
@@ -530,10 +565,10 @@ object Dedup {
       minLen: Int = 8,
       maxDocFreq: Int = 1,
       keepFirst: Boolean = false): DataFrame = {
+    val scope = new CacheScope
     val base = docs.select(col(idCol).as("id"), col(textCol).as("text"))
-    val wins = base.select(col("id"),
-      posexplode(Kernels.tokenWindowHashes(col("text"), minLen)).as(Seq("s", "h")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wins = scope.persist(base.select(col("id"),
+      posexplode(Kernels.tokenWindowHashes(col("text"), minLen)).as(Seq("s", "h"))))
     val dup = wins.select(col("h"), col("id")).distinct()
       .groupBy("h").agg(count(lit(1)).as("d"))
       .filter(col("d") > maxDocFreq)
@@ -555,10 +590,10 @@ object Dedup {
     val spans = removable
       .groupBy("id").agg(sort_array(collect_list(col("s"))).as("ss"))
     val noSpans = lit(Array.empty[Int])
-    base.join(spans, Seq("id"), "left")
+    scope.releaseAfter(base.join(spans, Seq("id"), "left")
       .select(col("id").as(idCol),
         Kernels.removeSpans(col("text"), coalesce(col("ss"), noSpans), minLen).as(textCol),
-        Kernels.coveredCount(coalesce(col("ss"), noSpans), minLen).as("removed_tokens"))
+        Kernels.coveredCount(coalesce(col("ss"), noSpans), minLen).as("removed_tokens")))
   }
 
   /** Embedding near-dup pairs: hyperplane-LSH bucket then exact cosine
@@ -578,10 +613,11 @@ object Dedup {
     // same skew guards as the text LSH joins: embedding spaces cluster
     // (a hot LSH cell of boilerplate-adjacent vectors), so the bucket
     // self-join salts medium cells and drops degenerate ones
-    bucketSelfJoin(b, "bucket", Seq("id", "v"), maxBucket, saltCap)
+    val scope = new CacheScope
+    scope.releaseAfter(bucketSelfJoin(b, "bucket", Seq("id", "v"), maxBucket, saltCap, scope)
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), Kernels.cosineSim(col("v_a"), col("v_b")).as("cosine"))
-      .filter(col("cosine") >= threshold)
+      .filter(col("cosine") >= threshold))
   }
 
   /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
@@ -602,10 +638,11 @@ object Dedup {
       saltCap: Int = 50000): DataFrame = {
     val b = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       element_at(Kernels.nearestCentroids(col(vecCol), centroids, 1), 1).as("cluster"))
-    bucketSelfJoin(b, "cluster", Seq("id", "v"), maxBucket, saltCap)
+    val scope = new CacheScope
+    scope.releaseAfter(bucketSelfJoin(b, "cluster", Seq("id", "v"), maxBucket, saltCap, scope)
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), Kernels.cosineSim(col("v_a"), col("v_b")).as("cosine"))
-      .filter(col("cosine") >= threshold)
+      .filter(col("cosine") >= threshold))
   }
 
   /** End-to-end SemDeDup: train the quantizer, find semantic pairs, keep

@@ -39,14 +39,42 @@ object Multimodal {
       col(binCol).cast("binary").as("bytes"),
       lit(0).as("width"), lit(0).as("height"), lit(0).as("sample_rate"))
 
-  /** STUB decode: a real implementation would call an image/audio codec
-    * here (???). The fake derives a deterministic 8-dim feature from the
-    * bytes so downstream joins/ANN are testable end-to-end.
+  /** Codec SPI: the ONLY part of the multimodal pipeline this container
+    * cannot test for real (no image/audio libs in the image). A real
+    * environment registers its decoder once ([[MediaCodec.register]]) —
+    * e.g. JPEG decode → resize → embed — and every pipeline entry point
+    * picks it up without modification; the deterministic stub stays as
+    * the default/test implementation. Codecs are captured on the DRIVER
+    * at plan time and serialized into the task closure, so a registered
+    * codec must be [[Serializable]] (or resolve its native resources
+    * lazily on the executor).
     */
-  private def decodeStub(bytes: Array[Byte]): Array[Float] = {
-    // ??? real codec goes here (e.g. JPEG decode → resize → embed)
-    val h = bytes.foldLeft(1125899906842597L)((acc, b) => acc * 31 + b)
-    Array.tabulate(8)(i => (((h >>> (i * 8)) & 0xFF).toFloat / 255.0f))
+  trait MediaCodec extends Serializable {
+    /** Decode one payload into a fixed-dim feature vector. */
+    def decode(kind: String, bytes: Array[Byte]): Array[Float]
+
+    /** Vectorized batch entry point (the `mapInPandas`-shaped call a
+      * hardware-accelerated decoder amortizes over); default = per-row.
+      */
+    def decodeBatch(kind: String, batch: Seq[Array[Byte]]): Seq[Array[Float]] =
+      batch.map(decode(kind, _))
+  }
+
+  object MediaCodec {
+    /** The default stub: a deterministic 8-dim feature derived from the
+      * raw bytes, so downstream joins/ANN are testable end-to-end.
+      */
+    object Stub extends MediaCodec {
+      override def decode(kind: String, bytes: Array[Byte]): Array[Float] = {
+        val h = bytes.foldLeft(1125899906842597L)((acc, b) => acc * 31 + b)
+        Array.tabulate(8)(i => (((h >>> (i * 8)) & 0xFF).toFloat / 255.0f))
+      }
+    }
+
+    @volatile private var current: MediaCodec = Stub
+    def register(codec: MediaCodec): Unit = { current = codec }
+    def reset(): Unit = { current = Stub }
+    def active: MediaCodec = current
   }
 
   /** Per-partition feature extraction — batches flow through the executor
@@ -56,18 +84,19 @@ object Multimodal {
     */
   def extractFeatures(media: DataFrame)(implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
+    val codec = MediaCodec.active // captured at plan time, ships in the closure
     media.as[MediaRow].mapPartitions { it =>
       it.map { m =>
         val bytes = Option(m.bytes).getOrElse(Array.emptyByteArray)
         MediaFeatures(m.media_id, m.kind, bytes.length.toLong,
-          md5Hex(bytes), decodeStub(bytes))
+          md5Hex(bytes), codec.decode(m.kind, bytes))
       }
     }
   }
 
   /** Frame-sampling plan for video payloads: emit (media_id, frame_no)
     * rows for every `everyN`th frame — pure column ops; the decode of the
-    * sampled frame is again `decodeStub`.
+    * sampled frame is again the registered [[MediaCodec]].
     */
   def sampleFrames(media: DataFrame, frameCountCol: String, everyN: Int): DataFrame =
     media.select(col("media_id"),
@@ -83,13 +112,17 @@ object Multimodal {
   def extractFeaturesBatched(media: DataFrame, batchSize: Int = 64)(
       implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
+    val codec = MediaCodec.active
     media.as[MediaRow].mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
-        // ??? a real impl hands the whole batch to the codec vectorized
-        batch.map { m =>
-          val bytes = Option(m.bytes).getOrElse(Array.emptyByteArray)
-          MediaFeatures(m.media_id, m.kind, bytes.length.toLong,
-            md5Hex(bytes), decodeStub(bytes))
+        // the whole batch goes to the codec vectorized (decodeBatch);
+        // kinds within a batch may mix, so group by kind first
+        batch.groupBy(_.kind).iterator.flatMap { case (kind, ms) =>
+          val payloads = ms.map(m => Option(m.bytes).getOrElse(Array.emptyByteArray))
+          val feats = codec.decodeBatch(kind, payloads)
+          ms.lazyZip(payloads).lazyZip(feats).map { (m, bytes, f) =>
+            MediaFeatures(m.media_id, m.kind, bytes.length.toLong, md5Hex(bytes), f)
+          }
         }
       }
     }

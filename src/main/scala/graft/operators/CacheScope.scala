@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+import org.apache.spark.storage.StorageLevel
+
+/** Lifecycle owner for a pipeline's persisted intermediates.
+  *
+  * The dedup/decontaminate pipelines persist frames that are referenced
+  * several times WITHIN the single plan they return (e.g. a shingle frame
+  * feeds the band explode and both verify joins) — the persist is what
+  * makes one caller action compute the shingles once, not three times.
+  * But the functions return lazily, so they cannot `finally`-unpersist:
+  * the cache must survive until the caller's terminal action. Relying on
+  * ContextCleaner GC (the round-4 state) leaks storage in a long-lived
+  * session running batch after batch — zombie RDDs accumulate until
+  * eviction thrash.
+  *
+  * `CacheScope` closes the gap without giving up laziness: a pipeline
+  * persists its intermediates through the scope, then seals the scope
+  * onto its result frame. A [[QueryExecutionListener]] watches for the
+  * first query execution (success OR failure) whose analyzed plan
+  * contains the result plan — i.e. the caller's first action on the
+  * result or anything derived from it — and unpersists everything, then
+  * unregisters itself. A pipeline result that is never executed keeps
+  * its listener until session close and its caches until ContextCleaner
+  * eviction — exactly the old behavior, never worse.
+  *
+  * Re-running the result frame after its first action recomputes without
+  * the cache (correct, one-shot cost); pipelines are built per-call, so
+  * every fresh call gets fresh caches.
+  */
+private[graft] final class CacheScope {
+  private val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  /** Persist `df` (MEMORY_AND_DISK) and register it for release. */
+  def persist(df: DataFrame): DataFrame = {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    frames.synchronized { frames += p }
+    p
+  }
+
+  /** Register an already-persisted frame for release (for pipelines that
+    * manage persistence inline, e.g. an iterative loop's final state).
+    */
+  def track(df: DataFrame): DataFrame = {
+    frames.synchronized { frames += df }
+    df
+  }
+
+  /** Release everything now (for pipelines that DO own an eager terminal
+    * action and can `finally` this).
+    */
+  def releaseNow(): Unit = {
+    val fs = frames.synchronized { val s = frames.toList; frames.clear(); s }
+    fs.foreach(df => try df.unpersist(blocking = false) catch { case _: Throwable => () })
+  }
+
+  /** Seal the scope: everything persisted so far is unpersisted after the
+    * first action that consumes `result` (or a plan containing it).
+    * Returns `result` unchanged.
+    */
+  def releaseAfter(result: DataFrame): DataFrame = {
+    val toRelease = frames.synchronized { val s = frames.toList; frames.clear(); s }
+    if (toRelease.isEmpty) return result
+    val spark = result.sparkSession
+    // canonicalized so the match survives re-analysis: the caller's action
+    // plan (count/write/…) re-analyzes but embeds an equal subtree
+    val target = result.queryExecution.analyzed.canonicalized
+    val listener: QueryExecutionListener = new QueryExecutionListener {
+      private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+      private def matches(qe: QueryExecution): Boolean =
+        try qe.analyzed.exists(_.canonicalized == target)
+        catch { case _: Throwable => false }
+      private def fire(qe: QueryExecution): Unit =
+        if (matches(qe) && done.compareAndSet(false, true)) {
+          toRelease.foreach(df =>
+            try df.unpersist(blocking = false) catch { case _: Throwable => () })
+          try spark.listenerManager.unregister(this) catch { case _: Throwable => () }
+        }
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        fire(qe)
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
+        fire(qe)
+    }
+    spark.listenerManager.register(listener)
+    result
+  }
+}

@@ -184,24 +184,148 @@ object Imputation {
   }
 
   private def nearestNeighbour1D(df: DataFrame, target: String, source: String): DataFrame = {
-    val wOrd = Window.orderBy(col(source))
-    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
-    val wNext = wOrd.rowsBetween(1, Window.unboundedFollowing)
-    val donorVal = when(col(target).isNotNull, col(target))
-    val donorRank = when(col(target).isNotNull, col("__r"))
-    df.withColumn("__r", (rank().over(wOrd) - 1).cast("long"))
-      .withColumn("__pv", last(donorVal, ignoreNulls = true).over(wPrev))
-      .withColumn("__pr", last(donorRank, ignoreNulls = true).over(wPrev))
-      .withColumn("__nv", first(donorVal, ignoreNulls = true).over(wNext))
-      .withColumn("__nr", first(donorRank, ignoreNulls = true).over(wNext))
-      .withColumn(target,
-        when(col(target).isNotNull, col(target))
-          .when(col("__pv").isNull, col("__nv"))
-          .when(col("__nv").isNull, col("__pv"))
-          .when(col("__r") - col("__pr") < col("__nr") - col("__r"), col("__pv"))
-          .when(col("__nr") - col("__r") < col("__r") - col("__pr"), col("__nv"))
-          // equidistant tie → smaller donor value (deterministic)
-          .otherwise(least(col("__pv"), col("__nv"))))
-      .drop("__r", "__pv", "__pr", "__nv", "__nr")
+    // same adaptive dispatch as withRowIndex/ffillGlobal: below the
+    // threshold the one-task window IS the optimal plan; above it the
+    // carry shape keeps every task bounded by its own partition (three
+    // unpartitioned windows here would funnel the full table through a
+    // single task three times)
+    val smallBytes = df.sparkSession.conf
+      .getOption("graft.rowIndex.localThresholdBytes").map(_.toLong)
+      .getOrElse(256L << 20)
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= smallBytes) {
+      val wOrd = Window.orderBy(col(source))
+      val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+      val wNext = wOrd.rowsBetween(1, Window.unboundedFollowing)
+      val donorVal = when(col(target).isNotNull, col(target))
+      val donorRank = when(col(target).isNotNull, col("__r"))
+      df.withColumn("__r", (rank().over(wOrd) - 1).cast("long"))
+        .withColumn("__pv", last(donorVal, ignoreNulls = true).over(wPrev))
+        .withColumn("__pr", last(donorRank, ignoreNulls = true).over(wPrev))
+        .withColumn("__nv", first(donorVal, ignoreNulls = true).over(wNext))
+        .withColumn("__nr", first(donorRank, ignoreNulls = true).over(wNext))
+        .withColumn(target, fillChoice(target))
+        .drop("__r", "__pv", "__pr", "__nv", "__nr")
+    } else nearestNeighbour1DCarry(df, target, source)
+  }
+
+  /** nearest-prev/next-donor decision shared by both 1-D paths: closer
+    * rank wins; equidistant tie → smaller donor value (deterministic,
+    * and the same tie-break as the multi-source path's
+    * min_by(struct(dist, value))).
+    */
+  private def fillChoice(target: String): Column =
+    when(col(target).isNotNull, col(target))
+      .when(col("__pv").isNull, col("__nv"))
+      .when(col("__nv").isNull, col("__pv"))
+      .when(col("__r") - col("__pr") < col("__nr") - col("__r"), col("__pv"))
+      .when(col("__nr") - col("__r") < col("__r") - col("__pr"), col("__nv"))
+      .otherwise(least(col("__pv"), col("__nv")))
+
+  /** Scale path of the 1-D fast path — no unpartitioned window anywhere:
+    *   1. integer ranks from the SAME join-based rank table the
+    *      multi-source path uses ([[Sorts.withRowIndex]] over the value
+    *      sort → min-index-per-value → join back);
+    *   2. donors collapse to ONE row per rank, keeping the smallest
+    *      donor value (the multi-source tie-break, so equal-rank donors
+    *      resolve deterministically instead of by window row order);
+    *   3. each row's nearest preceding/following donor comes from a
+    *      two-direction boundary carry over the rank-sorted union of
+    *      rows and donor markers — one parallel range sort, a
+    *      numPartitions-row boundary job (each partition's first/last
+    *      donor, prefix/suffix-merged on the driver), and one
+    *      per-partition scan. No task ever holds more than its own
+    *      partition — the `ffillBoundaryCarry` shape, run both ways.
+    * The final nearest-donor choice is the shared [[fillChoice]]
+    * expression, so type handling stays in Catalyst.
+    */
+  private[graft] def nearestNeighbour1DCarry(
+      df: DataFrame, target: String, source: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = df.sparkSession
+    val tType = df.schema(target).dataType
+    val rankTab = Sorts.withRowIndex(df.select(col(source).as("__v")), Seq(col("__v")), "__idx")
+      .groupBy("__v").agg(min("__idx").as("__r"))
+    val ranked = df.join(rankTab, df(source) <=> col("__v"), "left").drop("__v")
+    val lTypes = ranked.schema.fields.map(f => f.name -> f.dataType).toMap
+    val donorRows = ranked.filter(col(target).isNotNull)
+      .groupBy("__r").agg(min(col(target)).as("__dv"))
+      .select(ranked.columns.filter(_ != "__r").map(c => lit(null).cast(lTypes(c)).as(c)) ++
+        Seq(col("__r"), lit(0).as("__side"), col("__dv")): _*)
+    val dataRows = ranked
+      .select(ranked.columns.filter(_ != "__r").map(col) ++
+        Seq(col("__r"), lit(1).as("__side"), lit(null).cast(tType).as("__dv")): _*)
+    // donor markers sort BEFORE data rows at the same rank, so an
+    // equal-rank donor is visible to the forward carry (distance 0)
+    val sorted = dataRows.unionByName(donorRows)
+      .orderBy(col("__r").asc, col("__side").asc)
+    val schema = sorted.schema
+    val rIdx = schema.fieldIndex("__r")
+    val sideIdx = schema.fieldIndex("__side")
+    val dvIdx = schema.fieldIndex("__dv")
+    val rdd = sorted.rdd
+    // boundary job: each partition's first and last donor (value, rank) —
+    // numPartitions tuples to the driver; the sort shuffle materializes
+    // once and is reused by the main pass (skipped stages)
+    val bounds = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var first: (Any, Long) = null
+      var last: (Any, Long) = null
+      it.foreach { r =>
+        if (r.getInt(sideIdx) == 0) {
+          val d = (r.get(dvIdx), r.getLong(rIdx))
+          if (first == null) first = d
+          last = d
+        }
+      }
+      Iterator((pid, first, last))
+    }.collect().sortBy(_._1)
+    val nParts = bounds.length
+    val carryPrev = new Array[(Any, Long)](nParts) // last donor before partition p
+    val carryNext = new Array[(Any, Long)](nParts) // first donor after partition p
+    var run: (Any, Long) = null
+    var p = 0
+    while (p < nParts) {
+      carryPrev(p) = run
+      if (bounds(p)._3 != null) run = bounds(p)._3
+      p += 1
+    }
+    run = null
+    p = nParts - 1
+    while (p >= 0) {
+      carryNext(p) = run
+      if (bounds(p)._2 != null) run = bounds(p)._2
+      p -= 1
+    }
+    val outSchema = StructType(schema.fields ++ Seq(
+      StructField("__pv", tType), StructField("__pr", LongType),
+      StructField("__nv", tType), StructField("__nr", LongType)))
+    val carried = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val rows = it.toArray
+      val n = rows.length
+      val pv = new Array[Any](n)
+      val pr = new Array[Any](n)
+      val nv = new Array[Any](n)
+      val nr = new Array[Any](n)
+      var cur = carryPrev(pid)
+      var i = 0
+      while (i < n) { // forward: nearest donor strictly before in sort order
+        if (cur != null) { pv(i) = cur._1; pr(i) = cur._2 }
+        if (rows(i).getInt(sideIdx) == 0) cur = (rows(i).get(dvIdx), rows(i).getLong(rIdx))
+        i += 1
+      }
+      cur = carryNext(pid)
+      i = n - 1
+      while (i >= 0) { // backward: nearest donor strictly after
+        if (cur != null) { nv(i) = cur._1; nr(i) = cur._2 }
+        if (rows(i).getInt(sideIdx) == 0) cur = (rows(i).get(dvIdx), rows(i).getLong(rIdx))
+        i -= 1
+      }
+      (0 until n).iterator.filter(j => rows(j).getInt(sideIdx) == 1).map { j =>
+        org.apache.spark.sql.Row.fromSeq(
+          rows(j).toSeq ++ Seq(pv(j), pr(j), nv(j), nr(j)))
+      }
+    }
+    spark.createDataFrame(carried, outSchema)
+      .withColumn(target, fillChoice(target))
+      .drop("__r", "__side", "__dv", "__pv", "__pr", "__nv", "__nr")
   }
 }

@@ -191,17 +191,21 @@ object Joins {
       s"bloom pruning is only sound for inner/semi joins, got: $kind")
     // The small side feeds two pre-join passes (sizing + bloom build) plus
     // the join itself; if it's a filtered subquery over a big table those
-    // passes would repeat its scan. Persist it across all three, and let
-    // callers who know the cardinality skip the count() job entirely.
-    val sm = small.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // passes would repeat its scan. Persist it across all three — scoped,
+    // so the cache is dropped after the caller's first action on the
+    // joined result — and let callers who know the cardinality skip the
+    // count() job entirely.
+    val scope = new CacheScope
+    val sm = scope.persist(small)
     val n = if (expectedItems > 0) expectedItems else math.max(sm.count(), 1L)
     val bloom = sm.stat.bloomFilter(smallKey, n, fpp)
     val pruned = large.filter(graft.plans.Kernels.bloomMightContain(col(largeKey), bloom))
-    if (kind == "semi")
-      pruned.alias("l").join(sm.alias("r"),
-        col(s"l.$largeKey") === col(s"r.$smallKey"), "left_semi")
-    else
-      join(pruned, sm, Seq(largeKey), Seq(smallKey), "inner", nullSafe = false)
+    scope.releaseAfter(
+      if (kind == "semi")
+        pruned.alias("l").join(sm.alias("r"),
+          col(s"l.$largeKey") === col(s"r.$smallKey"), "left_semi")
+      else
+        join(pruned, sm, Seq(largeKey), Seq(smallKey), "inner", nullSafe = false))
   }
 
   /** As-of join (no reference analogue; the natural generalization of

@@ -208,10 +208,13 @@ object Kernels {
       p += 1
     }
     // Long-safe cap: 1 << nPlanes wraps for nPlanes >= 31 (the Long
-    // bucket admits up to 63 planes)
+    // bucket admits up to 63 planes). Floor at 1: the base bucket is
+    // always emitted, so nProbes <= 0 (SQL misuse of graft_lsh_probes)
+    // degrades to a single-probe lookup instead of an array-size crash
+    // surfacing from inside codegen.
     val maxProbes =
       if (nPlanes >= 63) Long.MaxValue else 1L << nPlanes
-    val out = new Array[Any](math.min(nProbes.toLong, maxProbes).toInt)
+    val out = new Array[Any](math.max(math.min(nProbes.toLong, maxProbes), 1L).toInt)
     out(0) = base
     if (out.length > 1) {
       // plane ids sorted by margin ascending; a perturbation set is a
@@ -623,7 +626,8 @@ object Kernels {
     * (m·codeK doubles ≈ 16 KB per entry).
     */
   private final class AdcEntry(
-      val q: Array[Double], val cb: Array[Array[Double]], val list: Int,
+      val q: Array[Double], val cb: Array[Array[Double]],
+      val coarse: Array[Array[Double]], val list: Int,
       val table: Array[Double])
 
   private val adcCache =
@@ -649,7 +653,10 @@ object Kernels {
     // hash the query in place (no allocation on the hit path) —
     // candidates vastly outnumber distinct (query, list) pairs, so the
     // codeK·d table build amortizes to the O(d) hash + m lookups per row
-    var h = 1125899906842597L * (list + 1) + System.identityHashCode(flatCodebooks)
+    // both quantizer artifacts key the table: same codebooks with
+    // retrained coarse centroids must not serve stale residual tables
+    var h = 1125899906842597L * (list + 1) + System.identityHashCode(flatCodebooks) +
+      31L * System.identityHashCode(coarse)
     var i = 0
     while (i < d) {
       val v = if (elemKind == 0) q.getFloat(i).toDouble else q.getDouble(i)
@@ -659,7 +666,7 @@ object Kernels {
     val cache = adcCache.get()
     val key = java.lang.Long.valueOf(h)
     var e = cache.get(key)
-    if (e != null && (e.list != list || (e.cb ne flatCodebooks))) e = null
+    if (e != null && (e.list != list || (e.cb ne flatCodebooks) || (e.coarse ne coarse))) e = null
     if (e != null) {
       // verify content equality without materializing the query
       var j = 0
@@ -698,7 +705,7 @@ object Kernels {
         }
         s += 1
       }
-      e = new AdcEntry(qa, flatCodebooks, list, table)
+      e = new AdcEntry(qa, flatCodebooks, coarse, list, table)
       cache.put(key, e)
     }
     var dist = 0.0

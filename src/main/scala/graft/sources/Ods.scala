@@ -205,12 +205,12 @@ object Ods {
               // decimal notation, not scientific: "1.0E22" is not a
               // valid office:value for every validator
               val s = n match {
-                case _: java.lang.Double | _: java.lang.Float =>
-                  // valueOf keeps the shortest decimal form (0.1 stays
-                  // "0.1"); toPlainString expands 1.0E22 to digits
-                  java.math.BigDecimal.valueOf(d).toPlainString
                 case bd: java.math.BigDecimal => bd.toPlainString
-                case _ => n.toString
+                // toString keeps the shortest decimal repr for the value's
+                // OWN width (Float 0.1f stays "0.1" — widening to double
+                // first would print 0.10000000149011612); toPlainString
+                // expands 1.0E22 to digits
+                case _ => new java.math.BigDecimal(n.toString).toPlainString
               }
               sb.append(s"""<table:table-cell office:value-type="float" office:value="$s"><text:p>$s</text:p></table:table-cell>""")
             }

@@ -203,8 +203,20 @@ object Readers {
   /** tablite's column-oriented JSON envelope
     * (`{"columns": {name: [values]}, "total_rows": n}`,
     * import_utils.py:112-122) — a compat codec, driver-side by design.
+    * Guarded like the other driver-side codecs (`transpose`/`toSql`'s
+    * maxRows): the whole envelope is collected to the driver, so the
+    * input size is capped (`maxBytes`, default 256 MB) with a clear
+    * error instead of a driver OOM.
     */
-  def readColumnarJson(spark: SparkSession, path: String): DataFrame = {
+  def readColumnarJson(spark: SparkSession, path: String,
+      maxBytes: Long = 256L << 20): DataFrame = {
+    val sizes = spark.read.format("binaryFile").load(path)
+      .select("length").collect().map(_.getLong(0))
+    val total = sizes.sum
+    require(total <= maxBytes,
+      s"columnar JSON at $path is $total bytes > cap $maxBytes: the " +
+        "envelope is a driver-side compat codec; for data this large " +
+        "use parquet/csv, or raise maxBytes explicitly")
     val text = spark.read.textFile(path).collect().mkString("\n")
     val parsed = spark.read.json(spark.createDataset(Seq(text))(
       org.apache.spark.sql.Encoders.STRING))

@@ -98,6 +98,43 @@ class PlanQualitySpec extends SparkSpec {
     } finally spark.conf.unset("graft.rowIndex.localThresholdBytes")
   }
 
+  test("1-D NN imputation scale path matches the window path, no global window") {
+    import spark.implicits._
+    // duplicates in the source column + null targets on both sides of
+    // donors exercise rank ties and the prev/next/equidistant decisions.
+    // Donor values are a function of the source value: equal-rank donors
+    // then agree, so the window path (row-order pick within a rank) and
+    // the carry path (min-value pick within a rank) must coincide —
+    // where they genuinely diverge is only the underspecified order
+    // among equal-rank donors with different values.
+    val df = (1 to 2000).map { i =>
+      val src = (i * 13 % 997).toDouble
+      (src, if (i % 4 == 0) None else Some(src % 89))
+    }.toDF("src", "v")
+    def norm(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getDouble(0), r.getDouble(1))).sorted.toSeq
+    val viaWindow = norm(graft.operators.Imputation.nearestNeighbour(
+      df, "v", Seq("src")).collect())
+    val viaCarry = norm(graft.operators.Imputation.nearestNeighbour1DCarry(
+      df, "v", "src").collect())
+    // the multi-source EXACT path is the semantic reference: with one
+    // source its min_by(struct(dist, value)) tie-break is what both 1-D
+    // paths implement
+    spark.conf.set("graft.rowIndex.localThresholdBytes", "0")
+    try {
+      val viaDispatch = norm(graft.operators.Imputation.nearestNeighbour(
+        df, "v", Seq("src")).collect())
+      assert(viaCarry === viaDispatch) // threshold 0 → dispatch hits the carry path
+      // above-threshold 1-D plan: no unpartitioned window, no
+      // single-partition exchange anywhere in the executed plan
+      val out = graft.operators.Imputation.nearestNeighbour(df, "v", Seq("src"))
+      val p = out.queryExecution.executedPlan.toString
+      assert(!p.contains("Window"), p)
+      assert(!p.contains("SinglePartition"), p)
+    } finally spark.conf.unset("graft.rowIndex.localThresholdBytes")
+    assert(viaCarry === viaWindow)
+  }
+
   test("dedupSpans shuffles 8-byte window hashes; text crosses one broadcast join") {
     val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
     val out = graft.ml.Dedup.dedupSpans(docs, "doc_id", "text", minLen = 8)

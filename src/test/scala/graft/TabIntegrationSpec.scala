@@ -73,4 +73,31 @@ class TabIntegrationSpec extends SparkSpec {
     val rows = deduped.df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(rows(2L) === "prefix suffix")
   }
+
+  test("Tab dedup bridges preserve non-text columns (frame contract)") {
+    import spark.implicits._
+    val shared = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val t = Tab(Seq(
+      (1L, "en", 10, s"alpha $shared"),
+      (2L, "fr", 20, s"beta $shared gamma"))
+      .toDF("doc_id", "lang", "score", "text"))
+    val spans = t.dedupSpans("doc_id", "text")
+    // every original column survives, removed_tokens appended
+    assert(spans.columns === Seq("doc_id", "lang", "score", "text", "removed_tokens"))
+    val byId = spans.df.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(2L).getString(1) === "fr" && byId(2L).getInt(2) === 20)
+    assert(byId(2L).getAs[String]("text") === "beta gamma")
+
+    val lineDoc = Tab(Seq(
+      (1L, "en", "keep me\nshared line"),
+      (2L, "fr", "shared line\nunique two"),
+      (3L, "de", "shared line")) // only boilerplate → doc disappears
+      .toDF("doc_id", "lang", "text"))
+    val lines = lineDoc.dedupLines("doc_id", "text", maxDocFreq = 1)
+    assert(lines.columns === Seq("doc_id", "lang", "text"))
+    val lm = lines.df.collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(lm(1L) === ("en", "keep me"))
+    assert(lm(2L) === ("fr", "unique two"))
+    assert(!lm.contains(3L))
+  }
 }

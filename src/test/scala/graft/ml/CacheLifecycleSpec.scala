@@ -1,0 +1,114 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Persist lifecycle: every pipeline's cached intermediates must be gone
+  * after the caller's first action on its result — a long-lived curation
+  * session running batch after batch must not accumulate zombie cached
+  * RDDs (round-4 finding: persists relied on ContextCleaner GC).
+  * Release rides a QueryExecutionListener (async listener bus), so the
+  * assertions poll briefly.
+  */
+class CacheLifecycleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs: DataFrame = (0 until 200).map { i =>
+    val base = s"alpha beta gamma tok${i % 7} tok${i % 11} delta epsilon zeta " +
+      s"eta theta iota kappa lambda mu nu xi tok${i % 13} omicron pi rho sigma tau"
+    (i.toLong, if (i >= 150) s"alpha beta gamma tok${i % 7} UNIQUE $i" else base)
+  }.toDF("doc_id", "text")
+
+  private def vecs: DataFrame = spark.range(200).selectExpr("id AS vec_id",
+    "transform(sequence(0, 15), j -> cast(sin(id * 31 + j) AS float)) AS embedding")
+
+  private def assertCacheDrains(label: String): Unit = {
+    val deadline = System.currentTimeMillis + 20000
+    while (spark.sparkContext.getPersistentRDDs.nonEmpty &&
+        System.currentTimeMillis < deadline) Thread.sleep(100)
+    val left = spark.sparkContext.getPersistentRDDs
+    assert(left.isEmpty, s"$label left ${left.size} persisted RDDs: " +
+      left.values.map(_.toString).mkString("; "))
+  }
+
+  private def drained(label: String)(result: => DataFrame): Unit = {
+    result.count() // the terminal action that triggers the release
+    assertCacheDrains(label)
+  }
+
+  test("minhashPairs releases its caches after the terminal action") {
+    drained("minhashPairs")(Dedup.minhashPairs(docs, "doc_id", "text"))
+  }
+
+  test("simhashPairs releases its caches") {
+    drained("simhashPairs")(Dedup.simhashPairs(docs, "doc_id", "text"))
+  }
+
+  test("jaccardJoinExact releases its caches") {
+    drained("jaccardJoinExact")(Dedup.jaccardJoinExact(docs, "doc_id", "text"))
+  }
+
+  test("ngramJaccardPairs releases its caches") {
+    drained("ngramJaccardPairs")(Dedup.ngramJaccardPairs(docs, "doc_id", "text"))
+  }
+
+  test("dedupLines and dedupSpans release their caches") {
+    drained("dedupLines")(Dedup.dedupLines(docs, "doc_id", "text"))
+    drained("dedupSpans")(Dedup.dedupSpans(docs, "doc_id", "text"))
+  }
+
+  test("embeddingPairs and semDedup release their caches") {
+    drained("embeddingPairs")(Dedup.embeddingPairs(vecs, "vec_id", "embedding", dim = 16))
+    drained("semDedup")(Dedup.semDedup(vecs, "vec_id", "embedding", nList = 4))
+  }
+
+  test("dedupedCorpus (pairs → components → winners) releases everything") {
+    drained("dedupedCorpus")(
+      Dedup.dedupedCorpus(docs, "doc_id", Dedup.minhashPairs(docs, "doc_id", "text")))
+  }
+
+  test("distributed connected-components path releases its label frames") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    drained("connectedComponents")(Dedup.connectedComponents(pairs, driverThreshold = 0))
+  }
+
+  test("incremental dedup: batch caches drain; the index is caller-released") {
+    val corpus = docs.filter($"doc_id" < 150)
+    val idx = Dedup.minhashIndex(corpus, "doc_id", "text")
+    val batch = docs.filter($"doc_id" >= 150)
+      .select(($"doc_id" + 1000000).as("doc_id"), $"text")
+    Dedup.incrementalMinhashPairs(batch, idx, "doc_id", "text").count()
+    // batch-scoped caches drain; the index's shingle cache survives (it
+    // serves every subsequent batch) until release()
+    val deadline = System.currentTimeMillis + 20000
+    while (spark.sparkContext.getPersistentRDDs.size > 1 &&
+        System.currentTimeMillis < deadline) Thread.sleep(100)
+    assert(spark.sparkContext.getPersistentRDDs.size <= 1,
+      spark.sparkContext.getPersistentRDDs.values.mkString("; "))
+    idx.release()
+    assertCacheDrains("MinhashIndex.release")
+  }
+
+  test("decontaminate releases its dictionary cache") {
+    val bench = docs.filter($"doc_id" % 25 === 0)
+      .select(substring($"text", 5, 60).as("bench_text"))
+    drained("decontaminate")(
+      Decontaminate.decontaminate(docs, "doc_id", "text", bench, "bench_text", n = 4))
+  }
+
+  test("bloomPruneJoin releases the small-side cache") {
+    val large = spark.range(1000).selectExpr("id AS k", "id * 2 AS v")
+    val small = spark.range(50).selectExpr("id * 3 AS sk")
+    drained("bloomPruneJoin")(
+      graft.operators.Joins.bloomPruneJoin(large, small, "k", "sk"))
+  }
+
+  test("a failed action also releases (onFailure path)") {
+    val bad = Dedup.minhashPairs(docs, "doc_id", "text")
+      .withColumn("boom", expr("assert_true(jaccard > 2.0, 'boom')"))
+      .filter(col("boom").isNull)
+    intercept[Exception](bad.count())
+    assertCacheDrains("failed action")
+  }
+}

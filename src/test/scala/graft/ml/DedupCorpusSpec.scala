@@ -63,6 +63,17 @@ class DedupCorpusSpec extends SparkSpec {
     assert(p.length === 4 && p.distinct.length === 4 && p.forall(x => x >= 0 && x < 4))
   }
 
+  test("hyperplaneProbes with nProbes <= 0 degrades to the base bucket (SQL misuse guard)") {
+    val v = Seq((1L, Array(0.3f, -0.7f, 0.2f, 0.9f))).toDF("vec_id", "embedding")
+    val base = v.select(graft.plans.Kernels.hyperplaneBucket($"embedding", 4).as("b"))
+      .as[Long].collect().head
+    for (bad <- Seq(0, -3)) {
+      val p = v.select(graft.plans.Kernels.hyperplaneProbes($"embedding", 4, bad).as("p"))
+        .as[Seq[Long]].collect().head
+      assert(p === Seq(base), s"nProbes=$bad")
+    }
+  }
+
   test("ADC table cache keyed by codebook identity: interleaved indexes don't cross-talk") {
     // two different corpora/codebooks queried alternately in one JVM —
     // the executor-thread-local ADC tables must not leak across them
@@ -93,6 +104,25 @@ class DedupCorpusSpec extends SparkSpec {
     val recall = Ann.recallAtK(vecs, vecs.filter($"vec_id" < 5), "vec_id", "embedding",
       dim = 8, k = 5, nPlanes = 4).collect().head.getDouble(1)
     assert(recall > 0.0 && recall <= 1.0)
+  }
+
+  test("quantizer training sample is unbiased across partitions (not first-files)") {
+    // 8 range partitions in id order — a bare limit(n) would take only
+    // partition 0 (ids 0..1249); the hash-ordered sample must span the
+    // whole id range. Vectors carry their id in component 0 so the
+    // sample rows reveal where they came from.
+    val vecs = spark.range(10000).repartitionByRange(8, $"id")
+      .selectExpr("id AS vec_id",
+        "transform(sequence(0, 3), j -> cast(id AS double)) AS embedding")
+    val sampled = Ann.trainingSample(vecs, "embedding", n = 200, seed = 42L)
+      .collect().map(_.getSeq[Double](0).head)
+    assert(sampled.length === 200)
+    assert(sampled.min < 1000.0, s"sample min ${sampled.min} — first-partition bias")
+    assert(sampled.max > 9000.0, s"sample max ${sampled.max} — first-partition bias")
+    // deterministic: same seed → same sample (the quantizer memo contract)
+    val again = Ann.trainingSample(vecs, "embedding", n = 200, seed = 42L)
+      .collect().map(_.getSeq[Double](0).head)
+    assert(sampled.toSeq === again.toSeq)
   }
 
   test("IVF index: lists partition the corpus; full probe = exact top-k") {

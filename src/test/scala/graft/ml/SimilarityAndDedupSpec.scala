@@ -367,4 +367,29 @@ class SimilarityAndDedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect()
     assert(pairs.contains((42L, 999L)), pairs.mkString(","))
   }
+
+  test("media codec SPI: a registered codec replaces the stub without pipeline changes") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val media = Multimodal.asMediaTable(
+      Seq((1L, "abc"), (2L, "defg")).toDF("id", "data")
+        .withColumn("bin", $"data".cast("binary")),
+      "id", "bin", "image")
+    object LengthCodec extends Multimodal.MediaCodec {
+      override def decode(kind: String, bytes: Array[Byte]): Array[Float] =
+        Array(bytes.length.toFloat, if (kind == "image") 1f else 0f)
+    }
+    try {
+      Multimodal.MediaCodec.register(LengthCodec)
+      val feats = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+      assert(feats.map(_.feature.toSeq).toSeq ===
+        Seq(Seq(3f, 1f), Seq(4f, 1f))) // the injected codec, not the stub
+      // the batched path routes through decodeBatch of the same codec
+      val batched = Multimodal.extractFeaturesBatched(media, batchSize = 2)
+        .collect().sortBy(_.media_id)
+      assert(batched.map(_.feature.toSeq).toSeq === feats.map(_.feature.toSeq).toSeq)
+    } finally Multimodal.MediaCodec.reset()
+    // after reset the deterministic stub is back (8-dim byte-derived)
+    val stub = Multimodal.extractFeatures(media).collect()
+    assert(stub.forall(_.feature.length === 8))
+  }
 }

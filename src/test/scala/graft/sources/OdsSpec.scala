@@ -37,6 +37,25 @@ class OdsSpec extends SparkSpec {
     assert(Ods.readOds(spark, p, skipEmpty = "ANY", guessDatatypes = false).count() === 2)
   }
 
+  test("writeOds keeps the shortest float repr (0.1f stays \"0.1\", 1e22 expands)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((0.1f, 1.0e22)).toDF("f", "big")
+      .withColumn("f", col("f").cast("float"))
+    val p = java.nio.file.Files.createTempFile("graft_float", ".ods").toString
+    Ods.writeOds(df, p)
+    val zf = new java.util.zip.ZipFile(p)
+    val xml = try {
+      val e = zf.getEntry("content.xml")
+      new String(zf.getInputStream(e).readAllBytes, java.nio.charset.StandardCharsets.UTF_8)
+    } finally zf.close()
+    // widening 0.1f to double before formatting would print
+    // 0.10000000149011612; scientific notation must expand to digits
+    assert(xml.contains("office:value=\"0.1\""), xml.take(2000))
+    assert(xml.contains("office:value=\"10000000000000000000000\""), xml.take(2000))
+    new java.io.File(p).delete()
+  }
+
   test("writeOds roundtrip: typed columns survive write → read → infer") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

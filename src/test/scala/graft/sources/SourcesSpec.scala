@@ -77,6 +77,16 @@ class SourcesSpec extends SparkSpec {
     assert(back.columns.sorted === Array("n", "s"))
   }
 
+  test("columnar json refuses envelopes over the driver-side byte cap") {
+    val json = Writers.toColumnarJson(Seq((1L, "a"), (2L, "b")).toDF("n", "s"))
+    val p = writeTemp(json, ".json")
+    val e = intercept[IllegalArgumentException](
+      Readers.readColumnarJson(spark, p, maxBytes = 8))
+    assert(e.getMessage.contains("driver-side"), e.getMessage)
+    // explicit raise still works
+    assert(Readers.readColumnarJson(spark, p, maxBytes = 1 << 20).count() === 2)
+  }
+
   test("toAscii includes dtype subheader and elision") {
     val ascii = Writers.toAscii(spark.range(20).toDF("i"))
     assert(ascii.contains("bigint"))
