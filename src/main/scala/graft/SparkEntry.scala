@@ -556,8 +556,12 @@ object SparkEntry {
           concat_ws(" ", (0 until 8).map(i =>
             md5(concat(col("doc_id").cast("string"), lit(s"-$i")))): _*).as("text"))
       val idx = Dedup.minhashIndex(docs, "doc_id", "text")
-      Dedup.incrementalMinhashPairs(SetOps.concat(copies, fresh), idx,
-        "doc_id", "text", threshold = 1.0)
+      // the index is caller-owned (it would serve every later batch); this
+      // query is single-batch, so release it with the batch's first action
+      val scope = new graft.operators.CacheScope
+      scope.track(idx.shingles)
+      scope.releaseAfter(Dedup.incrementalMinhashPairs(SetOps.concat(copies, fresh), idx,
+        "doc_id", "text", threshold = 1.0))
     }),
     "q_ngram_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))

@@ -3,7 +3,7 @@ package graft
 import graft.operators._
 import graft.operators.ColumnSelect.ColSpec
 import graft.operators.Filters.Criterion
-import graft.sources.{Ods, Readers, Tpz, Writers, Xls, Xlsx}
+import graft.sources.{Hdf5, Ods, Readers, Tpz, Writers, Xls, Xlsx}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
 
@@ -172,6 +172,7 @@ final case class Tab(df: DataFrame) {
   def toXlsx(path: String): Unit = Xlsx.writeXlsx(df, path)
   def toOds(path: String): Unit = Ods.writeOds(df, path)
   def toTpz(path: String): Unit = Tpz.writeTpz(df, path)
+  def toHdf5(path: String): Unit = Hdf5.writeHdf5(df, path)
   def toSqlText(tableName: String): String = Writers.toSql(df, tableName)
   def toJsonText: String = Writers.toColumnarJson(df)
   def toHtmlText: String = Writers.toHtml(df)
@@ -195,6 +196,8 @@ object Tab {
     else if (lower.endsWith(".xls")) Tab(Xls.readXls(spark, path,
       firstRowHasHeaders = opts.firstRowHasHeaders, headerRowIndex = opts.headerRowIndex,
       skipEmpty = opts.skipEmpty, guessDatatypes = opts.guessDatatypes))
+    else if (lower.endsWith(".h5") || lower.endsWith(".hdf5"))
+      Tab(Hdf5.readHdf5(spark, path, guessDatatypes = opts.guessDatatypes))
     else if (lower.endsWith(".ods")) Tab(Ods.readOds(spark, path,
       firstRowHasHeaders = opts.firstRowHasHeaders, headerRowIndex = opts.headerRowIndex,
       skipEmpty = opts.skipEmpty, guessDatatypes = opts.guessDatatypes))

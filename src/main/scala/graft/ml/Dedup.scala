@@ -120,8 +120,8 @@ object Dedup {
       maxBucket: Int = 1000,
       saltCap: Int = 20000): DataFrame = {
     // the shingle frame feeds the band explode AND both verify joins —
-    // persist so the corpus is shingled once (ContextCleaner evicts when
-    // the plan is released; at petabyte scale write it out instead)
+    // persist so the corpus is shingled once (scope-released after the
+    // caller's first action; at petabyte scale write it out instead)
     // distinct shingle count computed ONCE per doc: the scalar Jaccard
     // size-bound (t*|B| <= |A| <= |B|/t) prunes candidate pairs before
     // any array is compared

@@ -23,18 +23,24 @@ class CacheLifecycleSpec extends SparkSpec {
   private def vecs: DataFrame = spark.range(200).selectExpr("id AS vec_id",
     "transform(sequence(0, 15), j -> cast(sin(id * 31 + j) AS float)) AS embedding")
 
-  private def assertCacheDrains(label: String): Unit = {
+  // relative to a baseline snapshot: the assertions are about THIS
+  // pipeline's caches, not about what an earlier suite in the shared
+  // session may have left behind
+  private def baseline: Set[Int] = spark.sparkContext.getPersistentRDDs.keySet.toSet
+
+  private def assertCacheDrains(label: String, base: Set[Int], allow: Int = 0): Unit = {
     val deadline = System.currentTimeMillis + 20000
-    while (spark.sparkContext.getPersistentRDDs.nonEmpty &&
-        System.currentTimeMillis < deadline) Thread.sleep(100)
-    val left = spark.sparkContext.getPersistentRDDs
-    assert(left.isEmpty, s"$label left ${left.size} persisted RDDs: " +
+    def leaked = spark.sparkContext.getPersistentRDDs.filter(kv => !base.contains(kv._1))
+    while (leaked.size > allow && System.currentTimeMillis < deadline) Thread.sleep(100)
+    val left = leaked
+    assert(left.size <= allow, s"$label left ${left.size} persisted RDDs: " +
       left.values.map(_.toString).mkString("; "))
   }
 
   private def drained(label: String)(result: => DataFrame): Unit = {
+    val base = baseline
     result.count() // the terminal action that triggers the release
-    assertCacheDrains(label)
+    assertCacheDrains(label, base)
   }
 
   test("minhashPairs releases its caches after the terminal action") {
@@ -74,6 +80,7 @@ class CacheLifecycleSpec extends SparkSpec {
   }
 
   test("incremental dedup: batch caches drain; the index is caller-released") {
+    val base = baseline
     val corpus = docs.filter($"doc_id" < 150)
     val idx = Dedup.minhashIndex(corpus, "doc_id", "text")
     val batch = docs.filter($"doc_id" >= 150)
@@ -81,13 +88,9 @@ class CacheLifecycleSpec extends SparkSpec {
     Dedup.incrementalMinhashPairs(batch, idx, "doc_id", "text").count()
     // batch-scoped caches drain; the index's shingle cache survives (it
     // serves every subsequent batch) until release()
-    val deadline = System.currentTimeMillis + 20000
-    while (spark.sparkContext.getPersistentRDDs.size > 1 &&
-        System.currentTimeMillis < deadline) Thread.sleep(100)
-    assert(spark.sparkContext.getPersistentRDDs.size <= 1,
-      spark.sparkContext.getPersistentRDDs.values.mkString("; "))
+    assertCacheDrains("incremental batch", base, allow = 1)
     idx.release()
-    assertCacheDrains("MinhashIndex.release")
+    assertCacheDrains("MinhashIndex.release", base)
   }
 
   test("decontaminate releases its dictionary cache") {
@@ -105,10 +108,11 @@ class CacheLifecycleSpec extends SparkSpec {
   }
 
   test("a failed action also releases (onFailure path)") {
+    val base = baseline
     val bad = Dedup.minhashPairs(docs, "doc_id", "text")
       .withColumn("boom", expr("assert_true(jaccard > 2.0, 'boom')"))
       .filter(col("boom").isNull)
     intercept[Exception](bad.count())
-    assertCacheDrains("failed action")
+    assertCacheDrains("failed action", base)
   }
 }
