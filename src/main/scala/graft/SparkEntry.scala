@@ -747,6 +747,21 @@ object SparkEntry {
         .toDF("lsh_ok", "ivf_ok", "pq_ok")
     }),
 
+    // ---- HDF5 compat codec (clean-room, sources/Hdf5.scala) ---------
+    // identity roundtrip through the writer+reader pair; the oracle is
+    // the same SELECT straight off the parquet table, so any corruption
+    // in the on-disk structures (heaps, vlen strings, typed datasets)
+    // breaks the hash match
+    "q_hdf5_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      val p = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_q_hdf5.h5").getAbsolutePath
+      graft.sources.Hdf5.writeHdf5(docs, p)
+      graft.sources.Hdf5.readHdf5(s, p, guessDatatypes = false)
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    }),
+
     // ---- multimodal plumbing ----------------------------------------
     "q_multimodal" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -1633,7 +1648,11 @@ object SparkEntry {
     // q_ann_gate: deterministic recall-threshold verdicts (seeded,
     // memoized quantizers) — the approximate family's oracle hook
     "q_ann_gate" ->
-      "SELECT true AS lsh_ok, true AS ivf_ok, true AS pq_ok"
+      "SELECT true AS lsh_ok, true AS ivf_ok, true AS pq_ok",
+    // q_hdf5_roundtrip: write→read through the clean-room HDF5 codec is
+    // an identity map, so the oracle is the source table itself
+    "q_hdf5_roundtrip" ->
+      "SELECT doc_id, text, lang, n_chars FROM documents"
     // rows-only (no SQL oracle): q_ann_lsh, q_ann_ivf, q_ann_pq,
     // q_ann_recall, q_ann_ivf_recall, q_ann_pq_recall (approximate /
     // engine-specific outputs; q_knn IS oracle-checked — exact top-k,
