@@ -35,24 +35,32 @@ object Bench {
     val loadBefore = loadavg
     var loadMax = loadBefore
 
-    // min-of-N: run the body `reps` times, keep the fastest; sample
-    // loadavg after each rep so contention during ANY rep is recorded.
-    // `afterEach` runs between reps OUTSIDE the timed span (cache drops
-    // must happen per-rep — a rep reading rep 1's cache measures nothing
-    // — but their cost is not part of the query).
-    def timed(f: => Unit, afterEach: () => Unit = () => ()): Double = {
-      var best = Double.MaxValue
+    // min-of-N: run the body `reps` times, keep the fastest SUCCESSFUL
+    // rep — a rep that fails fast must not win the min and report a 10 s
+    // query as 0.1 s (the body returns success). A query with zero
+    // successful reps reports its fastest failure and lands in `failed`
+    // so the record is self-identifying. Samples loadavg after each rep
+    // so contention during ANY rep is recorded. `afterEach` runs between
+    // reps OUTSIDE the timed span (cache drops must happen per-rep — a
+    // rep reading rep 1's cache measures nothing — but their cost is not
+    // part of the query).
+    val failed = scala.collection.mutable.LinkedHashSet[String]()
+    def timed(f: => Boolean, afterEach: () => Unit = () => ()): (Double, Boolean) = {
+      var bestOk = Double.MaxValue
+      var bestFail = Double.MaxValue
+      var anyOk = false
       var i = 0
       while (i < reps) {
         val t0 = System.nanoTime()
-        f
+        val ok = f
         val dt = (System.nanoTime() - t0) / 1e9
-        if (dt < best) best = dt
+        if (ok) { anyOk = true; if (dt < bestOk) bestOk = dt }
+        else if (dt < bestFail) bestFail = dt
         afterEach()
         loadMax = math.max(loadMax, loadavg)
         i += 1
       }
-      best
+      (if (anyOk) bestOk else bestFail, anyOk)
     }
 
     // untimed warmup: the first query otherwise absorbs ~5 s of JVM/JIT/
@@ -105,10 +113,14 @@ object Bench {
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     var ioRows = 0L
     SparkEntry.queries.foreach { case (name, fn) =>
-      results(name) = timed({
-        try fn(spark, sfDir).count()
-        catch { case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}") }
+      val (sec, ok) = timed({
+        try { fn(spark, sfDir).count(); true }
+        catch {
+          case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}"); false
+        }
       }, () => spark.catalog.clearCache())
+      results(name) = sec
+      if (!ok) failed += name
     }
 
     // IO metrics vs BASELINE.md: the reference's .tpz save/load (~470k
@@ -126,18 +138,18 @@ object Bench {
       // (cells rerun in a warm process).
       li.limit(1000).write.mode("overwrite").parquet(s"$tmp/warm.parquet")
       li.limit(1000).write.mode("overwrite").option("header", "true").csv(s"$tmp/warm.csv")
-      results("io_parquet_save") = timed {
-        graft.sources.Writers.save(li, s"$tmp/li.parquet")
-      }
-      results("io_parquet_load") = timed {
-        spark.read.parquet(s"$tmp/li.parquet").count()
-      }
-      results("io_csv_write") = timed {
-        graft.sources.Writers.toCsv(li, s"$tmp/li.csv")
-      }
-      results("io_csv_read_typed") = timed {
-        graft.sources.Readers.readCsv(spark, s"$tmp/li.csv").count()
-      }
+      results("io_parquet_save") = timed({
+        graft.sources.Writers.save(li, s"$tmp/li.parquet"); true
+      })._1
+      results("io_parquet_load") = timed({
+        spark.read.parquet(s"$tmp/li.parquet").count(); true
+      })._1
+      results("io_csv_write") = timed({
+        graft.sources.Writers.toCsv(li, s"$tmp/li.csv"); true
+      })._1
+      results("io_csv_read_typed") = timed({
+        graft.sources.Readers.readCsv(spark, s"$tmp/li.csv").count(); true
+      })._1
       ioRows = n
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     } catch { case e: Throwable => System.err.println(s"[bench] io: ${e.getMessage}") }
@@ -145,7 +157,8 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.values.sum
     val loadAfter = loadavg
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"io_rows":$ioRows,"sf":"$sfDir","reps":$reps,"cpus":$cpus,"load_before":$loadBefore,"load_max":$loadMax,"load_after":$loadAfter}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"io_rows":$ioRows,"sf":"$sfDir","reps":$reps,"cpus":$cpus,"load_before":$loadBefore,"load_max":$loadMax,"load_after":$loadAfter,"failed":$failedJson}""")
     spark.stop()
   }
 }

@@ -755,8 +755,10 @@ object SparkEntry {
     "q_hdf5_roundtrip" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(
         col("doc_id"), col("text"), col("lang"), col("n_chars"))
-      val p = new java.io.File(
-        sys.props("java.io.tmpdir"), "graft_q_hdf5.h5").getAbsolutePath
+      // pid-suffixed: a concurrent Verify/Bench pair on this multi-tenant
+      // host must not clobber each other's file between write and read
+      val p = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_q_hdf5_${ProcessHandle.current.pid}.h5").getAbsolutePath
       graft.sources.Hdf5.writeHdf5(docs, p)
       graft.sources.Hdf5.readHdf5(s, p, guessDatatypes = false)
         .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))

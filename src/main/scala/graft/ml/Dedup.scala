@@ -420,6 +420,13 @@ object Dedup {
     * O(diameter) join+agg rounds; dup clusters are tiny, so a small
     * iteration cap suffices — `maxIter` is a guard, convergence is
     * checked each round).
+    *
+    * Lifecycle note: on the distributed path the returned label frame's
+    * cache is scope-released after the caller's FIRST action. The frame
+    * stays correct afterwards, but a SECOND action replays the iterative
+    * lineage uncached — callers that need the labels more than once
+    * (unlike [[dedupedCorpus]]'s single join) should persist or write
+    * out the result themselves.
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
       maxIter: Int = 20, driverThreshold: Long = 5000000): DataFrame = {

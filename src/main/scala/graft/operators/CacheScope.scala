@@ -64,27 +64,55 @@ private[graft] final class CacheScope {
   def releaseAfter(result: DataFrame): DataFrame = {
     val toRelease = frames.synchronized { val s = frames.toList; frames.clear(); s }
     if (toRelease.isEmpty) return result
+    CacheScope.install(result, toRelease)
+    result
+  }
+}
+
+private[graft] object CacheScope {
+  /** Live (unfired) listeners, oldest first. Bounded: a session that
+    * builds pipelines speculatively and never executes them would
+    * otherwise accumulate listeners that canonicalize-scan every later
+    * query forever — past the cap the oldest listener is force-released
+    * (its caches unpersisted now, exactly the ContextCleaner-era
+    * behavior for abandoned plans) and dropped.
+    */
+  private val live = new java.util.concurrent.ConcurrentLinkedQueue[ReleaseListener]()
+  private val maxLive = 64
+
+  private final class ReleaseListener(
+      spark: org.apache.spark.sql.SparkSession,
+      target: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      toRelease: List[DataFrame]) extends QueryExecutionListener {
+    private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    private def matches(qe: QueryExecution): Boolean =
+      try qe.analyzed.exists(_.canonicalized == target)
+      catch { case _: Throwable => false }
+    def forceRelease(): Unit =
+      if (done.compareAndSet(false, true)) {
+        toRelease.foreach(df =>
+          try df.unpersist(blocking = false) catch { case _: Throwable => () })
+        try spark.listenerManager.unregister(this) catch { case _: Throwable => () }
+        live.remove(this)
+      }
+    private def fire(qe: QueryExecution): Unit = if (matches(qe)) forceRelease()
+    override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+      fire(qe)
+    override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
+      fire(qe)
+  }
+
+  private def install(result: DataFrame, toRelease: List[DataFrame]): Unit = {
     val spark = result.sparkSession
     // canonicalized so the match survives re-analysis: the caller's action
     // plan (count/write/…) re-analyzes but embeds an equal subtree
     val target = result.queryExecution.analyzed.canonicalized
-    val listener: QueryExecutionListener = new QueryExecutionListener {
-      private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
-      private def matches(qe: QueryExecution): Boolean =
-        try qe.analyzed.exists(_.canonicalized == target)
-        catch { case _: Throwable => false }
-      private def fire(qe: QueryExecution): Unit =
-        if (matches(qe) && done.compareAndSet(false, true)) {
-          toRelease.foreach(df =>
-            try df.unpersist(blocking = false) catch { case _: Throwable => () })
-          try spark.listenerManager.unregister(this) catch { case _: Throwable => () }
-        }
-      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
-        fire(qe)
-      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
-        fire(qe)
+    val l = new ReleaseListener(spark, target, toRelease)
+    live.add(l)
+    spark.listenerManager.register(l)
+    while (live.size > maxLive) {
+      val oldest = live.poll()
+      if (oldest != null) oldest.forceRelease()
     }
-    spark.listenerManager.register(listener)
-    result
   }
 }

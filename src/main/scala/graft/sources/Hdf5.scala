@@ -128,7 +128,10 @@ object Hdf5 {
       bytes(Array(0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n'))
       u8(0); u8(0); u8(0); u8(0); u8(0) // versions: sb, freespace, root STE, reserved, shared-msg
       u8(8); u8(8); u8(0)               // size of offsets, size of lengths, reserved
-      u16(4); u16(16)                   // group leaf k, group internal k
+      // sym-leaf-k bounds a symbol table node at 2k entries; all columns
+      // go into ONE SNOD, so k must cover them or libhdf5's SNOD sanity
+      // check (nsyms <= 2k) rejects files with more than 8 columns
+      u16(math.max(4, (datasets.length + 1) / 2)); u16(16)
       u32(0)                            // file consistency flags
       u64(0)                            // base address
       u64(UNDEF)                        // free-space info
@@ -223,40 +226,39 @@ object Hdf5 {
           case BoolData(vs) => vs.foreach(v => u8(if (v) 1 else 0))
           case VlenData(vs) =>
             // vlen elements = (length u32, global heap collection addr
-            // u64, object index u32); the collection itself follows the
-            // element array. Single collection — driver-side codec, the
-            // cap bounds it.
+            // u64, object index u32); collections follow the element
+            // array. Heap object indexes are u16, so payloads are split
+            // across collections of <= 60000 objects — a single
+            // collection would silently wrap the index at 65536 rows.
+            // Element-array patches are deferred to the final patch pass
+            // (a per-column buffer rewrite would be O(columns × file)).
             val payloads = vs.map(s => Option(s).getOrElse("").getBytes(StandardCharsets.UTF_8))
             val elemsAddr = pos
-            payloads.foreach { _ => u32(0); u64(0); u32(0) } // placeholder, patched below
-            pad8()
-            val gcolAddr = pos
-            val objsSize = payloads.map(p => 16 + ((p.length + 7) / 8) * 8).sum
-            val collSize = math.max(16L + objsSize + 16, 4096L) // header + objects + free obj
-            bytes("GCOL".getBytes(StandardCharsets.US_ASCII))
-            u8(1); u8(0); u8(0); u8(0)
-            u64(collSize)
-            payloads.zipWithIndex.foreach { case (p, i) =>
-              u16(i + 1); u16(1); u32(0); u64(p.length.toLong)
-              bytes(p)
+            payloads.foreach { _ => u32(0); u64(0); u32(0) } // patched in the final pass
+            val perColl = 60000
+            payloads.grouped(perColl).zipWithIndex.foreach { case (chunk, ci) =>
               pad8()
+              val gcolAddr = pos
+              val objsSize = chunk.map(p => 16L + ((p.length + 7) / 8) * 8L).sum
+              val collSize = math.max(16L + objsSize + 16L, 4096L) // header + objects + free obj
+              bytes("GCOL".getBytes(StandardCharsets.US_ASCII))
+              u8(1); u8(0); u8(0); u8(0)
+              u64(collSize)
+              chunk.zipWithIndex.foreach { case (p, i) =>
+                u16(i + 1); u16(1); u32(0); u64(p.length.toLong)
+                bytes(p)
+                pad8()
+              }
+              val free = collSize - (pos - gcolAddr)
+              if (free > 0) { // free-space pseudo-object (index 0)
+                u16(0); u16(0); u32(0); u64(free)
+                bytes(new Array[Byte]((free - 16).toInt))
+              }
+              chunk.indices.foreach { i =>
+                val elem = ci.toLong * perColl + i
+                vlenPatches += ((elemsAddr + elem * 16, chunk(i).length, gcolAddr, i + 1))
+              }
             }
-            val free = collSize - (pos - gcolAddr)
-            if (free > 0) { // free-space pseudo-object (index 0)
-              u16(0); u16(0); u32(0); u64(free)
-              bytes(new Array[Byte]((free - 16).toInt))
-            }
-            // patch the element array now that the collection address is known
-            val arr = buf.toByteArray // local copy only for arithmetic-free clarity
-            val bb = ByteBuffer.wrap(arr).order(ByteOrder.LITTLE_ENDIAN)
-            var off = elemsAddr.toInt
-            payloads.zipWithIndex.foreach { case (p, i) =>
-              bb.putInt(off, p.length)
-              bb.putLong(off + 4, gcolAddr)
-              bb.putInt(off + 12, i + 1)
-              off += 16
-            }
-            buf.reset(); buf.write(arr)
         }
         addr
       }
@@ -275,8 +277,17 @@ object Hdf5 {
         bb.putInt(hdrAddrs(i)._2.toInt, hdrAddrs(i)._4.toInt)
         bb.putLong(hdrAddrs(i)._3.toInt, dataAddrs(i))
       }
+      vlenPatches.foreach { case (off, len, gcolAddr, idx) =>
+        bb.putInt(off.toInt, len)
+        bb.putLong(off.toInt + 4, gcolAddr)
+        bb.putInt(off.toInt + 12, idx)
+      }
       java.nio.file.Files.write(java.nio.file.Paths.get(path), arr)
     }
+
+    // (element offset, byte length, collection address, object index)
+    private val vlenPatches =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Int)]
 
     private def rawSize(ds: Dataset): Long = ds match {
       case FixedData(size, vs) => size.toLong * vs.length
@@ -605,24 +616,35 @@ object Hdf5 {
         }
     }
 
+    // collection address → (object index → data offset); parsed once per
+    // collection — a per-element linear scan would be O(n²) over a column
+    private val gcolCache = scala.collection.mutable.Map.empty[Long, Map[Int, Long]]
+
     /** Fetch object `idx` from the global heap collection at `addr`. */
     private def globalHeapObject(addr: Long, idx: Int, len: Int): String = {
-      require(ascii(addr, 4) == "GCOL", "bad global heap signature")
-      val collSize = u64(addr + 8)
-      var off = addr + 16
-      while (off < addr + collSize) {
-        val objIdx = u16(off)
-        val objSize = u64(off + 8)
-        if (objIdx == idx) {
-          val a = new Array[Byte](len)
-          var j = 0
-          while (j < len) { a(j) = bb.get((off + 16 + j).toInt); j += 1 }
-          return new String(a, StandardCharsets.UTF_8)
+      val objects = gcolCache.getOrElseUpdate(addr, {
+        require(ascii(addr, 4) == "GCOL", "bad global heap signature")
+        val collSize = u64(addr + 8)
+        val m = Map.newBuilder[Int, Long]
+        var off = addr + 16
+        var done = false
+        while (!done && off < addr + collSize) {
+          val objIdx = u16(off)
+          val objSize = u64(off + 8)
+          if (objIdx == 0) done = true // free-space object terminates the scan
+          else {
+            m += objIdx -> (off + 16)
+            off += 16 + ((objSize + 7) / 8) * 8
+          }
         }
-        if (objIdx == 0) return "" // free space — object not found
-        off += 16 + ((objSize + 7) / 8) * 8
-      }
-      throw new IllegalArgumentException(s"global heap object $idx not found at $addr")
+        m.result()
+      })
+      val dataOff = objects.getOrElse(idx,
+        throw new IllegalArgumentException(s"global heap object $idx not found at $addr"))
+      val a = new Array[Byte](len)
+      var j = 0
+      while (j < len) { a(j) = bb.get((dataOff + j).toInt); j += 1 }
+      new String(a, StandardCharsets.UTF_8)
     }
   }
 }

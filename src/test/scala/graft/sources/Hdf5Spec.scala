@@ -79,6 +79,37 @@ class Hdf5Spec extends SparkSpec {
     assert(new String(b, "ISO-8859-1").contains("GCOL")) // vlen strings in a global heap
   }
 
+  test("vlen columns beyond 65535 rows span multiple global heap collections") {
+    // heap object indexes are u16 — a single collection would wrap at
+    // 65536 and silently corrupt every later string (review finding)
+    val n = 70000
+    val df = spark.range(n).selectExpr("id", "concat('s-', id) AS s")
+    val p = tmp()
+    Hdf5.writeHdf5(df, p)
+    val back = Hdf5.readHdf5(spark, p, guessDatatypes = false)
+    assert(back.count() === n)
+    val rows = back.orderBy("id").collect()
+    assert(rows(65534).getString(1) === "s-65534")
+    assert(rows(65536).getString(1) === "s-65536") // past the u16 boundary
+    assert(rows(n - 1).getString(1) === s"s-${n - 1}")
+    // and the file really contains more than one collection
+    val raw = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "ISO-8859-1")
+    assert(raw.sliding(4).count(_ == "GCOL") >= 2)
+  }
+
+  test("wide frames: sym-leaf-k covers all columns in the single SNOD") {
+    val cols = (0 until 20).map(i => s"c$i")
+    val df = spark.range(3).selectExpr(cols.map(c => s"id AS $c"): _*)
+    val p = tmp()
+    Hdf5.writeHdf5(df, p)
+    val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    val bb = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val leafK = bb.getShort(16) & 0xffff
+    assert(leafK * 2 >= 20, s"sym-leaf-k $leafK cannot cover 20 symbols") // libhdf5: nsyms <= 2k
+    val back = Hdf5.readHdf5(spark, p, guessDatatypes = false)
+    assert(back.columns.length === 20 && back.count() === 3)
+  }
+
   test("Tab dispatch: .h5 in from_file, toHdf5 on the facade") {
     val p = tmp()
     graft.Tab(Seq((1L, "a"), (2L, "b")).toDF("k", "v")).toHdf5(p)
