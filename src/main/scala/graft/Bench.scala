@@ -138,18 +138,17 @@ object Bench {
       // (cells rerun in a warm process).
       li.limit(1000).write.mode("overwrite").parquet(s"$tmp/warm.parquet")
       li.limit(1000).write.mode("overwrite").option("header", "true").csv(s"$tmp/warm.csv")
-      results("io_parquet_save") = timed({
-        graft.sources.Writers.save(li, s"$tmp/li.parquet"); true
-      })._1
-      results("io_parquet_load") = timed({
-        spark.read.parquet(s"$tmp/li.parquet").count(); true
-      })._1
-      results("io_csv_write") = timed({
-        graft.sources.Writers.toCsv(li, s"$tmp/li.csv"); true
-      })._1
-      results("io_csv_read_typed") = timed({
-        graft.sources.Readers.readCsv(spark, s"$tmp/li.csv").count(); true
-      })._1
+      // io failures escape to the enclosing catch (aborting the whole io
+      // block), so the success protocol stays private to the query loop
+      def timedIo(f: => Unit): Double = timed({ f; true })._1
+      results("io_parquet_save") = timedIo(
+        graft.sources.Writers.save(li, s"$tmp/li.parquet"))
+      results("io_parquet_load") = timedIo(
+        spark.read.parquet(s"$tmp/li.parquet").count())
+      results("io_csv_write") = timedIo(
+        graft.sources.Writers.toCsv(li, s"$tmp/li.csv"))
+      results("io_csv_read_typed") = timedIo(
+        graft.sources.Readers.readCsv(spark, s"$tmp/li.csv").count())
       ioRows = n
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     } catch { case e: Throwable => System.err.println(s"[bench] io: ${e.getMessage}") }

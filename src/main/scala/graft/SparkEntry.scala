@@ -760,8 +760,12 @@ object SparkEntry {
       val p = new java.io.File(sys.props("java.io.tmpdir"),
         s"graft_q_hdf5_${ProcessHandle.current.pid}.h5").getAbsolutePath
       graft.sources.Hdf5.writeHdf5(docs, p)
-      graft.sources.Hdf5.readHdf5(s, p, guessDatatypes = false)
+      // readHdf5 materializes the rows driver-side, so the file can go
+      // immediately — repeated runs must not accumulate .h5 files in tmp
+      val out = graft.sources.Hdf5.readHdf5(s, p, guessDatatypes = false)
         .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      new java.io.File(p).delete()
+      out
     }),
 
     // ---- multimodal plumbing ----------------------------------------

@@ -73,9 +73,13 @@ private[graft] object CacheScope {
   /** Live (unfired) listeners, oldest first. Bounded: a session that
     * builds pipelines speculatively and never executes them would
     * otherwise accumulate listeners that canonicalize-scan every later
-    * query forever — past the cap the oldest listener is force-released
-    * (its caches unpersisted now, exactly the ContextCleaner-era
-    * behavior for abandoned plans) and dropped.
+    * query forever — past the cap the oldest listener is ABANDONED
+    * (unregistered, caches left alone for ContextCleaner, exactly the
+    * pre-scope behavior). Abandoning, not force-unpersisting: the
+    * pipeline may still be awaiting its first action, and dropping its
+    * caches early would make that action recompute the multiply-
+    * referenced intermediates the persist exists for. This keeps the
+    * "never worse than the old behavior" guarantee in both directions.
     */
   private val live = new java.util.concurrent.ConcurrentLinkedQueue[ReleaseListener]()
   private val maxLive = 64
@@ -92,6 +96,15 @@ private[graft] object CacheScope {
       if (done.compareAndSet(false, true)) {
         toRelease.foreach(df =>
           try df.unpersist(blocking = false) catch { case _: Throwable => () })
+        try spark.listenerManager.unregister(this) catch { case _: Throwable => () }
+        live.remove(this)
+      }
+
+    /** Stop watching without unpersisting — the caches fall back to
+      * ContextCleaner lifetime (the pre-scope behavior).
+      */
+    def abandon(): Unit =
+      if (done.compareAndSet(false, true)) {
         try spark.listenerManager.unregister(this) catch { case _: Throwable => () }
         live.remove(this)
       }
@@ -112,7 +125,7 @@ private[graft] object CacheScope {
     spark.listenerManager.register(l)
     while (live.size > maxLive) {
       val oldest = live.poll()
-      if (oldest != null) oldest.forceRelease()
+      if (oldest != null) oldest.abandon()
     }
   }
 }

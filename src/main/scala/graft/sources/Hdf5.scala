@@ -628,11 +628,18 @@ object Hdf5 {
         val m = Map.newBuilder[Int, Long]
         var off = addr + 16
         var done = false
-        while (!done && off < addr + collSize) {
+        while (!done && off + 16 <= addr + collSize) {
           val objIdx = u16(off)
           val objSize = u64(off + 8)
-          if (objIdx == 0) done = true // free-space object terminates the scan
-          else {
+          if (objIdx == 0) {
+            // free-space object: its size INCLUDES its own 16-byte
+            // header. Skip it — real libhdf5 collections can have free
+            // gaps mid-collection (deleted/rewritten objects), with live
+            // objects after them. A size < 16 marks the terminal
+            // remainder-too-small-for-a-header case.
+            if (objSize < 16) done = true
+            else off += ((objSize + 7) / 8) * 8
+          } else {
             m += objIdx -> (off + 16)
             off += 16 + ((objSize + 7) / 8) * 8
           }
