@@ -123,6 +123,12 @@ class DedupCorpusSpec extends SparkSpec {
     val again = Ann.trainingSample(vecs, "embedding", n = 200, seed = 42L)
       .collect().map(_.getSeq[Double](0).head)
     assert(sampled.toSeq === again.toSeq)
+    // plan shape: per-partition top-n + driver merge (TakeOrderedAndProject),
+    // not a full-sort exchange for the sample. (The input's own
+    // repartitionByRange is upstream of the sample and expected.)
+    val plan = Ann.trainingSample(vecs, "embedding", n = 200, seed = 42L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
   test("IVF index: lists partition the corpus; full probe = exact top-k") {
