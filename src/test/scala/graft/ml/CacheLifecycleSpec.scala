@@ -107,6 +107,33 @@ class CacheLifecycleSpec extends SparkSpec {
       graft.operators.Joins.bloomPruneJoin(large, small, "k", "sk"))
   }
 
+  test("listener cap abandons the oldest watcher without dropping its caches") {
+    import graft.operators.CacheScope
+    import org.apache.spark.storage.StorageLevel
+    // oldest scope: cache materialized, result sealed but not actioned
+    val s0 = new CacheScope
+    val c0 = s0.persist(Seq(1, 2, 3).toDF("v"))
+    c0.count() // materialize WITHOUT firing s0 (c0 doesn't contain the sealed result)
+    val r0 = s0.releaseAfter(c0.select(($"v" + 1).as("w")))
+    // push well past the 64-listener cap (any stale listeners from other
+    // suites are abandoned first; 100 guarantees s0 goes too)
+    val fillers = (0 until 100).map { i =>
+      val s = new CacheScope
+      val c = s.persist(Seq(i).toDF(s"x$i"))
+      s.releaseAfter(c.select(col(s"x$i")))
+    }
+    // s0 was abandoned: acting on its result must NOT unpersist its cache
+    // (the cap evicts the WATCHER, not the cache — a pipeline still
+    // awaiting its action keeps what that action depends on)
+    r0.count()
+    Thread.sleep(1500) // listener bus quiesce — nothing should fire for s0
+    assert(c0.storageLevel != StorageLevel.NONE,
+      "abandoned scope's cache was dropped — cap must not unpersist")
+    c0.unpersist(blocking = false)
+    // fire the filler listeners so they don't watch later suites' queries
+    fillers.foreach(_.count())
+  }
+
   test("a failed action also releases (onFailure path)") {
     val base = baseline
     val bad = Dedup.minhashPairs(docs, "doc_id", "text")
