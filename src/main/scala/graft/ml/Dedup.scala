@@ -171,6 +171,41 @@ object Dedup {
       try shingles.unpersist(blocking = false) catch { case _: Throwable => () }
   }
 
+  /** Persist a [[MinhashIndex]] for reuse across sessions — the
+    * production corpus-index story: build once over the 100 TB corpus,
+    * write, and every later ingest batch reads it back instead of
+    * re-shingling anything. Banding params travel in a sidecar so a
+    * mismatched k/bands/shingleN cannot silently produce zero
+    * candidates. Plain parquet: band keys are high-cardinality hashes
+    * (directory-per-key partitioning would explode the namespace);
+    * the batch join prunes by the semi-join, not partition pruning.
+    */
+  def writeMinhashIndex(index: MinhashIndex, path: String): Unit = {
+    index.bands.write.mode("overwrite").parquet(s"$path/bands")
+    index.shingles.write.mode("overwrite").parquet(s"$path/shingles")
+    val params = s"""{"k":${index.k},"bands":${index.nBands},"shingleN":${index.shingleN}}"""
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    java.nio.file.Files.write(java.nio.file.Paths.get(path, "params.json"),
+      params.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  def readMinhashIndex(spark: org.apache.spark.sql.SparkSession, path: String): MinhashIndex = {
+    val params = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path, "params.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    def intOf(key: String): Int = {
+      val m = s""""$key":(\\d+)""".r.findFirstMatchIn(params)
+      m.getOrElse(throw new IllegalArgumentException(
+        s"minhash index at $path: params.json missing $key")).group(1).toInt
+    }
+    // disk-backed frames: no persist — parquet re-reads are cheap and
+    // column-pruned; release() on a read-back index is a harmless no-op
+    MinhashIndex(
+      spark.read.parquet(s"$path/bands"),
+      spark.read.parquet(s"$path/shingles"),
+      intOf("k"), intOf("bands"), intOf("shingleN"))
+  }
+
   def minhashIndex(
       corpus: DataFrame,
       idCol: String,

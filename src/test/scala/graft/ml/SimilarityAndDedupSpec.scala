@@ -130,6 +130,22 @@ class SimilarityAndDedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     // the corpus-internal dup (1,3) must NOT appear — only inc × corpus
     assert(pairs === Set((10L, 1L), (10L, 3L)))
+
+    // the index survives a write → read cycle (cross-session production
+    // shape): same pairs from the disk-backed index, params intact
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhidx").toString
+    try {
+      Dedup.writeMinhashIndex(idx, dir)
+      val back = Dedup.readMinhashIndex(spark, dir)
+      assert((back.k, back.nBands, back.shingleN) === (idx.k, idx.nBands, idx.shingleN))
+      val pairs2 = Dedup.incrementalMinhashPairs(inc, back, "doc_id", "text", threshold = 0.9)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(pairs2 === pairs)
+      back.release() // no-op on a disk-backed index — must not throw
+    } finally {
+      idx.release()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
   }
 
   test("simhashPairs finds a planted near-duplicate") {
