@@ -39,10 +39,7 @@ object Imputation {
   private def ffillGlobal(df: DataFrame, targets: Seq[String], orderCols: Seq[Column]): DataFrame = {
     // same adaptive dispatch as Sorts.withRowIndex: a one-task window is
     // optimal below the threshold; the boundary-carry shape above it
-    val smallBytes = df.sparkSession.conf
-      .getOption("graft.rowIndex.localThresholdBytes").map(_.toLong)
-      .getOrElse(256L << 20)
-    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= smallBytes) {
+    if (Sorts.underLocalThreshold(df)) {
       val w = Window.orderBy(orderCols: _*)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       return targets.foldLeft(df)((acc, c) =>
@@ -97,6 +94,8 @@ object Imputation {
     * via a scalar cross join (1-row frame — Catalyst broadcasts it).
     */
   def fillWithStat(df: DataFrame, targets: Seq[String], method: String): DataFrame = {
+    require(method == "mean" || method == "mode", s"unknown method: $method")
+    if (targets.isEmpty) return df // nothing to impute — same no-op as ffill
     val stats = targets.map { c =>
       val agg = method match {
         case "mean" => avg(col(c))
@@ -113,27 +112,40 @@ object Imputation {
   }
 
   /** Nearest-neighbour imputation (nimlite/funcs/imputation.nim:116-275):
-    * for each row with a missing target, find the complete row closest in
-    * rank-normalized L1 distance over `sources` and copy its target value.
+    * for each row with a missing target, find the donor row (target
+    * present) closest in rank-normalized L1 distance over `sources` and
+    * copy its target value. Equidistant donors tie-break to the smallest
+    * donor value (deterministic; the reference's row-order pick depends
+    * on its page layout).
     *
-    * Scale shape: the reference does an O(n²) scan. Here:
-    *   1. percent_rank-normalize each source column (one window per col —
-    *      the dominant cost; columns are ranked independently, matching
-    *      the Nim kernel's per-column unix-rank, imputation.nim:47-68);
-    *   2. split into donors (target present) and patients (target missing);
-    *   3. broadcast the (normally few) patients against donors and take
-    *      min_by(distance) per patient.
-    * This is exact, and scales as |patients| × |donors| map-side work with
-    * no shuffle explosion as long as patients fit in a broadcast; for
-    * massive patient counts switch to LSH bucketing on the rank vector.
+    * Scale shape: the reference does an O(n²) scan per patient. Here:
+    *   1. integer ranks per source via join-based rank tables (no global
+    *      window — see the inline notes);
+    *   2. split into donors and patients, keeping every patient row
+    *      (unique row ids — identical patient rows must not collapse);
+    *   3. patients × donors with min_by(distance) per patient; Catalyst/
+    *      AQE picks broadcast-NL when a side fits, else a distributed
+    *      cartesian. Exact NN is inherently |patients| × |donors| work —
+    *      spread over the cluster instead of one node; for massive
+    *      patient counts switch to LSH bucketing on the rank vector.
+    *
+    * NULL source values follow the Nim kernel (imputation.nim:144,216):
+    * a patient's missing source contributes nothing to any distance (the
+    * column is skipped for that row), a donor's missing source makes
+    * that donor infinitely far in that column.
     */
   def nearestNeighbour(df: DataFrame, target: String, sources: Seq[String]): DataFrame = {
+    require(sources.nonEmpty, "nearestNeighbour needs at least one source column")
     // 1-D fast path: with a single source column, the nearest donor in
-    // rank space is either the closest preceding or following donor in
-    // sort order — two window passes instead of a patients×donors
-    // cross join (which is O(n²) when many rows are missing).
-    // Deterministic for unique-valued sources; duplicate source values
-    // fall back to the exact multi-source path.
+    // rank space is the closest preceding or following donor in sort
+    // order — two carries instead of a patients×donors product (which
+    // is O(n²) when many rows are missing). Equal-rank donors are
+    // pre-aggregated to their min value, so the pick is deterministic
+    // and agrees with the multi-source tie-break. One stated divergence:
+    // rows whose SOURCE is null order nulls-first (Spark's total order)
+    // instead of the skip-the-column rule — with one source the
+    // reference's rule degrades to "all donors equidistant", a corner
+    // its own kernel resolves by page order.
     if (sources.length == 1) return nearestNeighbour1D(df, target, sources.head)
     // Integer ranks (not percent_rank) keep rank distances exact, so
     // equidistant donors tie EXACTLY and the tie-break below is
@@ -144,8 +156,13 @@ object Imputation {
     // joined back on the value — every stage is a parallel shuffle, no
     // single task ever holds the table. Normalization to [0,1] happens
     // inside the distance term as a single exact division.
+    // NULL source values get NO rank (rank tables are built over non-null
+    // values; the left join leaves __r null) — the distance term then
+    // applies the kernel's rule instead of inventing an order for them
     def rankTable(c: String): DataFrame =
-      Sorts.withRowIndex(df.select(col(c).as(s"__v_$c")), Seq(col(s"__v_$c")), "__idx")
+      Sorts.withRowIndex(
+        df.select(col(c).as(s"__v_$c")).filter(col(s"__v_$c").isNotNull),
+        Seq(col(s"__v_$c")), "__idx")
         .groupBy(s"__v_$c").agg(min("__idx").as(s"__r_$c"))
     val rankJoined = sources.foldLeft(df) { (acc, c) =>
       acc.join(rankTable(c), acc(c) <=> col(s"__v_$c"), "left").drop(s"__v_$c")
@@ -157,27 +174,47 @@ object Imputation {
     val donors = ranked.filter(col(target).isNotNull)
       .select((Seq(col(target).as("__donor_val")) ++
         sources.map(c => col(s"__r_$c").as(s"__dr_$c"))): _*)
+    // unique row id so byte-identical patient rows survive the min_by
+    // aggregation as separate rows (grouping on the payload alone would
+    // collapse them and LOSE rows)
     val patients = ranked.filter(col(target).isNull)
+      .withColumn("__uid", monotonically_increasing_id())
     val complete = ranked.filter(col(target).isNotNull)
       .drop(sources.map(c => s"__r_$c") :+ "__n": _*)
 
     // per-column term: exact integer rank distance, normalized by a single
-    // division (same numerator → same double → exact ties)
+    // division (same numerator → same double → exact ties). Kernel null
+    // rule (imputation.nim:144,216): patient rank null → the column is
+    // skipped (0 for every donor); donor rank null → that donor is
+    // infinitely far in this column.
     val dist = sources.map(c =>
-      abs(col(s"__r_$c") - col(s"__dr_$c")).cast("double") /
-        greatest(col("__n") - 1, lit(1L)).cast("double")).reduce(_ + _)
+      when(col(s"__r_$c").isNull, lit(0.0))
+        .when(col(s"__dr_$c").isNull, lit(Double.PositiveInfinity))
+        .otherwise(abs(col(s"__r_$c") - col(s"__dr_$c")).cast("double") /
+          greatest(col("__n") - 1, lit(1L)).cast("double"))).reduce(_ + _)
+    // No donors at all (target entirely null): nothing can be imputed —
+    // return the frame unchanged instead of letting an empty cross
+    // product erase every patient row. Eager limit-1 probe, same spirit
+    // as bucketSelfJoin's sizing count.
+    if (donors.isEmpty) return df
+
     // tie-break equidistant donors by the donor value itself (deterministic).
     // No forced broadcast: patients are unbounded (a column 50% null would
     // broadcast half the corpus) — Catalyst/AQE picks broadcast-NL only
     // when the side actually fits the threshold, else a distributed
     // cartesian (p×q bounded tasks). Exact NN is inherently
     // |patients|×|donors| work — same as the reference's O(n²) scan, but
-    // spread over the cluster instead of one node.
+    // spread over the cluster instead of one node. The aggregation is
+    // keyed on the narrow __uid and carries the payload with first()
+    // (constant within a uid group) — grouping on the wide payload
+    // would both shuffle fat rows and collapse identical patients.
+    val payload = patients.columns.filter(_ != "__uid")
+    val aggs = min_by(col("__donor_val"), struct(dist, col("__donor_val"))).as("__fill") +:
+      payload.map(c => first(col(c)).as(c))
     val filled = patients.crossJoin(donors)
-      .groupBy(patients.columns.map(col): _*)
-      .agg(min_by(col("__donor_val"), struct(dist, col("__donor_val"))).as("__fill"))
+      .groupBy("__uid").agg(aggs.head, aggs.tail: _*)
       .withColumn(target, coalesce(col(target), col("__fill")))
-      .drop("__fill")
+      .drop("__fill", "__uid")
       .drop(sources.map(c => s"__r_$c") :+ "__n": _*)
 
     complete.unionByName(filled)
@@ -189,22 +226,26 @@ object Imputation {
     // carry shape keeps every task bounded by its own partition (three
     // unpartitioned windows here would funnel the full table through a
     // single task three times)
-    val smallBytes = df.sparkSession.conf
-      .getOption("graft.rowIndex.localThresholdBytes").map(_.toLong)
-      .getOrElse(256L << 20)
-    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= smallBytes) {
+    if (Sorts.underLocalThreshold(df)) {
       val wOrd = Window.orderBy(col(source))
       val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
       val wNext = wOrd.rowsBetween(1, Window.unboundedFollowing)
-      val donorVal = when(col(target).isNotNull, col(target))
-      val donorRank = when(col(target).isNotNull, col("__r"))
-      df.withColumn("__r", (rank().over(wOrd) - 1).cast("long"))
-        .withColumn("__pv", last(donorVal, ignoreNulls = true).over(wPrev))
+      // equal-rank donors collapse to their MIN value via a keyed (NOT
+      // global) window, so the pick among same-source donors is
+      // deterministic and equal to the carry path's groupBy(__r).min and
+      // the multi-source min_by tie-break — a raw last/first carry would
+      // pick by arbitrary window row order within the tie
+      val groupDonor = min(when(col(target).isNotNull, col(target)))
+        .over(Window.partitionBy(col(source)))
+      val donorRank = when(col("__gd").isNotNull, col("__r"))
+      df.withColumn("__gd", groupDonor)
+        .withColumn("__r", (rank().over(wOrd) - 1).cast("long"))
+        .withColumn("__pv", last(col("__gd"), ignoreNulls = true).over(wPrev))
         .withColumn("__pr", last(donorRank, ignoreNulls = true).over(wPrev))
-        .withColumn("__nv", first(donorVal, ignoreNulls = true).over(wNext))
+        .withColumn("__nv", first(col("__gd"), ignoreNulls = true).over(wNext))
         .withColumn("__nr", first(donorRank, ignoreNulls = true).over(wNext))
         .withColumn(target, fillChoice(target))
-        .drop("__r", "__pv", "__pr", "__nv", "__nr")
+        .drop("__gd", "__r", "__pv", "__pr", "__nv", "__nr")
     } else nearestNeighbour1DCarry(df, target, source)
   }
 

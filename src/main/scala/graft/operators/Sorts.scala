@@ -48,15 +48,22 @@ object Sorts {
     * sortIndex / stepped slices / reindex (a `row_number().over(
     * Window.orderBy(...))` would funnel the whole table through ONE task).
     */
-  def withRowIndex(df: DataFrame, orderBy: Seq[Column], out: String): DataFrame = {
-    // adaptive dispatch: below the threshold a one-task window IS the
-    // optimal plan (no extra job, no Row round-trip); above it the
-    // zipWithIndex shape keeps every task bounded by its own partition.
-    // The threshold is a session conf so tests can pin either path.
+  /** Shared adaptive-dispatch predicate: below the threshold a one-task
+    * global window IS the optimal plan (no extra job, no Row
+    * round-trip); above it the boundary-carry/zipWithIndex shapes keep
+    * every task bounded by its own partition. One definition — the
+    * row-index, unkeyed-ffill and 1-D NN dispatches must never drift
+    * apart. The threshold is a session conf so tests can pin either path.
+    */
+  private[graft] def underLocalThreshold(df: DataFrame): Boolean = {
     val smallBytes = df.sparkSession.conf
       .getOption("graft.rowIndex.localThresholdBytes").map(_.toLong)
       .getOrElse(256L << 20)
-    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= smallBytes) {
+    df.queryExecution.optimizedPlan.stats.sizeInBytes <= smallBytes
+  }
+
+  def withRowIndex(df: DataFrame, orderBy: Seq[Column], out: String): DataFrame = {
+    if (underLocalThreshold(df)) {
       val w = Window.orderBy(orderBy: _*)
       df.withColumn(out, row_number().over(w).cast("long") - 1L)
     } else withRowIndexDistributed(df, orderBy, out)

@@ -101,15 +101,12 @@ class PlanQualitySpec extends SparkSpec {
   test("1-D NN imputation scale path matches the window path, no global window") {
     import spark.implicits._
     // duplicates in the source column + null targets on both sides of
-    // donors exercise rank ties and the prev/next/equidistant decisions.
-    // Donor values are a function of the source value: equal-rank donors
-    // then agree, so the window path (row-order pick within a rank) and
-    // the carry path (min-value pick within a rank) must coincide —
-    // where they genuinely diverge is only the underspecified order
-    // among equal-rank donors with different values.
+    // donors exercise rank ties and the prev/next/equidistant decisions;
+    // equal-rank donors carry DIFFERENT values (v depends on i, not src)
+    // to prove all three paths share the deterministic min-value
+    // tie-break within a rank
     val df = (1 to 2000).map { i =>
-      val src = (i * 13 % 997).toDouble
-      (src, if (i % 4 == 0) None else Some(src % 89))
+      ((i * 13 % 997).toDouble, if (i % 4 == 0) None else Some((i % 89).toDouble))
     }.toDF("src", "v")
     def norm(rows: Array[org.apache.spark.sql.Row]) =
       rows.map(r => (r.getDouble(0), r.getDouble(1))).sorted.toSeq

@@ -76,4 +76,68 @@ class ImputationSpec extends SparkSpec {
       .orderBy("a", "c").select("c").as[Double].collect()
     assert(out === Array(5.0, 5.0, 5.0, 6.0))
   }
+
+  test("NN keeps byte-identical patient rows as separate rows (no row loss)") {
+    val d = Seq(
+      (2.0, 2.0, None), (2.0, 2.0, None), // identical patients — both must survive
+      (1.0, 1.0, Some(10.0)), (9.0, 9.0, Some(90.0))
+    ).toDF("a", "b", "v")
+    val out = Imputation.nearestNeighbour(d, "v", Seq("a", "b"))
+    assert(out.count() === 4)
+    assert(out.filter($"a" === 2.0 && $"v" === 10.0).count() === 2)
+  }
+
+  test("NN with zero donors returns the frame unchanged (no vanishing rows)") {
+    val d = Seq((1.0, 2.0, Option.empty[Double]), (3.0, 4.0, None)).toDF("a", "b", "v")
+    val multi = Imputation.nearestNeighbour(d, "v", Seq("a", "b"))
+    assert(multi.count() === 2 && multi.filter($"v".isNull).count() === 2)
+    val one = Imputation.nearestNeighbour(d, "v", Seq("a"))
+    assert(one.count() === 2 && one.filter($"v".isNull).count() === 2)
+  }
+
+  test("NN kernel null-source rule: patient's null column skipped, null-source donor is far") {
+    // patient (null, 2): column a is skipped (imputation.nim:144), so
+    // distance is |rank_b(2) - rank_b(donor_b)| only → donor (9, 2.5) at
+    // b-rank distance 1 beats donor (1, 9) at distance 2.
+    val d = Seq(
+      (Option.empty[Double], Some(2.0), Option.empty[Double]),
+      (Some(1.0), Some(9.0), Some(100.0)),
+      (Some(9.0), Some(2.5), Some(200.0)),
+      (Some(5.0), Some(5.0), Some(300.0))
+    ).toDF("a", "b", "v")
+    val out = Imputation.nearestNeighbour(d, "v", Seq("a", "b"))
+    assert(out.filter($"a".isNull).select("v").as[Double].head() === 200.0)
+    // donor with a null source is infinitely far in that column
+    // (imputation.nim:216): patient (2,2) must prefer the fully-ranked
+    // donor (3,3) over the closer-in-b but null-in-a donor (null, 2)
+    val d2 = Seq(
+      (Some(2.0), Some(2.0), Option.empty[Double]),
+      (Option.empty[Double], Some(2.0), Some(111.0)),
+      (Some(3.0), Some(3.0), Some(222.0))
+    ).toDF("a", "b", "v")
+    val out2 = Imputation.nearestNeighbour(d2, "v", Seq("a", "b"))
+    assert(out2.filter($"a" === 2.0).select("v").as[Double].head() === 222.0)
+  }
+
+  test("NN argument guards: empty sources rejected, empty targets no-op for stats") {
+    intercept[IllegalArgumentException](
+      Imputation.nearestNeighbour(Seq((1, 2)).toDF("a", "v"), "v", Nil))
+    val d = Seq((1, Some(2.0)), (2, None)).toDF("k", "v")
+    assert(Imputation.fillWithStat(d, Nil, "mean").count() === 2) // unchanged
+    intercept[IllegalArgumentException](Imputation.fillWithStat(d, Seq("v"), "nope"))
+  }
+
+  test("1-D NN equal-rank donors with different values pick the min (deterministic)") {
+    // two donors share k=5 with values 99 and 11: the patient at k=5 is
+    // at rank distance 0 from both and must take the min (11). The k=6
+    // patient sits at rank 3: the k=9 donor (rank 4, distance 1) beats
+    // the k=5 group (rank 0, distance 3) → 70.
+    val d = Seq(
+      (5, Some(99.0)), (5, Some(11.0)), (5, None),
+      (6, None), (9, Some(70.0))
+    ).toDF("k", "v")
+    val out = Imputation.nearestNeighbour(d, "v", Seq("k"))
+      .orderBy("k", "v").select("v").as[Double].collect()
+    assert(out === Array(11.0, 11.0, 99.0, 70.0, 70.0))
+  }
 }
