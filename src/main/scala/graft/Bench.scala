@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main (driver contract): one JSON line on stdout with
   * per-query seconds over SPARK_GRAFT_SF_DIR, plus io_* entries
@@ -9,17 +9,41 @@ import org.apache.spark.sql.SparkSession
   * Noise-proofing: this host is multi-tenant and identical queries have
   * been observed swinging 5 s → 105 s within one JVM under other
   * tenants' load (two rounds of BENCH records were unusable because of
-  * it). Two defenses:
+  * it). Defenses:
   *   - every metric is the MIN over `SPARK_GRAFT_BENCH_REPS` runs
   *     (default 3) — the minimum is the stable estimator of the
   *     machine's actual cost under asymmetric contention noise;
+  *   - reps are INTERLEAVED as full passes over the whole task list
+  *     (pass 1 of everything, then pass 2, then pass 3) so a sustained
+  *     hot window on the host poisons at most ONE sample per query —
+  *     back-to-back reps all landed inside the same contention window
+  *     and min-of-N couldn't save them (q_match read 27 s after
+  *     min-of-3 in the round-5 driver record);
   *   - the 1-minute system loadavg is sampled before, between and after
   *     the timed work and emitted as `load_before`/`load_max`/
-  *     `load_after`, so a contended record identifies ITSELF (cores
-  *     here = `cpus`; load_max far above the JVM's own expected load
-  *     means the numbers are polluted by neighbors).
+  *     `load_after`, so a contended record identifies ITSELF;
+  *   - a query whose every rep fails is reported as `null` in `queries`
+  *     and EXCLUDED from the headline total (a fast failure must not
+  *     deflate the record), and named in `failed`.
+  *
+  * Measurement action: queries are driven through a `noop`-format write,
+  * NOT `count()`. Under `count()` Catalyst prunes every projection the
+  * aggregate doesn't reference, so a map-only query (q_token_count and
+  * the rest of the text family) would time parquet-scan + count(1) with
+  * its kernels optimized OUT of the plan. The noop sink evaluates every
+  * output column and discards the rows — kernel cost is in the timing,
+  * sink cost is nil. `BenchActionSpec` pins this: the noop-write plan
+  * contains the projection kernels, the count() plan does not.
   */
 object Bench {
+
+  /** The bench action: materialize every output column of `df` into a
+    * discarding sink. `noop` is Spark's built-in V2 no-op batch sink —
+    * full evaluation, zero serialization/IO cost.
+    */
+  def noopSink(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -35,49 +59,25 @@ object Bench {
     val loadBefore = loadavg
     var loadMax = loadBefore
 
-    // min-of-N: run the body `reps` times, keep the fastest SUCCESSFUL
-    // rep — a rep that fails fast must not win the min and report a 10 s
-    // query as 0.1 s (the body returns success). A query with zero
-    // successful reps reports its fastest failure and lands in `failed`
-    // so the record is self-identifying. Samples loadavg after each rep
-    // so contention during ANY rep is recorded. `afterEach` runs between
-    // reps OUTSIDE the timed span (cache drops must happen per-rep — a
-    // rep reading rep 1's cache measures nothing — but their cost is not
-    // part of the query).
-    val failed = scala.collection.mutable.LinkedHashSet[String]()
-    def timed(f: => Boolean, afterEach: () => Unit = () => ()): (Double, Boolean) = {
-      var bestOk = Double.MaxValue
-      var bestFail = Double.MaxValue
-      var anyOk = false
-      var i = 0
-      while (i < reps) {
-        val t0 = System.nanoTime()
-        val ok = f
-        val dt = (System.nanoTime() - t0) / 1e9
-        if (ok) { anyOk = true; if (dt < bestOk) bestOk = dt }
-        else if (dt < bestFail) bestFail = dt
-        afterEach()
-        loadMax = math.max(loadMax, loadavg)
-        i += 1
-      }
-      (if (anyOk) bestOk else bestFail, anyOk)
-    }
-
-    // untimed warmup: the first query otherwise absorbs ~5 s of JVM/JIT/
+    // untimed warmup: the first pass otherwise absorbs ~5 s of JVM/JIT/
     // classloader + codegen-compiler warmup that has nothing to do with
-    // the query (q_knn measured 6.6 s at sf0.001 when first, 1 s when not)
+    // the query (q_knn measured 6.6 s at sf0.001 when first, 1 s when not).
+    // Interleaved passes make the min robust to per-query cold cost too
+    // (pass 1 is cold, passes 2..N are warm and win the min), but the
+    // shared machinery — noop sink, parquet/csv writers, dedup/ANN
+    // kernels — is warmed here so even reps=1 records are comparable.
     try {
       SparkEntry.entry(spark).count()
       spark.range(1000000).selectExpr("sum(id)", "count(distinct id % 100)").count()
+      noopSink(spark.range(1000).selectExpr("id", "id * 2 AS twice"))
       // one-time z-order layout write (memoized per sf-dir) so the timed
       // q_zorder below measures the pruned READ the layout buys, not a
       // 6-second clustered write that masks plan regressions
       SparkEntry.queries.get("q_zorder").foreach(f => f(spark, sfDir).count())
       // warm the heavy dedup/ANN pipelines on a tiny synthetic corpus:
-      // each timed query below runs exactly once, so without this the
-      // first-of-its-kind pipeline absorbs 2-10 s of Janino codegen
-      // compilation + kernel JIT that has nothing to do with the data
-      // (q_ssjoin_exact measured 21 s cold vs 8 s steady at sf0.1)
+      // without this the first-of-its-kind pipeline absorbs 2-10 s of
+      // Janino codegen compilation + kernel JIT that has nothing to do
+      // with the data (q_ssjoin_exact measured 21 s cold vs 8 s steady)
       locally {
         import org.apache.spark.sql.functions._
         val docs = spark.range(300).selectExpr("id AS doc_id",
@@ -110,51 +110,81 @@ object Bench {
       spark.catalog.clearCache()
     } catch { case e: Throwable => System.err.println(s"[bench] warmup: ${e.getMessage}") }
 
-    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
-    var ioRows = 0L
+    // ---- task list: queries, then io, in one fixed order -------------
+    // Each task throws on failure. The io tasks run after the queries in
+    // every pass; io_parquet_save writes the file io_parquet_load reads,
+    // and pass ordering preserves that dependency within each pass.
+    val tasks = scala.collection.mutable.LinkedHashMap[String, () => Unit]()
     SparkEntry.queries.foreach { case (name, fn) =>
-      val (sec, ok) = timed({
-        try { fn(spark, sfDir).count(); true }
-        catch {
-          case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}"); false
-        }
-      }, () => spark.catalog.clearCache())
-      results(name) = sec
-      if (!ok) failed += name
+      tasks(name) = () => noopSink(fn(spark, sfDir))
     }
 
     // IO metrics vs BASELINE.md: the reference's .tpz save/load (~470k
     // rows/s save, ~1.1M rows/s load at 50M rows) and CSV import
     // (~100k rows/s). Same-shape measurements on the sf lineitem table.
+    // The load/read tasks are noop-sunk too: a bare `count()` over
+    // parquet answers from row-group METADATA without touching column
+    // data (the round-5 0.14 s "load" read nothing), while the .tpz
+    // baseline it compares against physically unpacks pages.
+    var ioRows = 0L
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bench").toString
     try {
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-      val n = li.count()
-      val tmp = java.nio.file.Files.createTempDirectory("graft_bench").toString
-      // untimed write-path warmup: every timed query above is read-only, so
-      // without this the first write absorbs ~3 s of one-time parquet/csv
-      // writer classloading + JIT (measured: 4.8 s first save vs 1.4 s
-      // steady-state for the same 600k rows). We report steady-state
-      // throughput, matching how BASELINE.md's notebook timings were taken
-      // (cells rerun in a warm process).
+      ioRows = li.count()
+      // untimed write-path warmup: the timed queries above are read-only,
+      // so without this the first write absorbs ~3 s of one-time parquet/
+      // csv writer classloading + JIT (measured: 4.8 s first save vs
+      // 1.4 s steady-state for the same 600k rows). We report steady-
+      // state throughput, matching how BASELINE.md's notebook timings
+      // were taken (cells rerun in a warm process).
       li.limit(1000).write.mode("overwrite").parquet(s"$tmp/warm.parquet")
       li.limit(1000).write.mode("overwrite").option("header", "true").csv(s"$tmp/warm.csv")
-      // io failures escape to the enclosing catch (aborting the whole io
-      // block), so the success protocol stays private to the query loop
-      def timedIo(f: => Unit): Double = timed({ f; true })._1
-      results("io_parquet_save") = timedIo(
-        graft.sources.Writers.save(li, s"$tmp/li.parquet"))
-      results("io_parquet_load") = timedIo(
-        spark.read.parquet(s"$tmp/li.parquet").count())
-      results("io_csv_write") = timedIo(
-        graft.sources.Writers.toCsv(li, s"$tmp/li.csv"))
-      results("io_csv_read_typed") = timedIo(
-        graft.sources.Readers.readCsv(spark, s"$tmp/li.csv").count())
-      ioRows = n
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
-    } catch { case e: Throwable => System.err.println(s"[bench] io: ${e.getMessage}") }
+      tasks("io_parquet_save") = () =>
+        graft.sources.Writers.save(li, s"$tmp/li.parquet")
+      tasks("io_parquet_load") = () =>
+        noopSink(spark.read.parquet(s"$tmp/li.parquet"))
+      tasks("io_csv_write") = () =>
+        graft.sources.Writers.toCsv(li, s"$tmp/li.csv")
+      tasks("io_csv_read_typed") = () =>
+        noopSink(graft.sources.Readers.readCsv(spark, s"$tmp/li.csv"))
+    } catch { case e: Throwable => System.err.println(s"[bench] io setup: ${e.getMessage}") }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.values.sum
+    // ---- interleaved passes ------------------------------------------
+    val bestOk = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val bestFail = scala.collection.mutable.LinkedHashMap[String, Double]()
+    tasks.keys.foreach { n => bestOk(n) = Double.MaxValue; bestFail(n) = Double.MaxValue }
+    var pass = 0
+    while (pass < reps) {
+      tasks.foreach { case (name, run) =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { run(); true }
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name (pass ${pass + 1}): ${e.getMessage}")
+              false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (ok) bestOk(name) = math.min(bestOk(name), dt)
+        else bestFail(name) = math.min(bestFail(name), dt)
+        // cache drops happen per-rep OUTSIDE the timed span — a rep
+        // reading the previous rep's cache measures nothing
+        spark.catalog.clearCache()
+        loadMax = math.max(loadMax, loadavg)
+      }
+      pass += 1
+    }
+    try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    catch { case _: Throwable => () }
+
+    val failed = tasks.keys.filter(n => bestOk(n) == Double.MaxValue).toSeq
+    val qs = tasks.keys.map { n =>
+      val v = if (bestOk(n) != Double.MaxValue) bestOk(n).toString else "null"
+      "\"" + n + "\":" + v
+    }.mkString("{", ",", "}")
+    // headline total = successful tasks only: a query that failed fast in
+    // every rep must not post a better total than a clean run
+    val total = bestOk.valuesIterator.filter(_ != Double.MaxValue).sum
     val loadAfter = loadavg
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"io_rows":$ioRows,"sf":"$sfDir","reps":$reps,"cpus":$cpus,"load_before":$loadBefore,"load_max":$loadMax,"load_after":$loadAfter,"failed":$failedJson}""")
