@@ -97,7 +97,11 @@ object Ann {
   private[ml] def trainingSample(
       corpus: DataFrame, vecCol: String, n: Int, seed: Long): DataFrame =
     corpus.select(col(vecCol))
-      .orderBy(xxhash64(col(vecCol), lit(seed)).asc)
+      // secondary key: duplicate vectors hash identically, so a
+      // hash-only order leaves the sample's tail nondeterministic
+      // across sessions on dup-heavy corpora; the vector itself
+      // (arrays are orderable) makes the total order deterministic
+      .orderBy(xxhash64(col(vecCol), lit(seed)).asc, col(vecCol).asc)
       .limit(n)
 
   /** Train the IVF coarse quantizer: k-means over a corpus sample.
@@ -362,7 +366,50 @@ object Ann {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Recall@k of IVFADC against exact L2 brute force. */
+  /** IVFADC with an exact re-rank tail (Jégou et al.'s IVFADC-R): take
+    * the top-`rerank` candidates per query by ADC distance, fetch their
+    * raw vectors from the corpus, re-score with EXACT L2, return the
+    * top-k. This is the production quality knob — ADC does the cheap
+    * m-lookup pruning over the probed lists, the exact pass touches only
+    * `|queries| × rerank` vectors (a broadcast-sized frame, never a
+    * corpus shuffle). With `nProbe = nList` and a pool that covers the
+    * true neighbours, the result equals exact brute-force L2 top-k —
+    * which is what lets the driver oracle-check this path against
+    * DuckDB's exact `list_distance` ranking (q_ann_pq).
+    */
+  def pqKnnRerank(
+      index: DataFrame,
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      coarse: Array[Array[Double]],
+      flatCodebooks: Array[Array[Double]],
+      k: Int = 10,
+      nProbe: Int = 4,
+      rerank: Int = 50,
+      codeK: Int = 256,
+      broadcastQueries: Boolean = true): DataFrame = {
+    val pool = pqKnn(index, queries, idCol, vecCol, coarse, flatCodebooks,
+      k = math.max(rerank, k), nProbe = nProbe, codeK = codeK,
+      broadcastQueries = broadcastQueries)
+      .select(col("query_id"), col("neighbour_id"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbour_id"), col(vecCol).as("cv"))
+    // candidate frame is |queries| × rerank rows — broadcast it into the
+    // corpus scan so the vector fetch is map-side (no corpus shuffle)
+    val cand = pool.join(broadcast(q), Seq("query_id"))
+    val scored = c.join(broadcast(cand), Seq("neighbour_id"))
+      .select(col("query_id"), col("neighbour_id"),
+        Kernels.l2Dist(col("qv"), col("cv")).as("l2"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("l2").asc, col("neighbour_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Recall@k of IVFADC against exact L2 brute force. `rerank > 0`
+    * routes the approximate side through [[pqKnnRerank]]'s exact tail.
+    */
   def pqRecallAtK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -371,7 +418,8 @@ object Ann {
       k: Int = 10,
       nList: Int = 32,
       m: Int = 8,
-      nProbe: Int = 4): DataFrame = {
+      nProbe: Int = 4,
+      rerank: Int = 0): DataFrame = {
     val coarse = trainCentroids(corpus, vecCol, nList)
     val codebooks = trainPq(corpus, vecCol, coarse, m)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
@@ -383,8 +431,12 @@ object Ann {
         Kernels.l2Dist(col("qv"), col("cv")).as("l2"))
       .withColumn("rank", row_number().over(wExact)).filter(col("rank") <= k)
       .select(col("query_id"), col("neighbour_id")).cache()
-    val approx = pqKnn(buildPqIndex(corpus, idCol, vecCol, coarse, codebooks),
-      queries, idCol, vecCol, coarse, codebooks, k, nProbe)
+    val idx = buildPqIndex(corpus, idCol, vecCol, coarse, codebooks)
+    val approx = (if (rerank > 0)
+        pqKnnRerank(idx, queries, corpus, idCol, vecCol, coarse, codebooks,
+          k, nProbe, rerank)
+      else
+        pqKnn(idx, queries, idCol, vecCol, coarse, codebooks, k, nProbe))
       .select(col("query_id"), col("neighbour_id"))
     try {
       val hits = exact.intersect(approx).count().toDouble

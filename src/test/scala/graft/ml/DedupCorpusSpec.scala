@@ -231,6 +231,44 @@ class DedupCorpusSpec extends SparkSpec {
     assert(pq === exact)
   }
 
+  test("IVFADC-R: full probe + exact re-rank tail = exact L2 top-k (oracle basis)") {
+    // quantizer trained on a small sample of a 200-vector corpus — ADC
+    // ranking alone is APPROXIMATE here (no memorization as above); the
+    // re-rank tail must still restore the exact order because the ADC
+    // pool (top-60 of 200) covers the true top-3 with wide margin (an
+    // ADC pool of 30 was observed to miss a true rank-3 on this very
+    // corpus — the pool needs slack, which is why q_ann_pq runs 150 of
+    // 500). This is the exact property the q_ann_pq DuckDB oracle
+    // relies on.
+    val vecs = (0 until 200).map { i =>
+      val rnd = new scala.util.Random(i * 613 + 29)
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 4f))
+    }.toDF("vec_id", "embedding")
+    val coarse = Ann.trainCentroids(vecs, "embedding", nList = 4, sampleN = 64)
+    val codebooks = Ann.trainPq(vecs, "embedding", coarse, m = 4, sampleN = 64)
+    val idx = Ann.buildPqIndex(vecs, "vec_id", "embedding", coarse, codebooks)
+    val queries = vecs.filter($"vec_id" < 5)
+    val reranked = Ann.pqKnnRerank(idx, queries, vecs, "vec_id", "embedding",
+      coarse, codebooks, k = 3, nProbe = 4, rerank = 60)
+      .select("query_id", "neighbour_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("query_id").orderBy(col("l2").asc, col("neighbour_id").asc)
+    val exact = vecs.select($"vec_id".as("neighbour_id"), $"embedding".as("cv"))
+      .join(broadcast(queries.select($"vec_id".as("query_id"), $"embedding".as("qv"))),
+        $"query_id" =!= $"neighbour_id")
+      .select($"query_id", $"neighbour_id",
+        graft.plans.Kernels.l2Dist($"qv", $"cv").as("l2"))
+      .withColumn("rank", row_number().over(w)).filter($"rank" <= 3)
+      .select("query_id", "neighbour_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(reranked === exact) // ranks equal too, not just the sets
+    // and the recall eval routed through the rerank tail reads exactly 1.0
+    val recall = Ann.pqRecallAtK(vecs, queries, "vec_id", "embedding",
+      k = 3, nList = 4, m = 4, nProbe = 4, rerank = 60)
+      .collect().head.getDouble(1)
+    assert(recall === 1.0)
+  }
+
   test("IVFADC recall on a larger corpus is sane and codes are 8 bytes") {
     val vecs = (0 until 400).map { i =>
       val rnd = new scala.util.Random(i * 977 + 3)
