@@ -17,6 +17,15 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
+  /** Run `f` against a tmp-dir file path, deleting the file on ALL exit
+    * paths — a failure inside `f` (e.g. a corrupt codec read) must not
+    * accumulate temp files across repeated Verify/Bench runs.
+    */
+  private[graft] def withTempFile[T](name: String)(f: String => T): T = {
+    val file = new java.io.File(sys.props("java.io.tmpdir"), name)
+    try f(file.getAbsolutePath) finally { file.delete(); () }
+  }
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
     // events.parquet carries TIMESTAMP(NANOS) which Spark only reads as
     // long; normalize to microsecond TimestampType right at the scan.
@@ -771,16 +780,15 @@ object SparkEntry {
       val docs = t(s, dir, "documents").select(
         col("doc_id"), col("text"), col("lang"), col("n_chars"))
       // pid-suffixed: a concurrent Verify/Bench pair on this multi-tenant
-      // host must not clobber each other's file between write and read
-      val p = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_q_hdf5_${ProcessHandle.current.pid}.h5").getAbsolutePath
-      graft.sources.Hdf5.writeHdf5(docs, p)
+      // host must not clobber each other's file between write and read.
       // readHdf5 materializes the rows driver-side, so the file can go
-      // immediately — repeated runs must not accumulate .h5 files in tmp
-      val out = graft.sources.Hdf5.readHdf5(s, p, guessDatatypes = false)
-        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
-      new java.io.File(p).delete()
-      out
+      // the moment the frame exists — and withTempFile deletes it on the
+      // FAILURE path too (a corrupt read must not leak .h5 files in tmp)
+      withTempFile(s"graft_q_hdf5_${ProcessHandle.current.pid}.h5") { p =>
+        graft.sources.Hdf5.writeHdf5(docs, p)
+        graft.sources.Hdf5.readHdf5(s, p, guessDatatypes = false)
+          .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      }
     }),
 
     // ---- multimodal plumbing ----------------------------------------

@@ -81,8 +81,16 @@ object Ann {
   // canonicalized logical plan, so the same source re-read through a
   // fresh DataFrame still hits. Deterministic fit (fixed seed, bounded
   // sample), so caching is pure memoization.
+  // Memo key = (canonicalized plan OBJECT, hyperparam string). The plan
+  // object, not its toString: LocalRelation.toString prints only the
+  // schema, so two in-memory corpora with equal column names but
+  // different data (or dimension!) would collide and hand one corpus
+  // the other's centroids. Plan equality compares LocalRelation data
+  // rows and file-relation identity — the semantic key we actually mean.
+  private type QuantKey = (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String)
+
   private val centroidMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+    new java.util.concurrent.ConcurrentHashMap[QuantKey, Array[Array[Double]]]()
 
   /** Deterministic, partition-UNbiased quantizer training sample: order by
     * a seeded 64-bit hash of the vector and keep the smallest `n`. A bare
@@ -116,8 +124,8 @@ object Ann {
       sampleN: Int = 20000,
       seed: Long = 42L,
       maxIter: Int = 10): Array[Array[Double]] = {
-    val key = corpus.queryExecution.analyzed.canonicalized.toString +
-      s"|$vecCol|$nList|$sampleN|$seed|$maxIter"
+    val key = (corpus.queryExecution.analyzed.canonicalized,
+      s"$vecCol|$nList|$sampleN|$seed|$maxIter")
     centroidMemo.computeIfAbsent(key, _ => {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
@@ -197,7 +205,7 @@ object Ann {
     * (d/m) doubles out. Deterministic (seeded init, fixed iterations).
     */
   private val pqMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+    new java.util.concurrent.ConcurrentHashMap[QuantKey, Array[Array[Double]]]()
 
   def trainPq(
       corpus: DataFrame,
@@ -208,8 +216,8 @@ object Ann {
       sampleN: Int = 20000,
       seed: Long = 42L,
       maxIter: Int = 10): Array[Array[Double]] = {
-    val key = corpus.queryExecution.analyzed.canonicalized.toString +
-      s"|$vecCol|${coarse.length}|$m|$codeK|$sampleN|$seed|$maxIter"
+    val key = (corpus.queryExecution.analyzed.canonicalized,
+      s"$vecCol|${coarse.length}|${coarse.head.length}|$m|$codeK|$sampleN|$seed|$maxIter")
     pqMemo.computeIfAbsent(key, _ => trainPqUncached(
       corpus, vecCol, coarse, m, codeK, sampleN, seed, maxIter))
   }
@@ -232,6 +240,9 @@ object Ann {
     require(rows.nonEmpty, "empty PQ training sample")
     val d = rows.head.length
     require(d % m == 0, s"dim $d not divisible by m=$m")
+    require(coarse.head.length == d,
+      s"coarse centroid dim ${coarse.head.length} != corpus dim $d — " +
+        "centroids trained on a different corpus?")
     val dsub = d / m
     // residuals against each vector's nearest coarse centroid
     val residuals = rows.map { v =>

@@ -58,14 +58,14 @@ private[graft] final class CacheScope {
   }
 
   /** Seal the scope: everything persisted so far is unpersisted after the
-    * first action that consumes `result` (or a plan containing it).
-    * Returns `result` unchanged.
+    * first action that consumes the returned frame (or a plan containing
+    * it). Returns `result` wrapped in a uniquely-named no-op subquery
+    * alias — the listener's marker (see [[CacheScope.install]]).
     */
   def releaseAfter(result: DataFrame): DataFrame = {
     val toRelease = frames.synchronized { val s = frames.toList; frames.clear(); s }
     if (toRelease.isEmpty) return result
     CacheScope.install(result, toRelease)
-    result
   }
 }
 
@@ -86,12 +86,22 @@ private[graft] object CacheScope {
 
   private final class ReleaseListener(
       spark: org.apache.spark.sql.SparkSession,
-      target: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      tag: String,
       toRelease: List[DataFrame]) extends QueryExecutionListener {
     private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // match on the scope's unique SubqueryAlias marker, NOT canonical
+    // plan equality: two independently built pipelines over identical
+    // inputs share a canonical form, so equality matching let the first
+    // pipeline's action drain the second's caches before its own first
+    // action (full recompute). The marker is unique per seal, and the
+    // scan is a name test per node — no canonicalization of every
+    // subsequent query while the listener is live.
     private def matches(qe: QueryExecution): Boolean =
-      try qe.analyzed.exists(_.canonicalized == target)
-      catch { case _: Throwable => false }
+      try qe.analyzed.exists {
+        case a: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+          a.identifier.name == tag
+        case _ => false
+      } catch { case _: Throwable => false }
     def forceRelease(): Unit =
       if (done.compareAndSet(false, true)) {
         toRelease.foreach(df =>
@@ -108,24 +118,35 @@ private[graft] object CacheScope {
         try spark.listenerManager.unregister(this) catch { case _: Throwable => () }
         live.remove(this)
       }
-    private def fire(qe: QueryExecution): Unit = if (matches(qe)) forceRelease()
+    // short-circuit: once fired (or abandoned), later in-flight events
+    // skip the subtree scan entirely
+    private def fire(qe: QueryExecution): Unit =
+      if (!done.get && matches(qe)) forceRelease()
     override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
       fire(qe)
     override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
       fire(qe)
   }
 
-  private def install(result: DataFrame, toRelease: List[DataFrame]): Unit = {
+  private val sealSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  private def install(result: DataFrame, toRelease: List[DataFrame]): DataFrame = {
     val spark = result.sparkSession
-    // canonicalized so the match survives re-analysis: the caller's action
-    // plan (count/write/…) re-analyzes but embeds an equal subtree
-    val target = result.queryExecution.analyzed.canonicalized
-    val l = new ReleaseListener(spark, target, toRelease)
+    // the marker: a uniquely-named no-op subquery alias wrapped around
+    // the result. SubqueryAlias survives analysis (it is only eliminated
+    // by the optimizer), so ANY downstream plan embedding the sealed
+    // frame carries the alias node in its analyzed form — and the name
+    // is unique per seal, so equal-shaped sibling pipelines never
+    // cross-fire
+    val tag = s"__graft_scope_${sealSeq.incrementAndGet()}"
+    val tagged = result.as(tag)
+    val l = new ReleaseListener(spark, tag, toRelease)
     live.add(l)
     spark.listenerManager.register(l)
     while (live.size > maxLive) {
       val oldest = live.poll()
       if (oldest != null) oldest.abandon()
     }
+    tagged
   }
 }

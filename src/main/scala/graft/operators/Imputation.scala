@@ -133,8 +133,29 @@ object Imputation {
     * a patient's missing source contributes nothing to any distance (the
     * column is skipped for that row), a donor's missing source makes
     * that donor infinitely far in that column.
+    *
+    * SINGLE-source dispatch divergence (stated): with one source column
+    * the exact two-carry path below orders null-source patients
+    * nulls-first in rank order (Spark's total order) instead of the
+    * kernel's skip-the-column rule; with one source that kernel rule
+    * degrades to "every donor equidistant", a corner the reference
+    * resolves by page order — neither engine has a principled answer
+    * there. Callers who need the multi-source rule for a single column
+    * can pass the source twice (distances double, order unchanged).
+    *
+    * `rankBand > 0` is the opt-in SCALE knob for corpora where the null
+    * fraction makes |patients| × |donors| intractable: candidate donors
+    * are restricted to those within ±rankBand ranks of the patient on
+    * the patient's first non-null source, turning the unbounded
+    * cartesian into an equi-join on (source, rank-bucket). EXACT
+    * whenever every patient's true nearest donor lies within the band
+    * (spec-pinned); a patient with no in-band donor keeps its null
+    * (the exact path would have reached farther). Patients with every
+    * source null take the kernel's all-equidistant rule directly
+    * (global min donor value) — no product at all.
     */
-  def nearestNeighbour(df: DataFrame, target: String, sources: Seq[String]): DataFrame = {
+  def nearestNeighbour(df: DataFrame, target: String, sources: Seq[String],
+      rankBand: Int = 0): DataFrame = {
     require(sources.nonEmpty, "nearestNeighbour needs at least one source column")
     // 1-D fast path: with a single source column, the nearest donor in
     // rank space is the closest preceding or following donor in sort
@@ -176,9 +197,26 @@ object Imputation {
         sources.map(c => col(s"__r_$c").as(s"__dr_$c"))): _*)
     // unique row id so byte-identical patient rows survive the min_by
     // aggregation as separate rows (grouping on the payload alone would
-    // collapse them and LOSE rows)
-    val patients = ranked.filter(col(target).isNull)
-      .withColumn("__uid", monotonically_increasing_id())
+    // collapse them and LOSE rows). DETERMINISTIC under stage retries:
+    // monotonically_increasing_id over a post-shuffle frame can renumber
+    // rows when a fetch failure reorders a recomputed partition (rows
+    // would then drop/duplicate through the groupBy below). Instead:
+    // collapse identical rows (order-insensitive aggregation — any replay
+    // produces the same groups), re-expand with an ordinal, and key on
+    // (2×64-bit row hash, ordinal) — same uid SET on every replay, no
+    // window, and the shuffle carries each distinct patient row once
+    // instead of every duplicate. Two independently-salted hashes make a
+    // cross-row collision (which would merge two different patients)
+    // a 128-bit event.
+    val pBase = ranked.filter(col(target).isNull)
+    val pCols = pBase.columns.map(col)
+    val patients = pBase.groupBy(pCols: _*).agg(count(lit(1)).as("__dup"))
+      .withColumn("__ord", explode(sequence(lit(1L), col("__dup"))))
+      .withColumn("__uid", struct(
+        xxhash64(pCols: _*).as("h1"),
+        xxhash64((lit(0x9E3779B97F4A7C15L) +: pCols): _*).as("h2"),
+        col("__ord").as("ord")))
+      .drop("__dup", "__ord")
     val complete = ranked.filter(col(target).isNotNull)
       .drop(sources.map(c => s"__r_$c") :+ "__n": _*)
 
@@ -199,23 +237,65 @@ object Imputation {
     if (donors.isEmpty) return df
 
     // tie-break equidistant donors by the donor value itself (deterministic).
-    // No forced broadcast: patients are unbounded (a column 50% null would
-    // broadcast half the corpus) — Catalyst/AQE picks broadcast-NL only
-    // when the side actually fits the threshold, else a distributed
-    // cartesian (p×q bounded tasks). Exact NN is inherently
-    // |patients|×|donors| work — same as the reference's O(n²) scan, but
-    // spread over the cluster instead of one node. The aggregation is
-    // keyed on the narrow __uid and carries the payload with first()
-    // (constant within a uid group) — grouping on the wide payload
-    // would both shuffle fat rows and collapse identical patients.
+    // The aggregation is keyed on the narrow __uid and carries the payload
+    // with first() (constant within a uid group) — grouping on the wide
+    // payload would both shuffle fat rows and collapse identical patients.
     val payload = patients.columns.filter(_ != "__uid")
     val aggs = min_by(col("__donor_val"), struct(dist, col("__donor_val"))).as("__fill") +:
       payload.map(c => first(col(c)).as(c))
-    val filled = patients.crossJoin(donors)
-      .groupBy("__uid").agg(aggs.head, aggs.tail: _*)
-      .withColumn(target, coalesce(col(target), col("__fill")))
-      .drop("__fill", "__uid")
-      .drop(sources.map(c => s"__r_$c") :+ "__n": _*)
+    def fillFrom(candidates: DataFrame): DataFrame =
+      candidates.groupBy("__uid").agg(aggs.head, aggs.tail: _*)
+        .withColumn(target, coalesce(col(target), col("__fill")))
+        .drop("__fill", "__uid")
+        .drop(sources.map(c => s"__r_$c") :+ "__n": _*)
+
+    val filled = if (rankBand <= 0) {
+      // EXACT path. No forced broadcast: patients are unbounded (a column
+      // 50% null would broadcast half the corpus) — Catalyst/AQE picks
+      // broadcast-NL only when the side actually fits the threshold, else
+      // a distributed cartesian (p×q bounded tasks). Exact NN is
+      // inherently |patients|×|donors| work — same as the reference's
+      // O(n²) scan, but spread over the cluster instead of one node.
+      fillFrom(patients.crossJoin(donors))
+    } else {
+      // BANDED path (opt-in, see scaladoc): equi-join on (band source,
+      // rank bucket of width rankBand). A donor explodes to its bucket
+      // ±1 per source, so every donor within ±rankBand of a patient on
+      // the patient's band source is a candidate (plus some ≤2·rankBand
+      // away — a superset, which only ADDs candidates). Left join keeps
+      // patients with no in-band donor (their fill stays null).
+      def bucketOf(r: Column): Column = floor(r / lit(rankBand.toLong))
+      val bandIdx = coalesce((sources.zipWithIndex.map { case (c, i) =>
+        when(col(s"__r_$c").isNotNull, lit(i)) } :+ lit(-1)): _*)
+      val p2 = patients.withColumn("__bi", bandIdx)
+      val patientBucket = sources.zipWithIndex.foldLeft(lit(null).cast("long")) {
+        case (acc, (c, i)) => when(col("__bi") === i, bucketOf(col(s"__r_$c"))).otherwise(acc)
+      }
+      val banded = p2.filter(col("__bi") >= 0).withColumn("__pb", patientBucket)
+      val donorsExp = donors
+        .withColumn("__bi", explode(array(sources.indices.map(i => lit(i)): _*)))
+        .withColumn("__dbr", sources.zipWithIndex.foldLeft(lit(null).cast("long")) {
+          case (acc, (c, i)) => when(col("__bi") === i, col(s"__dr_$c")).otherwise(acc)
+        })
+        // a donor with no rank in this source is infinitely far in it for
+        // any patient banding on it — it cannot be bucketed and would
+        // never win against a finite donor
+        .filter(col("__dbr").isNotNull)
+        .withColumn("__pb", explode(array(
+          bucketOf(col("__dbr")) - 1, bucketOf(col("__dbr")), bucketOf(col("__dbr")) + 1)))
+        .drop("__dbr")
+      val bandFilled = fillFrom(
+        banded.join(donorsExp, Seq("__bi", "__pb"), "left").drop("__bi", "__pb"))
+      // patients with EVERY source null: the kernel rule makes all donors
+      // equidistant (each column skipped) → the min_by tie-break picks
+      // the global min donor value — a 1-row broadcast, no product
+      val allNullFilled = p2.filter(col("__bi") === -1).drop("__bi")
+        .crossJoin(broadcast(donors.agg(min(col("__donor_val")).as("__fill0"))))
+        .withColumn(target, coalesce(col(target), col("__fill0")))
+        .drop("__fill0", "__uid")
+        .drop(sources.map(c => s"__r_$c") :+ "__n": _*)
+      bandFilled.unionByName(allNullFilled)
+    }
 
     complete.unionByName(filled)
   }

@@ -12,18 +12,32 @@ import org.apache.spark.sql.functions._
   *   - excel:        nulls LAST  (numeric < str < bool < None)
   *   - unix:         nulls FIRST (None sorts before everything)
   *   - alphanumeric: values compared as text (cast to string), nulls first
+  * STRING order: the reference collates every string sort with pyuca
+  * (sort_utils.py:7,141,185,236 — Unicode Collation Algorithm). String-
+  * typed keys here sort by a root-locale collation KEY (BinaryType
+  * surrogate, [[graft.plans.Kernels.collationKey]]) whose byte order is
+  * the collator order — a < A < å < b where binary UTF-8 gives A < b < å
+  * — so the linguistic order survives range partitioning unchanged.
+  * Java's ROOT collator and pyuca's DUCET table agree on the primary/
+  * secondary/tertiary scheme; table-version corners may differ (README
+  * divergence note).
   * Distributed sort = range-partitioned exchange + per-partition sort;
   * top-k (`sorted().limit(k)`) becomes TakeOrderedAndProject (no full sort).
   */
 object Sorts {
 
-  def sortKey(c: String, reverse: Boolean, mode: String): Column = {
-    val base = mode.toLowerCase match {
-      case "excel"        => col(c)
-      case "unix"         => col(c)
-      case "alphanumeric" => col(c).cast("string")
-      case other          => throw new IllegalArgumentException(s"unknown sort mode: $other")
+  /** Mode- and type-aware ordering surrogate for one key column. */
+  private def orderExpr(c: Column, dt: org.apache.spark.sql.types.DataType,
+      mode: String): Column = mode.toLowerCase match {
+    case "alphanumeric" => graft.plans.Kernels.collationKey(c.cast("string"))
+    case "excel" | "unix" => dt match {
+      case org.apache.spark.sql.types.StringType => graft.plans.Kernels.collationKey(c)
+      case _                                     => c
     }
+    case other => throw new IllegalArgumentException(s"unknown sort mode: $other")
+  }
+
+  private def directed(base: Column, reverse: Boolean, mode: String): Column = {
     val nullsLast = mode.toLowerCase == "excel"
     (reverse, nullsLast) match {
       case (false, true)  => base.asc_nulls_last
@@ -33,11 +47,14 @@ object Sorts {
     }
   }
 
+  def sortKey(df: DataFrame, c: String, reverse: Boolean, mode: String): Column =
+    directed(orderExpr(col(c), df.schema(c).dataType, mode), reverse, mode)
+
   /** `t.sorted(mapping, sort_mode)` (core.py:406-432). mapping preserves
     * insertion order: Seq(column -> reverse?).
     */
   def sorted(df: DataFrame, mapping: Seq[(String, Boolean)], mode: String = "excel"): DataFrame =
-    df.orderBy(mapping.map { case (c, rev) => sortKey(c, rev, mode) }: _*)
+    df.orderBy(mapping.map { case (c, rev) => sortKey(df, c, rev, mode) }: _*)
 
   /** Global 0-based row index over a total order WITHOUT a global window:
     * range-partitioned sort, then the classic zipWithIndex shape — one
@@ -87,7 +104,7 @@ object Sorts {
     * [[withRowIndex]]: parallel range-partitioned sort, no global window.
     */
   def sortIndex(df: DataFrame, mapping: Seq[(String, Boolean)], mode: String = "excel"): DataFrame =
-    withRowIndex(df, mapping.map { case (c, rev) => sortKey(c, rev, mode) }, "sort_index")
+    withRowIndex(df, mapping.map { case (c, rev) => sortKey(df, c, rev, mode) }, "sort_index")
 
   /** `t.is_sorted` (sortation.py:165-177): true iff the frame already obeys
     * the given order in its current (input) row order. Scale shape: the
@@ -117,7 +134,7 @@ object Sorts {
     def nullRank(x: Column): Column =
       if (nullsLast) when(x.isNull, 1).otherwise(0) else when(x.isNull, 0).otherwise(1)
     def key(c: String): Column =
-      if (mode.toLowerCase == "alphanumeric") col(c).cast("string") else col(c)
+      orderExpr(col(c), withIn.schema(c).dataType, mode)
     def pairOk(prev: String => Column): Column =
       mapping.foldRight(lit(true)) { case ((c, rev), rest) =>
         val cur = key(c)
@@ -145,20 +162,19 @@ object Sorts {
     val edges = lasts.join(pidRank, "__pid").alias("a")
       .join(firsts.join(pidRank, "__pid").alias("b"),
         col("a.__dense") + 1 === col("b.__dense"))
-    boundaryOk(edges, mapping, mode)
+    boundaryOk(edges, mapping, mode, c => withIn.schema(c).dataType)
   }
 
   /** prev-row (a.*) ≤ cur-row (b.*) lexicographic check on the joined
     * partition-boundary frame.
     */
-  private def boundaryOk(edges: DataFrame, mapping: Seq[(String, Boolean)], mode: String): Boolean = {
+  private def boundaryOk(edges: DataFrame, mapping: Seq[(String, Boolean)], mode: String,
+      dtOf: String => org.apache.spark.sql.types.DataType): Boolean = {
     val nullsLast = mode.toLowerCase == "excel"
     def nullRank(x: Column): Column =
       if (nullsLast) when(x.isNull, 1).otherwise(0) else when(x.isNull, 0).otherwise(1)
-    def key(side: String, c: String): Column = {
-      val k = col(s"$side.$c")
-      if (mode.toLowerCase == "alphanumeric") k.cast("string") else k
-    }
+    def key(side: String, c: String): Column =
+      orderExpr(col(s"$side.$c"), dtOf(c), mode)
     val ok = mapping.foldRight(lit(true)) { case ((c, rev), rest) =>
       val prv = key("a", c)
       val cur = key("b", c)

@@ -293,6 +293,26 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  // java.text.Collator is stateful/non-thread-safe; one per task thread.
+  // ROOT locale + TERTIARY + canonical decomposition approximates the
+  // DUCET order pyuca implements (tablite sort_utils.py:7): primary =
+  // base letter, secondary = diacritics, tertiary = case — so
+  // a < A < å < Å < b, where binary UTF-8 order gives A < B < a < å.
+  private val rootCollator = new ThreadLocal[java.text.Collator] {
+    override def initialValue(): java.text.Collator = {
+      val c = java.text.Collator.getInstance(java.util.Locale.ROOT)
+      c.setStrength(java.text.Collator.TERTIARY)
+      c.setDecomposition(java.text.Collator.CANONICAL_DECOMPOSITION)
+      c
+    }
+  }
+
+  /** Collation sort key: byte array whose unsigned-lexicographic order
+    * equals the root-locale collator's order over the source strings.
+    */
+  def collationKeyEval(input: UTF8String): Array[Byte] =
+    rootCollator.get.getCollationKey(input.toString).toByteArray
+
   /** Unicode repair for ingest (the ftfy/C4 cleanup step): NFC
     * normalization (combining sequences → precomposed) plus removal of
     * control characters other than tab and newline (CR included — C4
@@ -872,6 +892,22 @@ object Kernels {
   }
 
   /** Unicode repair (see [[normalizeTextEval]]). */
+  /** UCA-ish collation sort key (see [[collationKeyEval]]): BinaryType
+    * surrogate whose unsigned-lexicographic order IS the collator order,
+    * so a distributed range-partitioned sort on the key reproduces
+    * linguistic string order with zero comparator plumbing.
+    */
+  case class CollationKeyExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(input: Any): Any =
+      collationKeyEval(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.plans.Kernels.collationKeyEval($c);")
+    override protected def withNewChildInternal(c: Expression): CollationKeyExpr =
+      copy(child = c)
+  }
+
   case class NormalizeTextExpr(child: Expression) extends UnaryExpression {
     override def dataType: DataType = StringType
     override def nullSafeEval(input: Any): Any =
@@ -1171,6 +1207,8 @@ object Kernels {
     ExpressionUtils.column(TokenWindowHashesExpr(ExpressionUtils.expression(text), winLen))
   def normalizeText(text: Column): Column =
     ExpressionUtils.column(NormalizeTextExpr(ExpressionUtils.expression(text)))
+  def collationKey(text: Column): Column =
+    ExpressionUtils.column(CollationKeyExpr(ExpressionUtils.expression(text)))
   def removeSpans(text: Column, starts: Column, winLen: Int): Column =
     ExpressionUtils.column(RemoveSpansExpr(
       ExpressionUtils.expression(text), ExpressionUtils.expression(starts), winLen))

@@ -27,4 +27,18 @@ class ContractSpec extends SparkSpec {
       assert(df.schema.fields.nonEmpty, s"$name resolved to empty schema")
     }
   }
+
+  test("withTempFile deletes the file on the failure path (no /tmp leak)") {
+    val name = s"graft_contract_spec_${System.nanoTime()}.h5"
+    val file = new java.io.File(sys.props("java.io.tmpdir"), name)
+    val boom = intercept[RuntimeException] {
+      SparkEntry.withTempFile(name) { p =>
+        java.nio.file.Files.write(java.nio.file.Paths.get(p), Array[Byte](1, 2, 3))
+        assert(file.exists)
+        throw new RuntimeException("corrupt read")
+      }
+    }
+    assert(boom.getMessage === "corrupt read") // original failure propagates
+    assert(!file.exists, "temp file leaked on the failure path")
+  }
 }

@@ -47,6 +47,33 @@ class CacheLifecycleSpec extends SparkSpec {
     drained("minhashPairs")(Dedup.minhashPairs(docs, "doc_id", "text"))
   }
 
+  test("identical sibling pipelines seal with distinct markers (no listener cross-fire)") {
+    // two independently built pipelines over the SAME inputs share a
+    // canonical plan form — and Spark's CacheManager even shares the
+    // cached data between them — so scope release must key on a marker
+    // that is unique PER SEAL, not on canonical plan equality: under
+    // equality matching, A's first action fired B's listener too,
+    // disarming B's lifecycle before B ever ran.
+    val base = baseline
+    val a = Dedup.minhashPairs(docs, "doc_id", "text")
+    val b = Dedup.minhashPairs(docs, "doc_id", "text")
+    def sealTags(df: DataFrame): Seq[String] = df.queryExecution.analyzed.collect {
+      case s: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
+          if s.identifier.name.startsWith("__graft_scope_") => s.identifier.name
+    }
+    val (ta, tb) = (sealTags(a), sealTags(b))
+    assert(ta.nonEmpty && tb.nonEmpty, "sealed results carry no scope marker")
+    assert(ta.intersect(tb).isEmpty, s"sibling pipelines share a seal marker: $ta vs $tb")
+    // both lifecycles complete independently: each action drains, the
+    // second pipeline still computes the correct result after the first
+    // released (shared CacheManager entries make its frames recompute,
+    // never miscount), and nothing leaks or double-releases
+    a.count()
+    assertCacheDrains("sibling A", base)
+    assert(b.count() === a.count())
+    assertCacheDrains("sibling B", base)
+  }
+
   test("simhashPairs releases its caches") {
     drained("simhashPairs")(Dedup.simhashPairs(docs, "doc_id", "text"))
   }

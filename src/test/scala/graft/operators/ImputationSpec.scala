@@ -87,6 +87,32 @@ class ImputationSpec extends SparkSpec {
     assert(out.filter($"a" === 2.0 && $"v" === 10.0).count() === 2)
   }
 
+  test("NN rank-band blocking equals the exact path when the NN is in band") {
+    // 40 rows over two correlated sources; every patient's nearest donor
+    // is adjacent in rank space, so a ±4-rank band must reproduce the
+    // exact product's answer row for row — including an all-sources-null
+    // patient (global-min-donor rule) and identical patient rows
+    val rows = (0 until 40).map { i =>
+      val v = if (i % 5 == 2) None else Some(i * 10.0)
+      (Some(i.toDouble), Some(i * 2.0 + (i % 3)), v)
+    } ++ Seq(
+      (Option.empty[Double], Option.empty[Double], Option.empty[Double]), // all-null patient
+      (Some(7.0), Some(14.0), None), (Some(7.0), Some(14.0), None))       // identical patients
+    val d = rows.toDF("a", "b", "v")
+    val exact = Imputation.nearestNeighbour(d, "v", Seq("a", "b"))
+    val band = Imputation.nearestNeighbour(d, "v", Seq("a", "b"), rankBand = 4)
+    assert(band.count() === exact.count())
+    val key = Seq("a", "b", "v").map(org.apache.spark.sql.functions.col)
+    assert(band.groupBy(key: _*).count().except(exact.groupBy(key: _*).count()).isEmpty &&
+      exact.groupBy(key: _*).count().except(band.groupBy(key: _*).count()).isEmpty)
+    // scale pin: the banded path's candidate join is keyed on the rank
+    // bucket — no unbounded cartesian anywhere in the plan (the only
+    // nested-loop joins left are the 1-row count/min-donor broadcasts)
+    val plan = band.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("__pb"), "band-bucket key missing from the candidate join")
+  }
+
   test("NN with zero donors returns the frame unchanged (no vanishing rows)") {
     val d = Seq((1.0, 2.0, Option.empty[Double]), (3.0, 4.0, None)).toDF("a", "b", "v")
     val multi = Imputation.nearestNeighbour(d, "v", Seq("a", "b"))

@@ -43,6 +43,33 @@ class SortsAndSetOpsSpec extends SparkSpec {
     assert(c.map(_._3) === Array(2, 1, 1, 2))
   }
 
+  test("string sorts collate UCA-style, not binary (reference pyuca parity)") {
+    // the reference collates every string sort with pyuca/DUCET
+    // (sort_utils.py:7,141): primary = base letter, secondary =
+    // diacritic, tertiary = case. Binary UTF-8 order would give
+    // A < B < a < b < å < é — flagrantly different.
+    val words = Seq("b", "a", "B", "A", "å", "Å", "é", "e", "f")
+      .zipWithIndex.map { case (w, i) => (w, i) }.toDF("w", "i")
+    val expect = Array("a", "A", "å", "Å", "b", "B", "e", "é", "f")
+    for (mode <- Seq("excel", "unix", "alphanumeric")) {
+      val got = Sorts.sorted(words, Seq("w" -> false), mode)
+        .select("w").as[String].collect()
+      assert(got === expect, s"mode=$mode")
+      val rev = Sorts.sorted(words, Seq("w" -> true), mode)
+        .select("w").as[String].collect()
+      assert(rev === expect.reverse, s"mode=$mode reverse")
+    }
+    // reference test_sort.py:22-27 ascii golden (trivial under any
+    // collation — kept as the direct reference vector)
+    val t = Seq(("a", 4), ("d", 3), ("c", 2), ("b", 1)).toDF("C", "A")
+    assert(Sorts.sorted(t, Seq("C" -> false)).select("A").as[Int].collect() === Array(4, 1, 2, 3))
+    // isSorted agrees with sorted under collation
+    assert(Sorts.isSorted(
+      Sorts.sorted(words, Seq("w" -> false), "excel"), Seq("w" -> false), "excel"))
+    assert(!Sorts.isSorted(
+      words.orderBy($"w"), Seq("w" -> false), "excel")) // binary order is NOT collated order
+  }
+
   test("isSorted detects order and disorder") {
     val sortedDf = Seq(1, 2, 3).toDF("n")
     val unsortedDf = Seq(2, 1, 3).toDF("n")
