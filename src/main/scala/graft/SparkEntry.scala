@@ -306,6 +306,19 @@ object SparkEntry {
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("od"))
       TypeInference.applyBestTypes(src)
     }),
+    "q_guess_decimal" -> ((s, dir) => {
+      // arbitrary-precision int route (reference datatypes.py:15,
+      // import_utils.py:82-84 — values beyond int64): integral strings
+      // past the long range must guess decimal(38,0) and cast EXACTLY
+      // (a double hop would corrupt everything above 2^53); `edge`
+      // pins the int64 boundary itself staying an exact bigint
+      val src = t(s, dir, "orders").select(
+        col("o_orderkey"),
+        concat(col("o_orderkey").cast("string"), lit("00000000000000000")).as("big"),
+        concat(lit("922337203685477"), lpad((col("o_orderkey") % 1000).cast("string"), 3, "0"))
+          .as("edge"))
+      TypeInference.applyBestTypes(src)
+    }),
     "q_expression" -> ((s, dir) =>
       Tab(t(s, dir, "lineitem")).expression("l_quantity < 5 AND l_returnflag = 'A'").df),
 
@@ -941,6 +954,12 @@ object SparkEntry {
     "q_guess_types" ->
       """SELECT o_orderkey, o_totalprice, o_orderstatus,
          CAST(o_orderdate AS DATE) AS od FROM orders""",
+    "q_guess_decimal" ->
+      """SELECT o_orderkey,
+         CAST(o_orderkey || '00000000000000000' AS DECIMAL(38,0)) AS big,
+         CAST('922337203685477' || lpad(CAST(o_orderkey % 1000 AS VARCHAR), 3, '0')
+              AS BIGINT) AS edge
+         FROM orders""",
     "q_expression" ->
       "SELECT * FROM lineitem WHERE l_quantity < 5 AND l_returnflag = 'A'",
     "q_cube" ->

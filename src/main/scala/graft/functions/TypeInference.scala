@@ -15,7 +15,8 @@ object TypeInference {
     * wins, mirroring the reference's probability-ordered Rank
     * (datatypes.py:453, ranking.nim:47-99).
     */
-  val candidateOrder: Seq[String] = Seq("timestamp", "date", "bigint", "boolean", "double")
+  val candidateOrder: Seq[String] =
+    Seq("timestamp", "date", "bigint", "decimal", "boolean", "double")
 
   /** Locale-tolerant numeric normalization: "1,000,000.5" (US) and
     * "1.000.000,5" (EU) and "1 000 000" all parse. Heuristic from the
@@ -123,6 +124,23 @@ object TypeInference {
         Option(numberKernel.nullSafeEval(
           org.apache.spark.unsafe.types.UTF8String.fromString(s)))
           .map(_.asInstanceOf[Double])
+      // EXACT integer tests on the locale-normalized STRING, not a Double
+      // round-trip: the reference's int is arbitrary-precision
+      // (datatypes.py:15, ±10²³ in import_utils.py:82-84), and a Double
+      // path both loses exactness above 2^53 and wrongly admits
+      // scientific notation ("1e3" is a float to the reference's
+      // rank, int() rejects it)
+      def normOf(s: String): String = graft.plans.Kernels.localeNormEval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString
+      def isIntStr(s: String): Boolean = {
+        val t = normOf(s)
+        val body = t.dropWhile(c => c == '+' || c == '-')
+        t.nonEmpty && (t.length - body.length) <= 1 &&
+          body.nonEmpty && body.forall(_.isDigit)
+      }
+      def fitsLong(s: String): Boolean =
+        try { normOf(s).toLong; true } catch { case _: NumberFormatException => false }
+      def fitsDec38(s: String): Boolean = normOf(s).count(_.isDigit) <= 38
       def parsesWith(fmt: DateTimeFormatter, dateOnly: Boolean)(s: String): Boolean =
         try {
           if (dateOnly) { java.time.LocalDate.parse(s, fmt); true }
@@ -142,9 +160,12 @@ object TypeInference {
         if (n == 0) "string"
         else if (tsFmtWinner.isDefined || tsAny) "timestamp"
         else if (dateFmtWinner.isDefined || dateAny) "date"
-        else if (all(v => parseNum(v).exists(d =>
-          d == math.rint(d) && d >= Long.MinValue.toDouble && d <= Long.MaxValue.toDouble)))
-          "bigint"
+        else if (all(v => isIntStr(v) && fitsLong(v))) "bigint"
+        // integral but beyond int64 → the reference keeps arbitrary
+        // precision; DecimalType(38,0) is the Spark-native corner route
+        // (SURVEY §1.1) — 38 digits comfortably holds the ±10²³ range
+        // the reference's own tests exercise
+        else if (all(v => isIntStr(v) && fitsDec38(v))) "decimal"
         else if (all(v => boolWords.contains(v.toLowerCase))) "boolean"
         else if (all(v => parseNum(v).isDefined)) "double"
         else "string"
@@ -175,9 +196,22 @@ object TypeInference {
         case None | Some("string") => qcol(c)
         case Some(t) =>
           val v = when(trim(qcol(c)).isin(noneish: _*), lit(null)).otherwise(trim(qcol(c)))
+          // exact integer routes share the profiler's normalization
+          // kernel (localeNorm) and cast the STRING — a Double hop
+          // would corrupt int64 values above 2^53 and cannot represent
+          // the decimal(38,0) range at all
+          def normInt: Column = {
+            val nrm = graft.plans.Kernels.localeNorm(v)
+            when(nrm.rlike("^[+-]?[0-9]+$"), nrm)
+          }
           val castExpr = t match {
             case "double"    => parseNumber(v)
-            case "bigint"    => parseNumber(v).try_cast("bigint")
+            case "bigint"    =>
+              // integral strings cast exactly; non-integral stragglers
+              // outside the sample keep the old truncate-through-double
+              // behavior
+              coalesce(normInt.try_cast("bigint"), parseNumber(v).try_cast("bigint"))
+            case "decimal"   => normInt.try_cast("decimal(38,0)")
             case "boolean"   => when(lower(v).isin("true", "yes", "1"), true)
                                   .when(lower(v).isin("false", "no", "0"), false)
             case "date"      => formats(c)

@@ -778,8 +778,15 @@ object Kernels {
     else try java.lang.Double.valueOf(s) catch { case _: NumberFormatException => null }
   }
 
-  /** Locale-tolerant number parse; null (boxed) on failure. */
-  def localeNumberEval(input: UTF8String): java.lang.Double = {
+  /** Locale-separator normalization ONLY: strip whitespace/nbsp/apostrophe
+    * grouping, resolve the US/EU decimal-vs-thousands ambiguity, emit a
+    * plain "[+-]?digits[.digits][eN]" candidate string. No validation and
+    * no numeric conversion — the full digit string survives, so callers
+    * that need EXACT values beyond double precision (int64 edge, the
+    * arbitrary-precision decimal(38,0) route) can cast the string
+    * directly instead of round-tripping through a lossy Double.
+    */
+  def localeNormEval(input: UTF8String): UTF8String = {
     val raw = input.toString
     val sb = new java.lang.StringBuilder(raw.length)
     var i = 0
@@ -802,8 +809,12 @@ object Kernels {
         // ("1.123.456"); a single dot stays the decimal point
         s.replace(".", "")
       } else s
-    plainParse(norm)
+    UTF8String.fromString(norm)
   }
+
+  /** Locale-tolerant number parse; null (boxed) on failure. */
+  def localeNumberEval(input: UTF8String): java.lang.Double =
+    plainParse(localeNormEval(input).toString)
 
   // ---------------------------------------------------------------------
   // Expressions
@@ -1192,6 +1203,23 @@ object Kernels {
       copy(child = c)
   }
 
+  /** Locale-separator normalization as a string→string kernel (see
+    * [[localeNormEval]]). Profiling (driver-side eval) and the
+    * distributed cast share this ONE implementation, so the
+    * exact-integer routes (bigint, decimal(38,0)) can never disagree
+    * with what the profiler sampled.
+    */
+  case class LocaleNormExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any =
+      localeNormEval(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.plans.Kernels.localeNormEval($c);")
+    override protected def withNewChildInternal(c: Expression): LocaleNormExpr =
+      copy(child = c)
+  }
+
   // Column-API wrappers
   def simhash64(tokens: Column): Column =
     ExpressionUtils.column(SimHash64Expr(ExpressionUtils.expression(tokens)))
@@ -1218,6 +1246,8 @@ object Kernels {
     ExpressionUtils.column(WordShinglesExpr(ExpressionUtils.expression(text), n))
   def localeNumber(s: Column): Column =
     ExpressionUtils.column(LocaleNumberExpr(ExpressionUtils.expression(s)))
+  def localeNorm(s: Column): Column =
+    ExpressionUtils.column(LocaleNormExpr(ExpressionUtils.expression(s)))
   def jaccardSim(a: Column, b: Column): Column =
     ExpressionUtils.column(JaccardSimExpr(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
   def minKHashes(arr: Column, k: Int): Column =

@@ -182,6 +182,31 @@ class TypeInferenceSpec extends SparkSpec {
     assert(t("s") === "string")
   }
 
+  test("integers beyond int64 guess decimal(38,0) and roundtrip exactly") {
+    // the reference's int is arbitrary precision (datatypes.py:15; the
+    // import_utils.py:82-84 docstring exercises ±10²³). A Double hop
+    // would be lossy above 2^53, so the profile AND the cast must stay
+    // on the normalized string. Also pins the exact-int64 edge: the old
+    // double-roundtrip check silently corrupted 2^53+1 by one.
+    val df = Seq(
+      ("100000000000000000000000", "9007199254740993", "1e3"),
+      ("-99999999999999999999999", "9223372036854775807", "2e3")
+    ).toDF("big", "edge", "sci")
+    val t = TypeInference.bestTypes(df)
+    assert(t("big") === "decimal")
+    assert(t("edge") === "bigint")
+    // scientific notation is a FLOAT to the reference's rank (int()
+    // rejects it) — the exact-string check must not admit it
+    assert(t("sci") === "double")
+    val out = TypeInference.applyBestTypes(df)
+    assert(out.schema("big").dataType === org.apache.spark.sql.types.DecimalType(38, 0))
+    assert(out.schema("edge").dataType.typeName === "long")
+    val rows = out.orderBy($"edge").collect()
+    assert(rows.map(_.getDecimal(0).toBigInteger.toString).sorted ===
+      Array("-99999999999999999999999", "100000000000000000000000").sorted)
+    assert(rows.map(_.getLong(1)) === Array(9007199254740993L, 9223372036854775807L))
+  }
+
   test("applyBestTypes: single-format column casts with one formatter, mixed falls back") {
     val df = Seq(
       ("2024-01-31", "2024-01-31"),
