@@ -307,25 +307,41 @@ object Imputation {
     // unpartitioned windows here would funnel the full table through a
     // single task three times)
     if (Sorts.underLocalThreshold(df)) {
-      val wOrd = Window.orderBy(col(source))
-      val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
-      val wNext = wOrd.rowsBetween(1, Window.unboundedFollowing)
-      // equal-rank donors collapse to their MIN value via a keyed (NOT
-      // global) window, so the pick among same-source donors is
-      // deterministic and equal to the carry path's groupBy(__r).min and
-      // the multi-source min_by tie-break — a raw last/first carry would
-      // pick by arbitrary window row order within the tie
-      val groupDonor = min(when(col(target).isNotNull, col(target)))
-        .over(Window.partitionBy(col(source)))
-      val donorRank = when(col("__gd").isNotNull, col("__r"))
-      df.withColumn("__gd", groupDonor)
-        .withColumn("__r", (rank().over(wOrd) - 1).cast("long"))
-        .withColumn("__pv", last(col("__gd"), ignoreNulls = true).over(wPrev))
-        .withColumn("__pr", last(donorRank, ignoreNulls = true).over(wPrev))
-        .withColumn("__nv", first(col("__gd"), ignoreNulls = true).over(wNext))
-        .withColumn("__nr", first(donorRank, ignoreNulls = true).over(wNext))
+      // All window work happens on the DISTINCT-value frame (one row per
+      // source value = one row per rank), for two reasons:
+      //   - the order there is total and tie-free, so the backward pass
+      //     is an EXACT reversal (over raw rows, tie order is arbitrary
+      //     and need not invert between asc and desc sorts);
+      //   - every frame is run-accumulating (unboundedPreceding → 0),
+      //     which WindowExec evaluates incrementally in O(n). The naive
+      //     shape — first(...) over (1, unboundedFollowing) on raw
+      //     rows — re-scans the remaining frame for EVERY row: O(n²),
+      //     ~4 min for 100k rows in one task.
+      // Equal-rank donors collapse to their MIN value (the multi-source
+      // min_by tie-break, same as the carry path's groupBy(__r).min).
+      val wF = Window.orderBy(col("__v").asc_nulls_first)
+      val wB = Window.orderBy(col("__v").desc_nulls_last)
+      def runF = wF.rowsBetween(Window.unboundedPreceding, 0)
+      def runB = wB.rowsBetween(Window.unboundedPreceding, 0)
+      // a donor at the row's own rank is admitted into BOTH carries
+      // (frame end 0): distance 0 wins in fillChoice either way, and
+      // donor rows themselves short-circuit on their non-null target
+      val ranks = df.groupBy(col(source).as("__v"))
+        .agg(count(lit(1)).as("__c"),
+          min(when(col(target).isNotNull, col(target))).as("__dv"))
+        // unix rank = rows strictly before this value group
+        .withColumn("__r",
+          coalesce(sum(col("__c")).over(wF.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("__pv", last(col("__dv"), ignoreNulls = true).over(runF))
+        .withColumn("__pr",
+          last(when(col("__dv").isNotNull, col("__r")), ignoreNulls = true).over(runF))
+        .withColumn("__nv", last(col("__dv"), ignoreNulls = true).over(runB))
+        .withColumn("__nr",
+          last(when(col("__dv").isNotNull, col("__r")), ignoreNulls = true).over(runB))
+        .select("__v", "__r", "__pv", "__pr", "__nv", "__nr")
+      df.join(ranks, df(source) <=> col("__v"), "left").drop("__v")
         .withColumn(target, fillChoice(target))
-        .drop("__gd", "__r", "__pv", "__pr", "__nv", "__nr")
+        .drop("__r", "__pv", "__pr", "__nv", "__nr")
     } else nearestNeighbour1DCarry(df, target, source)
   }
 

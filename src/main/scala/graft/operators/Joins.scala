@@ -254,10 +254,17 @@ object Joins {
         (w, (c: Column) => last(c, ignoreNulls = true)
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       case "forward" =>
+        // EXACT reversal of the forward tail frame: WindowExec evaluates
+        // (currentRow, unboundedFollowing) by re-scanning the tail for
+        // every row — O(g²) per key group, quadratic under key skew — but
+        // runs (unboundedPreceding, currentRow) incrementally in O(g).
+        // Reversed order (__t desc, __side asc) inverts (__t asc,
+        // __side desc) exactly; at equal times the right row (__side 0)
+        // still precedes the left row, keeping the inclusive match.
         val w = Window.partitionBy(keyAliases.map(col): _*)
-          .orderBy(col("__t").asc, col("__side").desc)
-        (w, (c: Column) => first(c, ignoreNulls = true)
-          .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+          .orderBy(col("__t").desc, col("__side").asc)
+        (w, (c: Column) => last(c, ignoreNulls = true)
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       case other => throw new IllegalArgumentException(s"direction: $other")
     }
     val _ = ordered

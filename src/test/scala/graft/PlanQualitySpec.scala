@@ -132,6 +132,29 @@ class PlanQualitySpec extends SparkSpec {
     assert(viaCarry === viaWindow)
   }
 
+  test("no unbounded-FOLLOWING window frames anywhere (WindowExec runs them O(n²))") {
+    import spark.implicits._
+    // WindowExec evaluates run-accumulating (unboundedPreceding →
+    // currentRow) frames incrementally, but re-scans the tail for every
+    // row of an unboundedFollowing frame: a 100k-row frame took ~4 min
+    // in one task. Forward-looking carries must be expressed as the
+    // EXACT reversal over a tie-free order instead. Pin the two shapes
+    // that historically regressed: 1-D NN imputation (small path) and
+    // the composed as-of join's forward direction.
+    val ev = (1 to 500).map(i =>
+      (i.toLong, (i * 7 % 101).toDouble, if (i % 5 == 0) None else Some(i.toDouble)))
+      .toDF("id", "src", "v")
+    val nn = graft.operators.Imputation.nearestNeighbour(ev, "v", Seq("src"))
+    assert(!nn.queryExecution.executedPlan.toString.contains("unboundedfollowing$()"),
+      nn.queryExecution.executedPlan.toString)
+    val l = (1 to 200).map(i => (i.toLong % 7, i.toLong * 10)).toDF("k", "t")
+    val r = (1 to 200).map(i => (i.toLong % 7, i.toLong * 10 + 5, i)).toDF("k", "rt", "rv")
+    val asof = graft.operators.Joins.asofJoin(
+      l, r, Seq("k"), Seq("k"), "t", "rt", Seq("rv"), direction = "forward")
+    assert(!asof.queryExecution.executedPlan.toString.contains("unboundedfollowing$()"),
+      asof.queryExecution.executedPlan.toString)
+  }
+
   test("dedupSpans shuffles 8-byte window hashes; text crosses one broadcast join") {
     val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
     val out = graft.ml.Dedup.dedupSpans(docs, "doc_id", "text", minLen = 8)
