@@ -511,6 +511,33 @@ object SparkEntry {
     "q_corpus_sample" -> ((s, dir) =>
       Sampling.moduloSample(t(s, dir, "documents"), "doc_id", 100, 37)
         .groupBy(col("lang")).agg(count(lit(1)).as("n"))),
+    // domain capping: at most 25 docs per source, longest first —
+    // WindowGroupLimit keeps the shuffle at O(groups × n)
+    "q_cap_domain" -> ((s, dir) =>
+      Sampling.capPerGroup(
+        t(s, dir, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+        "source", Seq(col("n_chars").desc, col("doc_id").asc), n = 25)),
+    // exact-size cross-engine-reproducible sample (md5-ordered top-n)
+    "q_sample_exact" -> ((s, dir) =>
+      Sampling.exactSample(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"), col("source")),
+        "doc_id", n = 200, seed = 7)),
+    // Gopher document rules (Rae et al. 2021): per-rule measurements +
+    // conjunctive pass flag; stopword set adapted to the synthetic vocab
+    "q_gopher" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.gopherFlags(col("text"),
+          minWords = 40L, maxWords = 100000L,
+          stopwords = Seq("the", "a", "scan", "join", "window", "fast"),
+          minStopHits = 2).as("g"))
+        .select(col("doc_id"), col("g.word_count"), col("g.mean_word_len"),
+          col("g.symbol_ratio"), col("g.bullet_ratio"), col("g.ellipsis_ratio"),
+          col("g.alpha_ratio"), col("g.stop_hits"), col("g.pass"))),
+    // fixed-stride token chunking (40-token windows, stride 30)
+    "q_chunk" -> ((s, dir) =>
+      Chunking.chunkByTokens(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", maxTokens = 40, stride = 30)),
     // token-budget sequence packing: one window pass per lang group
     "q_pack" -> ((s, dir) =>
       Sampling.packSequences(
@@ -1302,6 +1329,63 @@ object SparkEntry {
          FROM samp""",
     "q_corpus_sample" ->
       "SELECT lang, count(*) AS n FROM documents WHERE doc_id % 100 < 37 GROUP BY 1",
+    "q_cap_domain" ->
+      """SELECT doc_id, source, n_chars, rank FROM (
+           SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rank
+           FROM documents) WHERE rank <= 25""",
+    "q_sample_exact" ->
+      """SELECT doc_id, lang, source FROM documents
+         ORDER BY md5(doc_id::VARCHAR || '_7'), doc_id LIMIT 200""",
+    "q_gopher" ->
+      """WITH c AS (
+           SELECT doc_id,
+             string_split(text, ' ') AS toks,
+             string_split(lower(text), ' ') AS lows,
+             string_split(text, chr(10)) AS lines,
+             length(replace(text, ' ', '')) AS nonspace,
+             length(text) - length(replace(text, '#', '')) AS hashes,
+             (length(text) - length(replace(text, '...', ''))) // 3 AS ellipses
+           FROM documents),
+         f AS (
+           SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS word_count,
+             round(nonspace / CAST(len(toks) AS DOUBLE), 4) AS mean_word_len,
+             round((hashes + ellipses) / CAST(len(toks) AS DOUBLE), 4) AS symbol_ratio,
+             round(len(list_filter(lines, l -> l LIKE '-%' OR l LIKE '*%'))
+               / CAST(len(lines) AS DOUBLE), 4) AS bullet_ratio,
+             round(len(list_filter(lines, l -> l LIKE '%...'))
+               / CAST(len(lines) AS DOUBLE), 4) AS ellipsis_ratio,
+             round(len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]')))
+               / CAST(len(toks) AS DOUBLE), 4) AS alpha_ratio,
+             CAST(list_contains(lows, 'the') AS BIGINT) + CAST(list_contains(lows, 'a') AS BIGINT)
+               + CAST(list_contains(lows, 'scan') AS BIGINT) + CAST(list_contains(lows, 'join') AS BIGINT)
+               + CAST(list_contains(lows, 'window') AS BIGINT) + CAST(list_contains(lows, 'fast') AS BIGINT)
+               AS stop_hits
+           FROM c)
+         SELECT *,
+           CAST(word_count BETWEEN 40 AND 100000 AS BIGINT)
+             * CAST(mean_word_len BETWEEN 3 AND 10 AS BIGINT)
+             * CAST(symbol_ratio <= 0.1 AS BIGINT)
+             * CAST(bullet_ratio <= 0.9 AS BIGINT)
+             * CAST(ellipsis_ratio <= 0.3 AS BIGINT)
+             * CAST(alpha_ratio >= 0.8 AS BIGINT)
+             * CAST(stop_hits >= 2 AS BIGINT) AS pass
+         FROM f""",
+    "q_chunk" ->
+      """WITH c AS (
+           SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+           FROM documents),
+         d AS (
+           SELECT doc_id, toks,
+             CASE WHEN n <= 40 THEN 1
+                  ELSE CAST(ceil((n - 40) / 30.0) AS BIGINT) + 1 END AS nc
+           FROM c)
+         SELECT doc_id, i AS chunk_id,
+           array_to_string(toks[CAST(i*30+1 AS BIGINT):CAST(i*30+40 AS BIGINT)], ' ') AS chunk_text,
+           CAST(len(toks[CAST(i*30+1 AS BIGINT):CAST(i*30+40 AS BIGINT)]) AS BIGINT) AS n_tokens
+         FROM d, UNNEST(generate_series(0, nc - 1)) AS u(i)""",
     "q_pack" ->
       """SELECT doc_id, lang, n_tokens,
          CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id

@@ -96,6 +96,80 @@ object TextFunctions {
       element_at(gs, 4).as("top_ngram_char_share"))
   }
 
+  /** Published Gopher document-rule stopword set (Rae et al. 2021
+    * §A1.1): a doc must contain at least [[gopherFlags]]'s
+    * `minStopHits` of these to pass the stopword rule.
+    */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher document-level quality rules (Rae et al. 2021 §A1.1) as a
+    * struct of per-rule measurements plus boolean-as-long flags and the
+    * conjunctive `pass`. Complements the repo's other published-filter
+    * families: C4 line rules ([[graft.ml.Dedup.dedupLines]]), CCNet
+    * classifier ([[qualityScore]]), Gopher repetition
+    * ([[repetitionFeatures]]).
+    *
+    * Rules (thresholds are the published defaults, caller-tunable):
+    *   1. word count in [minWords, maxWords]            (default 50..100k)
+    *   2. mean word length in [3, 10]
+    *   3. symbol-to-word ratio ('#' or '...') <= 0.1
+    *   4. <= 90% of lines start with a bullet ('-' / '*')
+    *   5. <= 30% of lines end with '...'
+    *   6. >= 80% of words contain an alphabetic character
+    *   7. >= minStopHits distinct required stopwords present
+    *
+    * Everything is a pure `functions._` composition over one
+    * `split(text, ' ')` / `split(text, '\n')` pass — single map stage,
+    * fully codegen'd, no shuffle: the shape a 100 TB quality gate needs
+    * (ratios are exact-divisions of integer counts, so an external
+    * engine recomputes them bit-for-bit for oracling).
+    */
+  def gopherFlags(
+      text: Column,
+      minWords: Long = 50L,
+      maxWords: Long = 100000L,
+      stopwords: Seq[String] = gopherStopwords,
+      minStopHits: Int = 2): Column = {
+    val toks = split(text, " ")
+    val lows = split(lower(text), " ")
+    val lines = split(text, "\n")
+    val wordCount = size(toks).cast("long")
+    val wordsD = wordCount.cast("double")
+    val linesD = size(lines).cast("double")
+    // mean word length via total non-space chars — one pass, no
+    // per-token aggregate
+    val nonspace = length(regexp_replace(text, " ", ""))
+    val meanWordLen = nonspace.cast("double") / wordsD
+    val hashes = length(text) - length(regexp_replace(text, "#", ""))
+    val ellipses = (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / lit(3)
+    val symbolRatio = (hashes + ellipses).cast("double") / wordsD
+    val bulletRatio = size(filter(lines,
+      l => l.startsWith("-") || l.startsWith("*"))).cast("double") / linesD
+    val ellipsisRatio = size(filter(lines, _.endsWith("..."))).cast("double") / linesD
+    val alphaRatio = size(filter(toks, _.rlike("[a-zA-Z]"))).cast("double") / wordsD
+    val stopHits = stopwords
+      .map(s => array_contains(lows, s).cast("long"))
+      .reduce(_ + _)
+    val pass =
+      wordCount.between(minWords, maxWords) &&
+        meanWordLen.between(3.0, 10.0) &&
+        symbolRatio <= 0.1 &&
+        bulletRatio <= 0.9 &&
+        ellipsisRatio <= 0.3 &&
+        alphaRatio >= 0.8 &&
+        stopHits >= minStopHits
+    struct(
+      wordCount.as("word_count"),
+      round(meanWordLen, 4).as("mean_word_len"),
+      round(symbolRatio, 4).as("symbol_ratio"),
+      round(bulletRatio, 4).as("bullet_ratio"),
+      round(ellipsisRatio, 4).as("ellipsis_ratio"),
+      round(alphaRatio, 4).as("alpha_ratio"),
+      stopHits.as("stop_hits"),
+      pass.cast("long").as("pass"))
+  }
+
   /** PII patterns for redaction — the scrub pass every training-data
     * pipeline runs before a corpus ships. Deliberately simple,
     * conservative regexes (emails, IPv4, international-ish phone

@@ -43,7 +43,12 @@ object Curate {
       // opt-in quality-classifier filter after the cheap filters:
       // logistic over quality features with shipped coefficients
       qualityWeights: Option[Array[Double]] = None,
-      minQuality: Double = 0.5)
+      minQuality: Double = 0.5,
+      // opt-in Gopher document-rules gate (Rae et al. 2021 §A1.1,
+      // [[TextFunctions.gopherFlags]]): Some(stopwords) enables it with
+      // the published thresholds; word-count floor tunable separately
+      gopherStopwords: Option[Seq[String]] = None,
+      gopherMinWords: Long = 50L)
 
   /** Returns the curated corpus: `idCol`, `pred_lang`, `n_tokens`,
     * `textCol` (scrubbed when `cfg.scrubPii`).
@@ -62,8 +67,11 @@ object Curate {
       .filter(col("n_tokens").between(cfg.minTokens, cfg.maxTokens))
       .filter(col("__rep.dup_line_frac") <= cfg.maxDupLineFrac &&
         col("__rep.top_ngram_char_share") <= cfg.maxTopNgramCharShare)
-    val staged = cfg.qualityWeights.fold(staged0)(w =>
-        staged0.filter(TextFunctions.qualityScore(text, w) >= cfg.minQuality))
+    val staged1 = cfg.qualityWeights.fold(staged0)(w =>
+      staged0.filter(TextFunctions.qualityScore(text, w) >= cfg.minQuality))
+    val staged = cfg.gopherStopwords.fold(staged1)(sw =>
+        staged1.filter(TextFunctions.gopherFlags(text,
+          minWords = cfg.gopherMinWords, stopwords = sw).getField("pass") === 1L))
       .select(col(idCol), col("pred_lang"), col("n_tokens"), text)
     val deduped =
       if (!cfg.exactDedup) staged

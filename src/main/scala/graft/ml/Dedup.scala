@@ -456,12 +456,11 @@ object Dedup {
     * iteration cap suffices — `maxIter` is a guard, convergence is
     * checked each round).
     *
-    * Lifecycle note: on the distributed path the returned label frame's
-    * cache is scope-released after the caller's FIRST action. The frame
-    * stays correct afterwards, but a SECOND action replays the iterative
-    * lineage uncached — callers that need the labels more than once
-    * (unlike [[dedupedCorpus]]'s single join) should persist or write
-    * out the result themselves.
+    * Lifecycle note: on the distributed path the returned label frame
+    * is `localCheckpoint`ed — its lineage is truncated at the stored
+    * label blocks, so repeated actions re-read the blocks rather than
+    * replaying the iterative loop, and the blocks free when the frame
+    * is garbage-collected (no scope listener involved).
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
       maxIter: Int = 20, driverThreshold: Long = 5000000): DataFrame = {
@@ -520,12 +519,20 @@ object Dedup {
     }
     edges.unpersist()
     fwd.unpersist(blocking = false)
-    // (id, label) — label = min id of the component. The converged label
-    // frame is cached from the loop; release it once the caller's
-    // terminal action has consumed it.
-    val scope = new CacheScope
-    scope.track(labels)
-    scope.releaseAfter(labels)
+    // (id, label) — label = min id of the component. localCheckpoint
+    // truncates the O(iter) join lineage: every later action re-reads
+    // the stored label blocks instead of replaying the loop (the label
+    // frame is tiny — one row per id that appears in a dup pair — so
+    // the blocks are cheap to hold), and the ContextCleaner frees them
+    // when the frame is GC'd, so no listener lifecycle is needed.
+    // Tradeoff vs a reliable checkpoint: an executor loss invalidates
+    // its blocks and the truncated lineage cannot recompute them — the
+    // caller's job fails and retries connectedComponents; acceptable
+    // because the loop is minutes, not hours, even at 100 TB pair
+    // volumes, and needs no checkpoint-dir configuration.
+    val out = labels.localCheckpoint(eager = true)
+    labels.unpersist(blocking = false)
+    out
   }
 
   /** End-to-end near-dup removal: pairs → components → keep one doc per

@@ -57,6 +57,44 @@ object Sampling {
   def moduloSample(df: DataFrame, idCol: String, modulus: Int, keep: Int): DataFrame =
     df.filter(pmod(col(idCol), lit(modulus)) < lit(keep))
 
+  /** Per-group cap: keep the top `n` rows of each `groupCol` group in
+    * `orderBy` order (e.g. "at most 50 docs per source domain, best
+    * quality first" — the domain-capping stage every Common-Crawl-scale
+    * pipeline runs so no single site dominates the corpus). Emits the
+    * 1-based `rank` within the group.
+    *
+    * Scale shape: `row_number() <= n` is rewritten by Spark's
+    * InferWindowGroupLimit to a WindowGroupLimit pair — a PARTIAL
+    * group-limit before the exchange keeps only `n` rows per group per
+    * input partition, so the shuffle carries O(groups × n) rows, not the
+    * corpus (pinned in PlanQualitySpec). The `orderBy` should end in a
+    * tiebreaker column that makes the order total, or the cap boundary
+    * is nondeterministic.
+    */
+  def capPerGroup(
+      df: DataFrame, groupCol: String, orderBy: Seq[org.apache.spark.sql.Column],
+      n: Int): DataFrame = {
+    require(n > 0, s"n: $n")
+    val w = Window.partitionBy(col(groupCol)).orderBy(orderBy: _*)
+    df.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= n)
+  }
+
+  /** Exact-size deterministic sample: the `n` rows whose salted md5 of
+    * `idCol` sorts lowest. Unlike fraction sampling this yields exactly
+    * `n` rows; unlike `limit(n)` the choice is uniform-ish over the
+    * corpus and reproducible across engines (md5 of the decimal string
+    * id — any engine re-derives the same set, which is what makes it
+    * oracle-able). Executes as TakeOrderedAndProject: per-partition
+    * top-n heaps, only n rows ever reach the driver-side merge — no
+    * global sort (pinned in PlanQualitySpec).
+    */
+  def exactSample(df: DataFrame, idCol: String, n: Int, seed: Int = 0): DataFrame = {
+    require(n > 0, s"n: $n")
+    val key = md5(concat(col(idCol).cast("string"), lit("_" + seed)).cast("binary"))
+    df.orderBy(key, col(idCol)).limit(n)
+  }
+
   /** Token-budget sequence packing: assign docs to training bins of at
     * most ~`budget` tokens, preserving `orderCol` order within each
     * `partitionCols` group (e.g. pack per language). The bin id is

@@ -69,7 +69,9 @@ object Streams {
       minTokens: Long = 1L,
       normalize: Boolean = false,
       qualityWeights: Option[Array[Double]] = None,
-      minQuality: Double = 0.5): DataFrame = {
+      minQuality: Double = 0.5,
+      gopherStopwords: Option[Seq[String]] = None,
+      gopherMinWords: Long = 50L): DataFrame = {
     import graft.functions.TextFunctions
     // unicode repair and quality-classifier scoring are stateless
     // map-side expressions, so they compose into the stream for free —
@@ -84,7 +86,12 @@ object Streams {
       .filter(col("pred_lang").isin(langs.toSeq: _*) && col("n_tokens") >= minTokens)
     val scored = qualityWeights.fold(flt)(w =>
       flt.filter(TextFunctions.qualityScore(text, w) >= minQuality))
-    scored
+    // Gopher rules are a pure map-side conjunction — stateless, streams
+    // for free, same as the classifier gate
+    val gated = gopherStopwords.fold(scored)(sw =>
+      scored.filter(TextFunctions.gopherFlags(text,
+        minWords = gopherMinWords, stopwords = sw).getField("pass") === 1L))
+    gated
       .withColumn("__fp", TextFunctions.fingerprint(text))
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")

@@ -155,6 +155,45 @@ class PlanQualitySpec extends SparkSpec {
       asof.queryExecution.executedPlan.toString)
   }
 
+  test("capPerGroup runs a partial WindowGroupLimit before the exchange") {
+    import spark.implicits._
+    val df = (1 to 2000).map(i => (s"g${i % 20}", i.toLong, i.toLong)).toDF("g", "id", "score")
+    val capped = graft.operators.Sampling.capPerGroup(
+      df, "g", Seq(org.apache.spark.sql.functions.col("score").desc,
+        org.apache.spark.sql.functions.col("id").asc), n = 5)
+    val p = capped.queryExecution.executedPlan.toString
+    // InferWindowGroupLimit must kick in: only n rows per group per input
+    // partition reach the shuffle — the difference between shuffling
+    // O(groups x n) and shuffling the corpus at 100 TB
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(capped.count() === 100L)
+  }
+
+  test("exactSample is TakeOrderedAndProject, not a global sort") {
+    import spark.implicits._
+    val df = (1 to 2000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    val s = graft.operators.Sampling.exactSample(df, "id", 50)
+    val p = s.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("distributed connectedComponents labels are lineage-truncated (no loop replay)") {
+    import spark.implicits._
+    // force the distributed label-propagation path with driverThreshold=0
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val labels = graft.ml.Dedup.connectedComponents(pairs, driverThreshold = 0)
+    // localCheckpoint truncates the iterative lineage: the optimized plan
+    // must be a bare scan of the checkpointed RDD, not a join tree, so a
+    // second action re-reads blocks instead of replaying the loop
+    val p = labels.queryExecution.optimizedPlan.toString
+    assert(!p.contains("Join"), p)
+    assert(p.contains("LogicalRDD") || p.contains("ExistingRDD") || p.contains("Scan"), p)
+    val got = labels.as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L)))
+    // second action over the same frame: still correct (blocks re-read)
+    assert(labels.count() === 5L)
+  }
+
   test("dedupSpans shuffles 8-byte window hashes; text crosses one broadcast join") {
     val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
     val out = graft.ml.Dedup.dedupSpans(docs, "doc_id", "text", minLen = 8)

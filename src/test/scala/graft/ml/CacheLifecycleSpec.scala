@@ -101,9 +101,29 @@ class CacheLifecycleSpec extends SparkSpec {
       Dedup.dedupedCorpus(docs, "doc_id", Dedup.minhashPairs(docs, "doc_id", "text")))
   }
 
-  test("distributed connected-components path releases its label frames") {
+  test("distributed connected-components: loop caches drain, checkpoint frees on GC") {
+    val base = baseline
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
-    drained("connectedComponents")(Dedup.connectedComponents(pairs, driverThreshold = 0))
+    var labels = Dedup.connectedComponents(pairs, driverThreshold = 0)
+    assert(labels.count() === 6L)
+    // every iterative intermediate (edges, per-round label frames) drains;
+    // exactly the localCheckpoint result blocks may remain — they are what
+    // lets a SECOND action re-read instead of replaying the loop
+    assertCacheDrains("connectedComponents intermediates", base, allow = 1)
+    // inspect in a helper frame so this test holds no strong reference to
+    // the checkpointed RDD (that would block the GC assertion below)
+    def leftoverDescs: List[String] = spark.sparkContext.getPersistentRDDs
+      .filter(kv => !base.contains(kv._1)).values.map(_.toString).toList
+    assert(leftoverDescs.forall(_.contains("localCheckpoint")), leftoverDescs.mkString("; "))
+    assert(labels.count() === 6L) // second action: blocks re-read, still correct
+    // dropping the last reference lets the ContextCleaner free the blocks
+    labels = null
+    val deadline = System.currentTimeMillis + 20000
+    def leaked = spark.sparkContext.getPersistentRDDs.filter(kv => !base.contains(kv._1))
+    while (leaked.nonEmpty && System.currentTimeMillis < deadline) {
+      System.gc(); Thread.sleep(200)
+    }
+    assert(leaked.isEmpty, leaked.values.map(_.toString).mkString("; "))
   }
 
   test("incremental dedup: batch caches drain; the index is caller-released") {

@@ -52,6 +52,22 @@ class CurateSpec extends SparkSpec {
     assert(!out(1L).contains("") && !out(1L).contains("\r"))
   }
 
+  test("curate opt-in Gopher gate drops rule-violating docs") {
+    // langId-detectable as English ("it is to" hit the en profile) but
+    // contains none of the gate's required stopwords; all other Gopher
+    // rules pass, so the stop-hits rule is what fires
+    val noStops = (1 to 30).map(i => s"alpha$i it is to").mkString(" ")
+    val docs = Seq((1L, good), (2L, noStops)).toDF("doc_id", "text")
+    val gated = Curate.curate(docs, "doc_id", "text",
+      Curate.Config(langs = Set("en"), minTokens = 1L,
+        gopherStopwords = Some(Seq("the", "and", "was")), gopherMinWords = 10L))
+    assert(gated.select("doc_id").as[Long].collect().toSet === Set(1L))
+    // same config without the gate keeps both (isolates the stage)
+    val open = Curate.curate(docs, "doc_id", "text",
+      Curate.Config(langs = Set("en"), minTokens = 1L))
+    assert(open.count() === 2L)
+  }
+
   test("curate stage toggles: no dedup keeps the dup, sampling thins ids") {
     val docs = Seq((1L, good), (5L, good)).toDF("doc_id", "text")
     val keepBoth = Curate.curate(docs, "doc_id", "text",

@@ -39,6 +39,35 @@ class SamplingSpec extends SparkSpec {
     assert(kept.forall(i => i % 10 < 3))
   }
 
+  test("capPerGroup keeps exactly top-n per group in total order, with ranks") {
+    val out = Sampling.capPerGroup(docs, "lang",
+      Seq(col("n_tokens").desc, col("id").asc), n = 10)
+      .select("lang", "id", "n_tokens", "rank")
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.length === 30) // 3 langs x 10
+    out.groupBy(_._1).foreach { case (lang, rs) =>
+      assert(rs.map(_._4).sorted.toSeq === (1L to 10L), lang)
+      // oracle: top-10 by (n_tokens desc, id asc) recomputed locally
+      val want = docs.filter(col("lang") === lang)
+        .as[(Long, String, Long)].collect()
+        .sortBy { case (id, _, nt) => (-nt, id) }.take(10).map(_._1).toSet
+      assert(rs.map(_._2).toSet === want, lang)
+    }
+  }
+
+  test("exactSample: exactly n rows, reproducible, disjoint-ish across seeds") {
+    val s1 = Sampling.exactSample(docs, "id", 100, seed = 1).select("id").as[Long].collect()
+    val s2 = Sampling.exactSample(docs, "id", 100, seed = 1).select("id").as[Long].collect()
+    assert(s1.length === 100)
+    assert(s1.toSet === s2.toSet) // deterministic
+    val s3 = Sampling.exactSample(docs, "id", 100, seed = 2).select("id").as[Long].collect()
+    assert(s3.toSet !== s1.toSet) // salt changes the draw
+    // md5 is uniform: each lang stratum lands near its share
+    val langs = docs.filter(col("id").isin(s1.toSeq: _*)).groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    assert(langs.values.forall(c => c > 15 && c < 55), langs.toString)
+  }
+
   test("packSequences: bins are contiguous in order and hold ~budget tokens") {
     val packed = Sampling.packSequences(docs, "n_tokens", "id", budget = 500,
       partitionCols = Seq("lang"))
