@@ -19,11 +19,13 @@ import org.apache.spark.sql.functions._
   */
 object Chunking {
 
-  /** One output row per (doc, window): `chunk_id` (0-based), the
-    * window's text re-joined with single spaces, and its token count
-    * (== maxTokens except for each doc's last chunk). Docs with at most
-    * `maxTokens` tokens yield exactly one chunk — including empty docs
-    * (one empty chunk), so no input row ever vanishes.
+  /** One output row per (doc, window): every non-text input column,
+    * `chunk_id` (0-based), the window's text re-joined with single
+    * spaces, and its token count (== maxTokens except for each doc's
+    * last chunk). Docs with at most `maxTokens` tokens yield exactly
+    * one chunk — including empty docs (one empty chunk), so no input
+    * row ever vanishes. Metadata columns (lang, source, …) ride along
+    * onto every chunk row.
     *
     * Tokens are single-space splits (the repo's whitespace-token
     * convention, [[graft.functions.TextFunctions.tokenCount]]).
@@ -36,13 +38,14 @@ object Chunking {
       stride: Int): DataFrame = {
     require(maxTokens > 0, s"maxTokens: $maxTokens")
     require(stride > 0 && stride <= maxTokens, s"stride: $stride (need 0 < stride <= maxTokens)")
+    require(df.columns.contains(idCol), s"missing id column: $idCol")
     val toks: Column = split(col(textCol), " ")
     val n: Column = size(toks)
     // number of windows: 1 + ceil((n - maxTokens) / stride) when the doc
     // overflows a single window; the last window starts within the doc
     val numChunks: Column = when(n <= maxTokens, lit(1L))
       .otherwise(ceil((n - maxTokens).cast("double") / lit(stride.toDouble)).cast("long") + 1L)
-    val keep = df.columns.filter(c => c == idCol).map(col).toSeq
+    val keep = df.columns.filter(_ != textCol).map(col).toSeq
     val chunk: Column =
       slice(col("__toks"), col("chunk_id").cast("int") * stride + 1, lit(maxTokens))
     df.select((keep :+ toks.as("__toks") :+

@@ -37,6 +37,28 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("token chunking streams as-is (stateless generate stage)") {
+    val dir = Files.createTempDirectory("graftchunk").toString + "/in"
+    Seq(
+      (1L, "en", (1 to 25).map(i => s"w$i").mkString(" ")), // 25 toks -> 2 chunks
+      (2L, "de", "kurz")                                    // 1 chunk
+    ).toDF("doc_id", "lang", "text").coalesce(1).write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = Streams.readParquetStream(spark, dir, schema)
+    val chunked = graft.operators.Chunking.chunkByTokens(
+      stream.toDF(), "doc_id", "text", maxTokens = 20, stride = 5)
+    val q = chunked.writeStream.outputMode("append")
+      .format("memory").queryName("chunk_out").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.sql("SELECT doc_id, lang, chunk_id, n_tokens FROM chunk_out")
+        .as[(Long, String, Long, Long)].collect().sortBy(r => (r._1, r._3))
+      assert(out.map(r => (r._1, r._3, r._4)).toSeq ===
+        Seq((1L, 0L, 20L), (1L, 1L, 20L), (2L, 0L, 1L)))
+      assert(out.forall(r => if (r._1 == 1L) r._2 == "en" else r._2 == "de"))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops exact duplicates within the watermark") {
     val src = writeEventsParquet()
     val schema = spark.read.parquet(src).schema
