@@ -533,6 +533,37 @@ object SparkEntry {
         .select(col("doc_id"), col("g.word_count"), col("g.mean_word_len"),
           col("g.symbol_ratio"), col("g.bullet_ratio"), col("g.ellipsis_ratio"),
           col("g.alpha_ratio"), col("g.stop_hits"), col("g.pass"))),
+    // importance resampling: rebalance the en-heavy lang mix to uniform
+    // (categorical DSIR shape; deterministic Efraimidis-Spirakis draw)
+    "q_resample" -> ((s, dir) =>
+      Sampling.importanceResample(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"), col("source")),
+        "lang", "doc_id",
+        Map("en" -> 0.2, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.2, "zh" -> 0.2),
+        n = 200, seed = 7)),
+    // DSIR gate (hashed-n-gram importance resampling, ml.Dsir): plant a
+    // distinctive "wiki" suffix on even doc_ids, target = pure wiki
+    // vocab; the resample must pull >= 80% even ids (deterministic:
+    // seeded hashing + LCG draw; the raw rows-only output is the
+    // planted construction, the oracle is the boolean verdict — the
+    // q_ann_gate pattern)
+    "q_dsir_gate" -> ((s, dir) => {
+      import s.implicits._
+      val raw = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, concat(col("text"),
+          lit(" history science theory culture article citation source chapter")))
+          .otherwise(col("text")).as("text"))
+      val target = Seq.fill(50)(
+        "history science theory culture article citation source chapter volume edition")
+        .toDF("text")
+      // mean-normalized weights + greedy draw: deterministic separation
+      // (sum weights scale with doc length; these docs vary 8-100 words)
+      val picked = graft.ml.Dsir.resampleLikeTarget(raw, "doc_id", "text",
+        target, "text", n = 100, buckets = 1 << 14, seed = 3,
+        lengthNormalize = true, gumbel = false)
+      val evens = picked.filter(col("doc_id") % 2 === 0).count().toDouble
+      Seq(evens / 100.0 >= 0.9).toDF("dsir_ok")
+    }),
     // fixed-stride token chunking (40-token windows, stride 30)
     "q_chunk" -> ((s, dir) =>
       Chunking.chunkByTokens(
@@ -1372,6 +1403,19 @@ object SparkEntry {
              * CAST(alpha_ratio >= 0.8 AS BIGINT)
              * CAST(stop_hits >= 2 AS BIGINT) AS pass
          FROM f""",
+    "q_resample" ->
+      """WITH tot AS (SELECT count(*) AS t FROM documents),
+         cnt AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
+         scored AS (
+           SELECT d.doc_id, d.lang, d.source,
+             0.2 / (cnt.c / CAST(tot.t AS DOUBLE)) AS w,
+             ln(((d.doc_id * 1103515245 + 12345 + 7) % 2147483648 + 1)
+               / 2147483649.0) AS lnu
+           FROM documents d, cnt, tot WHERE cnt.lang = d.lang)
+         SELECT doc_id, lang, source FROM scored
+         ORDER BY lnu / w DESC, doc_id LIMIT 200""",
+    "q_dsir_gate" ->
+      "SELECT true AS dsir_ok",
     "q_chunk" ->
       """WITH c AS (
            SELECT doc_id, string_split(text, ' ') AS toks,

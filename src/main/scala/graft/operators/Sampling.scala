@@ -95,6 +95,53 @@ object Sampling {
     df.orderBy(key, col(idCol)).limit(n)
   }
 
+  /** Importance resampling to a target stratum mix (the categorical
+    * cousin of DSIR, Xie et al. 2023): draw an exact-size weighted
+    * sample whose composition converges to `targetFracs` (e.g.
+    * rebalance an en-heavy corpus to a uniform language mix) without
+    * replacement, deterministically.
+    *
+    * Per-row weight = targetFrac(stratum) / corpusFrac(stratum); rows
+    * are ranked by the Efraimidis–Spirakis key ln(u)/w (u a
+    * deterministic per-id uniform — an LCG on the id, not `rand()`, so
+    * retries and other engines reproduce the draw bit-identically) and
+    * the top `n` win. Strata absent from `targetFracs` are dropped.
+    *
+    * Scale shape: corpus fractions come from one partial-agg count on
+    * the (low-cardinality) stratum column; the tiny fractions frame
+    * broadcast-joins back; scoring is map-side arithmetic; selection is
+    * TakeOrderedAndProject (per-partition top-n heaps — no global
+    * sort). Total cost ≈ one scan + one count shuffle at any corpus
+    * size.
+    */
+  def importanceResample(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      targetFracs: Map[String, Double],
+      n: Int,
+      seed: Int = 0): DataFrame = {
+    require(n > 0, s"n: $n")
+    require(targetFracs.values.forall(_ > 0.0), "target fractions must be positive")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__c"))
+    val withTot = counts.crossJoin(
+      broadcast(df.select(count(lit(1)).as("__tot"))))
+    val target = targetFracs.foldLeft(lit(null).cast("double")) {
+      case (acc, (s, f)) => when(col(strataCol) === s, lit(f)).otherwise(acc)
+    }
+    // u in (0,1]: 31-bit LCG on the id — small constants so the
+    // arithmetic stays in BIGINT range in any engine (no overflow)
+    val u = (pmod(col(idCol).cast("long") * 1103515245L + 12345L + seed,
+      lit(2147483648L)) + 1L).cast("double") / 2147483649.0
+    df.join(broadcast(withTot), Seq(strataCol))
+      .withColumn("__w", target / (col("__c").cast("double") / col("__tot")))
+      .filter(col("__w").isNotNull)
+      .withColumn("__key", log(u) / col("__w"))
+      .orderBy(col("__key").desc, col(idCol))
+      .limit(n)
+      .drop("__c", "__tot", "__w", "__key")
+  }
+
   /** Token-budget sequence packing: assign docs to training bins of at
     * most ~`budget` tokens, preserving `orderCol` order within each
     * `partitionCols` group (e.g. pack per language). The bin id is

@@ -177,6 +177,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("importanceResample: broadcast fractions join + TakeOrdered, no corpus sort") {
+    import spark.implicits._
+    val df = (0L until 2000L).map(i => (i, if (i % 3 == 0) "a" else "b")).toDF("id", "s")
+    val r = graft.operators.Sampling.importanceResample(
+      df, "s", "id", Map("a" -> 0.5, "b" -> 0.5), n = 100)
+    val p = r.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("distributed connectedComponents labels are lineage-truncated (no loop replay)") {
     import spark.implicits._
     // force the distributed label-propagation path with driverThreshold=0

@@ -1,0 +1,74 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DsirSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two disjoint vocabularies: "wiki" style vs "web" style
+  private def wikiDoc(i: Long) =
+    s"history science theory culture article ref$i citation source chapter volume"
+  private def webDoc(i: Long) =
+    s"click buy now deal$i offer free shipping cart checkout discount sale"
+
+  private def rawCorpus = (0L until 400L).map(i =>
+    (i, if (i % 2 == 0) wikiDoc(i) else webDoc(i))).toDF("id", "text")
+
+  private def targetCorpus = (1000L until 1050L).map(i =>
+    (i, wikiDoc(i))).toDF("id", "text")
+
+  test("resampleLikeTarget pulls the target-styled half out of a mixed corpus") {
+    val picked = Dsir.resampleLikeTarget(
+      rawCorpus, "id", "text", targetCorpus, "text", n = 100, buckets = 1 << 12)
+      .select("id").as[Long].collect()
+    assert(picked.length === 100)
+    val wikiShare = picked.count(_ % 2 == 0).toDouble / picked.length
+    // wiki-vocab docs have weight ~ (p_t/p_r)^{#ngrams} >> web docs; the
+    // Gumbel draw keeps a sliver of randomness but the pull dominates
+    assert(wikiShare > 0.9, s"wiki share: $wikiShare")
+    // deterministic rerun
+    val again = Dsir.resampleLikeTarget(
+      rawCorpus, "id", "text", targetCorpus, "text", n = 100, buckets = 1 << 12)
+      .select("id").as[Long].collect()
+    assert(again.toSet === picked.toSet)
+  }
+
+  test("logWeights: target-styled docs score higher; ngram-less docs get weight 1") {
+    val raw = rawCorpus.union(Seq((9999L, "solo")).toDF("id", "text")) // 1 word < 2-gram
+    val ratios = Dsir.logRatios(raw, "text", targetCorpus, "text", buckets = 1 << 12)
+    val w = Dsir.logWeights(raw, "id", "text", ratios, buckets = 1 << 12)
+      .select("id", "log_w").as[(Long, Double)].collect().toMap
+    assert(w(9999L) === 0.0) // no n-grams -> neutral weight
+    val wikiAvg = w.filter(kv => kv._1 < 400 && kv._1 % 2 == 0).values.sum / 200
+    val webAvg = w.filter(kv => kv._1 < 400 && kv._1 % 2 == 1).values.sum / 200
+    assert(wikiAvg > webAvg + 5.0, s"wiki $wikiAvg vs web $webAvg")
+  }
+
+  test("length-normalized greedy mode separates despite doc-length skew") {
+    // long off-target docs vs short on-target docs: sum weights would
+    // let n-gram count dominate; the mean + greedy draw must not
+    val longWeb = (0L until 100L).map(i =>
+      (i, Seq.fill(12)(webDoc(i)).mkString(" ")))        // 120 words of web vocab
+    val shortWiki = (100L until 200L).map(i => (i, wikiDoc(i))) // 10 words of wiki vocab
+    val raw = (longWeb ++ shortWiki).toDF("id", "text")
+    val picked = Dsir.resampleLikeTarget(raw, "id", "text", targetCorpus, "text",
+      n = 80, buckets = 1 << 12, lengthNormalize = true, gumbel = false)
+      .select("id").as[Long].collect()
+    assert(picked.length === 80)
+    assert(picked.forall(_ >= 100L), s"greedy mean draw picked web docs: ${picked.toSeq.take(5)}")
+    // deterministic: greedy has no noise at all
+    val again = Dsir.resampleLikeTarget(raw, "id", "text", targetCorpus, "text",
+      n = 80, buckets = 1 << 12, lengthNormalize = true, gumbel = false)
+      .select("id").as[Long].collect()
+    assert(again.toSeq === picked.toSeq)
+  }
+
+  test("plan: ratio lookup broadcasts, selection is TakeOrderedAndProject") {
+    val out = Dsir.resampleLikeTarget(
+      rawCorpus, "id", "text", targetCorpus, "text", n = 50, buckets = 1 << 12)
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+}

@@ -68,6 +68,27 @@ class SamplingSpec extends SparkSpec {
     assert(langs.values.forall(c => c > 15 && c < 55), langs.toString)
   }
 
+  test("importanceResample converges to the target mix, deterministic, exact n") {
+    // 1000 docs: en 600 / de 300 / fr 100 — rebalance to uniform thirds
+    val skewed = (0L until 1000L).map(i =>
+      (i, if (i < 600) "en" else if (i < 900) "de" else "fr")).toDF("id", "lang")
+    val target = Map("en" -> (1.0 / 3), "de" -> (1.0 / 3), "fr" -> (1.0 / 3))
+    val s1 = Sampling.importanceResample(skewed, "lang", "id", target, n = 240)
+    val rows = s1.select("id", "lang").as[(Long, String)].collect()
+    assert(rows.length === 240)
+    val mix = rows.groupBy(_._2).view.mapValues(_.size).toMap
+    // each stratum near 80 of 240 despite the 6:3:1 corpus skew (the
+    // fr stratum's weight is 10/3 x the en weight)
+    assert(mix.values.forall(c => c > 55 && c < 105), mix.toString)
+    // deterministic rerun
+    val s2 = Sampling.importanceResample(skewed, "lang", "id", target, n = 240)
+    assert(s2.select("id").as[Long].collect().toSet === rows.map(_._1).toSet)
+    // a stratum absent from the target never appears
+    val only = Sampling.importanceResample(skewed, "lang", "id",
+      Map("fr" -> 1.0), n = 50)
+    assert(only.select("lang").distinct().as[String].collect().toSeq === Seq("fr"))
+  }
+
   test("packSequences: bins are contiguous in order and hold ~budget tokens") {
     val packed = Sampling.packSequences(docs, "n_tokens", "id", budget = 500,
       partitionCols = Seq("lang"))
