@@ -39,7 +39,9 @@ object Chunking {
     require(maxTokens > 0, s"maxTokens: $maxTokens")
     require(stride > 0 && stride <= maxTokens, s"stride: $stride (need 0 < stride <= maxTokens)")
     require(df.columns.contains(idCol), s"missing id column: $idCol")
-    val toks: Column = split(col(textCol), " ")
+    // null text → one empty chunk, not a vanished row (explode of a
+    // null sequence would silently drop the doc)
+    val toks: Column = split(coalesce(col(textCol), lit("")), " ")
     val n: Column = size(toks)
     // number of windows: 1 + ceil((n - maxTokens) / stride) when the doc
     // overflows a single window; the last window starts within the doc

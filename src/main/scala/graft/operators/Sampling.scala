@@ -92,7 +92,9 @@ object Sampling {
   def exactSample(df: DataFrame, idCol: String, n: Int, seed: Int = 0): DataFrame = {
     require(n > 0, s"n: $n")
     val key = md5(concat(col(idCol).cast("string"), lit("_" + seed)).cast("binary"))
-    df.orderBy(key, col(idCol)).limit(n)
+    // nulls last (matching SQL engines' ASC default), so a null id can
+    // never hijack the sample
+    df.orderBy(key.asc_nulls_last, col(idCol).asc_nulls_last).limit(n)
   }
 
   /** Importance resampling to a target stratum mix (the categorical

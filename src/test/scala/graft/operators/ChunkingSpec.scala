@@ -38,6 +38,14 @@ class ChunkingSpec extends SparkSpec {
     assert(all === (1 to 100).map(i => s"w$i").toSet)
   }
 
+  test("chunkByTokens: null text yields one empty chunk (row never vanishes)") {
+    val df = Seq((1L, Option(doc(5))), (2L, None: Option[String])).toDF("id", "text")
+    val out = Chunking.chunkByTokens(df, "id", "text", 40, 40)
+      .as[(Long, Long, String, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq(1L, 2L))
+    assert(out(1)._3 === "" && out(1)._4 === 1L)
+  }
+
   test("chunkByTokens plans as a narrow generate stage — no shuffle") {
     val df = Seq((1L, doc(100))).toDF("id", "text")
     val p = Chunking.chunkByTokens(df, "id", "text", 40, 30)
