@@ -151,8 +151,7 @@ object Bench {
 
     // ---- interleaved passes ------------------------------------------
     val bestOk = scala.collection.mutable.LinkedHashMap[String, Double]()
-    val bestFail = scala.collection.mutable.LinkedHashMap[String, Double]()
-    tasks.keys.foreach { n => bestOk(n) = Double.MaxValue; bestFail(n) = Double.MaxValue }
+    tasks.keys.foreach { n => bestOk(n) = Double.MaxValue }
     var pass = 0
     while (pass < reps) {
       tasks.foreach { case (name, run) =>
@@ -166,7 +165,6 @@ object Bench {
           }
         val dt = (System.nanoTime() - t0) / 1e9
         if (ok) bestOk(name) = math.min(bestOk(name), dt)
-        else bestFail(name) = math.min(bestFail(name), dt)
         // cache drops happen per-rep OUTSIDE the timed span — a rep
         // reading the previous rep's cache measures nothing
         spark.catalog.clearCache()

@@ -1381,20 +1381,29 @@ object SparkEntry {
          f AS (
            SELECT doc_id,
              CAST(len(toks) AS BIGINT) AS word_count,
-             round(nonspace / CAST(len(toks) AS DOUBLE), 4) AS mean_word_len,
-             round((hashes + ellipses) / CAST(len(toks) AS DOUBLE), 4) AS symbol_ratio,
-             round(len(list_filter(lines, l -> l LIKE '-%' OR l LIKE '*%'))
-               / CAST(len(lines) AS DOUBLE), 4) AS bullet_ratio,
-             round(len(list_filter(lines, l -> l LIKE '%...'))
-               / CAST(len(lines) AS DOUBLE), 4) AS ellipsis_ratio,
-             round(len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]')))
-               / CAST(len(toks) AS DOUBLE), 4) AS alpha_ratio,
+             nonspace / CAST(len(toks) AS DOUBLE) AS mean_word_len,
+             (hashes + ellipses) / CAST(len(toks) AS DOUBLE) AS symbol_ratio,
+             len(list_filter(lines, l -> l LIKE '-%' OR l LIKE '*%'))
+               / CAST(len(lines) AS DOUBLE) AS bullet_ratio,
+             len(list_filter(lines, l -> l LIKE '%...'))
+               / CAST(len(lines) AS DOUBLE) AS ellipsis_ratio,
+             len(list_filter(toks, t -> regexp_matches(t, '[a-zA-Z]')))
+               / CAST(len(toks) AS DOUBLE) AS alpha_ratio,
              CAST(list_contains(lows, 'the') AS BIGINT) + CAST(list_contains(lows, 'a') AS BIGINT)
                + CAST(list_contains(lows, 'scan') AS BIGINT) + CAST(list_contains(lows, 'join') AS BIGINT)
                + CAST(list_contains(lows, 'window') AS BIGINT) + CAST(list_contains(lows, 'fast') AS BIGINT)
                AS stop_hits
            FROM c)
-         SELECT *,
+         SELECT doc_id, word_count,
+           round(mean_word_len, 4) AS mean_word_len,
+           round(symbol_ratio, 4) AS symbol_ratio,
+           round(bullet_ratio, 4) AS bullet_ratio,
+           round(ellipsis_ratio, 4) AS ellipsis_ratio,
+           round(alpha_ratio, 4) AS alpha_ratio,
+           stop_hits,
+           -- pass from the RAW ratios, mirroring gopherFlags (rounding
+           -- is display-only on both sides; a ratio within 5e-5 of a
+           -- threshold must not flip the verdict across engines)
            CAST(word_count BETWEEN 40 AND 100000 AS BIGINT)
              * CAST(mean_word_len BETWEEN 3 AND 10 AS BIGINT)
              * CAST(symbol_ratio <= 0.1 AS BIGINT)

@@ -132,15 +132,24 @@ object TypeInference {
       // rank, int() rejects it)
       def normOf(s: String): String = graft.plans.Kernels.localeNormEval(
         org.apache.spark.unsafe.types.UTF8String.fromString(s)).toString
+      // ASCII digits ONLY: Char.isDigit / Long.parseLong are
+      // Unicode-aware (accept e.g. Arabic-Indic "٣٤٥"), but the cast
+      // path's rlike("^[+-]?[0-9]+$") is ASCII — profiling a non-ASCII
+      // digit column as bigint would null it out wholesale at cast
+      // time. Such columns stay string.
+      def asciiDigit(c: Char): Boolean = c >= '0' && c <= '9'
       def isIntStr(s: String): Boolean = {
         val t = normOf(s)
         val body = t.dropWhile(c => c == '+' || c == '-')
         t.nonEmpty && (t.length - body.length) <= 1 &&
-          body.nonEmpty && body.forall(_.isDigit)
+          body.nonEmpty && body.forall(asciiDigit)
       }
-      def fitsLong(s: String): Boolean =
-        try { normOf(s).toLong; true } catch { case _: NumberFormatException => false }
-      def fitsDec38(s: String): Boolean = normOf(s).count(_.isDigit) <= 38
+      def fitsLong(s: String): Boolean = {
+        val t = normOf(s)
+        t.forall(c => asciiDigit(c) || c == '+' || c == '-') &&
+          (try { t.toLong; true } catch { case _: NumberFormatException => false })
+      }
+      def fitsDec38(s: String): Boolean = normOf(s).count(asciiDigit) <= 38
       def parsesWith(fmt: DateTimeFormatter, dateOnly: Boolean)(s: String): Boolean =
         try {
           if (dateOnly) { java.time.LocalDate.parse(s, fmt); true }
@@ -211,7 +220,14 @@ object TypeInference {
               // outside the sample keep the old truncate-through-double
               // behavior
               coalesce(normInt.try_cast("bigint"), parseNumber(v).try_cast("bigint"))
-            case "decimal"   => normInt.try_cast("decimal(38,0)")
+            case "decimal"   =>
+              // same straggler fallback as bigint: a non-integral value
+              // beyond the sample truncates through the number parser
+              // instead of silently nulling. The hop goes through the
+              // bigint cast (truncation) — a direct double→decimal cast
+              // would ROUND (1.5→2), diverging from the bigint route
+              coalesce(normInt.try_cast("decimal(38,0)"),
+                parseNumber(v).try_cast("bigint").cast("decimal(38,0)"))
             case "boolean"   => when(lower(v).isin("true", "yes", "1"), true)
                                   .when(lower(v).isin("false", "no", "0"), false)
             case "date"      => formats(c)

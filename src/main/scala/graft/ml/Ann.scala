@@ -89,8 +89,19 @@ object Ann {
   // rows and file-relation identity — the semantic key we actually mean.
   private type QuantKey = (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String)
 
-  private val centroidMemo =
-    new java.util.concurrent.ConcurrentHashMap[QuantKey, Array[Array[Double]]]()
+  // Bounded LRU (not an unbounded ConcurrentHashMap): plan-object keys
+  // strongly reference LocalRelation DATA, so an unbounded memo in a
+  // long-lived driver training over many in-memory corpora grows the
+  // heap until OOM. 64 quantizers is far beyond any real session;
+  // eviction just retrains.
+  private def lruMemo[V](): java.util.Map[QuantKey, V] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[QuantKey, V](16, 0.75f, true) {
+        override def removeEldestEntry(e: java.util.Map.Entry[QuantKey, V]): Boolean =
+          size > 64
+      })
+
+  private val centroidMemo = lruMemo[Array[Array[Double]]]()
 
   /** Deterministic, partition-UNbiased quantizer training sample: order by
     * a seeded 64-bit hash of the vector and keep the smallest `n`. A bare
@@ -204,8 +215,18 @@ object Ann {
     * same driver-side footprint as the coarse centroids): m × codeK ×
     * (d/m) doubles out. Deterministic (seeded init, fixed iterations).
     */
-  private val pqMemo =
-    new java.util.concurrent.ConcurrentHashMap[QuantKey, Array[Array[Double]]]()
+  private val pqMemo = lruMemo[Array[Array[Double]]]()
+
+  /** 64-bit content hash of a centroid set — the PQ memo key must see
+    * the coarse centroids' VALUES (codebooks are trained on residuals
+    * against them), not just their shape: two quantizers of equal
+    * (nList, dim) trained on different corpora/samples would otherwise
+    * collide and hand back codebooks fit to the wrong residual space.
+    */
+  private def centroidContentHash(cs: Array[Array[Double]]): Long =
+    cs.foldLeft(1125899906842597L)((h, row) =>
+      row.foldLeft(h * 31 + row.length)((a, v) =>
+        a * 1099511628211L + java.lang.Double.doubleToLongBits(v)))
 
   def trainPq(
       corpus: DataFrame,
@@ -217,7 +238,8 @@ object Ann {
       seed: Long = 42L,
       maxIter: Int = 10): Array[Array[Double]] = {
     val key = (corpus.queryExecution.analyzed.canonicalized,
-      s"$vecCol|${coarse.length}|${coarse.head.length}|$m|$codeK|$sampleN|$seed|$maxIter")
+      s"$vecCol|${coarse.length}|${coarse.head.length}|${centroidContentHash(coarse)}" +
+        s"|$m|$codeK|$sampleN|$seed|$maxIter")
     pqMemo.computeIfAbsent(key, _ => trainPqUncached(
       corpus, vecCol, coarse, m, codeK, sampleN, seed, maxIter))
   }

@@ -32,9 +32,11 @@ import org.apache.spark.sql.functions._
   */
 object Dsir {
 
-  /** (bucket, log_ratio) frame: smoothed log(p_target / p_raw) per
-    * hashed n-gram bin. Bins unseen in either corpus get the smoothed
-    * floor, so lookups never miss.
+  /** (bucket, log_ratio, log_floor) frame: smoothed log(p_target /
+    * p_raw) per hashed n-gram bin. `log_floor` (constant on every row)
+    * is the ratio a bin unseen in BOTH training corpora would get —
+    * [[logWeights]] uses it so scoring a corpus with novel vocabulary
+    * never silently drops n-grams.
     */
   def logRatios(
       raw: DataFrame, rawTextCol: String,
@@ -54,7 +56,9 @@ object Dsir {
       .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
       .select(col("bucket"),
         (log((col("__ct") + 1.0) / (col("__tt") + buckets.toDouble)) -
-          log((col("__cr") + 1.0) / (col("__rt") + buckets.toDouble))).as("log_ratio"))
+          log((col("__cr") + 1.0) / (col("__rt") + buckets.toDouble))).as("log_ratio"),
+        (log(lit(1.0) / (col("__tt") + buckets.toDouble)) -
+          log(lit(1.0) / (col("__rt") + buckets.toDouble))).as("log_floor"))
   }
 
   /** Raw docs + `log_w`: the doc's summed log importance ratio (the
@@ -72,11 +76,18 @@ object Dsir {
       ratios: DataFrame,
       nGram: Int = 2, buckets: Int = 1 << 16, seed: Int = 0,
       lengthNormalize: Boolean = false): DataFrame = {
-    val agg = if (lengthNormalize) avg("log_ratio") else sum("log_ratio")
+    val agg = if (lengthNormalize) avg("__lr") else sum("__lr")
+    // left join + floor fill: an n-gram hashing to a bucket unseen in
+    // BOTH training corpora (possible when scoring a different corpus
+    // than the ratios were trained on) still contributes the smoothed
+    // floor instead of silently vanishing from an inner join
+    val floor = broadcast(ratios.select(first("log_floor").as("__fl")))
     val perDoc = raw
       .select(col(idCol), explode(Kernels.wordShingles(col(textCol), nGram)).as("__sh"))
       .select(col(idCol), pmod(xxhash64(col("__sh"), lit(seed)), lit(buckets.toLong)).as("bucket"))
-      .join(broadcast(ratios), Seq("bucket"))
+      .join(broadcast(ratios), Seq("bucket"), "left")
+      .crossJoin(floor)
+      .withColumn("__lr", coalesce(col("log_ratio"), col("__fl")))
       .groupBy(col(idCol)).agg(agg.as("log_w"))
     raw.join(perDoc, Seq(idCol), "left").na.fill(0.0, Seq("log_w"))
   }
@@ -92,8 +103,7 @@ object Dsir {
       scored: DataFrame, idCol: String, logWCol: String, n: Int,
       seed: Int = 0, gumbel: Boolean = true): DataFrame = {
     require(n > 0, s"n: $n")
-    val u = (pmod(col(idCol).cast("long") * 1103515245L + 12345L + seed,
-      lit(2147483648L)) + 1L).cast("double") / 2147483649.0
+    val u = graft.operators.Sampling.lcgUniform(col(idCol), seed)
     // gumbel=false is the greedy τ→0 limit: plain top-n by weight
     val key = if (gumbel) col(logWCol) - log(-log(u)) else col(logWCol)
     scored.orderBy(key.desc, col(idCol)).limit(n)

@@ -57,6 +57,17 @@ object Sampling {
   def moduloSample(df: DataFrame, idCol: String, modulus: Int, keep: Int): DataFrame =
     df.filter(pmod(col(idCol), lit(modulus)) < lit(keep))
 
+  /** Deterministic per-id uniform in (0, 1]: a 31-bit LCG on the id.
+    * Small constants keep every intermediate in BIGINT range, so ANY
+    * engine (DuckDB throws on 64-bit overflow where Spark wraps)
+    * recomputes the identical draw — the single source of truth for
+    * every weighted/Gumbel sampler here and in [[graft.ml.Dsir]]; the
+    * q_resample oracle mirrors these exact constants.
+    */
+  def lcgUniform(id: org.apache.spark.sql.Column, seed: Int): org.apache.spark.sql.Column =
+    (pmod(id.cast("long") * 1103515245L + 12345L + seed,
+      lit(2147483648L)) + 1L).cast("double") / 2147483649.0
+
   /** Per-group cap: keep the top `n` rows of each `groupCol` group in
     * `orderBy` order (e.g. "at most 50 docs per source domain, best
     * quality first" — the domain-capping stage every Common-Crawl-scale
@@ -126,15 +137,14 @@ object Sampling {
     require(n > 0, s"n: $n")
     require(targetFracs.values.forall(_ > 0.0), "target fractions must be positive")
     val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__c"))
+    // total = sum of the per-stratum counts — derived from the tiny
+    // counts frame, NOT a second full scan of the corpus
     val withTot = counts.crossJoin(
-      broadcast(df.select(count(lit(1)).as("__tot"))))
+      broadcast(counts.agg(sum("__c").as("__tot"))))
     val target = targetFracs.foldLeft(lit(null).cast("double")) {
       case (acc, (s, f)) => when(col(strataCol) === s, lit(f)).otherwise(acc)
     }
-    // u in (0,1]: 31-bit LCG on the id — small constants so the
-    // arithmetic stays in BIGINT range in any engine (no overflow)
-    val u = (pmod(col(idCol).cast("long") * 1103515245L + 12345L + seed,
-      lit(2147483648L)) + 1L).cast("double") / 2147483649.0
+    val u = lcgUniform(col(idCol), seed)
     df.join(broadcast(withTot), Seq(strataCol))
       .withColumn("__w", target / (col("__c").cast("double") / col("__tot")))
       .filter(col("__w").isNotNull)

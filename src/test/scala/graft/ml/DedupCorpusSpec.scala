@@ -81,6 +81,21 @@ class DedupCorpusSpec extends SparkSpec {
       val rnd = new scala.util.Random(i * seed + 17)
       (i.toLong, Array.fill(16)(rnd.nextFloat() * 5f))
     }.toDF("vec_id", "embedding")
+    // memo-key content sensitivity: same corpus + same (nList, dim)
+    // shape but DIFFERENT coarse centroids must yield different
+    // codebooks — a shape-only key would hand the second call the
+    // first call's codebooks (residuals against the wrong centroids)
+    locally {
+      val v = corpus(55)
+      val c1 = Ann.trainCentroids(v, "embedding", nList = 3, sampleN = 30)
+      val c2 = Ann.trainCentroids(v, "embedding", nList = 3, sampleN = 60)
+      if (c1.flatten.toSeq != c2.flatten.toSeq) {
+        val b1 = Ann.trainPq(v, "embedding", c1, m = 4, maxIter = 5)
+        val b2 = Ann.trainPq(v, "embedding", c2, m = 4, maxIter = 5)
+        assert(b1.flatten.toSeq != b2.flatten.toSeq,
+          "PQ memo returned identical codebooks for different coarse centroids")
+      }
+    }
     val (va, vb) = (corpus(101), corpus(907))
     def search(vecs: org.apache.spark.sql.DataFrame) = {
       val cents = Ann.trainCentroids(vecs, "embedding", nList = 3, sampleN = 60)

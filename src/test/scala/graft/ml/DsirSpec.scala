@@ -64,6 +64,20 @@ class DsirSpec extends SparkSpec {
     assert(again.toSeq === picked.toSeq)
   }
 
+  test("novel-vocabulary n-grams get the smoothed floor, not a silent drop") {
+    // ratios trained on wiki/web vocab; score a corpus with completely
+    // unseen vocabulary — an inner-join lookup would drop every n-gram
+    // (log_w = 0 via the fill); the floor fill must weight them
+    val ratios = Dsir.logRatios(rawCorpus, "text", targetCorpus, "text", buckets = 1 << 12)
+    val novel = Seq((1L, "quantum entangle boson lepton hadron meson quark gluon")).toDF("id", "text")
+    val w = Dsir.logWeights(novel, "id", "text", ratios, buckets = 1 << 12)
+      .select("log_w").as[Double].head()
+    assert(w !== 0.0, "novel n-grams were dropped instead of floored")
+    // floor sign sanity: raw corpus is larger than target, so the
+    // unseen-bucket ratio log((rt+B)/(tt+B)) is positive
+    assert(w > 0.0, s"log_w: $w")
+  }
+
   test("plan: ratio lookup broadcasts, selection is TakeOrderedAndProject") {
     val out = Dsir.resampleLikeTarget(
       rawCorpus, "id", "text", targetCorpus, "text", n = 50, buckets = 1 << 12)

@@ -17,6 +17,31 @@ class DatatypeConformanceSpec extends SparkSpec {
     Seq(s).toDF("s").select(TypeInference.parseNumber(col("s")))
       .collect().headOption.flatMap(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
 
+  test("non-ASCII digit columns stay string (profiler must not outrun the ASCII cast path)") {
+    // Character.isDigit/Long.parseLong accept Unicode digits, but the
+    // cast route is ASCII rlike — profiling these as bigint would null
+    // the whole column at cast time (silent data loss)
+    val df = Seq("٣٤٥", "٦٧", "１２３").toDF("v")
+    assert(TypeInference.bestTypes(df)("v") === "string")
+    val out = TypeInference.applyBestTypes(df).as[String].collect()
+    assert(out.toSet === Set("٣٤٥", "٦٧", "１２３")) // data survives untouched
+  }
+
+  test("decimal(38,0) stragglers truncate like the bigint route, not null") {
+    // 10k-row profile sample sees only >int64 integral strings → column
+    // profiles decimal(38,0); the "1.5" straggler beyond the sample must
+    // truncate through the number parser (bigint-route consistency), not
+    // silently null
+    val big = spark.range(10000)
+      .select(concat(lit("9999999999999999999"), (col("id") % 10).cast("string")).as("v"))
+    val df = big.union(Seq("1.5").toDF("v"))
+    val out = TypeInference.applyBestTypes(df)
+    assert(out.schema.head.dataType.typeName.startsWith("decimal"), out.schema.toString)
+    val got = out.collect().map(r => Option(r.get(0)).map(_.toString)).toSeq
+    assert(got.count(_.isEmpty) === 0, "straggler was nulled")
+    assert(got.contains(Some("1"))) // 1.5 truncated like the bigint route
+  }
+
   test("float vectors: US/EU/scientific groupings (test_datatype.py:68-82)") {
     assert(num("2932,500") === Some(2932.5))   // EU decimal comma
     assert(num("2,932.500") === Some(2932.5))  // US grouping
