@@ -105,6 +105,55 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("chunking laws: token conservation, window bounds, chunk count formula") {
+    val word = Gen.chooseNum(1, 8).flatMap(l => Gen.listOfN(l, Gen.alphaLowerChar).map(_.mkString))
+    val doc = Gen.chooseNum(0, 120).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val gen = Gen.zip(Gen.listOfN(6, doc), Gen.chooseNum(1, 50), Gen.chooseNum(1, 50))
+    samples(gen, 6).foreach { case (docs, a, b) =>
+      val (maxT, stride) = (math.max(a, b), math.min(a, b))
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val out = Chunking.chunkByTokens(df, "id", "text", maxT, stride)
+        .as[(Long, Long, String, Long)].collect()
+      docs.zipWithIndex.foreach { case (text, i) =>
+        val toks = text.split(" ", -1).toSeq // split(' ') semantics: "" -> [""]
+        val chunks = out.filter(_._1 == i.toLong).sortBy(_._2)
+        // chunk count formula
+        val want = if (toks.length <= maxT) 1
+                   else 1 + math.ceil((toks.length - maxT).toDouble / stride).toInt
+        assert(chunks.length === want, s"doc $i: ${toks.length} toks, max=$maxT stride=$stride")
+        // every window is the exact slice at its offset; sizes bounded
+        chunks.foreach { case (_, cid, ctext, ntok) =>
+          val slice = toks.slice((cid * stride).toInt, (cid * stride).toInt + maxT)
+          assert(ctext === slice.mkString(" "))
+          assert(ntok === slice.length.toLong && ntok <= maxT)
+        }
+        // disjoint-stride special case: perfect reconstruction
+        if (stride == maxT)
+          assert(chunks.map(_._3).mkString(" ").trim === text.trim)
+      }
+    }
+  }
+
+  test("gopherFlags ratios are always finite and in-range for arbitrary text") {
+    val junk = Gen.listOfN(80, Gen.frequency(
+      6 -> Gen.alphaNumChar, 2 -> Gen.oneOf(' ', ' ', '\n', '-', '*', '.', '#'),
+      1 -> Gen.oneOf('é', 'ß', '…', '!', '?'))).map(_.mkString)
+    samples(Gen.listOfN(8, junk), 5).foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val rows = df.select(graft.functions.TextFunctions.gopherFlags(col("text")).as("g"))
+        .select("g.*").collect()
+      rows.foreach { r =>
+        assert(r.getLong(0) >= 1L) // word_count (split never empty)
+        (1 to 5).foreach { i =>
+          val v = r.getDouble(i)
+          assert(!v.isNaN && !v.isInfinite && v >= 0.0, s"field $i: $v in $r")
+        }
+        assert(r.getLong(6) >= 0L) // stop_hits
+        assert(Set(0L, 1L).contains(r.getLong(7))) // pass
+      }
+    }
+  }
+
   test("HDF5 roundtrip is the identity on random typed frames (self-validated codec)") {
     // the codec has no libhdf5 in the image to cross-check against, so
     // property-level roundtrip identity is the strongest available
