@@ -165,6 +165,35 @@ final case class Tab(df: DataFrame) {
         org.apache.spark.sql.functions.col("removed_tokens")).toIndexedSeq: _*))
   }
 
+  /** Domain capping: top `n` rows per `groupCol` in `orderBy` order
+    * (appends `rank`; see [[graft.operators.Sampling.capPerGroup]]).
+    */
+  def capPerGroup(groupCol: String, orderBy: Seq[org.apache.spark.sql.Column], n: Int): Tab =
+    Tab(graft.operators.Sampling.capPerGroup(df, groupCol, orderBy, n))
+  /** Exact-size deterministic sample by salted md5 of `idCol`. */
+  def exactSample(idCol: String, n: Int, seed: Int = 0): Tab =
+    Tab(graft.operators.Sampling.exactSample(df, idCol, n, seed))
+  /** Importance-resample to a target stratum mix (categorical DSIR,
+    * [[graft.operators.Sampling.importanceResample]]).
+    */
+  def resampleToMix(strataCol: String, idCol: String,
+      targetFracs: Map[String, Double], n: Int, seed: Int = 0): Tab =
+    Tab(graft.operators.Sampling.importanceResample(df, strataCol, idCol, targetFracs, n, seed))
+  /** Fixed-stride token chunking (one row per context window; metadata
+    * columns ride along — [[graft.operators.Chunking.chunkByTokens]]).
+    */
+  def chunkByTokens(idCol: String, textCol: String, maxTokens: Int, stride: Int): Tab =
+    Tab(graft.operators.Chunking.chunkByTokens(df, idCol, textCol, maxTokens, stride))
+  /** Keep only docs passing the Gopher document rules
+    * ([[graft.functions.TextFunctions.gopherFlags]]).
+    */
+  def gopherFilter(textCol: String,
+      stopwords: Seq[String] = graft.functions.TextFunctions.gopherStopwords,
+      minWords: Long = 50L): Tab =
+    Tab(df.filter(graft.functions.TextFunctions.gopherFlags(
+      org.apache.spark.sql.functions.col(textCol),
+      minWords = minWords, stopwords = stopwords).getField("pass") === 1L))
+
   // ---- io -----------------------------------------------------------
   def save(path: String): Unit = Writers.save(df, path)
   def toCsv(path: String): Unit = Writers.toCsv(df, path)

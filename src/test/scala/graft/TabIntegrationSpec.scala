@@ -74,6 +74,27 @@ class TabIntegrationSpec extends SparkSpec {
     assert(rows(2L) === "prefix suffix")
   }
 
+  test("corpus-mixing bridges: cap, exact sample, mix resample, chunk, gopher gate") {
+    import spark.implicits._
+    val t = Tab((0L until 300L).map { i =>
+      val lang = if (i % 3 == 0) "en" else "de"
+      (i, lang, s"src${i % 5}",
+        (1 to 18).map(j => s"the w$j of docnum$i and").mkString(" ")) // 90 words
+    }.toDF("doc_id", "lang", "source", "text"))
+    val capped = t.capPerGroup("source", Seq($"doc_id".asc), n = 7)
+    assert(capped.df.count() === 35) // 5 sources x 7
+    assert(t.exactSample("doc_id", 40).df.count() === 40)
+    val mixed = t.resampleToMix("lang", "doc_id", Map("en" -> 0.5, "de" -> 0.5), n = 60)
+    val mix = mixed.df.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(mix.values.sum === 60 && mix.keySet === Set("en", "de"))
+    val chunks = t.chunkByTokens("doc_id", "text", maxTokens = 30, stride = 30)
+    assert(chunks.columns === Seq("doc_id", "lang", "source", "chunk_id", "chunk_text", "n_tokens"))
+    assert(chunks.df.count() === 900L) // 80 tokens -> 3 chunks each
+    val gated = t.gopherFilter("text", minWords = 50)
+    assert(gated.df.count() === 300) // every doc has "the"/"and"/"of", 80 words
+    assert(t.gopherFilter("text", minWords = 100).df.count() === 0)
+  }
+
   test("Tab dedup bridges preserve non-text columns (frame contract)") {
     import spark.implicits._
     val shared = (1 to 12).map(i => s"tok$i").mkString(" ")
