@@ -220,14 +220,20 @@ object TypeInference {
               // outside the sample keep the old truncate-through-double
               // behavior
               coalesce(normInt.try_cast("bigint"), parseNumber(v).try_cast("bigint"))
-            case "decimal"   =>
-              // same straggler fallback as bigint: a non-integral value
-              // beyond the sample truncates through the number parser
-              // instead of silently nulling. The hop goes through the
-              // bigint cast (truncation) — a direct double→decimal cast
-              // would ROUND (1.5→2), diverging from the bigint route
+            case "decimal"   => {
+              // straggler fallbacks, in order: (1) plain decimals of ANY
+              // magnitude truncate at the STRING level (integer part of
+              // the normalized string — no double hop, so a >int64
+              // straggler like "1e19+.5" keeps its exact digits);
+              // (2) scientific/other parseables truncate through the
+              // bigint cast like the bigint route (double→decimal
+              // directly would ROUND 1.5→2, diverging)
+              val nrm = graft.plans.Kernels.localeNorm(v)
+              val intPart = regexp_extract(nrm, "^([+-]?[0-9]+)\\.[0-9]+$", 1)
               coalesce(normInt.try_cast("decimal(38,0)"),
+                when(intPart =!= "", intPart).try_cast("decimal(38,0)"),
                 parseNumber(v).try_cast("bigint").cast("decimal(38,0)"))
+            }
             case "boolean"   => when(lower(v).isin("true", "yes", "1"), true)
                                   .when(lower(v).isin("false", "no", "0"), false)
             case "date"      => formats(c)

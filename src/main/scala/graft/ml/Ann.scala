@@ -101,6 +101,19 @@ object Ann {
           size > 64
       })
 
+  /** Memoized lookup with the TRAINING outside the map mutex: holding
+    * the lock through a minutes-long KMeans fit would serialize every
+    * quantizer training AND block cached lookups for unrelated corpora.
+    * A racing duplicate fit is benign — training is deterministic, so
+    * both threads compute the identical value.
+    */
+  private def memoized[V](memo: java.util.Map[QuantKey, V], key: QuantKey)(
+      compute: => V): V = {
+    val hit = memo.get(key)
+    if (hit != null) hit
+    else { val v = compute; memo.put(key, v); v }
+  }
+
   private val centroidMemo = lruMemo[Array[Array[Double]]]()
 
   /** Deterministic, partition-UNbiased quantizer training sample: order by
@@ -137,7 +150,7 @@ object Ann {
       maxIter: Int = 10): Array[Array[Double]] = {
     val key = (corpus.queryExecution.analyzed.canonicalized,
       s"$vecCol|$nList|$sampleN|$seed|$maxIter")
-    centroidMemo.computeIfAbsent(key, _ => {
+    memoized(centroidMemo, key) {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
       val sample = trainingSample(corpus, vecCol, sampleN, seed)
@@ -147,7 +160,7 @@ object Ann {
       val model = new KMeans().setK(nList).setSeed(seed).setMaxIter(maxIter)
         .setInitMode("random").setTol(1e-3).fit(sample)
       model.clusterCenters.map(_.toArray)
-    })
+    }
   }
 
   /** IVF index: every corpus vector assigned to its nearest centroid's
@@ -240,7 +253,7 @@ object Ann {
     val key = (corpus.queryExecution.analyzed.canonicalized,
       s"$vecCol|${coarse.length}|${coarse.head.length}|${centroidContentHash(coarse)}" +
         s"|$m|$codeK|$sampleN|$seed|$maxIter")
-    pqMemo.computeIfAbsent(key, _ => trainPqUncached(
+    memoized(pqMemo, key)(trainPqUncached(
       corpus, vecCol, coarse, m, codeK, sampleN, seed, maxIter))
   }
 

@@ -80,16 +80,23 @@ object Dsir {
     // left join + floor fill: an n-gram hashing to a bucket unseen in
     // BOTH training corpora (possible when scoring a different corpus
     // than the ratios were trained on) still contributes the smoothed
-    // floor instead of silently vanishing from an inner join
-    val floor = broadcast(ratios.select(first("log_floor").as("__fl")))
+    // floor instead of silently vanishing from an inner join. The
+    // ratios pipeline (two corpus scans + aggs + full-outer join) is
+    // read twice — once for the floor scalar, once for the lookup — so
+    // it persists through a scope and drains after the caller's first
+    // action rather than recomputing.
+    val scope = new graft.operators.CacheScope
+    val r = scope.persist(ratios)
+    val floor = broadcast(r.select(first("log_floor").as("__fl")))
     val perDoc = raw
       .select(col(idCol), explode(Kernels.wordShingles(col(textCol), nGram)).as("__sh"))
       .select(col(idCol), pmod(xxhash64(col("__sh"), lit(seed)), lit(buckets.toLong)).as("bucket"))
-      .join(broadcast(ratios), Seq("bucket"), "left")
+      .join(broadcast(r), Seq("bucket"), "left")
       .crossJoin(floor)
       .withColumn("__lr", coalesce(col("log_ratio"), col("__fl")))
       .groupBy(col(idCol)).agg(agg.as("log_w"))
-    raw.join(perDoc, Seq(idCol), "left").na.fill(0.0, Seq("log_w"))
+    scope.releaseAfter(
+      raw.join(perDoc, Seq(idCol), "left").na.fill(0.0, Seq("log_w")))
   }
 
   /** Deterministic weighted sample without replacement: top `n` by

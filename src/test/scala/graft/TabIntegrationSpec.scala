@@ -89,7 +89,7 @@ class TabIntegrationSpec extends SparkSpec {
     assert(mix.values.sum === 60 && mix.keySet === Set("en", "de"))
     val chunks = t.chunkByTokens("doc_id", "text", maxTokens = 30, stride = 30)
     assert(chunks.columns === Seq("doc_id", "lang", "source", "chunk_id", "chunk_text", "n_tokens"))
-    assert(chunks.df.count() === 900L) // 80 tokens -> 3 chunks each
+    assert(chunks.df.count() === 900L) // 90 tokens -> 1+ceil(60/30) = 3 chunks each
     val gated = t.gopherFilter("text", minWords = 50)
     assert(gated.df.count() === 300) // every doc has "the"/"and"/"of", 80 words
     assert(t.gopherFilter("text", minWords = 100).df.count() === 0)

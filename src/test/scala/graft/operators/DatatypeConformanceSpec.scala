@@ -34,12 +34,16 @@ class DatatypeConformanceSpec extends SparkSpec {
     // silently null
     val big = spark.range(10000)
       .select(concat(lit("9999999999999999999"), (col("id") % 10).cast("string")).as("v"))
-    val df = big.union(Seq("1.5").toDF("v"))
+    val df = big.union(Seq("1.5", "10000000000000000000.5").toDF("v"))
     val out = TypeInference.applyBestTypes(df)
     assert(out.schema.head.dataType.typeName.startsWith("decimal"), out.schema.toString)
     val got = out.collect().map(r => Option(r.get(0)).map(_.toString)).toSeq
     assert(got.count(_.isEmpty) === 0, "straggler was nulled")
     assert(got.contains(Some("1"))) // 1.5 truncated like the bigint route
+    // a >int64 NON-integral straggler (the plausible case for a decimal
+    // column) truncates at the string level — a bigint or double hop
+    // would null or corrupt it
+    assert(got.contains(Some("10000000000000000000")))
   }
 
   test("float vectors: US/EU/scientific groupings (test_datatype.py:68-82)") {
