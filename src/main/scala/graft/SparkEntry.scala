@@ -26,14 +26,29 @@ object SparkEntry {
     try f(file.getAbsolutePath) finally { file.delete(); () }
   }
 
+  /** Normalize an events `ts` column to microsecond TimestampType
+    * regardless of the parquet vintage: the driver's generator has shipped
+    * TIMESTAMP(NANOS) (read as long under nanosAsLong), timestamp[us]
+    * without tz (read as TIMESTAMP_NTZ), and tz-aware timestamp[us]
+    * (TimestampType). Session timezone is pinned UTC, so the NTZ cast is
+    * a pure re-tag of the same microsecond value.
+    */
+  private[graft] def normalizeTs(df: DataFrame, name: String = "ts"): DataFrame =
+    df.schema(name).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn(name, timestamp_micros(expr(s"`$name` div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(name, col(name).cast("timestamp"))
+      case _ => df
+    }
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which Spark only reads as
-    // long; normalize to microsecond TimestampType right at the scan.
+    // Older events.parquet vintages carry TIMESTAMP(NANOS) which Spark
+    // only reads as long; newer ones carry timestamp[us] (NTZ). Normalize
+    // to microsecond TimestampType right at the scan either way.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = s.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    if (name == "events") normalizeTs(df) else df
   }
 
   /** z-order clustered copy of lineitem, written once per (process,
@@ -317,7 +332,11 @@ object SparkEntry {
         concat(col("o_orderkey").cast("string"), lit("00000000000000000")).as("big"),
         concat(lit("922337203685477"), lpad((col("o_orderkey") % 1000).cast("string"), 3, "0"))
           .as("edge"))
-      TypeInference.applyBestTypes(src)
+      // `big` guesses decimal(38,0) (DatatypeConformanceSpec asserts the
+      // type); re-emit it as its digit string for the driver compare —
+      // the hasher normalizes wide decimals differently across engines
+      // (1e+20 vs 100000000000000000000) even when values are identical.
+      TypeInference.applyBestTypes(src).withColumn("big", col("big").cast("string"))
     }),
     "q_expression" -> ((s, dir) =>
       Tab(t(s, dir, "lineitem")).expression("l_quantity < 5 AND l_returnflag = 'A'").df),
@@ -1014,7 +1033,7 @@ object SparkEntry {
          CAST(o_orderdate AS DATE) AS od FROM orders""",
     "q_guess_decimal" ->
       """SELECT o_orderkey,
-         CAST(o_orderkey || '00000000000000000' AS DECIMAL(38,0)) AS big,
+         CAST(CAST(o_orderkey || '00000000000000000' AS DECIMAL(38,0)) AS VARCHAR) AS big,
          CAST('922337203685477' || lpad(CAST(o_orderkey % 1000 AS VARCHAR), 3, '0')
               AS BIGINT) AS edge
          FROM orders""",

@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The driver's generator has shipped `events.ts` in three different
+  * parquet flavors across rounds: TIMESTAMP(NANOS) (read as long under
+  * `nanosAsLong`), naive timestamp[us] (read as TIMESTAMP_NTZ), and
+  * tz-aware timestamp[us] (TimestampType). Round 6 went red because only
+  * the first flavor was normalized. This spec synthesizes all three
+  * vintages and asserts (a) `SparkEntry.normalizeTs` lands every flavor
+  * on identical microsecond TimestampType values, and (b) EVERY declared
+  * query resolves its plan against each vintage — the data's vintage
+  * must never again decide correctness.
+  */
+class TsFlavorSpec extends SparkSpec {
+
+  private val srcDir = "/root/testdata/sf0.001"
+
+  /** Temp dir holding `events.parquet` rewritten in the given flavor and
+    * symlinks to every other sf0.001 table.
+    */
+  private def flavorDir(flavor: String): String = {
+    val tmp = Files.createTempDirectory(s"graft_tsflavor_$flavor")
+    tmp.toFile.deleteOnExit()
+    val raw = spark.read.parquet(s"$srcDir/events.parquet")
+    // Canonical micros regardless of today's vintage on disk.
+    val canon = SparkEntry.normalizeTs(raw)
+    val out = flavor match {
+      case "long" => canon.withColumn("ts", unix_micros(col("ts")) * 1000L) // nanos
+      case "tz"   => canon                                                  // TimestampType
+      case "ntz"  => canon.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    }
+    out.coalesce(1).write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val src = Paths.get(srcDir)
+    Files.list(src).forEach { p: Path =>
+      val n = p.getFileName.toString
+      if (n.endsWith(".parquet") && n != "events.parquet")
+        Files.createSymbolicLink(tmp.resolve(n), p)
+    }
+    tmp.toString
+  }
+
+  private lazy val dirs: Map[String, String] =
+    Seq("long", "tz", "ntz").map(f => f -> flavorDir(f)).toMap
+
+  test("normalizeTs lands all three vintages on identical micros") {
+    val expect = SparkEntry.normalizeTs(spark.read.parquet(s"$srcDir/events.parquet"))
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .orderBy("event_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    for ((flavor, dir) <- dirs) {
+      val df = SparkEntry.normalizeTs(spark.read.parquet(s"$dir/events.parquet"))
+      assert(df.schema("ts").dataType === TimestampType, s"flavor=$flavor")
+      val got = df.select(col("event_id"), unix_micros(col("ts")).as("us"))
+        .orderBy("event_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.toSeq === expect.toSeq, s"flavor=$flavor micros differ")
+    }
+  }
+
+  test("every declared query resolves against every ts vintage") {
+    for ((flavor, dir) <- dirs) {
+      SparkEntry.queries.foreach { case (name, fn) =>
+        val df: DataFrame =
+          try fn(spark, dir)
+          catch { case e: Throwable =>
+            fail(s"$name failed to build plan on ts flavor '$flavor': ${e.getMessage}")
+          }
+        assert(df.schema.fields.nonEmpty, s"$name empty schema on flavor $flavor")
+      }
+    }
+  }
+
+  test("the round-6 red queries execute on every ts vintage") {
+    for ((flavor, dir) <- dirs; q <- Seq("q_time_of_day", "q_sessionize", "q_asof_sql")) {
+      val n = SparkEntry.queries(q)(spark, dir).count()
+      assert(n > 0, s"$q returned no rows on flavor $flavor")
+    }
+  }
+}

@@ -58,8 +58,7 @@ class AsofSqlSpec extends SparkSpec {
 
   test("agrees with the composed DataFrame as-of on the events table") {
     val dir = "/root/testdata/sf0.001"
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = graft.SparkEntry.normalizeTs(spark.read.parquet(s"$dir/events.parquet"))
     ev.filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("ts")).createOrReplaceTempView("clicks")
     ev.filter(col("event_type") === "purchase")
