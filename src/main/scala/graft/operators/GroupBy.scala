@@ -49,7 +49,12 @@ object GroupBy {
         countDistinct(col(c)) + max(when(col(c).isNull, 1).otherwise(0))
       case "Average"           => avg(col(c))
       case "StandardDeviation" => coalesce(stddev_samp(col(c)), lit(0.0))
-      case "Median"            => percentile(col(c), lit(0.5))
+      // default exact median is the one-shuffle histogram aggregate —
+      // buffer size per group is the DISTINCT-value count, not the row
+      // count (percentile(0.5) buffers every value; still available as
+      // MedianBuffered for callers that want Spark's built-in)
+      case "Median"            => graft.plans.RefAggregates.histMedian(col(c))
+      case "MedianBuffered"    => percentile(col(c), lit(0.5))
       case "RefMedian"         => graft.plans.RefAggregates.refMedian(col(c))
       case "RefMode"           => graft.plans.RefAggregates.refMode(col(c))
       // ApproxMedian is the 100TB-scale path (single-pass sketch, no

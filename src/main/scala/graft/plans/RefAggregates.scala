@@ -305,12 +305,66 @@ object RefAggregates {
     override protected def withNewChildInternal(c: Expression): RefQuartile = copy(child = c)
   }
 
+  /** Standard interpolating median (odd n → middle value, even n → mean
+    * of the two middle values — the DuckDB/Spark `median` contract for
+    * numeric input, unlike [[RefMedian]]'s distinct-parity reference
+    * semantics) over the same value→count histogram. One shuffle carrying
+    * (value, count) pairs instead of `percentile(0.5)`'s every-row buffer:
+    * the default exact-median route for grouped aggregation, where the
+    * per-group distinct count is what bounds memory.
+    */
+  case class HistMedian(
+      child: Expression,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0) extends HistogramAgg {
+
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_hist_median"
+
+    override def eval(buf: Hist): Any = {
+      if (buf.isEmpty) return null
+      val entries = new Array[(Double, Long)](buf.size())
+      val it = buf.entrySet().iterator()
+      var i = 0
+      var total = 0L
+      while (it.hasNext) {
+        val e = it.next()
+        entries(i) = (e.getKey.asInstanceOf[Double], e.getValue.longValue())
+        total += e.getValue.longValue()
+        i += 1
+      }
+      java.util.Arrays.sort(entries, Ordering.by((p: (Double, Long)) => p._1))
+      val loRank = (total + 1) / 2 // 1-indexed lower-middle (== upper for odd n)
+      val hiRank = total / 2 + 1
+      var lo = Double.NaN
+      var haveLo = false
+      var cum = 0L
+      i = 0
+      while (i < entries.length) {
+        cum += entries(i)._2
+        if (!haveLo && cum >= loRank) { lo = entries(i)._1; haveLo = true }
+        if (cum >= hiRank) return (lo + entries(i)._1) / 2.0
+        i += 1
+      }
+      null // unreachable: hiRank <= total
+    }
+
+    override def withNewMutableAggBufferOffset(offset: Int): HistMedian =
+      copy(mutableAggBufferOffset = offset)
+    override def withNewInputAggBufferOffset(offset: Int): HistMedian =
+      copy(inputAggBufferOffset = offset)
+    override protected def withNewChildInternal(c: Expression): HistMedian = copy(child = c)
+  }
+
   def medianInput(e: Expression): Expression = Cast(e, DoubleType)
 
   // Column-API wrappers
   def refMedian(c: Column): Column =
     ExpressionUtils.column(
       RefMedian(medianInput(ExpressionUtils.expression(c))).toAggregateExpression())
+  def histMedian(c: Column): Column =
+    ExpressionUtils.column(
+      HistMedian(medianInput(ExpressionUtils.expression(c))).toAggregateExpression())
   def refMode(c: Column): Column =
     ExpressionUtils.column(RefMode(ExpressionUtils.expression(c)).toAggregateExpression())
   def refQuartile(c: Column, p: Int): Column =

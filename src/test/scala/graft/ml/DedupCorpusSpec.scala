@@ -146,6 +146,24 @@ class DedupCorpusSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("training sample is deterministic on dup-heavy corpora (hash ties broken by value)") {
+    // duplicate vectors hash identically under the seeded xxhash64 —
+    // without the secondary value key, which of the tied rows crosses
+    // the limit(n) boundary would depend on scan order (session/
+    // partitioning dependent) and break the quantizer memo contract.
+    // 40 distinct vectors × 10 copies, sample 25: ties straddle the cut.
+    def corpus(parts: Int) = spark.range(400).repartition(parts)
+      .selectExpr("id % 40 AS g",
+        "transform(sequence(0, 3), j -> cast(id % 40 AS double)) AS embedding")
+    def sample(parts: Int): Seq[Seq[Double]] =
+      Ann.trainingSample(corpus(parts), "embedding", n = 25, seed = 7L)
+        .collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val one = sample(1)
+    assert(one.length === 25)
+    assert(sample(5) === one)
+    assert(sample(13) === one)
+  }
+
   test("IVF index: lists partition the corpus; full probe = exact top-k") {
     val vecs = (0 until 60).map { i =>
       (i.toLong, Array.tabulate(8)(j => math.sin(i * 17 + j * 3).toFloat))

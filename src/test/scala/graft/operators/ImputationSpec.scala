@@ -87,6 +87,28 @@ class ImputationSpec extends SparkSpec {
     assert(out.filter($"a" === 2.0 && $"v" === 10.0).count() === 2)
   }
 
+  test("NN result is partition-invariant (replay-stable row ids, dup-heavy input)") {
+    // the patient uid is (2×64-bit row hash, dup ordinal) — a pure
+    // function of row CONTENT, so recomputing any partition (fetch-
+    // failure replay) or re-slicing the input cannot drop/duplicate
+    // rows the way a monotonically_increasing_id key could. Pin it by
+    // running the same dup-heavy frame under three partitionings and
+    // requiring identical result multisets.
+    val rows = (0 until 30).map { i =>
+      val v = if (i % 4 == 0) None else Some(i * 10.0)
+      (Some((i % 7).toDouble), Some((i % 5).toDouble), v) // heavy key dups
+    } ++ Seq.fill(4)((Some(3.0), Some(3.0), Option.empty[Double])) // identical patients
+    def run(parts: Int): Seq[Seq[Any]] = {
+      val d = rows.toDF("a", "b", "v").repartition(parts)
+      Imputation.nearestNeighbour(d, "v", Seq("a", "b"))
+        .collect().map(_.toSeq).sortBy(_.mkString(",")).toSeq
+    }
+    val one = run(1)
+    assert(one.length === rows.length) // every dup survives
+    assert(run(3) === one)
+    assert(run(8) === one)
+  }
+
   test("NN rank-band blocking equals the exact path when the NN is in band") {
     // 40 rows over two correlated sources; every patient's nearest donor
     // is adjacent in rank space, so a ±4-rank band must reproduce the

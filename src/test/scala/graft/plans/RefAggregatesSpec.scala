@@ -76,4 +76,32 @@ class RefAggregatesSpec extends SparkSpec {
       .collect()(0)
     assert(viaSql.getDouble(0) === 6.0 && viaSql.getString(1) === "y")
   }
+
+  test("HistMedian matches percentile(0.5) semantics (and is the Median default)") {
+    def both(vals: Seq[Double], parts: Int): (Any, Any) = {
+      val df = vals.toDF("v").repartition(parts)
+      (df.agg(RefAggregates.histMedian($"v")).collect()(0).get(0),
+       df.agg(percentile($"v", lit(0.5))).collect()(0).get(0))
+    }
+    val cases = Seq(
+      Seq(1, 2, 3, 4, 5).map(_.toDouble),            // odd n → middle
+      Seq(1, 2, 3, 6, 7, 8).map(_.toDouble),         // even n → mean of middles
+      Seq(3, 3, 6, 6, 9, 9).map(_.toDouble),         // multiplicities (vs RefMedian's 6.0)
+      Seq(3, 3, 3, 9, 9, 9).map(_.toDouble),
+      Seq(1.0, 1.0, 2.0),                            // both middles in one entry
+      Seq(5.0),
+      Seq(-1, -1, 0, 1, 1).map(_.toDouble),
+      (0 until 101).map(_.toDouble))
+    for (vals <- cases; parts <- Seq(1, 7)) {
+      val (h, p) = both(vals, parts)
+      assert(h === p, s"histMedian($vals, parts=$parts)")
+    }
+    assert(Seq.empty[Double].toDF("v").agg(RefAggregates.histMedian($"v"))
+      .collect()(0).get(0) === null)
+    // the GroupBy "Median" accumulator routes to the histogram aggregate
+    val grouped = GroupBy.groupby(
+      Seq((1, 1.0), (1, 2.0), (1, 3.0), (2, 4.0), (2, 8.0)).toDF("k", "v"),
+      Seq("k"), Seq("v" -> "Median")).orderBy("k").collect()
+    assert(grouped(0).getDouble(1) === 2.0 && grouped(1).getDouble(1) === 6.0)
+  }
 }
