@@ -149,6 +149,14 @@ object Bench {
         noopSink(graft.sources.Readers.readCsv(spark, s"$tmp/li.csv"))
     } catch { case e: Throwable => System.err.println(s"[bench] io setup: ${e.getMessage}") }
 
+    // Optional task filter for local iteration on one query's timing
+    // (comma-separated names). The driver never sets this — official
+    // records always time the full list.
+    sys.env.get("SPARK_GRAFT_BENCH_ONLY").foreach { only =>
+      val keep = only.split(',').map(_.trim).filter(_.nonEmpty).toSet
+      tasks.filterInPlace { case (name, _) => keep(name) }
+    }
+
     // ---- interleaved passes ------------------------------------------
     val bestOk = scala.collection.mutable.LinkedHashMap[String, Double]()
     tasks.keys.foreach { n => bestOk(n) = Double.MaxValue }
