@@ -43,12 +43,23 @@ object SparkEntry {
     }
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    // Older events.parquet vintages carry TIMESTAMP(NANOS) which Spark
-    // only reads as long; newer ones carry timestamp[us] (NTZ). Normalize
-    // to microsecond TimestampType right at the scan either way.
+    // Older parquet vintages carry TIMESTAMP(NANOS) which Spark only
+    // reads as long; newer ones carry timestamp[us] (NTZ). events.ts is
+    // normalized fully (its queries do epoch arithmetic that rejects
+    // NTZ); the orders/lineitem date columns only get the nanos-long
+    // rescue — their queries are NTZ-safe and the current flavor's
+    // driver-hash behavior must not change.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = s.read.parquet(s"$dir/$name.parquet")
-    if (name == "events") normalizeTs(df) else df
+    name match {
+      case "events" => normalizeTs(df)
+      case "orders" | "lineitem" =>
+        val dateCol = if (name == "orders") "o_orderdate" else "l_shipdate"
+        if (df.schema(dateCol).dataType == org.apache.spark.sql.types.LongType)
+          normalizeTs(df, dateCol)
+        else df
+      case _ => df
+    }
   }
 
   /** z-order clustered copy of lineitem, written once per (process,

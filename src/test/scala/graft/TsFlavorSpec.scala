@@ -19,25 +19,35 @@ class TsFlavorSpec extends SparkSpec {
 
   private val srcDir = "/root/testdata/sf0.001"
 
-  /** Temp dir holding `events.parquet` rewritten in the given flavor and
-    * symlinks to every other sf0.001 table.
+  /** Every temporal column the driver's generator has shipped in
+    * drifting flavors. events.ts gets the full three-way treatment; the
+    * orders/lineitem date columns ride along so a nanos-vintage of THOSE
+    * tables can't red a future round either.
+    */
+  private val temporalCols = Map(
+    "events" -> "ts", "orders" -> "o_orderdate", "lineitem" -> "l_shipdate")
+
+  /** Temp dir with every temporal column rewritten in the given flavor
+    * and symlinks to the untouched sf0.001 tables.
     */
   private def flavorDir(flavor: String): String = {
     val tmp = Files.createTempDirectory(s"graft_tsflavor_$flavor")
     tmp.toFile.deleteOnExit()
-    val raw = spark.read.parquet(s"$srcDir/events.parquet")
-    // Canonical micros regardless of today's vintage on disk.
-    val canon = SparkEntry.normalizeTs(raw)
-    val out = flavor match {
-      case "long" => canon.withColumn("ts", unix_micros(col("ts")) * 1000L) // nanos
-      case "tz"   => canon                                                  // TimestampType
-      case "ntz"  => canon.withColumn("ts", col("ts").cast("timestamp_ntz"))
+    for ((table, tc) <- temporalCols) {
+      val raw = spark.read.parquet(s"$srcDir/$table.parquet")
+      // Canonical micros regardless of today's vintage on disk.
+      val canon = SparkEntry.normalizeTs(raw, tc)
+      val out = flavor match {
+        case "long" => canon.withColumn(tc, unix_micros(col(tc)) * 1000L) // nanos
+        case "tz"   => canon                                              // TimestampType
+        case "ntz"  => canon.withColumn(tc, col(tc).cast("timestamp_ntz"))
+      }
+      out.coalesce(1).write.mode("overwrite").parquet(s"$tmp/$table.parquet")
     }
-    out.coalesce(1).write.mode("overwrite").parquet(s"$tmp/events.parquet")
     val src = Paths.get(srcDir)
     Files.list(src).forEach { p: Path =>
       val n = p.getFileName.toString
-      if (n.endsWith(".parquet") && n != "events.parquet")
+      if (n.endsWith(".parquet") && !temporalCols.contains(n.stripSuffix(".parquet")))
         Files.createSymbolicLink(tmp.resolve(n), p)
     }
     tmp.toString
