@@ -147,11 +147,21 @@ object Bench {
         graft.sources.Writers.toCsv(li, s"$tmp/li.csv")
       tasks("io_csv_read_typed") = () =>
         noopSink(graft.sources.Readers.readCsv(spark, s"$tmp/li.csv"))
+      // vs BASELINE.md "JSON import rate ≈2.3M rows/s" (the reference's
+      // driver-side envelope): distributed line-split JSONL with the
+      // schema given (single pass, no inference read)
+      li.limit(1000).write.mode("overwrite").json(s"$tmp/warm.jsonl") // write-path warmup
+      tasks("io_jsonl_write") = () =>
+        graft.sources.Writers.toJsonl(li, s"$tmp/li.jsonl")
+      tasks("io_jsonl_read") = () =>
+        noopSink(graft.sources.Readers.readJsonl(spark, s"$tmp/li.jsonl", li.schema))
     } catch { case e: Throwable => System.err.println(s"[bench] io setup: ${e.getMessage}") }
 
     // Optional task filter for local iteration on one query's timing
     // (comma-separated names). The driver never sets this — official
-    // records always time the full list.
+    // records always time the full list. NOTE: the io_*_read tasks read
+    // what their io_*_write sibling wrote in the same pass — include the
+    // writer when timing a reader.
     sys.env.get("SPARK_GRAFT_BENCH_ONLY").foreach { only =>
       val keep = only.split(',').map(_.trim).filter(_.nonEmpty).toSet
       tasks.filterInPlace { case (name, _) => keep(name) }

@@ -81,6 +81,24 @@ object SparkEntry {
       s"$tmp/z"
     })
 
+  /** JSONL copy of documents, written once per (process, sf-dir) and
+    * deleted at JVM exit — the roundtrip query reads it LAZILY (a
+    * distributed json scan, unlike readHdf5's driver-side materialize),
+    * so the files must outlive the returned frame's evaluation.
+    */
+  private val jsonlDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def jsonlDir(s: SparkSession, dir: String): String =
+    jsonlDirs.computeIfAbsent(dir, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        catch { case _: Throwable => () }))
+      graft.sources.Writers.toJsonl(
+        t(s, dir, "documents").select(col("doc_id"), col("text"), col("lang"), col("n_chars")),
+        s"$tmp/docs.jsonl")
+      s"$tmp/docs.jsonl"
+    })
+
   /** Flagship query on sf=0.001: revenue per nation — scan-heavy join
     * pipeline with broadcast dims (lineitem ⋈ orders ⋈ customer ⋈ nation).
     */
@@ -594,6 +612,44 @@ object SparkEntry {
       val evens = picked.filter(col("doc_id") % 2 === 0).count().toDouble
       Seq(evens / 100.0 >= 0.9).toDF("dsir_ok")
     }),
+    // CCNet-style perplexity gate (planted construction, boolean-verdict
+    // oracle like q_dsir_gate): train the hashed-bigram LM on the corpus
+    // itself, then require BOTH
+    //  (1) per-doc: deterministic out-of-vocabulary gibberish (tokens
+    //      derived from doc_id, guaranteed unseen → every transition
+    //      hits the smoothed unigram floor) scores higher perplexity
+    //      than the doc's own text on ≥99% of pairs, and
+    //  (2) in aggregate: word-REVERSED text (same unigrams, destroyed
+    //      bigrams) has higher MEAN perplexity than the natural text —
+    //      the bigram-structure signal (per-doc reversal is too weak a
+    //      bar on this synthetic corpus: measured 78% at sf0.01).
+    "q_ppl_gate" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val gibberish = docs.select(col("doc_id"),
+        array_join(transform(sequence(lit(0), lit(29)),
+          j => concat(lit("zq"), pmod(hash(col("doc_id") * 53 + j), lit(9973)).cast("string"))),
+          " ").as("text"))
+      val reversed = docs.select(col("doc_id"),
+        concat_ws(" ", reverse(split(col("text"), " "))).as("text"))
+      val model = graft.ml.Perplexity.train(docs, "text", buckets = 1 << 14, seed = 11)
+        .persist()
+      try {
+        def ppl(d: DataFrame, as: String) =
+          graft.ml.Perplexity.score(d, "doc_id", "text", model,
+            buckets = 1 << 14, seed = 11).select(col("doc_id"), col("ppl").as(as))
+        val nat = ppl(docs, "ppl_nat")
+        val oov = nat.join(ppl(gibberish, "ppl_oov"), "doc_id")
+          .filter(col("ppl_nat").isNotNull && col("ppl_oov").isNotNull)
+          .select((col("ppl_oov") > col("ppl_nat")).cast("long").as("hi"))
+          .agg(sum("hi").as("hi"), count(lit(1)).as("n")).collect()(0)
+        val means = nat.join(ppl(reversed, "ppl_rev"), "doc_id")
+          .agg(avg("ppl_nat").as("mn"), avg("ppl_rev").as("mr")).collect()(0)
+        Seq(oov.getLong(1) > 0 &&
+          oov.getLong(0).toDouble / oov.getLong(1) >= 0.99 &&
+          means.getDouble(1) > means.getDouble(0)).toDF("ppl_ok")
+      } finally { model.unpersist(false); () }
+    }),
     // fixed-stride token chunking (40-token windows, stride 30)
     "q_chunk" -> ((s, dir) =>
       Chunking.chunkByTokens(
@@ -877,6 +933,18 @@ object SparkEntry {
     // the same SELECT straight off the parquet table, so any corruption
     // in the on-disk structures (heaps, vlen strings, typed datasets)
     // breaks the hash match
+    "q_jsonl_roundtrip" -> ((s, dir) => {
+      // write-once JSONL copy (memoized, shutdown-hook cleaned), then a
+      // DISTRIBUTED line-split json scan with the explicit schema (single
+      // pass, no inference read) — the scale path the columnar-envelope
+      // compat codec is not
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("n_chars", LongType)))
+      graft.sources.Readers.readJsonl(s, jsonlDir(s, dir), schema)
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    }),
     "q_hdf5_roundtrip" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(
         col("doc_id"), col("text"), col("lang"), col("n_chars"))
@@ -1455,6 +1523,10 @@ object SparkEntry {
          ORDER BY lnu / w DESC, doc_id LIMIT 200""",
     "q_dsir_gate" ->
       "SELECT true AS dsir_ok",
+    // q_ppl_gate: planted scramble construction; the oracle is the
+    // boolean verdict (the q_dsir_gate / q_ann_gate pattern)
+    "q_ppl_gate" ->
+      "SELECT true AS ppl_ok",
     "q_chunk" ->
       """WITH c AS (
            SELECT doc_id, string_split(text, ' ') AS toks,
@@ -1867,6 +1939,10 @@ object SparkEntry {
     // q_hdf5_roundtrip: write→read through the clean-room HDF5 codec is
     // an identity map, so the oracle is the source table itself
     "q_hdf5_roundtrip" ->
+      "SELECT doc_id, text, lang, n_chars FROM documents",
+    // q_jsonl_roundtrip: write→distributed-read through JSONL must be
+    // lossless against the source table
+    "q_jsonl_roundtrip" ->
       "SELECT doc_id, text, lang, n_chars FROM documents",
     // q_ann_lsh / q_ann_ivf at FULL probe scan the whole corpus with
     // exact distances, so exact top-k IS their oracle (same shape as

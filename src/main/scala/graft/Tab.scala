@@ -195,6 +195,25 @@ final case class Tab(df: DataFrame) {
       minWords = minWords, stopwords = stopwords).getField("pass") === 1L))
 
   // ---- io -----------------------------------------------------------
+  /** CCNet-style LM-perplexity quality filter (ml.Perplexity): keep rows
+    * whose text scores ≤ maxPpl against a reference corpus's hashed
+    * bigram model.
+    */
+  def filterByPerplexity(idCol: String, textCol: String, reference: Tab,
+      refTextCol: String, maxPpl: Double): Tab =
+    Tab(graft.ml.Perplexity.filterByPerplexity(
+      df, idCol, textCol, reference.df, refTextCol, maxPpl))
+
+  /** Score text perplexity against a reference corpus and band the rows
+    * head/middle/tail by the score distribution (CCNet's split).
+    */
+  def perplexityBands(idCol: String, textCol: String, reference: Tab,
+      refTextCol: String): Tab = {
+    val model = graft.ml.Perplexity.train(reference.df, refTextCol)
+    Tab(graft.ml.Perplexity.withBand(
+      graft.ml.Perplexity.score(df, idCol, textCol, model)))
+  }
+
   def save(path: String): Unit = Writers.save(df, path)
   def toCsv(path: String): Unit = Writers.toCsv(df, path)
   def toTsv(path: String): Unit = Writers.toTsv(df, path)
@@ -202,6 +221,7 @@ final case class Tab(df: DataFrame) {
   def toOds(path: String): Unit = Ods.writeOds(df, path)
   def toTpz(path: String): Unit = Tpz.writeTpz(df, path)
   def toHdf5(path: String): Unit = Hdf5.writeHdf5(df, path)
+  def toJsonl(path: String): Unit = Writers.toJsonl(df, path)
   def toSqlText(tableName: String): String = Writers.toSql(df, tableName)
   def toJsonText: String = Writers.toColumnarJson(df)
   def toHtmlText: String = Writers.toHtml(df)
@@ -230,7 +250,9 @@ object Tab {
     else if (lower.endsWith(".ods")) Tab(Ods.readOds(spark, path,
       firstRowHasHeaders = opts.firstRowHasHeaders, headerRowIndex = opts.headerRowIndex,
       skipEmpty = opts.skipEmpty, guessDatatypes = opts.guessDatatypes))
-    else if (lower.endsWith(".json")) Tab(Readers.readColumnarJson(spark, path))
+    else if (lower.endsWith(".jsonl") || lower.endsWith(".ndjson"))
+      Tab(Readers.readJsonl(spark, path))
+    else if (lower.endsWith(".json")) Tab(Readers.readJsonAuto(spark, path))
     else if (lower.endsWith(".tsv")) Tab(Readers.readCsv(spark, path,
       opts.copy(delimiter = opts.delimiter.orElse(Some("\t")))))
     else Tab(Readers.readCsv(spark, path, opts))

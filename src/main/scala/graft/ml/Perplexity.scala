@@ -1,0 +1,138 @@
+package graft.ml
+
+import graft.plans.Kernels
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Perplexity-based quality filtering — the CCNet pipeline's KenLM
+  * stage (Wenzek et al. 2020, "CCNet: Extracting High Quality
+  * Monolingual Datasets from Web Crawl Data", §4.3: score documents by
+  * language-model perplexity against a clean reference corpus, then
+  * filter or head/middle/tail-bucket on the score) re-expressed as a
+  * distributed hashed n-gram model instead of a native KenLM binary.
+  *
+  * Model: unigram + bigram token counts under the hashing trick (as in
+  * [[Dsir]] — xxhash64 → `buckets` bins), so the trained model is at
+  * most `2 × buckets` rows NO MATTER how large the reference corpus is,
+  * and broadcasts to every executor. Probability of a transition is
+  * Jelinek–Mercer interpolated:
+  *
+  *   P(w | prev) = λ · cb(prev,w) / cu(prev)  +  (1−λ) · (cu(w)+1) / (N+B)
+  *
+  * (conditional bigram estimate backed off to an add-one-smoothed
+  * unigram; never zero, so log is total). Document perplexity =
+  * exp(mean −log P over its transitions).
+  *
+  * Scale shape: training is two partial-agg shuffles of hashed longs
+  * (counts only — tokens never shuffle); scoring is explode → two
+  * BROADCAST joins → per-doc partial mean, so the corpus text itself
+  * never crosses the network and the only shuffle payload is one
+  * (doc_id, partial-sum) pair per partition.
+  */
+object Perplexity {
+
+  /** Hashed LM counts: `(kind 1=unigram|2=bigram, bucket, cnt)` plus the
+    * constant training-token total `n_tokens` on every row (rides along
+    * so the model is one self-contained broadcastable frame — no
+    * side-channel scalars to keep in sync when persisting/reloading it).
+    */
+  def train(
+      corpus: DataFrame, textCol: String,
+      buckets: Int = 1 << 16, seed: Int = 0): DataFrame = {
+    require(buckets > 0, s"buckets: $buckets")
+    def counts(n: Int, kind: Int): DataFrame = corpus
+      .select(explode(Kernels.wordShingles(col(textCol), n)).as("__sh"))
+      .select(pmod(xxhash64(col("__sh"), lit(seed)), lit(buckets.toLong)).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+      .select(lit(kind).as("kind"), col("bucket"), col("cnt"))
+    val uni = counts(1, 1)
+    val bi = counts(2, 2)
+    val total = uni.agg(sum("cnt").as("n_tokens"))
+    uni.unionByName(bi).crossJoin(broadcast(total))
+  }
+
+  /** `docs` + `ppl` (document perplexity under `model`) and
+    * `n_transitions`. Docs with fewer than 2 tokens have no bigram
+    * transitions: `ppl` is null there (no evidence either way — callers
+    * filter or fill by policy, CCNet drops them).
+    */
+  def score(
+      docs: DataFrame, idCol: String, textCol: String,
+      model: DataFrame,
+      buckets: Int = 1 << 16, seed: Int = 0,
+      lambda: Double = 0.8): DataFrame = {
+    require(lambda > 0.0 && lambda < 1.0, s"lambda: $lambda")
+    // model is ≤ 2×buckets rows; both kinds and the token total come
+    // from the one broadcast
+    val uni = broadcast(model.filter(col("kind") === 1)
+      .select(col("bucket").as("__ub"), col("cnt").as("__cu")))
+    val bi = broadcast(model.filter(col("kind") === 2)
+      .select(col("bucket").as("__bb"), col("cnt").as("__cb")))
+    // the token total is constant on every model row; carried via its own
+    // 1-row cross join, NOT the unigram join — a transition whose word
+    // hashes to an unseen bucket must still see the total (a left-join
+    // null here would null the whole document's score)
+    val tot = broadcast(model.agg(first(col("n_tokens")).as("__n")))
+    def h(c: org.apache.spark.sql.Column) =
+      pmod(xxhash64(c, lit(seed)), lit(buckets.toLong))
+    val transitions = docs
+      .select(col(idCol), explode(Kernels.wordShingles(col(textCol), 2)).as("__sh"))
+      .select(col(idCol),
+        h(col("__sh")).as("__hb"),
+        h(substring_index(col("__sh"), " ", 1)).as("__hprev"),
+        h(substring_index(col("__sh"), " ", -1)).as("__hcur"))
+      .join(bi, col("__hb") === col("__bb"), "left")
+      .join(uni.select(col("__ub"), col("__cu").as("__cprev")),
+        col("__hprev") === col("__ub"), "left").drop("__ub")
+      .join(uni, col("__hcur") === col("__ub"), "left")
+      .crossJoin(tot)
+    val pCond = when(col("__cprev").isNotNull && col("__cb").isNotNull,
+      col("__cb").cast("double") / col("__cprev")).otherwise(lit(0.0))
+    val pUni = (coalesce(col("__cu"), lit(0L)).cast("double") + 1.0) /
+      (col("__n") + buckets.toDouble)
+    val nll = -log(lit(lambda) * pCond + lit(1.0 - lambda) * pUni)
+    val perDoc = transitions
+      .select(col(idCol), nll.as("__nll"))
+      .groupBy(col(idCol))
+      .agg(exp(avg("__nll")).as("ppl"), count(lit(1)).as("n_transitions"))
+    docs.join(perDoc, Seq(idCol), "left")
+      .withColumn("n_transitions", coalesce(col("n_transitions"), lit(0L)))
+  }
+
+  /** CCNet's head/middle/tail banding: label each scored doc by where
+    * its perplexity falls against the corpus distribution —
+    * `head` below the `headFrac` quantile (cleanest), `tail` above the
+    * `tailFrac` quantile, `middle` between, null ppl → `unscored`.
+    * Thresholds via approx quantiles (single pass, broadcast back).
+    */
+  def withBand(
+      scored: DataFrame, pplCol: String = "ppl",
+      headFrac: Double = 0.33, tailFrac: Double = 0.67): DataFrame = {
+    require(headFrac > 0 && headFrac < tailFrac && tailFrac < 1,
+      s"fractions: $headFrac/$tailFrac")
+    val thresholds = broadcast(scored.agg(
+      percentile_approx(col(pplCol), lit(headFrac), lit(10000)).as("__head_t"),
+      percentile_approx(col(pplCol), lit(tailFrac), lit(10000)).as("__tail_t")))
+    scored.crossJoin(thresholds)
+      .withColumn("band",
+        when(col(pplCol).isNull, lit("unscored"))
+          .when(col(pplCol) <= col("__head_t"), lit("head"))
+          .when(col(pplCol) > col("__tail_t"), lit("tail"))
+          .otherwise(lit("middle")))
+      .drop("__head_t", "__tail_t")
+  }
+
+  /** Train on `reference`, score `docs`, keep those at or under
+    * `maxPpl` — the one-call CCNet-style filter.
+    */
+  def filterByPerplexity(
+      docs: DataFrame, idCol: String, textCol: String,
+      reference: DataFrame, refTextCol: String,
+      maxPpl: Double,
+      buckets: Int = 1 << 16, seed: Int = 0, lambda: Double = 0.8): DataFrame = {
+    val model = train(reference, refTextCol, buckets, seed)
+    score(docs, idCol, textCol, model, buckets, seed, lambda)
+      .filter(col("ppl").isNotNull && col("ppl") <= maxPpl)
+      .drop("ppl", "n_transitions")
+  }
+}

@@ -200,6 +200,33 @@ object Readers {
     if (opts.guessDatatypes) graft.functions.TypeInference.applyBestTypes(df) else df
   }
 
+  /** Distributed JSONL / NDJSON read — the scale path for JSON ingest
+    * (one object per line; files split by line across executors, so a
+    * 100 TB corpus reads with full parallelism — unlike the reference's
+    * driver-side envelope, import_utils.py:112-122). With `schema`
+    * provided the scan is single-pass; otherwise Spark runs its
+    * inference pass first (2 reads). Malformed lines go to
+    * `_corrupt_record` rather than failing the scan (PERMISSIVE), which
+    * is the ingest behavior a web-scale pipeline needs.
+    */
+  def readJsonl(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType = null,
+      guessDatatypes: Boolean = false): DataFrame = {
+    val reader = spark.read.option("mode", "PERMISSIVE")
+    val df = (if (schema != null) reader.schema(schema) else reader).json(path)
+    if (guessDatatypes) graft.functions.TypeInference.applyBestTypes(df) else df
+  }
+
+  /** `.json` dispatch: sniff the head — the reference's columnar
+    * envelope starts `{"columns":`; anything else is treated as JSONL.
+    */
+  def readJsonAuto(spark: SparkSession, path: String): DataFrame = {
+    val head = spark.read.textFile(path).limit(1).collect().headOption.getOrElse("")
+    if (head.replaceAll("\\s", "").startsWith("{\"columns\":"))
+      readColumnarJson(spark, path)
+    else readJsonl(spark, path)
+  }
+
   /** tablite's column-oriented JSON envelope
     * (`{"columns": {name: [values]}, "total_rows": n}`,
     * import_utils.py:112-122) — a compat codec, driver-side by design.

@@ -108,6 +108,13 @@ object Writers {
     (create +: inserts).mkString("\n")
   }
 
+  /** Distributed JSONL write — one object per line, one file per
+    * partition (the scale counterpart of [[toColumnarJson]]'s capped
+    * driver-side envelope).
+    */
+  def toJsonl(df: DataFrame, path: String): Unit =
+    fanOut(df).write.mode(SaveMode.Overwrite).json(path)
+
   /** tablite's columnar JSON envelope (export_utils.py:139-143). */
   def toColumnarJson(df: DataFrame, maxRows: Int = 1000000): String = {
     val rows = df.limit(maxRows).collect()

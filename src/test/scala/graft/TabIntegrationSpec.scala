@@ -121,4 +121,29 @@ class TabIntegrationSpec extends SparkSpec {
     assert(lm(2L) === ("fr", "unique two"))
     assert(!lm.contains(3L))
   }
+
+  test("Tab perplexity bridges: filter keeps in-domain rows, bands label them") {
+    import spark.implicits._
+    val ref = Tab(Seq.tabulate(40)(i =>
+      s"the quick brown fox jumps over the lazy dog ${i % 3}").toDF("text"))
+    val docs = Tab(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "vortex kazoo discombobulated almanac zither plinth"))
+      .toDF("doc_id", "text"))
+    val clean = docs.filterByPerplexity("doc_id", "text", ref, "text", maxPpl = 1e4)
+    assert(clean.df.select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(1L))
+    val bands = docs.perplexityBands("doc_id", "text", ref, "text")
+    assert(bands.columns.contains("band") && bands.df.count() === 2)
+  }
+
+  test("Tab.toJsonl writes what fromFile reads back (distributed path)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_tab_jsonl").toString
+    try {
+      val t = Tab(Seq((1L, "a"), (2L, "b")).toDF("n", "s"))
+      t.toJsonl(s"$dir/t.jsonl")
+      val back = Tab.fromFile(spark, s"$dir/t.jsonl")
+      assert(back.df.orderBy("n").collect().map(_.getString(1)).toSeq === Seq("a", "b"))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }

@@ -87,6 +87,45 @@ class SourcesSpec extends SparkSpec {
     assert(Readers.readColumnarJson(spark, p, maxBytes = 1 << 20).count() === 2)
   }
 
+  test("jsonl roundtrip: distributed write/read, types and tricky strings survive") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_spec").toString
+    try {
+      val df = Seq(
+        (1L, 1.5, "plain", true),
+        (2L, -0.25, "line\nbreak \"quoted\" \t tab", false),
+        (3L, 0.0, "unicode ✓ Ωmega", true)
+      ).toDF("id", "x", "s", "b").repartition(3)
+      Writers.toJsonl(df, s"$dir/t.jsonl")
+      val back = Readers.readJsonl(spark, s"$dir/t.jsonl", df.schema)
+      assert(back.count() === 3)
+      val rows = back.orderBy("id").collect().map(_.toSeq)
+      assert(rows === df.orderBy("id").collect().map(_.toSeq))
+      // schemaless read infers (long, double, string, boolean)
+      val inferred = Readers.readJsonl(spark, s"$dir/t.jsonl")
+      assert(inferred.schema("id").dataType.typeName === "long")
+      assert(inferred.schema("x").dataType.typeName === "double")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test(".json dispatch sniffs envelope vs JSONL; .jsonl goes distributed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_sniff").toString
+    try {
+      val df = Seq((1L, "a"), (2L, "b")).toDF("n", "s")
+      // columnar envelope under .json → driver-side codec path
+      val envPath = s"$dir/env.json"
+      java.nio.file.Files.write(java.nio.file.Paths.get(envPath),
+        Writers.toColumnarJson(df).getBytes("UTF-8"))
+      assert(graft.Tab.fromFile(spark, envPath).df.count() === 2)
+      // JSONL content under .json → sniffed to the distributed reader
+      Writers.toJsonl(df, s"$dir/lines.json")
+      assert(graft.Tab.fromFile(spark, s"$dir/lines.json").df.count() === 2)
+      // explicit .jsonl extension
+      Writers.toJsonl(df, s"$dir/lines.jsonl")
+      val t = graft.Tab.fromFile(spark, s"$dir/lines.jsonl").df
+      assert(t.orderBy("n").collect().map(_.getString(1)).toSeq === Seq("a", "b"))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("toAscii includes dtype subheader and elision") {
     val ascii = Writers.toAscii(spark.range(20).toDF("i"))
     assert(ascii.contains("bigint"))
