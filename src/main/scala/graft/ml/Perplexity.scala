@@ -99,6 +99,49 @@ object Perplexity {
       .withColumn("n_transitions", coalesce(col("n_transitions"), lit(0L)))
   }
 
+  /** The trained model collected into sorted primitive arrays for the
+    * per-row kernel: bounded by construction (≤ 2×buckets rows — the
+    * hashing trick caps it regardless of corpus size), so the collect
+    * is a driver-safe constant, not a data-sized pull.
+    */
+  final case class LocalModel(
+      uniK: Array[Long], uniV: Array[Long],
+      biK: Array[Long], biV: Array[Long],
+      nTokens: Long, buckets: Int, seed: Int)
+
+  def collectModel(model: DataFrame, buckets: Int = 1 << 16, seed: Int = 0): LocalModel = {
+    def arrays(kind: Int): (Array[Long], Array[Long]) = {
+      val rows = model.filter(col("kind") === kind)
+        .select("bucket", "cnt").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      (rows.map(_._1), rows.map(_._2))
+    }
+    val (uk, uv) = arrays(1)
+    val (bk, bv) = arrays(2)
+    val n = model.select(first("n_tokens")).collect()(0).getLong(0)
+    LocalModel(uk, uv, bk, bv, n, buckets, seed)
+  }
+
+  /** Per-ROW perplexity column from the kernel — bit-compatible with
+    * [[score]]'s broadcast-join path (same hashing, same interpolation;
+    * pinned by spec) but with NO explode/join/aggregation, so it runs
+    * map-side in one pass and — being stateless — composes into
+    * Structured Streaming, where the join path's per-doc groupBy
+    * cannot. The trade: the model rides the plan as expression
+    * constants, so keep `buckets` at the default 2^16 scale here and
+    * use [[score]] for jumbo-bucket models.
+    */
+  def pplColumn(text: org.apache.spark.sql.Column, m: LocalModel,
+      lambda: Double = 0.8): org.apache.spark.sql.Column =
+    Kernels.pplScore(text, m.uniK, m.uniV, m.biK, m.biV,
+      m.nTokens, m.buckets.toLong, m.seed, lambda)
+
+  /** [[score]]'s output shape via the per-row kernel. */
+  def scoreInline(
+      docs: DataFrame, textCol: String, m: LocalModel,
+      lambda: Double = 0.8): DataFrame =
+    docs.withColumn("ppl", pplColumn(col(textCol), m, lambda))
+
   /** CCNet's head/middle/tail banding: label each scored doc by where
     * its perplexity falls against the corpus distribution —
     * `head` below the `headFrac` quantile (cleanest), `tail` above the

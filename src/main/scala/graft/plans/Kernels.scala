@@ -1183,6 +1183,81 @@ object Kernels {
     * failure. Single pass over the string; mirrors
     * `TypeInference.normalizeNumber` semantics exactly.
     */
+  /** Single-pass per-row LM perplexity under a hashed bigram/unigram
+    * model riding as expression constants (sorted bucket arrays +
+    * parallel counts — same constants-in-the-expression pattern as
+    * [[NearestCentroidsExpr]]). One tokenize, binary-search lookups,
+    * no explode/join/groupBy — fully STATELESS, so it composes into
+    * Structured Streaming where the broadcast-join scoring path's
+    * per-doc aggregation cannot. Bucket hashing reproduces the
+    * DataFrame path bit-exactly: `xxhash64(shingle, lit(seed:Int))` =
+    * `hashInt(seed, hashUTF8String(shingle, 42L))`, then pmod.
+    * Null for docs with < 2 tokens (no transitions — the scoring
+    * path's contract).
+    */
+  def pplScoreEval(
+      input: UTF8String,
+      uniK: Array[Long], uniV: Array[Long],
+      biK: Array[Long], biV: Array[Long],
+      nTokens: Long, buckets: Long, seed: Int, lambda: Double): java.lang.Double = {
+    def bucketOf(u: UTF8String): Long = {
+      val h = XXH64.hashInt(seed, XXH64.hashUTF8String(u, 42L))
+      ((h % buckets) + buckets) % buckets
+    }
+    def lookup(keys: Array[Long], vals: Array[Long], k: Long): Long = {
+      val idx = java.util.Arrays.binarySearch(keys, k)
+      if (idx >= 0) vals(idx) else 0L
+    }
+    val toks = wordShinglesEval(input, 1)
+    val n = toks.numElements()
+    if (n < 2) return null
+    var nll = 0.0
+    var i = 0
+    while (i < n - 1) {
+      val prev = toks.getUTF8String(i)
+      val cur = toks.getUTF8String(i + 1)
+      val sh = UTF8String.fromString(prev.toString + " " + cur.toString)
+      val cb = lookup(biK, biV, bucketOf(sh))
+      val cprev = lookup(uniK, uniV, bucketOf(prev))
+      val cu = lookup(uniK, uniV, bucketOf(cur))
+      val pCond = if (cb > 0L && cprev > 0L) cb.toDouble / cprev.toDouble else 0.0
+      val pUni = (cu.toDouble + 1.0) / (nTokens.toDouble + buckets.toDouble)
+      nll -= math.log(lambda * pCond + (1.0 - lambda) * pUni)
+      i += 1
+    }
+    java.lang.Double.valueOf(math.exp(nll / (n - 1)))
+  }
+
+  case class PplScoreExpr(
+      child: Expression,
+      uniK: Array[Long], uniV: Array[Long],
+      biK: Array[Long], biV: Array[Long],
+      nTokens: Long, buckets: Long, seed: Int, lambda: Double)
+      extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any =
+      pplScoreEval(input.asInstanceOf[UTF8String],
+        uniK, uniV, biK, biV, nTokens, buckets, seed, lambda)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val uk = ctx.addReferenceObj("uniK", uniK, "long[]")
+      val uv = ctx.addReferenceObj("uniV", uniV, "long[]")
+      val bk = ctx.addReferenceObj("biK", biK, "long[]")
+      val bv = ctx.addReferenceObj("biV", biV, "long[]")
+      nullSafeCodeGen(ctx, ev, c => s"""
+        java.lang.Double ${ev.value}_r = graft.plans.Kernels.pplScoreEval(
+          $c, $uk, $uv, $bk, $bv, ${nTokens}L, ${buckets}L, $seed, $lambda);
+        if (${ev.value}_r == null) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = ${ev.value}_r.doubleValue();
+        }
+      """)
+    }
+    override protected def withNewChildInternal(c: Expression): PplScoreExpr =
+      copy(child = c)
+  }
+
   case class LocaleNumberExpr(child: Expression) extends UnaryExpression {
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true
@@ -1244,6 +1319,11 @@ object Kernels {
     ExpressionUtils.column(CoveredCountExpr(ExpressionUtils.expression(starts), winLen))
   def wordShingles(text: Column, n: Int): Column =
     ExpressionUtils.column(WordShinglesExpr(ExpressionUtils.expression(text), n))
+  def pplScore(text: Column, uniK: Array[Long], uniV: Array[Long],
+      biK: Array[Long], biV: Array[Long],
+      nTokens: Long, buckets: Long, seed: Int, lambda: Double): Column =
+    ExpressionUtils.column(PplScoreExpr(ExpressionUtils.expression(text),
+      uniK, uniV, biK, biV, nTokens, buckets, seed, lambda))
   def localeNumber(s: Column): Column =
     ExpressionUtils.column(LocaleNumberExpr(ExpressionUtils.expression(s)))
   def localeNorm(s: Column): Column =

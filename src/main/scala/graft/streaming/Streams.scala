@@ -71,7 +71,11 @@ object Streams {
       qualityWeights: Option[Array[Double]] = None,
       minQuality: Double = 0.5,
       gopherStopwords: Option[Seq[String]] = None,
-      gopherMinWords: Long = 50L): DataFrame = {
+      gopherMinWords: Long = 50L,
+      perplexityModel: Option[DataFrame] = None,
+      maxPpl: Double = Double.MaxValue,
+      pplBuckets: Int = 1 << 16,
+      pplSeed: Int = 0): DataFrame = {
     import graft.functions.TextFunctions
     // unicode repair and quality-classifier scoring are stateless
     // map-side expressions, so they compose into the stream for free —
@@ -91,7 +95,17 @@ object Streams {
     val gated = gopherStopwords.fold(scored)(sw =>
       scored.filter(TextFunctions.gopherFlags(text,
         minWords = gopherMinWords, stopwords = sw).getField("pass") === 1L))
-    gated
+    // LM-perplexity gate (CCNet's KenLM stage): the PER-ROW kernel, not
+    // the broadcast-join scorer — its per-doc aggregation is a stateful
+    // op a stream must not pay; the kernel is a stateless map-side
+    // expression with the (bounded, ≤2×buckets-row) model riding as
+    // expression constants. Unscorable docs (< 2 tokens) are dropped,
+    // matching the batch filter's null semantics.
+    val pplGated = perplexityModel.fold(gated) { modelDf =>
+      val m = graft.ml.Perplexity.collectModel(modelDf, pplBuckets, pplSeed)
+      gated.filter(graft.ml.Perplexity.pplColumn(text, m) <= maxPpl)
+    }
+    pplGated
       .withColumn("__fp", TextFunctions.fingerprint(text))
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")

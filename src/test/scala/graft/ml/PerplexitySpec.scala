@@ -91,6 +91,31 @@ class PerplexitySpec extends SparkSpec {
     assert(kept === Seq(1L))
   }
 
+  test("scoreInline kernel agrees with the broadcast-join scorer (hash + math parity)") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "dog lazy the over jumps fox brown quick the"),
+      (3L, "zebra quantum flux capacitor discombobulated xylophone"),
+      (4L, "Mixed CASE punctuation, and  runs   of spaces!"),
+      (5L, "single"), (6L, "")).toDF("doc_id", "text").repartition(3)
+    val model = Perplexity.train(reference, "text", buckets = 1 << 12, seed = 9)
+    val viaJoin = Perplexity.score(docs, "doc_id", "text", model,
+        buckets = 1 << 12, seed = 9)
+      .select("doc_id", "ppl").collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[java.lang.Double]("ppl"))).toMap
+    val m = Perplexity.collectModel(model, buckets = 1 << 12, seed = 9)
+    val viaKernel = Perplexity.scoreInline(docs, "text", m)
+      .select("doc_id", "ppl").collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[java.lang.Double]("ppl"))).toMap
+    assert(viaKernel.keySet === viaJoin.keySet)
+    for ((id, k) <- viaKernel) (k, viaJoin(id)) match {
+      case (None, None) => ()
+      case (Some(a), Some(b)) =>
+        assert(math.abs(a - b) <= 1e-9 * math.max(a, b), s"doc $id: kernel $a vs join $b")
+      case other => fail(s"doc $id null mismatch: $other")
+    }
+  }
+
   test("q_ppl_gate verdict is true at sf0.001 (driver-gate rehearsal)") {
     val out = graft.SparkEntry.queries("q_ppl_gate")(spark, "/root/testdata/sf0.001")
       .collect()

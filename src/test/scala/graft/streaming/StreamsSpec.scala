@@ -123,6 +123,37 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming curation with the perplexity gate (stateless kernel, no extra state)") {
+    val dir = Files.createTempDirectory("graftcurate3").toString + "/in"
+    val en = "the cat and the dog ran to the park and it was a fine day for all of us"
+    Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, en),
+      // language gate passes ("the the"), perplexity gate must drop the
+      // out-of-vocabulary junk
+      (java.sql.Timestamp.valueOf("2024-01-01 10:00:01"), 2L,
+        "the the zorp vrilk plon qhudrix blet snarv wumpet grafix")
+    ).toDF("ts", "doc_id", "text").coalesce(1).write.parquet(dir)
+    val reference = Seq.fill(20)(en).toDF("text")
+    val model = graft.ml.Perplexity.train(reference, "text", buckets = 1 << 12, seed = 5)
+    // threshold: comfortably above the in-domain doc's own score
+    val cleanPpl = graft.ml.Perplexity.scoreInline(Seq(en).toDF("text"), "text",
+      graft.ml.Perplexity.collectModel(model, 1 << 12, 5))
+      .collect()(0).getAs[Double]("ppl")
+    val schema = spark.read.parquet(dir).schema
+    val stream = Streams.readParquetStream(spark, dir, schema)
+    val curated = Streams.streamingCurate(stream, "ts", "1 hour", "text",
+      langs = Set("en"), minTokens = 5L,
+      perplexityModel = Some(model), maxPpl = cleanPpl * 3,
+      pplBuckets = 1 << 12, pplSeed = 5)
+    val q = curated.writeStream.outputMode("append")
+      .format("memory").queryName("curate3_out").start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM curate3_out").collect().map(_.getLong(0)).toSet
+      assert(ids === Set(1L), ids)
+    } finally q.stop()
+  }
+
   test("stateful sessionizer emits gap-separated sessions") {
     val src = writeEventsParquet()
     val schema = spark.read.parquet(src).schema
