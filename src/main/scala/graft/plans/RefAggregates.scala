@@ -305,48 +305,170 @@ object RefAggregates {
     override protected def withNewChildInternal(c: Expression): RefQuartile = copy(child = c)
   }
 
+  /** Primitive open-address double→count histogram — [[HistMedian]]'s
+    * aggregation buffer. The generic `java.util.HashMap[Any, Long]`
+    * buffer costs a Double box + a Long box per update; with hundreds of
+    * thousands of groups each carrying its own map, that allocation
+    * churn IS the aggregate's cost (measured on q_groupby_accs). Two
+    * parallel primitive arrays, linear probing, NaN-key slot sentinel
+    * (real NaN inputs never reach the buffer — Spark's `=!= NaN` inputs
+    * do, but a NaN key would be un-probe-able anyway and the reference
+    * skips non-comparable values; nulls are skipped upstream).
+    */
+  final class DoubleHist(initialCapacity: Int = 8) {
+    private val cap0 = Integer.highestOneBit(math.max(initialCapacity, 4))
+    private var keys = new Array[Double](cap0)
+    private var vals = new Array[Long](cap0)
+    private var used = new Array[Boolean](cap0)
+    private var cnt = 0
+    // NaN can't live in an open-address slot (NaN != NaN breaks probing);
+    // the boxed-map buffer coalesced NaNs via Double.equals, so keep that
+    // contract with a dedicated counter, emitted as one trailing entry
+    private var nanCnt = 0L
+
+    def size: Int = cnt + (if (nanCnt > 0) 1 else 0)
+    def isEmpty: Boolean = cnt == 0 && nanCnt == 0L
+
+    private def mask: Int = keys.length - 1
+
+    def add(k: Double, n: Long): Unit = {
+      if (k != k) { nanCnt += n; return }
+      var i = java.lang.Double.hashCode(k) & mask
+      while (used(i) && keys(i) != k) i = (i + 1) & mask
+      if (!used(i)) {
+        used(i) = true; keys(i) = k; vals(i) = n; cnt += 1
+        if (cnt * 2 > keys.length) grow()
+      } else vals(i) += n
+    }
+
+    private def grow(): Unit = {
+      val ok = keys; val ov = vals; val ou = used
+      keys = new Array[Double](ok.length * 2)
+      vals = new Array[Long](ok.length * 2)
+      used = new Array[Boolean](ok.length * 2)
+      cnt = 0
+      var i = 0
+      while (i < ok.length) { if (ou(i)) add(ok(i), ov(i)); i += 1 }
+    }
+
+    /** NaN entry (if any) is emitted LAST — sort-after-everything, the
+      * Java array-sort convention the median walk relies on.
+      */
+    def foreach(f: (Double, Long) => Unit): Unit = {
+      var i = 0
+      while (i < keys.length) { if (used(i)) f(keys(i), vals(i)); i += 1 }
+      if (nanCnt > 0) f(Double.NaN, nanCnt)
+    }
+  }
+
   /** Standard interpolating median (odd n → middle value, even n → mean
     * of the two middle values — the DuckDB/Spark `median` contract for
     * numeric input, unlike [[RefMedian]]'s distinct-parity reference
-    * semantics) over the same value→count histogram. One shuffle carrying
-    * (value, count) pairs instead of `percentile(0.5)`'s every-row buffer:
-    * the default exact-median route for grouped aggregation, where the
-    * per-group distinct count is what bounds memory.
+    * semantics) over a value→count histogram. One shuffle carrying
+    * (value, count) pairs instead of `percentile(0.5)`'s every-row
+    * buffer: the default exact-median route for grouped aggregation,
+    * where the per-group distinct count is what bounds memory. Buffer is
+    * the primitive [[DoubleHist]], serialized as flat (double, long)
+    * pairs.
     */
   case class HistMedian(
       child: Expression,
       mutableAggBufferOffset: Int = 0,
-      inputAggBufferOffset: Int = 0) extends HistogramAgg {
+      inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[DoubleHist] with UnaryLike[Expression] {
 
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
     override def prettyName: String = "graft_hist_median"
 
-    override def eval(buf: Hist): Any = {
+    override def createAggregationBuffer(): DoubleHist = new DoubleHist()
+
+    override def update(buf: DoubleHist, input: InternalRow): DoubleHist = {
+      val v = child.eval(input)
+      if (v != null) buf.add(v.asInstanceOf[Double], 1L)
+      buf
+    }
+
+    override def merge(buf: DoubleHist, other: DoubleHist): DoubleHist = {
+      other.foreach((k, n) => buf.add(k, n))
+      buf
+    }
+
+    override def serialize(buf: DoubleHist): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(4 + buf.size * 16)
+      out.putInt(buf.size)
+      buf.foreach((k, n) => { out.putDouble(k); out.putLong(n) })
+      out.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): DoubleHist = {
+      val in = java.nio.ByteBuffer.wrap(bytes)
+      val n = in.getInt
+      val buf = new DoubleHist(Integer.highestOneBit(math.max(n, 4)) * 4)
+      var i = 0
+      while (i < n) { buf.add(in.getDouble, in.getLong); i += 1 }
+      buf
+    }
+
+    override def eval(buf: DoubleHist): Any = {
       if (buf.isEmpty) return null
-      val entries = new Array[(Double, Long)](buf.size())
-      val it = buf.entrySet().iterator()
+      val keys = new Array[Double](buf.size)
+      val counts = new Array[Long](buf.size)
       var i = 0
       var total = 0L
-      while (it.hasNext) {
-        val e = it.next()
-        entries(i) = (e.getKey.asInstanceOf[Double], e.getValue.longValue())
-        total += e.getValue.longValue()
-        i += 1
+      var nanN = 0L
+      buf.foreach { (k, n) =>
+        if (k != k) nanN = n // foreach emits the NaN entry last
+        else { keys(i) = k; counts(i) = n; i += 1 }
+        total += n
       }
-      java.util.Arrays.sort(entries, Ordering.by((p: (Double, Long)) => p._1))
+      // sort the two parallel arrays by key (indices via boxed sort would
+      // re-box; a simple insertion-friendly dual quicksort). NaN is kept
+      // OUT of the sort (comparisons against it are all-false) and
+      // appended after, matching Java's sort-NaN-last convention.
+      sortPairs(keys, counts, 0, i - 1)
+      if (nanN > 0L) { keys(i) = Double.NaN; counts(i) = nanN }
       val loRank = (total + 1) / 2 // 1-indexed lower-middle (== upper for odd n)
       val hiRank = total / 2 + 1
       var lo = Double.NaN
       var haveLo = false
       var cum = 0L
       i = 0
-      while (i < entries.length) {
-        cum += entries(i)._2
-        if (!haveLo && cum >= loRank) { lo = entries(i)._1; haveLo = true }
-        if (cum >= hiRank) return (lo + entries(i)._1) / 2.0
+      while (i < keys.length) {
+        cum += counts(i)
+        if (!haveLo && cum >= loRank) { lo = keys(i); haveLo = true }
+        if (cum >= hiRank) return (lo + keys(i)) / 2.0
         i += 1
       }
       null // unreachable: hiRank <= total
+    }
+
+    private def sortPairs(k: Array[Double], v: Array[Long], lo: Int, hi: Int): Unit = {
+      if (lo >= hi) return
+      if (hi - lo < 16) { // insertion sort for small runs
+        var i = lo + 1
+        while (i <= hi) {
+          val kk = k(i); val vv = v(i)
+          var j = i - 1
+          while (j >= lo && k(j) > kk) { k(j + 1) = k(j); v(j + 1) = v(j); j -= 1 }
+          k(j + 1) = kk; v(j + 1) = vv
+          i += 1
+        }
+        return
+      }
+      val pivot = k((lo + hi) >>> 1)
+      var i = lo; var j = hi
+      while (i <= j) {
+        while (k(i) < pivot) i += 1
+        while (k(j) > pivot) j -= 1
+        if (i <= j) {
+          val tk = k(i); k(i) = k(j); k(j) = tk
+          val tv = v(i); v(i) = v(j); v(j) = tv
+          i += 1; j -= 1
+        }
+      }
+      sortPairs(k, v, lo, j)
+      sortPairs(k, v, i, hi)
     }
 
     override def withNewMutableAggBufferOffset(offset: Int): HistMedian =

@@ -104,4 +104,25 @@ class RefAggregatesSpec extends SparkSpec {
       Seq("k"), Seq("v" -> "Median")).orderBy("k").collect()
     assert(grouped(0).getDouble(1) === 2.0 && grouped(1).getDouble(1) === 6.0)
   }
+
+  test("HistMedian primitive buffer: dup-heavy growth, NaN coalescing, shuffle roundtrip") {
+    // 10k rows, 100 distinct values, 9 partitions — merge + serialize
+    // paths all exercised; the open-address map must agree with percentile
+    val dupes = spark.range(10000).selectExpr("cast(id % 100 AS double) AS v")
+      .repartition(9)
+    val h = dupes.agg(RefAggregates.histMedian($"v")).collect()(0).getDouble(0)
+    val p = dupes.agg(percentile($"v", lit(0.5))).collect()(0).getDouble(0)
+    assert(h === p)
+    // NaN keys coalesce into ONE trailing entry (open addressing can't
+    // probe NaN; the boxed map coalesced via Double.equals) and sort
+    // after every real value, Java-style
+    val withNan = Seq(1.0, 2.0, Double.NaN, Double.NaN, Double.NaN).toDF("v")
+      .repartition(3)
+    val m = withNan.agg(RefAggregates.histMedian($"v")).collect()(0).getDouble(0)
+    // sorted [1, 2, NaN{3}]: n=5, rank 3 falls in the NaN entry
+    assert(m.isNaN)
+    // all-NaN input still answers (single coalesced entry)
+    assert(Seq(Double.NaN, Double.NaN).toDF("v")
+      .agg(RefAggregates.histMedian($"v")).collect()(0).getDouble(0).isNaN)
+  }
 }
