@@ -39,6 +39,27 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("l_orderkey") && !p.contains("l_extendedprice"), p)
   }
 
+  test("schema-first JSONL read is one distributed scan with pruning (no inference job)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl_plan").toString
+    try {
+      import spark.implicits._
+      Seq((1L, "a", 2.0), (2L, "b", 3.0)).toDF("id", "s", "x")
+        .repartition(2).write.json(s"$tmp/t.jsonl")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("x", org.apache.spark.sql.types.DoubleType)))
+      val q = graft.sources.Readers.readJsonl(spark, s"$tmp/t.jsonl", schema)
+        .select("id", "s")
+      val p = q.queryExecution.executedPlan.toString
+      // a distributed file scan of the json source, projection pruned to
+      // the referenced columns (json can't skip bytes like parquet, but
+      // the parsed schema must not materialize `x`)
+      assert(p.contains("FileScan json"), p)
+      assert(p.contains("ReadSchema") && !p.replaceAll("Location.*", "").contains("x:"), p)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
   test("keep-first dedup is an aggregation, not a window sort") {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     val p = plan(graft.operators.Filters.dropDuplicatesKeepFirst(
