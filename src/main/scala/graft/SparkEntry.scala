@@ -39,6 +39,10 @@ object SparkEntry {
         df.withColumn(name, timestamp_micros(expr(s"`$name` div 1000")))
       case org.apache.spark.sql.types.TimestampNTZType =>
         df.withColumn(name, col(name).cast("timestamp"))
+      case org.apache.spark.sql.types.DateType =>
+        // midnight-UTC instants; DuckDB's DATE arithmetic degrades the
+        // same way, so oracle comparisons stay consistent
+        df.withColumn(name, col(name).cast("timestamp"))
       case _ => df
     }
 
@@ -636,8 +640,8 @@ object SparkEntry {
         .persist()
       try {
         def ppl(d: DataFrame, as: String) =
-          graft.ml.Perplexity.score(d, "doc_id", "text", model,
-            buckets = 1 << 14, seed = 11).select(col("doc_id"), col("ppl").as(as))
+          graft.ml.Perplexity.score(d, "doc_id", "text", model)
+            .select(col("doc_id"), col("ppl").as(as))
         val nat = ppl(docs, "ppl_nat")
         val oov = nat.join(ppl(gibberish, "ppl_oov"), "doc_id")
           .filter(col("ppl_nat").isNotNull && col("ppl_oov").isNotNull)

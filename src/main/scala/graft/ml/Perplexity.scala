@@ -33,8 +33,12 @@ object Perplexity {
 
   /** Hashed LM counts: `(kind 1=unigram|2=bigram, bucket, cnt)` plus the
     * constant training-token total `n_tokens` on every row (rides along
-    * so the model is one self-contained broadcastable frame — no
-    * side-channel scalars to keep in sync when persisting/reloading it).
+    * so the model is one self-contained broadcastable frame). The
+    * hashing parameters `buckets` and `seed` ALSO ride on every row:
+    * scoring reads them from the model itself, so a train/score pair can
+    * never silently disagree on the hash space (a mismatch would read
+    * every count as 0 and score everything at the smoothed floor — no
+    * error, just garbage).
     */
   def train(
       corpus: DataFrame, textCol: String,
@@ -49,6 +53,19 @@ object Perplexity {
     val bi = counts(2, 2)
     val total = uni.agg(sum("cnt").as("n_tokens"))
     uni.unionByName(bi).crossJoin(broadcast(total))
+      .withColumn("buckets", lit(buckets))
+      .withColumn("seed", lit(seed))
+  }
+
+  /** The model's (buckets, seed, n_tokens) header — constant on every
+    * row; one tiny collect. Clear error on an empty model instead of an
+    * NPE three frames deep.
+    */
+  private def header(model: DataFrame): (Int, Int, Long) = {
+    val rows = model.select(first("buckets"), first("seed"), first("n_tokens")).collect()
+    require(rows.nonEmpty && !rows(0).isNullAt(0),
+      "empty perplexity model: the reference corpus produced no tokens")
+    (rows(0).getInt(0), rows(0).getInt(1), rows(0).getLong(2))
   }
 
   /** `docs` + `ppl` (document perplexity under `model`) and
@@ -59,20 +76,25 @@ object Perplexity {
   def score(
       docs: DataFrame, idCol: String, textCol: String,
       model: DataFrame,
-      buckets: Int = 1 << 16, seed: Int = 0,
       lambda: Double = 0.8): DataFrame = {
     require(lambda > 0.0 && lambda < 1.0, s"lambda: $lambda")
-    // model is ≤ 2×buckets rows; both kinds and the token total come
-    // from the one broadcast
-    val uni = broadcast(model.filter(col("kind") === 1)
+    // The model plan (two shuffles over the whole reference corpus) is
+    // read three times below (uni, bi, header) — persist it through a
+    // scope that drains after the caller's first action, so a
+    // train-then-score pipeline pays training ONCE, not per broadcast.
+    // A model the CALLER already persisted is used as-is and NOT drained
+    // (multi-score pipelines own their model's lifetime).
+    val scope = new graft.operators.CacheScope
+    val callerCached = model.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val m = if (callerCached) model else scope.persist(model)
+    // buckets/seed come from the model itself (train stamped them on
+    // every row) — a hash-space mismatch is impossible by construction
+    val (buckets, seed, nTokens) = header(m)
+    // model is ≤ 2×buckets rows; both kinds come from the one broadcast
+    val uni = broadcast(m.filter(col("kind") === 1)
       .select(col("bucket").as("__ub"), col("cnt").as("__cu")))
-    val bi = broadcast(model.filter(col("kind") === 2)
+    val bi = broadcast(m.filter(col("kind") === 2)
       .select(col("bucket").as("__bb"), col("cnt").as("__cb")))
-    // the token total is constant on every model row; carried via its own
-    // 1-row cross join, NOT the unigram join — a transition whose word
-    // hashes to an unseen bucket must still see the total (a left-join
-    // null here would null the whole document's score)
-    val tot = broadcast(model.agg(first(col("n_tokens")).as("__n")))
     def h(c: org.apache.spark.sql.Column) =
       pmod(xxhash64(c, lit(seed)), lit(buckets.toLong))
     val transitions = docs
@@ -85,18 +107,21 @@ object Perplexity {
       .join(uni.select(col("__ub"), col("__cu").as("__cprev")),
         col("__hprev") === col("__ub"), "left").drop("__ub")
       .join(uni, col("__hcur") === col("__ub"), "left")
-      .crossJoin(tot)
     val pCond = when(col("__cprev").isNotNull && col("__cb").isNotNull,
       col("__cb").cast("double") / col("__cprev")).otherwise(lit(0.0))
+    // the token total is a header scalar (NOT a column from the unigram
+    // left join — a transition whose word hashes to an unseen bucket
+    // must still see it; a join-null here would null the whole doc)
     val pUni = (coalesce(col("__cu"), lit(0L)).cast("double") + 1.0) /
-      (col("__n") + buckets.toDouble)
+      (nTokens.toDouble + buckets.toDouble)
     val nll = -log(lit(lambda) * pCond + lit(1.0 - lambda) * pUni)
     val perDoc = transitions
       .select(col(idCol), nll.as("__nll"))
       .groupBy(col(idCol))
       .agg(exp(avg("__nll")).as("ppl"), count(lit(1)).as("n_transitions"))
-    docs.join(perDoc, Seq(idCol), "left")
+    val out = docs.join(perDoc, Seq(idCol), "left")
       .withColumn("n_transitions", coalesce(col("n_transitions"), lit(0L)))
+    if (callerCached) out else scope.releaseAfter(out)
   }
 
   /** The trained model collected into sorted primitive arrays for the
@@ -109,17 +134,20 @@ object Perplexity {
       biK: Array[Long], biV: Array[Long],
       nTokens: Long, buckets: Int, seed: Int)
 
-  def collectModel(model: DataFrame, buckets: Int = 1 << 16, seed: Int = 0): LocalModel = {
+  def collectModel(model: DataFrame): LocalModel = {
+    // one materialization for all three reads (header + both kinds)
+    val rows = model.select("kind", "bucket", "cnt", "n_tokens", "buckets", "seed").collect()
+    require(rows.nonEmpty,
+      "empty perplexity model: the reference corpus produced no tokens")
     def arrays(kind: Int): (Array[Long], Array[Long]) = {
-      val rows = model.filter(col("kind") === kind)
-        .select("bucket", "cnt").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-      (rows.map(_._1), rows.map(_._2))
+      val ks = rows.filter(_.getInt(0) == kind)
+        .map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+      (ks.map(_._1), ks.map(_._2))
     }
     val (uk, uv) = arrays(1)
     val (bk, bv) = arrays(2)
-    val n = model.select(first("n_tokens")).collect()(0).getLong(0)
-    LocalModel(uk, uv, bk, bv, n, buckets, seed)
+    LocalModel(uk, uv, bk, bv,
+      rows(0).getLong(3), rows(0).getInt(4), rows(0).getInt(5))
   }
 
   /** Per-ROW perplexity column from the kernel — bit-compatible with
@@ -153,16 +181,22 @@ object Perplexity {
       headFrac: Double = 0.33, tailFrac: Double = 0.67): DataFrame = {
     require(headFrac > 0 && headFrac < tailFrac && tailFrac < 1,
       s"fractions: $headFrac/$tailFrac")
-    val thresholds = broadcast(scored.agg(
+    // `scored` (the whole scoring pipeline, often with training behind
+    // it) feeds BOTH the threshold agg and the output — persist through
+    // a scope so it runs once, not twice
+    val scope = new graft.operators.CacheScope
+    val s = scope.persist(scored)
+    val thresholds = broadcast(s.agg(
       percentile_approx(col(pplCol), lit(headFrac), lit(10000)).as("__head_t"),
       percentile_approx(col(pplCol), lit(tailFrac), lit(10000)).as("__tail_t")))
-    scored.crossJoin(thresholds)
-      .withColumn("band",
-        when(col(pplCol).isNull, lit("unscored"))
-          .when(col(pplCol) <= col("__head_t"), lit("head"))
-          .when(col(pplCol) > col("__tail_t"), lit("tail"))
-          .otherwise(lit("middle")))
-      .drop("__head_t", "__tail_t")
+    scope.releaseAfter(
+      s.crossJoin(thresholds)
+        .withColumn("band",
+          when(col(pplCol).isNull, lit("unscored"))
+            .when(col(pplCol) <= col("__head_t"), lit("head"))
+            .when(col(pplCol) > col("__tail_t"), lit("tail"))
+            .otherwise(lit("middle")))
+        .drop("__head_t", "__tail_t"))
   }
 
   /** Train on `reference`, score `docs`, keep those at or under
@@ -174,7 +208,7 @@ object Perplexity {
       maxPpl: Double,
       buckets: Int = 1 << 16, seed: Int = 0, lambda: Double = 0.8): DataFrame = {
     val model = train(reference, refTextCol, buckets, seed)
-    score(docs, idCol, textCol, model, buckets, seed, lambda)
+    score(docs, idCol, textCol, model, lambda)
       .filter(col("ppl").isNotNull && col("ppl") <= maxPpl)
       .drop("ppl", "n_transitions")
   }

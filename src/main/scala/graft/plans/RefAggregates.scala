@@ -331,8 +331,12 @@ object RefAggregates {
 
     private def mask: Int = keys.length - 1
 
-    def add(k: Double, n: Long): Unit = {
-      if (k != k) { nanCnt += n; return }
+    def add(k0: Double, n: Long): Unit = {
+      if (k0 != k0) { nanCnt += n; return }
+      // canonicalize -0.0 → +0.0: probing compares with numeric == (which
+      // says the two are equal) but Double.hashCode distinguishes them, so
+      // without this the slot a zero lands in would depend on arrival order
+      val k = if (k0 == 0.0d) 0.0d else k0
       var i = java.lang.Double.hashCode(k) & mask
       while (used(i) && keys(i) != k) i = (i + 1) & mask
       if (!used(i)) {

@@ -205,25 +205,43 @@ object Readers {
     * 100 TB corpus reads with full parallelism — unlike the reference's
     * driver-side envelope, import_utils.py:112-122). With `schema`
     * provided the scan is single-pass; otherwise Spark runs its
-    * inference pass first (2 reads). Malformed lines go to
-    * `_corrupt_record` rather than failing the scan (PERMISSIVE), which
-    * is the ingest behavior a web-scale pipeline needs.
+    * inference pass first (2 reads). PERMISSIVE mode: a malformed line
+    * never fails the scan. Note Spark's contract here: corrupt lines
+    * surface in `_corrupt_record` only when that column is IN the
+    * schema — with a plain user schema, fields parsed before the error
+    * survive and the rest silently go null. Pass `keepCorrupt = true`
+    * to get the audit column appended explicitly.
     */
   def readJsonl(spark: SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType = null,
-      guessDatatypes: Boolean = false): DataFrame = {
+      guessDatatypes: Boolean = false,
+      keepCorrupt: Boolean = false): DataFrame = {
     val reader = spark.read.option("mode", "PERMISSIVE")
-    val df = (if (schema != null) reader.schema(schema) else reader).json(path)
+    val effSchema =
+      if (schema != null && keepCorrupt && !schema.fieldNames.contains("_corrupt_record"))
+        schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+      else schema
+    val df = (if (effSchema != null) reader.schema(effSchema) else reader).json(path)
     if (guessDatatypes) graft.functions.TypeInference.applyBestTypes(df) else df
   }
 
-  /** `.json` dispatch: sniff the head — the reference's columnar
-    * envelope starts `{"columns":`; anything else is treated as JSONL.
+  /** `.json` dispatch: sniff the head for the reference's columnar
+    * envelope (`{"columns": {...}, "total_rows": n}`); anything else is
+    * treated as JSONL. The envelope may be compact or pretty-printed
+    * and its keys may come in either order, so the test is structural,
+    * not a fixed prefix: a first line that is just `{` cannot be JSONL
+    * (every JSONL line is a complete object), and a one-line document
+    * carrying BOTH `"columns"` and `"total_rows"` keys is the compact
+    * envelope in either key order.
     */
   def readJsonAuto(spark: SparkSession, path: String): DataFrame = {
     val head = spark.read.textFile(path).limit(1).collect().headOption.getOrElse("")
-    if (head.replaceAll("\\s", "").startsWith("{\"columns\":"))
-      readColumnarJson(spark, path)
+    val compact = head.replaceAll("\\s", "")
+    val isEnvelope =
+      compact == "{" || // pretty-printed JSON document, never a JSONL line
+      (compact.startsWith("{") &&
+        compact.contains("\"columns\":") && compact.contains("\"total_rows\":"))
+    if (isEnvelope) readColumnarJson(spark, path)
     else readJsonl(spark, path)
   }
 

@@ -73,9 +73,7 @@ object Streams {
       gopherStopwords: Option[Seq[String]] = None,
       gopherMinWords: Long = 50L,
       perplexityModel: Option[DataFrame] = None,
-      maxPpl: Double = Double.MaxValue,
-      pplBuckets: Int = 1 << 16,
-      pplSeed: Int = 0): DataFrame = {
+      maxPpl: Double = Double.MaxValue): DataFrame = {
     import graft.functions.TextFunctions
     // unicode repair and quality-classifier scoring are stateless
     // map-side expressions, so they compose into the stream for free —
@@ -102,7 +100,8 @@ object Streams {
     // expression constants. Unscorable docs (< 2 tokens) are dropped,
     // matching the batch filter's null semantics.
     val pplGated = perplexityModel.fold(gated) { modelDf =>
-      val m = graft.ml.Perplexity.collectModel(modelDf, pplBuckets, pplSeed)
+      // hashing params ride in the model frame — nothing to keep in sync
+      val m = graft.ml.Perplexity.collectModel(modelDf)
       gated.filter(graft.ml.Perplexity.pplColumn(text, m) <= maxPpl)
     }
     pplGated

@@ -41,6 +41,7 @@ class TsFlavorSpec extends SparkSpec {
         case "long" => canon.withColumn(tc, unix_micros(col(tc)) * 1000L) // nanos
         case "tz"   => canon                                              // TimestampType
         case "ntz"  => canon.withColumn(tc, col(tc).cast("timestamp_ntz"))
+        case "date" => canon.withColumn(tc, col(tc).cast("date"))         // day-granular drift
       }
       out.coalesce(1).write.mode("overwrite").parquet(s"$tmp/$table.parquet")
     }
@@ -54,18 +55,24 @@ class TsFlavorSpec extends SparkSpec {
   }
 
   private lazy val dirs: Map[String, String] =
-    Seq("long", "tz", "ntz").map(f => f -> flavorDir(f)).toMap
+    Seq("long", "tz", "ntz", "date").map(f => f -> flavorDir(f)).toMap
 
-  test("normalizeTs lands all three vintages on identical micros") {
-    val expect = SparkEntry.normalizeTs(spark.read.parquet(s"$srcDir/events.parquet"))
+  test("normalizeTs lands every vintage on TimestampType with the expected micros") {
+    val canon = SparkEntry.normalizeTs(spark.read.parquet(s"$srcDir/events.parquet"))
+    val expect = canon
       .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .orderBy("event_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the date vintage is day-granular by nature: expect midnight-UTC
+    val expectDate = canon
+      .select(col("event_id"), unix_micros(date_trunc("DAY", col("ts"))).as("us"))
       .orderBy("event_id").collect().map(r => (r.getLong(0), r.getLong(1)))
     for ((flavor, dir) <- dirs) {
       val df = SparkEntry.normalizeTs(spark.read.parquet(s"$dir/events.parquet"))
       assert(df.schema("ts").dataType === TimestampType, s"flavor=$flavor")
       val got = df.select(col("event_id"), unix_micros(col("ts")).as("us"))
         .orderBy("event_id").collect().map(r => (r.getLong(0), r.getLong(1)))
-      assert(got.toSeq === expect.toSeq, s"flavor=$flavor micros differ")
+      val want = if (flavor == "date") expectDate else expect
+      assert(got.toSeq === want.toSeq, s"flavor=$flavor micros differ")
     }
   }
 

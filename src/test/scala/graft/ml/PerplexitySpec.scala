@@ -18,9 +18,12 @@ class PerplexitySpec extends SparkSpec {
     val m = Perplexity.train(reference, "text", buckets = 1 << 10, seed = 1)
     val rows = m.collect()
     assert(rows.length <= 2 * (1 << 10))
-    assert(m.columns.toSet === Set("kind", "bucket", "cnt", "n_tokens"))
-    // every row carries the same total = number of training tokens (15/doc)
+    assert(m.columns.toSet === Set("kind", "bucket", "cnt", "n_tokens", "buckets", "seed"))
+    // every row carries the same header: token total + hashing params
+    // (scoring reads buckets/seed from the model — no side channel)
     assert(rows.map(_.getAs[Long]("n_tokens")).distinct.toSeq === Seq(60L * 15))
+    assert(rows.map(_.getAs[Int]("buckets")).distinct.toSeq === Seq(1 << 10))
+    assert(rows.map(_.getAs[Int]("seed")).distinct.toSeq === Seq(1))
     assert(rows.map(_.getAs[Int]("kind")).toSet === Set(1, 2))
   }
 
@@ -31,7 +34,7 @@ class PerplexitySpec extends SparkSpec {
       (3L, "zebra quantum flux capacitor discombobulated xylophone") // out-of-domain
     ).toDF("doc_id", "text")
     val m = Perplexity.train(reference, "text", buckets = 1 << 12, seed = 2)
-    val ppl = Perplexity.score(docs, "doc_id", "text", m, buckets = 1 << 12, seed = 2)
+    val ppl = Perplexity.score(docs, "doc_id", "text", m)
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("ppl")).toMap
     assert(ppl(1) < ppl(2), s"in-domain ${ppl(1)} !< scrambled ${ppl(2)}")
     assert(ppl(2) < ppl(3), s"scrambled ${ppl(2)} !< gibberish ${ppl(3)}")
@@ -41,7 +44,7 @@ class PerplexitySpec extends SparkSpec {
     val docs = Seq((1L, "single"), (2L, ""), (3L, "the quick brown fox")).toDF("doc_id", "text")
     val m = Perplexity.train(reference, "text", buckets = 1 << 12, seed = 3)
     def run(parts: Int) = Perplexity.score(
-        docs.repartition(parts), "doc_id", "text", m, buckets = 1 << 12, seed = 3)
+        docs.repartition(parts), "doc_id", "text", m)
       .orderBy("doc_id").collect()
       .map(r => (r.getAs[Long]("doc_id"), Option(r.getAs[Any]("ppl")), r.getAs[Long]("n_transitions")))
     val one = run(1)
@@ -62,7 +65,7 @@ class PerplexitySpec extends SparkSpec {
     // at the default 0.67 the approx quantile lands ON the gibberish
     // cluster's own (shared) ppl and the strict > leaves the tail empty
     val banded = Perplexity.withBand(
-      Perplexity.score(docs, "doc_id", "text", m, buckets = 1 << 12, seed = 4),
+      Perplexity.score(docs, "doc_id", "text", m),
       tailFrac = 0.6)
     val byBand = banded.groupBy("band").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -83,7 +86,7 @@ class PerplexitySpec extends SparkSpec {
       (2L, "wombat kazoo vortex pickle almanac turbine"),
       (3L, "x")).toDF("doc_id", "text")
     val m = Perplexity.train(reference, "text", buckets = 1 << 12, seed = 5)
-    val cleanPpl = Perplexity.score(docs, "doc_id", "text", m, buckets = 1 << 12, seed = 5)
+    val cleanPpl = Perplexity.score(docs, "doc_id", "text", m)
       .filter(col("doc_id") === 1).collect()(0).getAs[Double]("ppl")
     val kept = Perplexity.filterByPerplexity(docs, "doc_id", "text",
       reference, "text", maxPpl = cleanPpl * 2, buckets = 1 << 12, seed = 5)
@@ -99,11 +102,10 @@ class PerplexitySpec extends SparkSpec {
       (4L, "Mixed CASE punctuation, and  runs   of spaces!"),
       (5L, "single"), (6L, "")).toDF("doc_id", "text").repartition(3)
     val model = Perplexity.train(reference, "text", buckets = 1 << 12, seed = 9)
-    val viaJoin = Perplexity.score(docs, "doc_id", "text", model,
-        buckets = 1 << 12, seed = 9)
+    val viaJoin = Perplexity.score(docs, "doc_id", "text", model)
       .select("doc_id", "ppl").collect()
       .map(r => r.getLong(0) -> Option(r.getAs[java.lang.Double]("ppl"))).toMap
-    val m = Perplexity.collectModel(model, buckets = 1 << 12, seed = 9)
+    val m = Perplexity.collectModel(model)
     val viaKernel = Perplexity.scoreInline(docs, "text", m)
       .select("doc_id", "ppl").collect()
       .map(r => r.getLong(0) -> Option(r.getAs[java.lang.Double]("ppl"))).toMap
@@ -125,7 +127,7 @@ class PerplexitySpec extends SparkSpec {
   test("scoring plan: model joins broadcast, corpus text does not shuffle") {
     val docs = Seq((1L, "the quick brown fox")).toDF("doc_id", "text")
     val m = Perplexity.train(reference, "text", buckets = 1 << 12, seed = 6)
-    val plan = Perplexity.score(docs, "doc_id", "text", m, buckets = 1 << 12, seed = 6)
+    val plan = Perplexity.score(docs, "doc_id", "text", m)
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"), plan)
   }

@@ -123,6 +123,40 @@ class SourcesSpec extends SparkSpec {
       Writers.toJsonl(df, s"$dir/lines.jsonl")
       val t = graft.Tab.fromFile(spark, s"$dir/lines.jsonl").df
       assert(t.orderBy("n").collect().map(_.getString(1)).toSeq === Seq("a", "b"))
+      // the sniff is structural, not a fixed prefix: a PRETTY-PRINTED
+      // envelope (first line is bare '{' — impossible in JSONL) and a
+      // key-reordered compact envelope both still route to the codec
+      val pretty = "{\n  \"columns\": {\"n\": [1, 2], \"s\": [\"a\", \"b\"]},\n  \"total_rows\": 2\n}"
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/pretty.json"),
+        pretty.getBytes("UTF-8"))
+      assert(graft.Tab.fromFile(spark, s"$dir/pretty.json").df.count() === 2)
+      val reordered = """{"total_rows": 2, "columns": {"n": [1, 2], "s": ["a", "b"]}}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/reordered.json"),
+        reordered.getBytes("UTF-8"))
+      assert(graft.Tab.fromFile(spark, s"$dir/reordered.json").df.count() === 2)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
+  test("readJsonl keepCorrupt surfaces malformed lines in _corrupt_record") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_corrupt").toString
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/t.jsonl"),
+        "{\"id\": 1, \"s\": \"ok\"}\n{\"id\": 2, \"s\": TRUNC".getBytes("UTF-8"))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.StringType)))
+      // default: the corrupt line degrades silently — fields parsed
+      // before the error survive, the rest go null (Spark's PERMISSIVE
+      // contract when the schema lacks the audit column)
+      val plain = Readers.readJsonl(spark, s"$dir/t.jsonl", schema)
+      assert(plain.count() === 2 && plain.filter(col("s").isNull).count() === 1)
+      // keepCorrupt: the raw line is preserved for auditing/quarantine
+      val audited = Readers.readJsonl(spark, s"$dir/t.jsonl", schema, keepCorrupt = true)
+      assert(audited.columns.contains("_corrupt_record"))
+      val bad = audited.filter(col("_corrupt_record").isNotNull).collect()
+      assert(bad.length === 1 && bad(0).getAs[String]("_corrupt_record").contains("TRUNC"))
+      assert(audited.filter(col("_corrupt_record").isNull)
+        .select("id").collect().map(_.getLong(0)).toSeq === Seq(1L))
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 

@@ -137,14 +137,13 @@ class StreamsSpec extends SparkSpec {
     val model = graft.ml.Perplexity.train(reference, "text", buckets = 1 << 12, seed = 5)
     // threshold: comfortably above the in-domain doc's own score
     val cleanPpl = graft.ml.Perplexity.scoreInline(Seq(en).toDF("text"), "text",
-      graft.ml.Perplexity.collectModel(model, 1 << 12, 5))
+      graft.ml.Perplexity.collectModel(model))
       .collect()(0).getAs[Double]("ppl")
     val schema = spark.read.parquet(dir).schema
     val stream = Streams.readParquetStream(spark, dir, schema)
     val curated = Streams.streamingCurate(stream, "ts", "1 hour", "text",
       langs = Set("en"), minTokens = 5L,
-      perplexityModel = Some(model), maxPpl = cleanPpl * 3,
-      pplBuckets = 1 << 12, pplSeed = 5)
+      perplexityModel = Some(model), maxPpl = cleanPpl * 3)
     val q = curated.writeStream.outputMode("append")
       .format("memory").queryName("curate3_out").start()
     try {
