@@ -616,6 +616,37 @@ object SparkEntry {
       val evens = picked.filter(col("doc_id") % 2 === 0).count().toDouble
       Seq(evens / 100.0 >= 0.9).toDF("dsir_ok")
     }),
+    // streaming-composable DSIR (the per-row kernel that powers the
+    // streamingCurate gate): same planted construction as q_dsir_gate,
+    // verdict = the kernel agrees with the join-path scorer on EVERY
+    // doc (≤1e-8 — same hashing, same floor rule) AND the inline
+    // greedy draw pulls ≥90% planted ids
+    "q_dsir_inline" -> ((s, dir) => {
+      import s.implicits._
+      val raw = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, concat(col("text"),
+          lit(" history science theory culture article citation source chapter")))
+          .otherwise(col("text")).as("text"))
+      val target = Seq.fill(50)(
+        "history science theory culture article citation source chapter volume edition")
+        .toDF("text")
+      val ratios = graft.ml.Dsir.logRatios(raw, "text", target, "text",
+        buckets = 1 << 14, seed = 3).persist()
+      try {
+        val join = graft.ml.Dsir
+          .logWeights(raw, "doc_id", "text", ratios, lengthNormalize = true)
+          .select(col("doc_id"), col("log_w").as("w_join"))
+        val lr = graft.ml.Dsir.collectRatios(ratios)
+        def inline = graft.ml.Dsir.scoreInline(raw, "text", lr, lengthNormalize = true)
+        val maxDiff = join
+          .join(inline.select(col("doc_id"), col("log_w").as("w_inline")), "doc_id")
+          .agg(max(abs(col("w_join") - col("w_inline")))).collect()(0).getDouble(0)
+        val picked = graft.ml.Dsir.selectByLogWeight(
+          inline, "doc_id", "log_w", n = 100, gumbel = false)
+        val evens = picked.filter(col("doc_id") % 2 === 0).count().toDouble
+        Seq(maxDiff <= 1e-8 && evens / 100.0 >= 0.9).toDF("dsir_inline_ok")
+      } finally { ratios.unpersist(false); () }
+    }),
     // CCNet-style perplexity gate (planted construction, boolean-verdict
     // oracle like q_dsir_gate): train the hashed-bigram LM on the corpus
     // itself, then require BOTH
@@ -665,6 +696,15 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("lang"),
           TextFunctions.tokenCount(col("text")).as("n_tokens")),
         "n_tokens", "doc_id", budget = 4096, partitionCols = Seq("lang"))),
+    // UNKEYED packing through the boundary-carry scale path (no global
+    // window, no SinglePartition): the exact global running total the
+    // carry reconstructs from per-partition offsets is oracled directly
+    "q_pack_global" -> ((s, dir) =>
+      Sampling.packBoundaryCarry(
+        t(s, dir, "documents").select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"))
+          .repartition(8),
+        "n_tokens", "doc_id", budget = 8192)),
     // PII scrub + audit: documents carry no real PII, so plant a
     // deterministic email/IP/phone per doc, then redact and count
     "q_pii" -> ((s, dir) =>
@@ -1527,6 +1567,10 @@ object SparkEntry {
          ORDER BY lnu / w DESC, doc_id LIMIT 200""",
     "q_dsir_gate" ->
       "SELECT true AS dsir_ok",
+    // q_dsir_inline: kernel-vs-join parity + planted pull; boolean
+    // verdict (the q_dsir_gate / q_ann_gate pattern)
+    "q_dsir_inline" ->
+      "SELECT true AS dsir_inline_ok",
     // q_ppl_gate: planted scramble construction; the oracle is the
     // boolean verdict (the q_dsir_gate / q_ann_gate pattern)
     "q_ppl_gate" ->
@@ -1550,6 +1594,12 @@ object SparkEntry {
          CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4096) AS BIGINT) AS bin
          FROM (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+               FROM documents)""",
+    "q_pack_global" ->
+      """SELECT doc_id, n_tokens,
+         CAST(floor(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 8192) AS BIGINT) AS bin
+         FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
                FROM documents)""",
     "q_pii" ->
       """WITH aug AS (

@@ -179,6 +179,22 @@ final case class Tab(df: DataFrame) {
   def resampleToMix(strataCol: String, idCol: String,
       targetFracs: Map[String, Double], n: Int, seed: Int = 0): Tab =
     Tab(graft.operators.Sampling.importanceResample(df, strataCol, idCol, targetFracs, n, seed))
+  /** Full-text DSIR (Xie et al. 2023, [[graft.ml.Dsir]]): draw `n` rows
+    * whose text looks like `target`'s, by hashed-n-gram importance
+    * weight. Mean-normalized weights by default (doc-length-skew-proof).
+    */
+  def resampleLikeTarget(idCol: String, textCol: String, target: Tab,
+      targetTextCol: String, n: Int, seed: Int = 0,
+      lengthNormalize: Boolean = true): Tab =
+    Tab(graft.ml.Dsir.resampleLikeTarget(df, idCol, textCol,
+      target.df, targetTextCol, n, seed = seed, lengthNormalize = lengthNormalize))
+  /** Token-budget sequence packing (appends `bin`; unkeyed packing
+    * dispatches to a boundary-carry scale path above the local
+    * threshold — [[graft.operators.Sampling.packSequences]]).
+    */
+  def packSequences(tokenCol: String, orderCol: String, budget: Long,
+      partitionCols: Seq[String] = Nil): Tab =
+    Tab(graft.operators.Sampling.packSequences(df, tokenCol, orderCol, budget, partitionCols))
   /** Fixed-stride token chunking (one row per context window; metadata
     * columns ride along — [[graft.operators.Chunking.chunkByTokens]]).
     */

@@ -32,16 +32,22 @@ import org.apache.spark.sql.functions._
   */
 object Dsir {
 
-  /** (bucket, log_ratio, log_floor) frame: smoothed log(p_target /
-    * p_raw) per hashed n-gram bin. `log_floor` (constant on every row)
-    * is the ratio a bin unseen in BOTH training corpora would get —
-    * [[logWeights]] uses it so scoring a corpus with novel vocabulary
-    * never silently drops n-grams.
+  /** (bucket, log_ratio, log_floor, n_gram, buckets, seed) frame:
+    * smoothed log(p_target / p_raw) per hashed n-gram bin. `log_floor`
+    * (constant on every row) is the ratio a bin unseen in BOTH training
+    * corpora would get — [[logWeights]] uses it so scoring a corpus
+    * with novel vocabulary never silently drops n-grams. The hashing
+    * parameters `n_gram`/`buckets`/`seed` ALSO ride on every row:
+    * scoring reads them FROM the frame, so a train/score pair can never
+    * silently disagree on the hash space (a mismatch would score every
+    * n-gram at the floor — no error, just garbage).
     */
   def logRatios(
       raw: DataFrame, rawTextCol: String,
       target: DataFrame, targetTextCol: String,
       nGram: Int = 2, buckets: Int = 1 << 16, seed: Int = 0): DataFrame = {
+    require(nGram > 0, s"nGram: $nGram")
+    require(buckets > 0, s"buckets: $buckets")
     def counts(df: DataFrame, textCol: String, name: String): DataFrame =
       df.select(explode(Kernels.wordShingles(col(textCol), nGram)).as("__sh"))
         .select(pmod(xxhash64(col("__sh"), lit(seed)), lit(buckets.toLong)).as("bucket"))
@@ -59,6 +65,22 @@ object Dsir {
           log((col("__cr") + 1.0) / (col("__rt") + buckets.toDouble))).as("log_ratio"),
         (log(lit(1.0) / (col("__tt") + buckets.toDouble)) -
           log(lit(1.0) / (col("__rt") + buckets.toDouble))).as("log_floor"))
+      .withColumn("n_gram", lit(nGram))
+      .withColumn("buckets", lit(buckets))
+      .withColumn("seed", lit(seed))
+  }
+
+  /** The ratio frame's (n_gram, buckets, seed, log_floor) header —
+    * constant on every row; one tiny collect. Clear error on an empty
+    * frame (both training corpora produced no n-grams).
+    */
+  private def header(ratios: DataFrame): (Int, Int, Int, Double) = {
+    val rows = ratios
+      .select(first("n_gram"), first("buckets"), first("seed"), first("log_floor"))
+      .collect()
+    require(rows.nonEmpty && !rows(0).isNullAt(0),
+      "empty DSIR ratio frame: both training corpora produced no n-grams")
+    (rows(0).getInt(0), rows(0).getInt(1), rows(0).getInt(2), rows(0).getDouble(3))
   }
 
   /** Raw docs + `log_w`: the doc's summed log importance ratio (the
@@ -74,7 +96,6 @@ object Dsir {
   def logWeights(
       raw: DataFrame, idCol: String, textCol: String,
       ratios: DataFrame,
-      nGram: Int = 2, buckets: Int = 1 << 16, seed: Int = 0,
       lengthNormalize: Boolean = false): DataFrame = {
     val agg = if (lengthNormalize) avg("__lr") else sum("__lr")
     // left join + floor fill: an n-gram hashing to a bucket unseen in
@@ -82,22 +103,70 @@ object Dsir {
     // than the ratios were trained on) still contributes the smoothed
     // floor instead of silently vanishing from an inner join. The
     // ratios pipeline (two corpus scans + aggs + full-outer join) is
-    // read twice — once for the floor scalar, once for the lookup — so
-    // it persists through a scope and drains after the caller's first
-    // action rather than recomputing.
+    // read twice — once for the header scalars, once for the lookup —
+    // so it persists through a scope and drains after the caller's
+    // first action rather than recomputing. A frame the CALLER already
+    // persisted is used as-is and NOT drained (multi-score pipelines
+    // own their ratios' lifetime).
     val scope = new graft.operators.CacheScope
-    val r = scope.persist(ratios)
-    val floor = broadcast(r.select(first("log_floor").as("__fl")))
+    val callerCached = ratios.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val r = if (callerCached) ratios else scope.persist(ratios)
+    // hashing params + floor come from the frame itself (logRatios
+    // stamped them on every row) — a hash-space mismatch is impossible
+    // by construction
+    val (nGram, buckets, seed, floor) = header(r)
     val perDoc = raw
       .select(col(idCol), explode(Kernels.wordShingles(col(textCol), nGram)).as("__sh"))
       .select(col(idCol), pmod(xxhash64(col("__sh"), lit(seed)), lit(buckets.toLong)).as("bucket"))
-      .join(broadcast(r), Seq("bucket"), "left")
-      .crossJoin(floor)
-      .withColumn("__lr", coalesce(col("log_ratio"), col("__fl")))
+      .join(broadcast(r.select("bucket", "log_ratio")), Seq("bucket"), "left")
+      .withColumn("__lr", coalesce(col("log_ratio"), lit(floor)))
       .groupBy(col(idCol)).agg(agg.as("log_w"))
-    scope.releaseAfter(
-      raw.join(perDoc, Seq(idCol), "left").na.fill(0.0, Seq("log_w")))
+    val out = raw.join(perDoc, Seq(idCol), "left").na.fill(0.0, Seq("log_w"))
+    if (callerCached) out else scope.releaseAfter(out)
   }
+
+  /** The ratio frame collected into sorted primitive arrays for the
+    * per-row kernel: bounded by construction (≤ buckets rows — the
+    * hashing trick caps it regardless of corpus size), so the collect
+    * is a driver-safe constant, not a data-sized pull.
+    */
+  final case class LocalRatios(
+      keys: Array[Long], vals: Array[Double],
+      floor: Double, nGram: Int, buckets: Int, seed: Int)
+
+  def collectRatios(ratios: DataFrame): LocalRatios = {
+    // one materialization for all reads (header + the table)
+    val rows = ratios
+      .select("bucket", "log_ratio", "n_gram", "buckets", "seed", "log_floor").collect()
+    require(rows.nonEmpty,
+      "empty DSIR ratio frame: both training corpora produced no n-grams")
+    val kv = rows.map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    LocalRatios(kv.map(_._1), kv.map(_._2),
+      rows(0).getDouble(5), rows(0).getInt(2), rows(0).getInt(3), rows(0).getInt(4))
+  }
+
+  /** Per-ROW log importance weight from the kernel — matches
+    * [[logWeights]]' semantics (same hashing, same floor rule, sum or
+    * mean; pinned by spec) but with NO explode/join/aggregation, so it
+    * runs map-side in one pass and — being stateless — composes into
+    * Structured Streaming, where the join path's per-doc groupBy
+    * cannot. Null text → 0.0 (weight 1), the join path's fill. The
+    * trade: the table rides the plan as expression constants, so keep
+    * `buckets` at the default 2^16 scale here and use [[logWeights]]
+    * for jumbo-bucket models.
+    */
+  def weightColumn(text: org.apache.spark.sql.Column, r: LocalRatios,
+      lengthNormalize: Boolean = false): org.apache.spark.sql.Column =
+    coalesce(
+      Kernels.dsirWeight(text, r.keys, r.vals, r.floor,
+        r.nGram, r.buckets.toLong, r.seed, lengthNormalize),
+      lit(0.0))
+
+  /** [[logWeights]]' output shape via the per-row kernel. */
+  def scoreInline(
+      docs: DataFrame, textCol: String, r: LocalRatios,
+      lengthNormalize: Boolean = false): DataFrame =
+    docs.withColumn("log_w", weightColumn(col(textCol), r, lengthNormalize))
 
   /** Deterministic weighted sample without replacement: top `n` by
     * Gumbel-perturbed log-weight (`log_w − ln(−ln u)`; u from a per-id
@@ -125,7 +194,7 @@ object Dsir {
       n: Int, nGram: Int = 2, buckets: Int = 1 << 16, seed: Int = 0,
       lengthNormalize: Boolean = false, gumbel: Boolean = true): DataFrame = {
     val ratios = logRatios(raw, textCol, target, targetTextCol, nGram, buckets, seed)
-    val scored = logWeights(raw, idCol, textCol, ratios, nGram, buckets, seed, lengthNormalize)
+    val scored = logWeights(raw, idCol, textCol, ratios, lengthNormalize)
     selectByLogWeight(scored, idCol, "log_w", n, seed, gumbel).drop("log_w")
   }
 }

@@ -163,9 +163,15 @@ object Sampling {
     * (they exceed the budget alone; cap or split upstream).
     *
     * Scale note: one shuffle on `partitionCols`; within-group the window
-    * is a linear scan. With many small groups this parallelizes cleanly;
-    * a single giant group serializes — pre-chunk by (group, hash bucket)
-    * if that ever binds.
+    * is a linear scan. With many small groups this parallelizes cleanly.
+    * UNKEYED packing (`partitionCols = Nil`) would be a single-task
+    * global window, so above the [[Sorts]] local threshold it dispatches
+    * to a boundary-carry shape instead (the `ffill` scale pattern): a
+    * range-partitioned sort, a numPartitions-row boundary job collecting
+    * per-partition token totals, then a per-partition carry seeded with
+    * the prefix-summed offsets — the global running total is exact
+    * (integer math, no float division) and no task ever sees more than
+    * its own partition.
     */
   def packSequences(
       df: DataFrame,
@@ -174,11 +180,50 @@ object Sampling {
       budget: Long,
       partitionCols: Seq[String] = Nil): DataFrame = {
     require(budget > 0, s"budget: $budget")
+    if (partitionCols.isEmpty && !Sorts.underLocalThreshold(df))
+      return packBoundaryCarry(df, tokenCol, orderCol, budget)
     val w = (if (partitionCols.isEmpty) Window.partitionBy()
              else Window.partitionBy(partitionCols.map(col): _*))
       .orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
     val before = coalesce(sum(col(tokenCol)).over(w), lit(0L))
     df.withColumn("bin", floor(before / lit(budget)))
+  }
+
+  /** The unconditional scale path of unkeyed packing: range sort, per-
+    * partition token totals to the driver (numPartitions longs), exact
+    * prefix-summed carry per partition. The sort shuffle materializes
+    * once and serves both jobs. Null token counts carry 0 (the window
+    * path's `sum` ignores nulls the same way).
+    */
+  private[graft] def packBoundaryCarry(
+      df: DataFrame, tokenCol: String, orderCol: String, budget: Long): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.orderBy(col(orderCol))
+    val schema = sorted.schema
+    val tIdx = schema.fieldIndex(tokenCol)
+    def tok(r: org.apache.spark.sql.Row): Long = r.get(tIdx) match {
+      case null         => 0L
+      case n: java.lang.Number => n.longValue()
+      case other => throw new IllegalArgumentException(
+        s"non-numeric token count: $other (${other.getClass})")
+    }
+    val rdd = sorted.rdd
+    val sums = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var s = 0L
+      it.foreach(r => s += tok(r))
+      Iterator((pid, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = sums.scanLeft(0L)(_ + _) // tokens before partition p
+    val packed = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var before = offsets(pid)
+      it.map { r =>
+        val bin = java.lang.Math.floorDiv(before, budget)
+        before += tok(r)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ bin)
+      }
+    }
+    spark.createDataFrame(packed,
+      schema.add("bin", org.apache.spark.sql.types.LongType))
   }
 }

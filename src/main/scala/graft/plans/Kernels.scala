@@ -1228,6 +1228,60 @@ object Kernels {
     java.lang.Double.valueOf(math.exp(nll / (n - 1)))
   }
 
+  /** Single-pass per-row DSIR log importance weight (Xie et al. 2023)
+    * under a hashed-n-gram log-ratio table riding as expression
+    * constants (sorted bucket keys + parallel ratios — the
+    * [[PplScoreExpr]] pattern). One tokenize, binary-search lookups, no
+    * explode/join/groupBy — fully STATELESS, so it composes into
+    * Structured Streaming where the broadcast-join scoring path's
+    * per-doc aggregation cannot. Bucket hashing reproduces the
+    * DataFrame path bit-exactly (`xxhash64(shingle, lit(seed:Int))` =
+    * `hashInt(seed, hashUTF8String(shingle, 42L))`, then pmod); an
+    * n-gram hashing to a bucket absent from the table contributes the
+    * smoothed `floor` — the join path's left-join + coalesce rule.
+    * Docs with no n-grams return 0.0 (weight 1 — the join path's
+    * `na.fill(0.0)` for docs the explode dropped).
+    */
+  def dsirWeightEval(
+      input: UTF8String,
+      keys: Array[Long], vals: Array[Double],
+      floor: Double, nGram: Int, buckets: Long, seed: Int,
+      mean: Boolean): Double = {
+    val shingles = wordShinglesEval(input, nGram)
+    val n = shingles.numElements()
+    if (n == 0) return 0.0
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      val h = XXH64.hashInt(seed, XXH64.hashUTF8String(shingles.getUTF8String(i), 42L))
+      val b = ((h % buckets) + buckets) % buckets
+      val idx = java.util.Arrays.binarySearch(keys, b)
+      sum += (if (idx >= 0) vals(idx) else floor)
+      i += 1
+    }
+    if (mean) sum / n else sum
+  }
+
+  case class DsirWeightExpr(
+      child: Expression,
+      keys: Array[Long], vals: Array[Double],
+      floor: Double, nGram: Int, buckets: Long, seed: Int, mean: Boolean)
+      extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(input: Any): Any =
+      dsirWeightEval(input.asInstanceOf[UTF8String],
+        keys, vals, floor, nGram, buckets, seed, mean)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val k = ctx.addReferenceObj("dsirKeys", keys, "long[]")
+      val v = ctx.addReferenceObj("dsirVals", vals, "double[]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""${ev.value} = graft.plans.Kernels.dsirWeightEval(
+           $c, $k, $v, $floor, $nGram, ${buckets}L, $seed, $mean);""")
+    }
+    override protected def withNewChildInternal(c: Expression): DsirWeightExpr =
+      copy(child = c)
+  }
+
   case class PplScoreExpr(
       child: Expression,
       uniK: Array[Long], uniV: Array[Long],
@@ -1319,6 +1373,10 @@ object Kernels {
     ExpressionUtils.column(CoveredCountExpr(ExpressionUtils.expression(starts), winLen))
   def wordShingles(text: Column, n: Int): Column =
     ExpressionUtils.column(WordShinglesExpr(ExpressionUtils.expression(text), n))
+  def dsirWeight(text: Column, keys: Array[Long], vals: Array[Double],
+      floor: Double, nGram: Int, buckets: Long, seed: Int, mean: Boolean): Column =
+    ExpressionUtils.column(DsirWeightExpr(ExpressionUtils.expression(text),
+      keys, vals, floor, nGram, buckets, seed, mean))
   def pplScore(text: Column, uniK: Array[Long], uniV: Array[Long],
       biK: Array[Long], biV: Array[Long],
       nTokens: Long, buckets: Long, seed: Int, lambda: Double): Column =

@@ -73,7 +73,10 @@ object Streams {
       gopherStopwords: Option[Seq[String]] = None,
       gopherMinWords: Long = 50L,
       perplexityModel: Option[DataFrame] = None,
-      maxPpl: Double = Double.MaxValue): DataFrame = {
+      maxPpl: Double = Double.MaxValue,
+      dsirRatios: Option[DataFrame] = None,
+      minLogWeight: Double = Double.NegativeInfinity,
+      dsirLengthNormalize: Boolean = true): DataFrame = {
     import graft.functions.TextFunctions
     // unicode repair and quality-classifier scoring are stateless
     // map-side expressions, so they compose into the stream for free —
@@ -104,7 +107,19 @@ object Streams {
       val m = graft.ml.Perplexity.collectModel(modelDf)
       gated.filter(graft.ml.Perplexity.pplColumn(text, m) <= maxPpl)
     }
-    pplGated
+    // DSIR gate ("keep what looks like the target corpus", Xie et al.
+    // 2023): same stateless-kernel story as the perplexity gate — the
+    // batch path's explode + broadcast join + per-doc groupBy is a
+    // stateful shape a stream must not pay; the per-row kernel carries
+    // the (bounded, ≤buckets-row) log-ratio table as expression
+    // constants. mean-normalized weights by default: a stream's doc
+    // lengths vary and sum weights scale with n-gram count.
+    val dsirGated = dsirRatios.fold(pplGated) { ratiosDf =>
+      val r = graft.ml.Dsir.collectRatios(ratiosDf)
+      pplGated.filter(
+        graft.ml.Dsir.weightColumn(text, r, dsirLengthNormalize) >= minLogWeight)
+    }
+    dsirGated
       .withColumn("__fp", TextFunctions.fingerprint(text))
       .dropDuplicatesWithinWatermark("__fp")
       .drop("__fp")

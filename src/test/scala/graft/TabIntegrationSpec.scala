@@ -95,6 +95,24 @@ class TabIntegrationSpec extends SparkSpec {
     assert(t.gopherFilter("text", minWords = 100).df.count() === 0)
   }
 
+  test("DSIR + packing bridges: resampleLikeTarget pulls the styled half, packSequences bins") {
+    import spark.implicits._
+    val t = Tab((0L until 200L).map { i =>
+      (i, if (i % 2 == 0) s"history science theory culture article ref$i citation source"
+          else s"click buy now deal$i offer free shipping cart checkout")
+    }.toDF("doc_id", "text"))
+    val target = Tab(Seq.fill(30)(
+      "history science theory culture article citation source chapter").toDF("text"))
+    val picked = t.resampleLikeTarget("doc_id", "text", target, "text", n = 60)
+      .df.select("doc_id").as[Long].collect()
+    assert(picked.length === 60)
+    assert(picked.count(_ % 2 == 0) >= 54, s"pull too weak: ${picked.count(_ % 2 == 0)}/60")
+    val packed = Tab((0L until 50L).map(i => (i, i % 9 + 1)).toDF("id", "n_tokens"))
+      .packSequences("n_tokens", "id", budget = 40)
+    assert(packed.columns.contains("bin"))
+    assert(packed.df.select("bin").distinct().count() > 1)
+  }
+
   test("Tab dedup bridges preserve non-text columns (frame contract)") {
     import spark.implicits._
     val shared = (1 to 12).map(i => s"tok$i").mkString(" ")

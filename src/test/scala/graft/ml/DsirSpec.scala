@@ -37,7 +37,7 @@ class DsirSpec extends SparkSpec {
   test("logWeights: target-styled docs score higher; ngram-less docs get weight 1") {
     val raw = rawCorpus.union(Seq((9999L, "solo")).toDF("id", "text")) // 1 word < 2-gram
     val ratios = Dsir.logRatios(raw, "text", targetCorpus, "text", buckets = 1 << 12)
-    val w = Dsir.logWeights(raw, "id", "text", ratios, buckets = 1 << 12)
+    val w = Dsir.logWeights(raw, "id", "text", ratios)
       .select("id", "log_w").as[(Long, Double)].collect().toMap
     assert(w(9999L) === 0.0) // no n-grams -> neutral weight
     val wikiAvg = w.filter(kv => kv._1 < 400 && kv._1 % 2 == 0).values.sum / 200
@@ -70,12 +70,73 @@ class DsirSpec extends SparkSpec {
     // (log_w = 0 via the fill); the floor fill must weight them
     val ratios = Dsir.logRatios(rawCorpus, "text", targetCorpus, "text", buckets = 1 << 12)
     val novel = Seq((1L, "quantum entangle boson lepton hadron meson quark gluon")).toDF("id", "text")
-    val w = Dsir.logWeights(novel, "id", "text", ratios, buckets = 1 << 12)
+    val w = Dsir.logWeights(novel, "id", "text", ratios)
       .select("log_w").as[Double].head()
     assert(w !== 0.0, "novel n-grams were dropped instead of floored")
     // floor sign sanity: raw corpus is larger than target, so the
     // unseen-bucket ratio log((rt+B)/(tt+B)) is positive
     assert(w > 0.0, s"log_w: $w")
+  }
+
+  test("ratio frame is self-contained: hashing params ride on every row") {
+    val ratios = Dsir.logRatios(rawCorpus, "text", targetCorpus, "text",
+      nGram = 3, buckets = 1 << 10, seed = 7)
+    val rows = ratios.collect()
+    assert(rows.length <= (1 << 10))
+    assert(ratios.columns.toSet ===
+      Set("bucket", "log_ratio", "log_floor", "n_gram", "buckets", "seed"))
+    assert(rows.map(_.getAs[Int]("n_gram")).distinct.toSeq === Seq(3))
+    assert(rows.map(_.getAs[Int]("buckets")).distinct.toSeq === Seq(1 << 10))
+    assert(rows.map(_.getAs[Int]("seed")).distinct.toSeq === Seq(7))
+  }
+
+  test("scoreInline kernel agrees with the join-path scorer (hash + floor + mean parity)") {
+    val docs = (rawCorpus.limit(20).as[(Long, String)].collect().toSeq ++ Seq(
+      (9000L, "solo"),                                              // no n-grams
+      (9001L, ""),                                                  // empty
+      (9002L, "quantum entangle boson lepton hadron meson quark"),  // all-floor
+      (9003L, "History SCIENCE theory,  culture!! article")         // case/punct
+    )).toDF("id", "text").repartition(3)
+    for (mean <- Seq(false, true)) {
+      val ratios = Dsir.logRatios(rawCorpus, "text", targetCorpus, "text",
+        buckets = 1 << 12, seed = 5)
+      val viaJoin = Dsir.logWeights(docs, "id", "text", ratios, lengthNormalize = mean)
+        .select("id", "log_w").as[(Long, Double)].collect().toMap
+      val r = Dsir.collectRatios(ratios)
+      val viaKernel = Dsir.scoreInline(docs, "text", r, lengthNormalize = mean)
+        .select("id", "log_w").as[(Long, Double)].collect().toMap
+      assert(viaKernel.keySet === viaJoin.keySet)
+      for ((id, k) <- viaKernel) {
+        val j = viaJoin(id)
+        assert(math.abs(k - j) <= 1e-9 * math.max(1.0, math.abs(j)),
+          s"doc $id (mean=$mean): kernel $k vs join $j")
+      }
+    }
+  }
+
+  test("scoreInline weights null text 0.0 (the join path's fill)") {
+    val docs = Seq((1L, null.asInstanceOf[String]), (2L, wikiDoc(2))).toDF("id", "text")
+    val ratios = Dsir.logRatios(rawCorpus, "text", targetCorpus, "text", buckets = 1 << 12)
+    val viaJoin = Dsir.logWeights(docs, "id", "text", ratios)
+      .select("id", "log_w").as[(Long, Double)].collect().toMap
+    val viaKernel = Dsir.scoreInline(docs, "text", Dsir.collectRatios(ratios))
+      .select("id", "log_w").as[(Long, Double)].collect().toMap
+    assert(viaJoin(1L) === 0.0 && viaKernel(1L) === 0.0)
+    assert(math.abs(viaKernel(2L) - viaJoin(2L)) <= 1e-9 * math.abs(viaJoin(2L)))
+  }
+
+  test("inline greedy top-n equals the batch draw on the planted pull") {
+    val ratios = Dsir.logRatios(rawCorpus, "text", targetCorpus, "text", buckets = 1 << 12)
+    val batch = Dsir.selectByLogWeight(
+      Dsir.logWeights(rawCorpus, "id", "text", ratios, lengthNormalize = true),
+      "id", "log_w", n = 100, gumbel = false)
+      .select("id").as[Long].collect().toSet
+    val inline = Dsir.selectByLogWeight(
+      Dsir.scoreInline(rawCorpus, "text", Dsir.collectRatios(ratios), lengthNormalize = true),
+      "id", "log_w", n = 100, gumbel = false)
+      .select("id").as[Long].collect().toSet
+    assert(inline === batch)
+    assert(inline.forall(_ % 2 == 0), "greedy inline draw picked web docs")
   }
 
   test("plan: ratio lookup broadcasts, selection is TakeOrderedAndProject") {

@@ -110,4 +110,32 @@ class SamplingSpec extends SparkSpec {
       }
     }
   }
+
+  test("unkeyed packing: boundary-carry scale path equals the global window exactly") {
+    // null token counts included: the window's sum ignores them, the
+    // carry must treat them as 0 — identical bins either way
+    val withNulls = (0L until 500L).map(i =>
+      (i, if (i % 17 == 0) null.asInstanceOf[java.lang.Long]
+          else java.lang.Long.valueOf(i % 97 + 1))).toDF("id", "n_tokens")
+    val viaWindow = Sampling.packSequences(withNulls, "n_tokens", "id", budget = 300)
+      .select("id", "bin").as[(Long, Long)].collect().toMap
+    val viaCarry = Sampling.packBoundaryCarry(
+      withNulls.repartition(7), "n_tokens", "id", budget = 300)
+      .select("id", "bin").as[(Long, Long)].collect().toMap
+    assert(viaCarry === viaWindow)
+    assert(viaCarry.values.max > 10, "test corpus too small to span bins")
+  }
+
+  test("unkeyed packing dispatches to the carry path above the local threshold") {
+    spark.conf.set("graft.rowIndex.localThresholdBytes", "0")
+    try {
+      val df = (0L until 100L).map(i => (i, i % 7 + 1)).toDF("id", "n_tokens")
+      val packed = Sampling.packSequences(df, "n_tokens", "id", budget = 50)
+      // the carry path is RDD-based: no Window node in the plan
+      assert(!packed.queryExecution.executedPlan.toString.contains("Window"))
+      val direct = Sampling.packBoundaryCarry(df, "n_tokens", "id", budget = 50)
+        .select("id", "bin").as[(Long, Long)].collect().toMap
+      assert(packed.select("id", "bin").as[(Long, Long)].collect().toMap === direct)
+    } finally spark.conf.unset("graft.rowIndex.localThresholdBytes")
+  }
 }

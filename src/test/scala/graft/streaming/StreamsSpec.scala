@@ -153,6 +153,40 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming curation with the DSIR gate (stateless kernel, no extra state)") {
+    val dir = Files.createTempDirectory("graftcurate4").toString + "/in"
+    val wiki = "the history of science and the theory of culture in the early modern article"
+    val web = "the best deal and the free shipping on the cart at the checkout sale today"
+    Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, wiki),
+      (java.sql.Timestamp.valueOf("2024-01-01 10:00:01"), 2L, web)
+    ).toDF("ts", "doc_id", "text").coalesce(1).write.parquet(dir)
+    val raw = Seq.fill(20)(wiki).zipWithIndex.map(_.swap) ++
+      Seq.fill(20)(web).zipWithIndex.map { case (t, i) => (i + 100, t) }
+    val target = Seq.fill(20)(wiki).toDF("text")
+    val ratios = graft.ml.Dsir.logRatios(
+      raw.toDF("id", "text"), "text", target, "text", buckets = 1 << 12, seed = 5)
+    // threshold between the two styles' mean log-weights (wiki >> web)
+    val r = graft.ml.Dsir.collectRatios(ratios)
+    val scored = graft.ml.Dsir.scoreInline(
+      Seq(wiki, web).toDF("text"), "text", r, lengthNormalize = true)
+      .collect().map(_.getAs[Double]("log_w"))
+    val threshold = (scored(0) + scored(1)) / 2.0
+    assert(scored(0) > scored(1), s"wiki ${scored(0)} !> web ${scored(1)}")
+    val schema = spark.read.parquet(dir).schema
+    val stream = Streams.readParquetStream(spark, dir, schema)
+    val curated = Streams.streamingCurate(stream, "ts", "1 hour", "text",
+      langs = Set("en"), minTokens = 5L,
+      dsirRatios = Some(ratios), minLogWeight = threshold)
+    val q = curated.writeStream.outputMode("append")
+      .format("memory").queryName("curate4_out").start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM curate4_out").collect().map(_.getLong(0)).toSet
+      assert(ids === Set(1L), ids)
+    } finally q.stop()
+  }
+
   test("stateful sessionizer emits gap-separated sessions") {
     val src = writeEventsParquet()
     val schema = spark.read.parquet(src).schema
