@@ -593,6 +593,19 @@ object SparkEntry {
         "lang", "doc_id",
         Map("en" -> 0.2, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.2, "zh" -> 0.2),
         n = 200, seed = 7)),
+    // temperature-scaled corpus mixing (p_i ∝ (n_i/N)^α, α=0.5): the
+    // same deterministic E-S draw as q_resample with DERIVED target
+    // fractions — low-resource langs up-sampled toward uniform
+    "q_temperature_mix" -> ((s, dir) =>
+      Sampling.temperatureMix(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "lang", "doc_id", alpha = 0.5, n = 300, seed = 11)),
+    // deterministic global training-order shuffle: reproducible md5
+    // permutation materialized as shuffle_rank (withRowIndex scale path)
+    "q_shuffle" -> ((s, dir) =>
+      Sampling.shuffleDeterministic(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", seed = 5)),
     // DSIR gate (hashed-n-gram importance resampling, ml.Dsir): plant a
     // distinctive "wiki" suffix on even doc_ids, target = pure wiki
     // vocab; the resample must pull >= 80% even ids (deterministic:
@@ -1565,6 +1578,25 @@ object SparkEntry {
            FROM documents d, cnt, tot WHERE cnt.lang = d.lang)
          SELECT doc_id, lang, source FROM scored
          ORDER BY lnu / w DESC, doc_id LIMIT 200""",
+    // same draw as q_resample with target fractions DERIVED from the
+    // counts: w = c^(α−1)·tot/Σc^α (the Σc^α normalizer is a common
+    // factor — cross-engine float-sum order can't perturb the rank)
+    "q_temperature_mix" ->
+      """WITH cnt AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
+         agg AS (SELECT sum(pow(c, 0.5)) AS pt, sum(c) AS t FROM cnt),
+         scored AS (
+           SELECT d.doc_id, d.lang,
+             pow(cnt.c, -0.5) * agg.t / agg.pt AS w,
+             ln(((d.doc_id * 1103515245 + 12345 + 11) % 2147483648 + 1)
+               / 2147483649.0) AS lnu
+           FROM documents d, cnt, agg WHERE cnt.lang = d.lang)
+         SELECT doc_id, lang FROM scored
+         ORDER BY lnu / w DESC, doc_id LIMIT 300""",
+    "q_shuffle" ->
+      """SELECT doc_id, lang,
+           row_number() OVER (ORDER BY md5(doc_id::VARCHAR || '_5'), doc_id) - 1
+             AS shuffle_rank
+         FROM documents""",
     "q_dsir_gate" ->
       "SELECT true AS dsir_ok",
     // q_dsir_inline: kernel-vs-join parity + planted pull; boolean

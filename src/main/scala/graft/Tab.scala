@@ -179,6 +179,17 @@ final case class Tab(df: DataFrame) {
   def resampleToMix(strataCol: String, idCol: String,
       targetFracs: Map[String, Double], n: Int, seed: Int = 0): Tab =
     Tab(graft.operators.Sampling.importanceResample(df, strataCol, idCol, targetFracs, n, seed))
+  /** Temperature-scaled corpus mix (p_i ∝ (n_i/N)^α —
+    * [[graft.operators.Sampling.temperatureMix]]).
+    */
+  def temperatureMix(strataCol: String, idCol: String, alpha: Double,
+      n: Int, seed: Int = 0): Tab =
+    Tab(graft.operators.Sampling.temperatureMix(df, strataCol, idCol, alpha, n, seed))
+  /** Reproducible global training-order shuffle (appends `shuffle_rank` —
+    * [[graft.operators.Sampling.shuffleDeterministic]]).
+    */
+  def shuffleDeterministic(idCol: String, seed: Int = 0): Tab =
+    Tab(graft.operators.Sampling.shuffleDeterministic(df, idCol, seed))
   /** Full-text DSIR (Xie et al. 2023, [[graft.ml.Dsir]]): draw `n` rows
     * whose text looks like `target`'s, by hashed-n-gram importance
     * weight. Mean-normalized weights by default (doc-length-skew-proof).

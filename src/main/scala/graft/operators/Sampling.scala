@@ -154,6 +154,63 @@ object Sampling {
       .drop("__c", "__tot", "__w", "__key")
   }
 
+  /** Temperature-scaled corpus mixing (the multilingual-pretraining
+    * rule p_i ∝ (n_i/N)^α, Conneau & Lample 2019 §3.1): draw an
+    * exact-`n` sample whose stratum composition follows the
+    * temperature-flattened corpus distribution. α = 1 preserves the
+    * natural mix; α → 0 approaches uniform (low-resource strata
+    * up-sampled); α > 1 sharpens toward the head. Deterministic — the
+    * same Efraimidis–Spirakis draw on the per-id LCG uniform as
+    * [[importanceResample]], with target fractions DERIVED from the
+    * corpus counts instead of supplied.
+    *
+    * Scale shape: identical to importanceResample — one partial-agg
+    * count on the stratum column, tiny broadcast back, map-side
+    * weights, TakeOrderedAndProject. The normalizer Σ c_j^α is a
+    * common factor of every row's weight, so cross-engine float-sum
+    * ordering cannot perturb the draw (rank order only depends on the
+    * per-stratum c^(α−1) and the per-id uniform).
+    */
+  def temperatureMix(
+      df: DataFrame,
+      strataCol: String,
+      idCol: String,
+      alpha: Double,
+      n: Int,
+      seed: Int = 0): DataFrame = {
+    require(n > 0, s"n: $n")
+    require(alpha >= 0.0, s"alpha: $alpha")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__c"))
+    val withTot = counts.crossJoin(broadcast(counts.agg(
+      sum(pow(col("__c"), alpha)).as("__pt"), sum("__c").as("__tot"))))
+    val u = lcgUniform(col(idCol), seed)
+    // w_i = targetFrac / corpusFrac = (c^α/Σc^α) / (c/tot)
+    //     = c^(α−1) · tot / Σc^α
+    df.join(broadcast(withTot), Seq(strataCol))
+      .withColumn("__w", pow(col("__c"), alpha - 1.0) * col("__tot") / col("__pt"))
+      .withColumn("__key", log(u) / col("__w"))
+      .orderBy(col("__key").desc, col(idCol))
+      .limit(n)
+      .drop("__c", "__tot", "__pt", "__w", "__key")
+  }
+
+  /** Deterministic global training-order shuffle: a reproducible
+    * pseudo-random permutation by salted md5 of the id string
+    * (cross-engine recomputable — the [[exactSample]] key), materialized
+    * as 0-based `shuffle_rank`. The rank comes from
+    * [[Sorts.withRowIndex]], so below the local threshold it is one
+    * window task and above it the zipWithIndex shape — no
+    * SinglePartition stage at scale. Composes with [[packSequences]]
+    * (shuffle-then-pack is the standard training-prep tail: random doc
+    * order, then contiguous token-budget bins).
+    */
+  def shuffleDeterministic(df: DataFrame, idCol: String, seed: Int = 0): DataFrame = {
+    val keyed = df.withColumn("__sk",
+      md5(concat(col(idCol).cast("string"), lit("_" + seed)).cast("binary")))
+    Sorts.withRowIndex(keyed, Seq(col("__sk").asc_nulls_last, col(idCol).asc_nulls_last),
+      "shuffle_rank").drop("__sk")
+  }
+
   /** Token-budget sequence packing: assign docs to training bins of at
     * most ~`budget` tokens, preserving `orderCol` order within each
     * `partitionCols` group (e.g. pack per language). The bin id is

@@ -89,6 +89,50 @@ class SamplingSpec extends SparkSpec {
     assert(only.select("lang").distinct().as[String].collect().toSeq === Seq("fr"))
   }
 
+  test("temperatureMix: α=1 keeps the natural mix, α→0 flattens toward uniform") {
+    // 6:3:1 skew — the importanceResample fixture with derived targets
+    val skewed = (0L until 1000L).map(i =>
+      (i, if (i < 600) "en" else if (i < 900) "de" else "fr")).toDF("id", "lang")
+    def mixAt(alpha: Double) = Sampling.temperatureMix(skewed, "lang", "id",
+      alpha, n = 300, seed = 3)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val natural = mixAt(1.0)
+    // α=1: w is constant across strata → mix tracks the corpus (6:3:1)
+    assert(natural("en") > 150 && natural("fr") < 60, natural.toString)
+    val flat = mixAt(0.0)
+    // α=0: targets uniform thirds; fr (100 docs) is up-sampled hard
+    assert(flat.values.forall(c => c > 70 && c < 130), flat.toString)
+    // monotone in between
+    val half = mixAt(0.5)
+    assert(half("fr") > natural("fr") && half("fr") < flat("fr") + 15,
+      s"fr: nat ${natural("fr")} half ${half("fr")} flat ${flat("fr")}")
+    // exact n + deterministic rerun
+    val again = Sampling.temperatureMix(skewed, "lang", "id", 0.5, n = 300, seed = 3)
+      .select("id").as[Long].collect()
+    assert(again.length === 300)
+    assert(Sampling.temperatureMix(skewed, "lang", "id", 0.5, n = 300, seed = 3)
+      .select("id").as[Long].collect().toSet === again.toSet)
+  }
+
+  test("shuffleDeterministic: a reproducible permutation; seeds independent; scale path agrees") {
+    val ranks = Sampling.shuffleDeterministic(docs, "id", seed = 1)
+      .select("id", "shuffle_rank").as[(Long, Long)].collect()
+    assert(ranks.map(_._2).sorted.toSeq === (0L until 1000L)) // a permutation
+    val again = Sampling.shuffleDeterministic(docs, "id", seed = 1)
+      .select("id", "shuffle_rank").as[(Long, Long)].collect()
+    assert(again.toMap === ranks.toMap) // bit-identical rerun
+    val other = Sampling.shuffleDeterministic(docs, "id", seed = 2)
+      .select("id", "shuffle_rank").as[(Long, Long)].collect()
+    assert(other.toMap !== ranks.toMap) // salt changes the permutation
+    // above the local threshold: zipWithIndex shape, same permutation
+    spark.conf.set("graft.rowIndex.localThresholdBytes", "0")
+    try {
+      val scaled = Sampling.shuffleDeterministic(docs.repartition(7), "id", seed = 1)
+        .select("id", "shuffle_rank").as[(Long, Long)].collect()
+      assert(scaled.toMap === ranks.toMap)
+    } finally spark.conf.unset("graft.rowIndex.localThresholdBytes")
+  }
+
   test("packSequences: bins are contiguous in order and hold ~budget tokens") {
     val packed = Sampling.packSequences(docs, "n_tokens", "id", budget = 500,
       partitionCols = Seq("lang"))
