@@ -192,11 +192,13 @@ final case class Tab(df: DataFrame) {
     Tab(graft.operators.Sampling.shuffleDeterministic(df, idCol, seed))
   /** Full-text DSIR (Xie et al. 2023, [[graft.ml.Dsir]]): draw `n` rows
     * whose text looks like `target`'s, by hashed-n-gram importance
-    * weight. Mean-normalized weights by default (doc-length-skew-proof).
+    * weight. Defaults match [[graft.ml.Dsir.resampleLikeTarget]] exactly
+    * (sum weights — the paper's formulation); pass
+    * `lengthNormalize = true` for corpora with high doc-length variance.
     */
   def resampleLikeTarget(idCol: String, textCol: String, target: Tab,
       targetTextCol: String, n: Int, seed: Int = 0,
-      lengthNormalize: Boolean = true): Tab =
+      lengthNormalize: Boolean = false): Tab =
     Tab(graft.ml.Dsir.resampleLikeTarget(df, idCol, textCol,
       target.df, targetTextCol, n, seed = seed, lengthNormalize = lengthNormalize))
   /** Token-budget sequence packing (appends `bin`; unkeyed packing

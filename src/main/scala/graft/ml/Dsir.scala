@@ -80,6 +80,13 @@ object Dsir {
       .collect()
     require(rows.nonEmpty && !rows(0).isNullAt(0),
       "empty DSIR ratio frame: both training corpora produced no n-grams")
+    // a ONE-sided-empty training corpus leaves the totals (and so every
+    // ratio and the floor) NULL while the stamped params are not —
+    // getDouble would silently unbox those NULLs to 0.0 and every doc
+    // would score log_w = 0 with no error
+    require(!rows(0).isNullAt(3),
+      "degenerate DSIR ratio frame: one training corpus produced no n-grams " +
+        "(every ratio is null) — check the raw/target text columns")
     (rows(0).getInt(0), rows(0).getInt(1), rows(0).getInt(2), rows(0).getDouble(3))
   }
 
@@ -140,6 +147,12 @@ object Dsir {
       .select("bucket", "log_ratio", "n_gram", "buckets", "seed", "log_floor").collect()
     require(rows.nonEmpty,
       "empty DSIR ratio frame: both training corpora produced no n-grams")
+    // same degenerate-frame guard as the join path's header: null
+    // ratios/floor (one-sided-empty training corpus) must error, not
+    // silently unbox to 0.0
+    require(!rows(0).isNullAt(5),
+      "degenerate DSIR ratio frame: one training corpus produced no n-grams " +
+        "(every ratio is null) — check the raw/target text columns")
     val kv = rows.map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
     LocalRatios(kv.map(_._1), kv.map(_._2),
       rows(0).getDouble(5), rows(0).getInt(2), rows(0).getInt(3), rows(0).getInt(4))

@@ -68,6 +68,26 @@ object Sampling {
     (pmod(id.cast("long") * 1103515245L + 12345L + seed,
       lit(2147483648L)) + 1L).cast("double") / 2147483649.0
 
+  /** The salted-md5 order key shared by [[exactSample]] and
+    * [[shuffleDeterministic]] — a cross-engine contract (the DuckDB
+    * oracles mirror `md5(id::VARCHAR || '_seed')` byte-for-byte), so it
+    * lives in exactly one place.
+    */
+  private def saltedMd5Key(idCol: String, seed: Int): org.apache.spark.sql.Column =
+    md5(concat(col(idCol).cast("string"), lit("_" + seed)).cast("binary"))
+
+  /** The Efraimidis–Spirakis top-`n` tail shared by
+    * [[importanceResample]] and [[temperatureMix]]: rank by
+    * `ln(u)/w` (u the per-id LCG uniform) and keep the best `n` —
+    * TakeOrderedAndProject, no global sort. Expects the per-row weight
+    * in `__w`; any weight-formula sampler reuses this draw unchanged
+    * (null-handling/tiebreak fixes land in one place).
+    */
+  private def esTopN(df: DataFrame, idCol: String, n: Int, seed: Int): DataFrame =
+    df.withColumn("__key", log(lcgUniform(col(idCol), seed)) / col("__w"))
+      .orderBy(col("__key").desc, col(idCol))
+      .limit(n)
+
   /** Per-group cap: keep the top `n` rows of each `groupCol` group in
     * `orderBy` order (e.g. "at most 50 docs per source domain, best
     * quality first" — the domain-capping stage every Common-Crawl-scale
@@ -102,10 +122,10 @@ object Sampling {
     */
   def exactSample(df: DataFrame, idCol: String, n: Int, seed: Int = 0): DataFrame = {
     require(n > 0, s"n: $n")
-    val key = md5(concat(col(idCol).cast("string"), lit("_" + seed)).cast("binary"))
     // nulls last (matching SQL engines' ASC default), so a null id can
     // never hijack the sample
-    df.orderBy(key.asc_nulls_last, col(idCol).asc_nulls_last).limit(n)
+    df.orderBy(saltedMd5Key(idCol, seed).asc_nulls_last, col(idCol).asc_nulls_last)
+      .limit(n)
   }
 
   /** Importance resampling to a target stratum mix (the categorical
@@ -144,13 +164,10 @@ object Sampling {
     val target = targetFracs.foldLeft(lit(null).cast("double")) {
       case (acc, (s, f)) => when(col(strataCol) === s, lit(f)).otherwise(acc)
     }
-    val u = lcgUniform(col(idCol), seed)
-    df.join(broadcast(withTot), Seq(strataCol))
+    val weighted = df.join(broadcast(withTot), Seq(strataCol))
       .withColumn("__w", target / (col("__c").cast("double") / col("__tot")))
       .filter(col("__w").isNotNull)
-      .withColumn("__key", log(u) / col("__w"))
-      .orderBy(col("__key").desc, col(idCol))
-      .limit(n)
+    esTopN(weighted, idCol, n, seed)
       .drop("__c", "__tot", "__w", "__key")
   }
 
@@ -183,14 +200,11 @@ object Sampling {
     val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__c"))
     val withTot = counts.crossJoin(broadcast(counts.agg(
       sum(pow(col("__c"), alpha)).as("__pt"), sum("__c").as("__tot"))))
-    val u = lcgUniform(col(idCol), seed)
     // w_i = targetFrac / corpusFrac = (c^α/Σc^α) / (c/tot)
     //     = c^(α−1) · tot / Σc^α
-    df.join(broadcast(withTot), Seq(strataCol))
+    val weighted = df.join(broadcast(withTot), Seq(strataCol))
       .withColumn("__w", pow(col("__c"), alpha - 1.0) * col("__tot") / col("__pt"))
-      .withColumn("__key", log(u) / col("__w"))
-      .orderBy(col("__key").desc, col(idCol))
-      .limit(n)
+    esTopN(weighted, idCol, n, seed)
       .drop("__c", "__tot", "__pt", "__w", "__key")
   }
 
@@ -205,8 +219,7 @@ object Sampling {
     * order, then contiguous token-budget bins).
     */
   def shuffleDeterministic(df: DataFrame, idCol: String, seed: Int = 0): DataFrame = {
-    val keyed = df.withColumn("__sk",
-      md5(concat(col(idCol).cast("string"), lit("_" + seed)).cast("binary")))
+    val keyed = df.withColumn("__sk", saltedMd5Key(idCol, seed))
     Sorts.withRowIndex(keyed, Seq(col("__sk").asc_nulls_last, col(idCol).asc_nulls_last),
       "shuffle_rank").drop("__sk")
   }
@@ -237,14 +250,29 @@ object Sampling {
       budget: Long,
       partitionCols: Seq[String] = Nil): DataFrame = {
     require(budget > 0, s"budget: $budget")
-    if (partitionCols.isEmpty && !Sorts.underLocalThreshold(df))
-      return packBoundaryCarry(df, tokenCol, orderCol, budget)
+    // a pre-existing `bin` is replaced in BOTH paths (dropped up front,
+    // appended at the end) — the window and carry paths must emit
+    // identical frames
+    val base = if (df.columns.contains("bin")) df.drop("bin") else df
+    // the carry path's running total is exact INTEGER math; fractional
+    // token columns (float sums are addition-order-sensitive, so the
+    // offset regrouping could flip a boundary bin) stay on the window
+    // path, which matches their single-sequence sum exactly. Token
+    // counts are semantically integral — cast upstream to get the
+    // scale shape.
+    val integral = base.schema(tokenCol).dataType match {
+      case _: org.apache.spark.sql.types.ByteType | _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    if (partitionCols.isEmpty && integral && !Sorts.underLocalThreshold(base))
+      return packBoundaryCarry(base, tokenCol, orderCol, budget)
     val w = (if (partitionCols.isEmpty) Window.partitionBy()
              else Window.partitionBy(partitionCols.map(col): _*))
       .orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
     val before = coalesce(sum(col(tokenCol)).over(w), lit(0L))
-    df.withColumn("bin", floor(before / lit(budget)))
+    base.withColumn("bin", floor(before / lit(budget)))
   }
 
   /** The unconditional scale path of unkeyed packing: range sort, per-
@@ -256,11 +284,19 @@ object Sampling {
   private[graft] def packBoundaryCarry(
       df: DataFrame, tokenCol: String, orderCol: String, budget: Long): DataFrame = {
     val spark = df.sparkSession
-    val sorted = df.orderBy(col(orderCol))
+    val in = if (df.columns.contains("bin")) df.drop("bin") else df
+    in.schema(tokenCol).dataType match {
+      case _: org.apache.spark.sql.types.ByteType | _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType => ()
+      case dt => throw new IllegalArgumentException(
+        s"packBoundaryCarry needs an integral token column, got $tokenCol: $dt " +
+          "(fractional sums are addition-order-sensitive; round/cast upstream)")
+    }
+    val sorted = in.orderBy(col(orderCol))
     val schema = sorted.schema
     val tIdx = schema.fieldIndex(tokenCol)
     def tok(r: org.apache.spark.sql.Row): Long = r.get(tIdx) match {
-      case null         => 0L
+      case null                => 0L
       case n: java.lang.Number => n.longValue()
       case other => throw new IllegalArgumentException(
         s"non-numeric token count: $other (${other.getClass})")

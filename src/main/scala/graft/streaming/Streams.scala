@@ -76,7 +76,7 @@ object Streams {
       maxPpl: Double = Double.MaxValue,
       dsirRatios: Option[DataFrame] = None,
       minLogWeight: Double = Double.NegativeInfinity,
-      dsirLengthNormalize: Boolean = true): DataFrame = {
+      dsirLengthNormalize: Boolean = false): DataFrame = {
     import graft.functions.TextFunctions
     // unicode repair and quality-classifier scoring are stateless
     // map-side expressions, so they compose into the stream for free —
@@ -112,8 +112,9 @@ object Streams {
     // batch path's explode + broadcast join + per-doc groupBy is a
     // stateful shape a stream must not pay; the per-row kernel carries
     // the (bounded, ≤buckets-row) log-ratio table as expression
-    // constants. mean-normalized weights by default: a stream's doc
-    // lengths vary and sum weights scale with n-gram count.
+    // constants. Defaults match Dsir's (sum weights); pass
+    // dsirLengthNormalize = true when the stream's doc lengths vary a
+    // lot (sum weights scale with n-gram count).
     val dsirGated = dsirRatios.fold(pplGated) { ratiosDf =>
       val r = graft.ml.Dsir.collectRatios(ratiosDf)
       pplGated.filter(

@@ -139,6 +139,20 @@ class DsirSpec extends SparkSpec {
     assert(inline.forall(_ % 2 == 0), "greedy inline draw picked web docs")
   }
 
+  test("one-sided-empty training corpus errors instead of scoring everything 0") {
+    // target docs all shorter than the n-gram: its count frame is empty,
+    // every ratio/floor is null — both scoring paths must refuse (a
+    // silent all-zero log_w would make a minLogWeight gate drop or keep
+    // the whole stream with no signal)
+    val ratios = Dsir.logRatios(rawCorpus, "text",
+      Seq((1L, "solo")).toDF("id", "text"), "text", buckets = 1 << 12)
+    val viaKernel = intercept[IllegalArgumentException](Dsir.collectRatios(ratios))
+    assert(viaKernel.getMessage.contains("degenerate"), viaKernel.getMessage)
+    val viaJoin = intercept[IllegalArgumentException](
+      Dsir.logWeights(rawCorpus, "id", "text", ratios).collect())
+    assert(viaJoin.getMessage.contains("degenerate"), viaJoin.getMessage)
+  }
+
   test("plan: ratio lookup broadcasts, selection is TakeOrderedAndProject") {
     val out = Dsir.resampleLikeTarget(
       rawCorpus, "id", "text", targetCorpus, "text", n = 50, buckets = 1 << 12)

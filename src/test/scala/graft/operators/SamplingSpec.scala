@@ -170,6 +170,36 @@ class SamplingSpec extends SparkSpec {
     assert(viaCarry.values.max > 10, "test corpus too small to span bins")
   }
 
+  test("fractional token counts stay on the window path; the carry rejects them clearly") {
+    val frac = (0L until 100L).map(i => (i, (i % 7).toDouble + 0.6)).toDF("id", "est_tokens")
+    spark.conf.set("graft.rowIndex.localThresholdBytes", "0")
+    try {
+      // above the threshold a fractional column must NOT silently
+      // truncate through the carry (0.6 -> 0 puts everything in bin 0)
+      val packed = Sampling.packSequences(frac, "est_tokens", "id", budget = 40)
+        .select("id", "bin").as[(Long, Long)].collect().toMap
+      assert(packed.values.max > 1, packed.values.max.toString)
+      val err = intercept[IllegalArgumentException] {
+        Sampling.packBoundaryCarry(frac, "est_tokens", "id", budget = 40)
+      }
+      assert(err.getMessage.contains("integral"), err.getMessage)
+    } finally spark.conf.unset("graft.rowIndex.localThresholdBytes")
+  }
+
+  test("re-packing replaces a pre-existing bin column in both paths") {
+    val df = (0L until 200L).map(i => (i, i % 9 + 1)).toDF("id", "n_tokens")
+    val once = Sampling.packSequences(df, "n_tokens", "id", budget = 100)
+    val windowAgain = Sampling.packSequences(once, "n_tokens", "id", budget = 50)
+    assert(windowAgain.columns.count(_ == "bin") === 1)
+    val carryAgain = Sampling.packBoundaryCarry(once, "n_tokens", "id", budget = 50)
+    assert(carryAgain.columns.count(_ == "bin") === 1)
+    // both re-packs agree with a fresh pack at the new budget
+    val fresh = Sampling.packSequences(df, "n_tokens", "id", budget = 50)
+      .select("id", "bin").as[(Long, Long)].collect().toMap
+    assert(windowAgain.select("id", "bin").as[(Long, Long)].collect().toMap === fresh)
+    assert(carryAgain.select("id", "bin").as[(Long, Long)].collect().toMap === fresh)
+  }
+
   test("unkeyed packing dispatches to the carry path above the local threshold") {
     spark.conf.set("graft.rowIndex.localThresholdBytes", "0")
     try {

@@ -168,8 +168,10 @@ class StreamsSpec extends SparkSpec {
       raw.toDF("id", "text"), "text", target, "text", buckets = 1 << 12, seed = 5)
     // threshold between the two styles' mean log-weights (wiki >> web)
     val r = graft.ml.Dsir.collectRatios(ratios)
+    // default (sum) weights on both sides — the threshold and the gate
+    // must use the same mode
     val scored = graft.ml.Dsir.scoreInline(
-      Seq(wiki, web).toDF("text"), "text", r, lengthNormalize = true)
+      Seq(wiki, web).toDF("text"), "text", r)
       .collect().map(_.getAs[Double]("log_w"))
     val threshold = (scored(0) + scored(1)) / 2.0
     assert(scored(0) > scored(1), s"wiki ${scored(0)} !> web ${scored(1)}")
