@@ -193,6 +193,42 @@ object Streams {
       graft.plans.AsofJoinPlan.asofJoin(batch, dim, leftKeys, rightKeys,
         leftTime, rightTime, rightValues, direction, hint = "broadcast")
 
+  final case class PackEvent(group: String, ts: java.sql.Timestamp,
+      doc_id: Long, n_tokens: Long)
+  final case class PackOut(group: String, ts: java.sql.Timestamp,
+      doc_id: Long, n_tokens: Long, bin: Long)
+
+  /** Continuous token-budget sequence packing — the streaming face of
+    * [[graft.operators.Sampling.packSequences]]: bin ids continue
+    * ACROSS micro-batches via one running token total per group (8
+    * bytes of state — bounded by group cardinality, not stream
+    * length). Within a micro-batch rows apply in (event-time, doc_id)
+    * order; across batches the order is arrival order — a stream
+    * cannot globally sort, so the bin assignment is the
+    * same-exact-integer cumsum rule applied to the order the data
+    * actually arrived in (deterministic on replay of the same batch
+    * boundaries). State never times out: a group's running total must
+    * survive idle periods — packing has no session-gap semantics.
+    */
+  def streamingPack(docs: Dataset[PackEvent], budget: Long)
+      (implicit spark: SparkSession): Dataset[PackOut] = {
+    require(budget > 0, s"budget: $budget")
+    import spark.implicits._
+    def fn(group: String, rows: Iterator[PackEvent],
+        state: GroupState[Long]): Iterator[PackOut] = {
+      var total = state.getOption.getOrElse(0L)
+      val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.doc_id)).map { e =>
+        val bin = java.lang.Math.floorDiv(total, budget)
+        total += e.n_tokens
+        PackOut(e.group, e.ts, e.doc_id, e.n_tokens, bin)
+      }
+      state.update(total)
+      out.iterator
+    }
+    docs.groupByKey(_.group)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(start: Long, lastTs: Long, n: Int, sum: Double)
   final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,

@@ -209,6 +209,31 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("temperatureMix: broadcast derived fractions + TakeOrdered, no corpus sort") {
+    import spark.implicits._
+    val df = (0L until 2000L).map(i => (i, if (i % 3 == 0) "a" else "b")).toDF("id", "s")
+    val r = graft.operators.Sampling.temperatureMix(df, "s", "id", alpha = 0.5, n = 100)
+    val p = r.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("DSIR inline scoring is one map stage: no explode, no join, no aggregation") {
+    import spark.implicits._
+    val corpus = (0L until 50L).map(i => (i, s"alpha beta gamma delta tok$i")).toDF("id", "text")
+    val ratios = graft.ml.Dsir.logRatios(corpus, "text", corpus, "text", buckets = 1 << 10)
+    // repartition blocks ConvertToLocalRelation from eagerly folding the
+    // projection away — the assertions below need a real physical plan
+    val scored = graft.ml.Dsir.scoreInline(
+      corpus.repartition(2), "text", graft.ml.Dsir.collectRatios(ratios))
+    val p = scored.queryExecution.executedPlan.toString
+    assert(!p.contains("Generate"), p)   // no explode
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Aggregate"), p)
+    assert(p.contains("dsirweightexpr") || p.toLowerCase.contains("dsirweight"), p)
+  }
+
   test("distributed connectedComponents labels are lineage-truncated (no loop replay)") {
     import spark.implicits._
     // force the distributed label-propagation path with driverThreshold=0

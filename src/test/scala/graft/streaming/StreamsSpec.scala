@@ -189,6 +189,44 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingPack: bins continue across micro-batches, per-group running totals") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(g: String, sec: Int, id: Long, tok: Long) = Streams.PackEvent(
+      g, java.sql.Timestamp.valueOf(s"2024-01-01 10:00:$sec"), id, tok)
+    val in = MemoryStream[Streams.PackEvent]
+    val packed = Streams.streamingPack(in.toDS(), budget = 100)
+    val q = packed.writeStream.outputMode("append")
+      .format("memory").queryName("pack_out").start()
+    try {
+      // batch 1: en accumulates 90 tokens (bin 0), de 40 (bin 0)
+      in.addData(ev("en", 1, 1L, 60), ev("en", 2, 2L, 30), ev("de", 3, 10L, 40))
+      q.processAllAvailable()
+      // batch 2: en's total (90) continues — 30 more tokens CROSSES the
+      // budget into bin 0 (bin = total-before/100 = 0) then next doc
+      // starts bin 1; de stays in bin 0
+      in.addData(ev("en", 4, 3L, 30), ev("en", 5, 4L, 20), ev("de", 6, 11L, 50))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT group, doc_id, bin FROM pack_out").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(rows(("en", 1L)) === 0L && rows(("en", 2L)) === 0L)
+      assert(rows(("en", 3L)) === 0L) // before-total 90 -> bin 0
+      assert(rows(("en", 4L)) === 1L) // before-total 120 -> bin 1
+      assert(rows(("de", 10L)) === 0L && rows(("de", 11L)) === 0L)
+      // parity: same rows through the batch operator in the same order
+      import spark.implicits._
+      val batch = graft.operators.Sampling.packSequences(
+        Seq(("en", 1L, 60L), ("en", 2L, 30L), ("en", 3L, 30L), ("en", 4L, 20L),
+          ("de", 10L, 40L), ("de", 11L, 50L)).toDF("group", "doc_id", "n_tokens"),
+        "n_tokens", "doc_id", budget = 100, partitionCols = Seq("group"))
+        .select("group", "doc_id", "bin")
+        .as[(String, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(batch === rows)
+    } finally q.stop()
+  }
+
   test("stateful sessionizer emits gap-separated sessions") {
     val src = writeEventsParquet()
     val schema = spark.read.parquet(src).schema
