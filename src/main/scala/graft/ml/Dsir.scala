@@ -120,8 +120,12 @@ object Dsir {
     val r = if (callerCached) ratios else scope.persist(ratios)
     // hashing params + floor come from the frame itself (logRatios
     // stamped them on every row) — a hash-space mismatch is impossible
-    // by construction
-    val (nGram, buckets, seed, floor) = header(r)
+    // by construction. The header collect MATERIALIZES the scope's
+    // cache; if it throws (degenerate frame), the cache must not leak —
+    // releaseAfter's cleanup listener is only installed further down.
+    val (nGram, buckets, seed, floor) =
+      try header(r)
+      catch { case e: Throwable => if (!callerCached) scope.releaseNow(); throw e }
     val perDoc = raw
       .select(col(idCol), explode(Kernels.wordShingles(col(textCol), nGram)).as("__sh"))
       .select(col(idCol), pmod(xxhash64(col("__sh"), lit(seed)), lit(buckets.toLong)).as("bucket"))

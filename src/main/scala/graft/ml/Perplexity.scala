@@ -88,8 +88,13 @@ object Perplexity {
     val callerCached = model.storageLevel != org.apache.spark.storage.StorageLevel.NONE
     val m = if (callerCached) model else scope.persist(model)
     // buckets/seed come from the model itself (train stamped them on
-    // every row) — a hash-space mismatch is impossible by construction
-    val (buckets, seed, nTokens) = header(m)
+    // every row) — a hash-space mismatch is impossible by construction.
+    // The header collect MATERIALIZES the scope's cache; if it throws
+    // (empty model), the cache must not leak — releaseAfter's cleanup
+    // listener is only installed at the end.
+    val (buckets, seed, nTokens) =
+      try header(m)
+      catch { case e: Throwable => if (!callerCached) scope.releaseNow(); throw e }
     // model is ≤ 2×buckets rows; both kinds come from the one broadcast
     val uni = broadcast(m.filter(col("kind") === 1)
       .select(col("bucket").as("__ub"), col("cnt").as("__cu")))

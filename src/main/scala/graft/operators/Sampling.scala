@@ -243,6 +243,30 @@ object Sampling {
     * (integer math, no float division) and no task ever sees more than
     * its own partition.
     */
+  // `bin` is the packing output column: a pre-existing one is replaced
+  // in BOTH paths (dropped up front, appended at the end) so the window
+  // and carry paths emit identical frames — UNLESS it is itself the
+  // token/order input, in which case it stays and the window path's
+  // withColumn replace handles it (pre-scale-path behavior).
+  private def dropBin(df: DataFrame, keep: Seq[String]): DataFrame =
+    if (df.columns.contains("bin") && !keep.contains("bin")) df.drop("bin") else df
+
+  /** The carry path's running total is exact INTEGER math; fractional
+    * token columns (float sums are addition-order-sensitive, so the
+    * offset regrouping could flip a boundary bin) stay on the window
+    * path, which matches their single-sequence sum exactly. Token
+    * counts are semantically integral — cast upstream to get the scale
+    * shape. (DecimalType(p,0) is also exact but `longValue` would
+    * silently wrap past int64, so it stays off the carry.)
+    */
+  private def isIntegralToken(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case _: org.apache.spark.sql.types.ByteType | _: org.apache.spark.sql.types.ShortType |
+         _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType => true
+    case _ => false
+  }
+
+  private lazy val logger = org.slf4j.LoggerFactory.getLogger(getClass)
+
   def packSequences(
       df: DataFrame,
       tokenCol: String,
@@ -250,23 +274,21 @@ object Sampling {
       budget: Long,
       partitionCols: Seq[String] = Nil): DataFrame = {
     require(budget > 0, s"budget: $budget")
-    // a pre-existing `bin` is replaced in BOTH paths (dropped up front,
-    // appended at the end) — the window and carry paths must emit
-    // identical frames
-    val base = if (df.columns.contains("bin")) df.drop("bin") else df
-    // the carry path's running total is exact INTEGER math; fractional
-    // token columns (float sums are addition-order-sensitive, so the
-    // offset regrouping could flip a boundary bin) stay on the window
-    // path, which matches their single-sequence sum exactly. Token
-    // counts are semantically integral — cast upstream to get the
-    // scale shape.
-    val integral = base.schema(tokenCol).dataType match {
-      case _: org.apache.spark.sql.types.ByteType | _: org.apache.spark.sql.types.ShortType |
-           _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType => true
-      case _ => false
-    }
-    if (partitionCols.isEmpty && integral && !Sorts.underLocalThreshold(base))
+    val base = dropBin(df, Seq(tokenCol, orderCol))
+    val integral = isIntegralToken(base.schema(tokenCol).dataType)
+    val reservedName = tokenCol == "bin" || orderCol == "bin"
+    if (partitionCols.isEmpty && integral && !reservedName &&
+        !Sorts.underLocalThreshold(base))
       return packBoundaryCarry(base, tokenCol, orderCol, budget)
+    // surface the scale cliff instead of silently funnelling a big
+    // corpus through one window task — the README promises the carry
+    // shape for unkeyed packing, and only an integral token column
+    // gets it
+    if (partitionCols.isEmpty && !integral && !Sorts.underLocalThreshold(base))
+      logger.warn(s"packSequences: fractional token column '$tokenCol' " +
+        s"(${base.schema(tokenCol).dataType}) defeats the boundary-carry scale path; " +
+        "using a SINGLE-TASK global window. Cast/round the column to an integer " +
+        "type to restore the distributed shape.")
     val w = (if (partitionCols.isEmpty) Window.partitionBy()
              else Window.partitionBy(partitionCols.map(col): _*))
       .orderBy(col(orderCol))
@@ -284,14 +306,14 @@ object Sampling {
   private[graft] def packBoundaryCarry(
       df: DataFrame, tokenCol: String, orderCol: String, budget: Long): DataFrame = {
     val spark = df.sparkSession
-    val in = if (df.columns.contains("bin")) df.drop("bin") else df
-    in.schema(tokenCol).dataType match {
-      case _: org.apache.spark.sql.types.ByteType | _: org.apache.spark.sql.types.ShortType |
-           _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType => ()
-      case dt => throw new IllegalArgumentException(
-        s"packBoundaryCarry needs an integral token column, got $tokenCol: $dt " +
+    require(tokenCol != "bin" && orderCol != "bin",
+      "'bin' is the packing output column; rename the input column")
+    val in = dropBin(df, Seq(tokenCol, orderCol))
+    if (!isIntegralToken(in.schema(tokenCol).dataType))
+      throw new IllegalArgumentException(
+        s"packBoundaryCarry needs an integral token column, got $tokenCol: " +
+          s"${in.schema(tokenCol).dataType} " +
           "(fractional sums are addition-order-sensitive; round/cast upstream)")
-    }
     val sorted = in.orderBy(col(orderCol))
     val schema = sorted.schema
     val tIdx = schema.fieldIndex(tokenCol)

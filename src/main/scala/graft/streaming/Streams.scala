@@ -217,7 +217,11 @@ object Streams {
     def fn(group: String, rows: Iterator[PackEvent],
         state: GroupState[Long]): Iterator[PackOut] = {
       var total = state.getOption.getOrElse(0L)
-      val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.doc_id)).map { e =>
+      // null timestamps sort first (batch orderBy's ASC NULLS FIRST) —
+      // one bad record must not NPE the whole query
+      val out = rows.toSeq
+        .sortBy(e => (if (e.ts == null) Long.MinValue else e.ts.getTime, e.doc_id))
+        .map { e =>
         val bin = java.lang.Math.floorDiv(total, budget)
         total += e.n_tokens
         PackOut(e.group, e.ts, e.doc_id, e.n_tokens, bin)

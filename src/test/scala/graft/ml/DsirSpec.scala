@@ -153,6 +153,19 @@ class DsirSpec extends SparkSpec {
     assert(viaJoin.getMessage.contains("degenerate"), viaJoin.getMessage)
   }
 
+  test("degenerate-ratio error path does not leak the scope's persisted frame") {
+    def persisted = spark.sparkContext.getPersistentRDDs.size
+    val before = persisted
+    val ratios = Dsir.logRatios(rawCorpus, "text",
+      Seq((1L, "solo")).toDF("id", "text"), "text", buckets = 1 << 12)
+    // logWeights persists the UNcached ratios through its scope before
+    // the header collect throws; releaseNow on the error path must
+    // drain it (releaseAfter's listener is never installed)
+    intercept[IllegalArgumentException](
+      Dsir.logWeights(rawCorpus, "id", "text", ratios))
+    assert(persisted === before, s"leaked cache: $persisted vs $before")
+  }
+
   test("plan: ratio lookup broadcasts, selection is TakeOrderedAndProject") {
     val out = Dsir.resampleLikeTarget(
       rawCorpus, "id", "text", targetCorpus, "text", n = 50, buckets = 1 << 12)

@@ -186,6 +186,24 @@ class SamplingSpec extends SparkSpec {
     } finally spark.conf.unset("graft.rowIndex.localThresholdBytes")
   }
 
+  test("a token/order column named 'bin' still packs (window replace), carry rejects it") {
+    val df = (0L until 100L).map(i => (i, i % 9 + 1)).toDF("id", "bin")
+    spark.conf.set("graft.rowIndex.localThresholdBytes", "0")
+    try {
+      // tokenCol == "bin": must not be dropped out from under the sum;
+      // routes to the window path even above the threshold
+      val packed = Sampling.packSequences(df, "bin", "id", budget = 50)
+        .select("id", "bin").as[(Long, Long)].collect().toMap
+      val want = Sampling.packSequences(
+        df.withColumnRenamed("bin", "n_tokens"), "n_tokens", "id", budget = 50)
+        .select("id", "bin").as[(Long, Long)].collect().toMap
+      assert(packed === want)
+      val err = intercept[IllegalArgumentException](
+        Sampling.packBoundaryCarry(df, "bin", "id", budget = 50))
+      assert(err.getMessage.contains("rename"), err.getMessage)
+    } finally spark.conf.unset("graft.rowIndex.localThresholdBytes")
+  }
+
   test("re-packing replaces a pre-existing bin column in both paths") {
     val df = (0L until 200L).map(i => (i, i % 9 + 1)).toDF("id", "n_tokens")
     val once = Sampling.packSequences(df, "n_tokens", "id", budget = 100)

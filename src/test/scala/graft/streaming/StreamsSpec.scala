@@ -214,6 +214,12 @@ class StreamsSpec extends SparkSpec {
       assert(rows(("en", 3L)) === 0L) // before-total 90 -> bin 0
       assert(rows(("en", 4L)) === 1L) // before-total 120 -> bin 1
       assert(rows(("de", 10L)) === 0L && rows(("de", 11L)) === 0L)
+      // batch 3: a null-timestamp record must not NPE the query (sorts
+      // first within its batch, like the batch operator's NULLS FIRST)
+      in.addData(Streams.PackEvent("en", null, 5L, 10))
+      q.processAllAvailable()
+      val r5 = spark.sql("SELECT bin FROM pack_out WHERE doc_id = 5").collect()
+      assert(r5.length === 1 && r5(0).getLong(0) === 1L) // en total 140 -> bin 1
       // parity: same rows through the batch operator in the same order
       import spark.implicits._
       val batch = graft.operators.Sampling.packSequences(
