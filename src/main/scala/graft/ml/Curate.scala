@@ -48,7 +48,19 @@ object Curate {
       // [[TextFunctions.gopherFlags]]): Some(stopwords) enables it with
       // the published thresholds; word-count floor tunable separately
       gopherStopwords: Option[Seq[String]] = None,
-      gopherMinWords: Long = 50L)
+      gopherMinWords: Long = 50L,
+      // opt-in LM-perplexity gate (CCNet's KenLM stage): keep docs
+      // scoring ≤ maxPpl under a caller-trained [[Perplexity.train]]
+      // model. The per-row kernel, matching streamingCurate — one
+      // stateless map stage, no explode/join.
+      perplexityModel: Option[DataFrame] = None,
+      maxPpl: Double = Double.MaxValue,
+      // opt-in DSIR gate: keep docs whose [[Dsir]] log importance
+      // weight under a caller-trained [[Dsir.logRatios]] frame is
+      // ≥ minLogWeight ("looks like the target corpus")
+      dsirRatios: Option[DataFrame] = None,
+      minLogWeight: Double = Double.NegativeInfinity,
+      dsirLengthNormalize: Boolean = false)
 
   /** Returns the curated corpus: `idCol`, `pred_lang`, `n_tokens`,
     * `textCol` (scrubbed when `cfg.scrubPii`).
@@ -69,9 +81,22 @@ object Curate {
         col("__rep.top_ngram_char_share") <= cfg.maxTopNgramCharShare)
     val staged1 = cfg.qualityWeights.fold(staged0)(w =>
       staged0.filter(TextFunctions.qualityScore(text, w) >= cfg.minQuality))
-    val staged = cfg.gopherStopwords.fold(staged1)(sw =>
-        staged1.filter(TextFunctions.gopherFlags(text,
-          minWords = cfg.gopherMinWords, stopwords = sw).getField("pass") === 1L))
+    val staged2 = cfg.gopherStopwords.fold(staged1)(sw =>
+      staged1.filter(TextFunctions.gopherFlags(text,
+        minWords = cfg.gopherMinWords, stopwords = sw).getField("pass") === 1L))
+    // model-based gates, same kernels and order as streamingCurate:
+    // stateless map stages with the bounded model riding as expression
+    // constants. Unscorable docs (< 2 tokens) drop at the ppl gate —
+    // the streaming gate's null semantics.
+    val staged3 = cfg.perplexityModel.fold(staged2) { modelDf =>
+      val m = Perplexity.collectModel(modelDf)
+      staged2.filter(Perplexity.pplColumn(text, m) <= cfg.maxPpl)
+    }
+    val staged = cfg.dsirRatios.fold(staged3) { ratiosDf =>
+      val r = Dsir.collectRatios(ratiosDf)
+      staged3.filter(
+        Dsir.weightColumn(text, r, cfg.dsirLengthNormalize) >= cfg.minLogWeight)
+    }
       .select(col(idCol), col("pred_lang"), col("n_tokens"), text)
     val deduped =
       if (!cfg.exactDedup) staged

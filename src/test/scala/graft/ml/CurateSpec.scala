@@ -68,6 +68,46 @@ class CurateSpec extends SparkSpec {
     assert(open.count() === 2L)
   }
 
+  test("curate opt-in model gates: perplexity drops gibberish, DSIR drops off-target") {
+    val offTarget = "the best deal and the free shipping on the cart at the checkout sale"
+    val gibberish = "the the zorp vrilk plon qhudrix blet snarv wumpet grafix blon"
+    val docs = Seq((1L, good), (2L, gibberish), (3L, offTarget)).toDF("doc_id", "text")
+    // the LM reference covers BOTH fluent styles — the ppl gate measures
+    // fluency, so only the gibberish doc should fail it
+    val reference = (Seq.fill(20)(good) ++ Seq.fill(20)(offTarget)).toDF("text")
+    // perplexity gate: threshold above the in-domain doc's own score
+    val model = Perplexity.train(reference, "text", buckets = 1 << 12, seed = 5)
+    val cleanPpl = Perplexity.scoreInline(Seq(good).toDF("text"), "text",
+      Perplexity.collectModel(model)).collect()(0).getAs[Double]("ppl")
+    val pplOut = Curate.curate(docs, "doc_id", "text",
+      Curate.Config(langs = Set("en"), minTokens = 5L,
+        perplexityModel = Some(model), maxPpl = cleanPpl * 3))
+    assert(pplOut.select("doc_id").as[Long].collect().toSet === Set(1L, 3L))
+    // DSIR gate: ratios trained toward `good`'s vocabulary; threshold
+    // between the on-target and off-target inline weights
+    val ratios = Dsir.logRatios(
+      Seq((1L, good), (2L, offTarget)).toDF("id", "text"), "text",
+      Seq.fill(20)(good).toDF("text"), "text", buckets = 1 << 12, seed = 5)
+    val r = Dsir.collectRatios(ratios)
+    // weights: good >> gibberish (near-0 floor sum) > offTarget (seen
+    // in raw, absent from target — strongly negative); threshold
+    // between the last two shows the gate measures target-likeness,
+    // not fluency (the ppl gate's axis)
+    val w = Dsir.scoreInline(Seq(good, gibberish, offTarget).toDF("text"), "text", r)
+      .collect().map(_.getAs[Double]("log_w"))
+    assert(w(0) > w(1) && w(1) > w(2), s"want good > gibberish > offTarget, got ${w.toSeq}")
+    val dsirOut = Curate.curate(docs, "doc_id", "text",
+      Curate.Config(langs = Set("en"), minTokens = 5L,
+        dsirRatios = Some(ratios), minLogWeight = (w(1) + w(2)) / 2.0))
+    assert(dsirOut.select("doc_id").as[Long].collect().toSet === Set(1L, 2L))
+    // both gates composed: only the clean on-target doc survives
+    val both = Curate.curate(docs, "doc_id", "text",
+      Curate.Config(langs = Set("en"), minTokens = 5L,
+        perplexityModel = Some(model), maxPpl = cleanPpl * 3,
+        dsirRatios = Some(ratios), minLogWeight = (w(1) + w(2)) / 2.0))
+    assert(both.select("doc_id").as[Long].collect().toSet === Set(1L))
+  }
+
   test("curate stage toggles: no dedup keeps the dup, sampling thins ids") {
     val docs = Seq((1L, good), (5L, good)).toDF("doc_id", "text")
     val keepBoth = Curate.curate(docs, "doc_id", "text",
