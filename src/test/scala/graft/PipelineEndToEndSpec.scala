@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The whole training-data pipeline composed end-to-end on the driver
+  * testdata — the "a reference user could switch" proof in one spec:
+  *
+  *   documents → curate (lang/length/quality + perplexity gate)
+  *            → near-dup removal (minhash corpus dedup)
+  *            → benchmark decontamination
+  *            → DSIR selection toward a target style
+  *            → temperature-flattened language mix
+  *            → deterministic shuffle → token-budget packing
+  *            → fixed-stride chunking
+  *
+  * Each stage is individually oracled elsewhere; this spec pins that
+  * the stages COMPOSE — schemas line up, row counts stay sane, and the
+  * end product is a training-ready chunk table.
+  */
+class PipelineEndToEndSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("documents flow through curate → dedup → decontaminate → select → mix → shuffle → pack → chunk") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"))
+
+    // 1. curate: language + length + an LM-perplexity gate trained on
+    //    the corpus itself (drops the unscorable/degenerate tail)
+    val model = graft.ml.Perplexity.train(docs, "text", buckets = 1 << 12, seed = 1).persist()
+    val curated =
+      try graft.ml.Curate.curate(docs, "doc_id", "text",
+        graft.ml.Curate.Config(langs = Set("en", "de", "fr", "es", "zh"),
+          minTokens = 3L, scrubPii = false,
+          perplexityModel = Some(model), maxPpl = 1e6))
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .persist()
+      finally model.unpersist()
+    val nCurated = curated.count()
+    assert(nCurated > 100, s"curate kept only $nCurated")
+
+    // 2. fuzzy dedup: minhash pairs → connected components → winners
+    val pairs = graft.ml.Dedup.minhashPairs(
+      curated, "doc_id", "text", k = 64, bands = 16, threshold = 0.8)
+    val deduped = graft.ml.Dedup.dedupedCorpus(curated, "doc_id", pairs).persist()
+    val nDeduped = deduped.count()
+    assert(nDeduped > 0 && nDeduped <= nCurated)
+
+    // 3. decontaminate against a tiny fake benchmark (the longest doc's
+    //    own text as a benchmark item → that doc must be removed; the
+    //    longest so the 8-gram overlap is guaranteed to exist)
+    val bench = deduped.orderBy(col("n_tokens").desc).limit(1).select(col("text"))
+    val clean = graft.ml.Decontaminate.decontaminate(
+      deduped, "doc_id", "text", bench, "text", n = 8, minHits = 1)
+    val nClean = clean.count()
+    assert(nClean < nDeduped, s"decontamination removed nothing ($nClean of $nDeduped)")
+
+    // 4. DSIR: pull docs toward a planted style (suffix on even ids)
+    val styled = clean.withColumn("text",
+      when(col("doc_id") % 2 === 0,
+        concat(col("text"), lit(" history science theory culture article")))
+        .otherwise(col("text")))
+    val target = Seq.fill(20)("history science theory culture article citation").toDF("text")
+    val picked = graft.ml.Dsir.resampleLikeTarget(styled, "doc_id", "text",
+      target, "text", n = (nClean / 2).toInt.max(10), buckets = 1 << 12,
+      lengthNormalize = true, gumbel = false).persist()
+    val evenShare = picked.filter(col("doc_id") % 2 === 0).count().toDouble / picked.count()
+    assert(evenShare >= 0.8, s"DSIR pull too weak: $evenShare")
+
+    // 5. temperature mix over lang (α=0.5 flattens the skew), then
+    // 6. deterministic shuffle, 7. pack to a token budget, 8. chunk
+    val n = picked.count().toInt
+    val mixed = graft.operators.Sampling.temperatureMix(
+      picked, "lang", "doc_id", alpha = 0.5, n = (n * 3 / 4).max(5), seed = 2)
+    val shuffled = graft.operators.Sampling.shuffleDeterministic(mixed, "doc_id", seed = 3)
+    val packed = graft.operators.Sampling.packSequences(
+      shuffled.withColumn("n_tokens",
+        graft.functions.TextFunctions.tokenCount(col("text"))),
+      "n_tokens", "shuffle_rank", budget = 512)
+    // chunking appends its own per-chunk n_tokens — the doc-level one
+    // served the packing and retires here
+    val chunks = graft.operators.Chunking.chunkByTokens(
+      packed.drop("n_tokens"), "doc_id", "text", maxTokens = 64, stride = 48)
+
+    // training-ready shape: every metadata column rode along, chunks
+    // respect the token cap, and the whole thing is deterministic
+    assert(chunks.columns.toSet ===
+      Set("doc_id", "pred_lang", "lang", "shuffle_rank", "n_tokens", "bin",
+        "chunk_id", "chunk_text"))
+    val stats = chunks.agg(
+      count(lit(1)), max(graft.functions.TextFunctions.tokenCount(col("chunk_text"))),
+      countDistinct(col("bin"))).collect()(0)
+    assert(stats.getLong(0) > 0)
+    assert(stats.getLong(1) <= 64, s"chunk over token cap: ${stats.getLong(1)}")
+    assert(stats.getLong(2) >= 1)
+    val again = graft.operators.Chunking.chunkByTokens(
+      graft.operators.Sampling.packSequences(
+        graft.operators.Sampling.shuffleDeterministic(
+          graft.operators.Sampling.temperatureMix(
+            picked, "lang", "doc_id", alpha = 0.5, n = (n * 3 / 4).max(5), seed = 2),
+          "doc_id", seed = 3)
+          .withColumn("n_tokens", graft.functions.TextFunctions.tokenCount(col("text"))),
+        "n_tokens", "shuffle_rank", budget = 512).drop("n_tokens"),
+      "doc_id", "text", maxTokens = 64, stride = 48)
+    assert(again.orderBy("doc_id", "chunk_id").collect().toSeq ===
+      chunks.orderBy("doc_id", "chunk_id").collect().toSeq)
+    picked.unpersist(); deduped.unpersist(); curated.unpersist()
+    ()
+  }
+}
