@@ -181,12 +181,61 @@ object Ann {
     * and via dynamic partition pruning when [[ivfKnn]]'s probe join
     * broadcasts the (tiny) query-probe side against the partition
     * column. `IvfIndexSpec`-style assertions live in `DedupCorpusSpec`.
+    *
+    * Pass `centroids` to make the index SELF-CONTAINED: they are stored
+    * in a `_centroids` side table (the leading underscore keeps Spark's
+    * parquet reader from mixing it into the index scan), and a fresh
+    * session reads them back with [[readIvfCentroids]]. Probing a
+    * stored index with RE-TRAINED centroids is the silent failure mode
+    * this closes: a new session's quantizer lands elsewhere, probes the
+    * wrong lists, and recall collapses with no error.
     */
-  def writeIvfIndex(index: DataFrame, path: String): Unit =
+  def writeIvfIndex(index: DataFrame, path: String,
+      centroids: Array[Array[Double]] = null): Unit = {
     index.write.mode("overwrite").partitionBy("list").parquet(path)
+    if (centroids != null) {
+      val spark = index.sparkSession
+      import spark.implicits._
+      centroids.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+        .toDF("list", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(path + "/_centroids")
+    }
+  }
 
   def readIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** The quantizer a stored index was built against. Errors clearly on
+    * an index written without centroids — search it only with the
+    * caller-kept originals.
+    */
+  def readIvfCentroids(
+      spark: org.apache.spark.sql.SparkSession, path: String): Array[Array[Double]] = {
+    val dir = new java.io.File(path + "/_centroids")
+    require(dir.exists,
+      s"no _centroids under $path: the index was written without its quantizer " +
+        "(writeIvfIndex(index, path, centroids)) — searching it with re-trained " +
+        "centroids would probe the wrong lists")
+    spark.read.parquet(path + "/_centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+  }
+
+  /** Incremental ingestion: assign a new batch with the index's OWN
+    * stored quantizer and append it to the partitioned files — the
+    * continuous-ingestion shape (the [[graft.ml.Dedup.minhashIndex]]
+    * cousin for ANN). No re-clustering, no rewrite of existing lists;
+    * only the appended lists' files are touched. Centroids drift as the
+    * corpus grows — re-train + rebuild when recall degrades, like any
+    * IVF deployment.
+    */
+  def appendToIvfIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      corpus: DataFrame, idCol: String, vecCol: String): Unit = {
+    val centroids = readIvfCentroids(spark, path)
+    buildIvfIndex(corpus, idCol, vecCol, centroids)
+      .write.mode("append").partitionBy("list").parquet(path)
+  }
 
   /** IVF search: probe the `nProbe` nearest inverted lists per query,
     * exact cosine within the probed lists, top-k. Cost ~ nProbe/nList of

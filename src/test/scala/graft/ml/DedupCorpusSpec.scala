@@ -222,6 +222,50 @@ class DedupCorpusSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("self-contained IVF index: stored centroids round-trip; append grows lists consistently") {
+    val vecs = (0 until 100).map { i =>
+      val rnd = new scala.util.Random(i * 997 + 3)
+      (i.toLong, Array.fill(8)(rnd.nextFloat() - 0.5f))
+    }.toDF("vec_id", "embedding")
+    val centroids = Ann.trainCentroids(vecs, "embedding", nList = 5, sampleN = 100)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf2").toString
+    try {
+      Ann.writeIvfIndex(Ann.buildIvfIndex(vecs, "vec_id", "embedding", centroids),
+        dir, centroids)
+      // the quantizer comes back bit-identical — a fresh session needs
+      // no retrain (which would probe the wrong lists)
+      val stored = Ann.readIvfCentroids(spark, dir)
+      assert(stored.length === centroids.length)
+      assert(stored.zip(centroids).forall { case (a, b) => a.sameElements(b) })
+      // the _centroids side table does not leak into the index scan
+      assert(Ann.readIvfIndex(spark, dir).count() === 100)
+      // incremental append: new vectors assigned with the STORED
+      // quantizer land in the same lists the in-memory build would pick
+      val more = (100 until 140).map { i =>
+        val rnd = new scala.util.Random(i * 997 + 3)
+        (i.toLong, Array.fill(8)(rnd.nextFloat() - 0.5f))
+      }.toDF("vec_id", "embedding")
+      Ann.appendToIvfIndex(spark, dir, more, "vec_id", "embedding")
+      val idx = Ann.readIvfIndex(spark, dir).withColumn("list", $"list".cast("int"))
+      assert(idx.count() === 140)
+      val all = vecs.unionByName(more)
+      val q = all.filter($"vec_id" % 37 === 0)
+      val fromDisk = Ann.ivfKnn(idx, q, "vec_id", "embedding", stored, k = 3, nProbe = 5)
+        .select("query_id", "neighbour_id").as[(Long, Long)].collect().toSet
+      val fromMem = Ann.ivfKnn(Ann.buildIvfIndex(all, "vec_id", "embedding", centroids),
+        q, "vec_id", "embedding", centroids, k = 3, nProbe = 5)
+        .select("query_id", "neighbour_id").as[(Long, Long)].collect().toSet
+      assert(fromDisk === fromMem)
+      // an index written WITHOUT centroids refuses the self-contained read
+      val bare = java.nio.file.Files.createTempDirectory("graft_ivf3").toString
+      try {
+        Ann.writeIvfIndex(Ann.buildIvfIndex(vecs, "vec_id", "embedding", centroids), bare)
+        val err = intercept[IllegalArgumentException](Ann.readIvfCentroids(spark, bare))
+        assert(err.getMessage.contains("_centroids"), err.getMessage)
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(bare))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("embeddingPairs salt path matches the uncapped pair set") {
     val vecs = (0 until 30).map { i =>
       // two tight clusters → big LSH buckets
