@@ -193,6 +193,51 @@ object Streams {
       graft.plans.AsofJoinPlan.asofJoin(batch, dim, leftKeys, rightKeys,
         leftTime, rightTime, rightValues, direction, hint = "broadcast")
 
+  /** Stream-vs-CORPUS near-dup filtering: drop each micro-batch's docs
+    * that near-duplicate a static reference corpus, through the
+    * band-partitioned [[graft.ml.Dedup.minhashIndex]] (semi-join-pruned
+    * candidate lookup — the corpus is never re-shingled). Chained
+    * stateful ops can't express a batch-vs-index anti join, so this is
+    * a `foreachBatch` enricher like [[asofEnrichBatch]]:
+    * `stream.writeStream.foreachBatch { (b, _) => sink(dropDups(b)) }`.
+    * The index is caller-owned (build once, `release()` when done) —
+    * exactly the continuous-ingestion shape [[ml.Dedup.minhashIndex]]
+    * documents, lifted onto a stream.
+    */
+  def dedupAgainstCorpusBatch(
+      index: graft.ml.Dedup.MinhashIndex,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.7): DataFrame => DataFrame =
+    (batch: DataFrame) => {
+      val dupIds = graft.ml.Dedup.incrementalMinhashPairs(
+        batch, index, idCol, textCol, threshold)
+        .select(col("id_a").as("__dup_id")).distinct()
+      batch.join(dupIds, batch(idCol) === col("__dup_id"), "left_anti")
+    }
+
+  /** Stream ANN enrichment: tag each micro-batch row with its top-`k`
+    * nearest corpus neighbours from a static IVF index (id, cosine
+    * pairs) — "which training docs is this incoming doc closest to",
+    * in-flight. `foreachBatch` shape like [[asofEnrichBatch]]; the
+    * probe side is the batch (small), the index side prunes to
+    * `nProbe`/nList partitions when read from [[ml.Ann.writeIvfIndex]]
+    * output.
+    */
+  def annEnrichBatch(
+      index: DataFrame,
+      centroids: Array[Array[Double]],
+      idCol: String,
+      vecCol: String,
+      k: Int = 10,
+      nProbe: Int = 4): DataFrame => DataFrame =
+    (batch: DataFrame) => {
+      val hits = graft.ml.Ann.ivfKnn(index, batch, idCol, vecCol, centroids, k, nProbe)
+        .groupBy(col("query_id"))
+        .agg(collect_list(struct(col("neighbour_id"), col("cosine"))).as("neighbours"))
+      batch.join(hits, batch(idCol) === col("query_id"), "left").drop("query_id")
+    }
+
   final case class PackEvent(group: String, ts: java.sql.Timestamp,
       doc_id: Long, n_tokens: Long)
   final case class PackOut(group: String, ts: java.sql.Timestamp,

@@ -189,6 +189,62 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupAgainstCorpusBatch drops stream docs that near-dup the static corpus") {
+    val shared = (1 to 30).map(i => s"corpus token$i word").mkString(" ")
+    val corpus = Seq((100L, shared), (101L, "other corpus text entirely different here"))
+      .toDF("doc_id", "text")
+    val index = graft.ml.Dedup.minhashIndex(corpus, "doc_id", "text")
+    try {
+      val dir = Files.createTempDirectory("graftsvc").toString + "/in"
+      Seq(
+        (java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, shared), // dup of 100
+        (java.sql.Timestamp.valueOf("2024-01-01 10:00:01"), 2L,
+          "completely novel document with fresh vocabulary nowhere in the corpus")
+      ).toDF("ts", "doc_id", "text").coalesce(1).write.parquet(dir)
+      val schema = spark.read.parquet(dir).schema
+      val stream = Streams.readParquetStream(spark, dir, schema)
+      val dropDups = Streams.dedupAgainstCorpusBatch(index, "doc_id", "text", threshold = 0.8)
+      val out = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val q = stream.writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        dropDups(b).select("doc_id").collect().foreach(r => out.add(r.getLong(0))); ()
+      }.start()
+      try {
+        q.processAllAvailable()
+        assert(out.toArray.toSet === Set(2L), out.toString)
+      } finally q.stop()
+    } finally index.release()
+  }
+
+  test("annEnrichBatch tags stream rows with top-k corpus neighbours") {
+    val corpus = (0 until 60).map { i =>
+      val rnd = new scala.util.Random(i * 31 + 7)
+      (i.toLong, Array.fill(8)(rnd.nextFloat() - 0.5f))
+    }.toDF("vec_id", "embedding")
+    val centroids = graft.ml.Ann.trainCentroids(corpus, "embedding", nList = 4, sampleN = 60)
+    val index = graft.ml.Ann.buildIvfIndex(corpus, "vec_id", "embedding", centroids)
+    val dir = Files.createTempDirectory("graftann").toString + "/in"
+    // stream one vector that IS corpus vector 5 → its nearest neighbour
+    // at full probe must be vec 5
+    val v5 = corpus.filter(col("vec_id") === 5).collect()(0).getSeq[Float](1).toArray
+    Seq((900L, v5)).toDF("vec_id", "embedding").coalesce(1).write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = Streams.readParquetStream(spark, dir, schema)
+    val enrich = Streams.annEnrichBatch(index, centroids, "vec_id", "embedding",
+      k = 3, nProbe = 4)
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Long]]()
+    val q = stream.writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+      enrich(b).select("vec_id", "neighbours").collect().foreach { r =>
+        out.add(r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(0)))
+      }; ()
+    }.start()
+    try {
+      q.processAllAvailable()
+      val hits = out.toArray.map(_.asInstanceOf[Seq[Long]])
+      assert(hits.length === 1 && hits(0).length === 3)
+      assert(hits(0).contains(5L), s"identical vector not nearest: ${hits(0)}")
+    } finally q.stop()
+  }
+
   test("streamingPack: bins continue across micro-batches, per-group running totals") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val s: org.apache.spark.sql.SparkSession = spark
