@@ -279,6 +279,18 @@ object Tab {
     else if (lower.endsWith(".ods")) Tab(Ods.readOds(spark, path,
       firstRowHasHeaders = opts.firstRowHasHeaders, headerRowIndex = opts.headerRowIndex,
       skipEmpty = opts.skipEmpty, guessDatatypes = opts.guessDatatypes))
+    // compressed JSON family: Spark's text/json sources decompress .gz
+    // transparently, so only the DISPATCH needs to see through the
+    // suffix. Other .gz formats error clearly — the CSV path's
+    // encoding/delimiter sniff reads raw bytes and would parse gzip
+    // garbage into a one-column table with no warning.
+    else if (lower.endsWith(".jsonl.gz") || lower.endsWith(".ndjson.gz"))
+      Tab(Readers.readJsonl(spark, path))
+    else if (lower.endsWith(".json.gz")) Tab(Readers.readJsonAuto(spark, path))
+    else if (lower.endsWith(".gz"))
+      throw new IllegalArgumentException(
+        s"compressed input only supported for .json/.jsonl/.ndjson (got $path); " +
+          "decompress first or convert to parquet")
     else if (lower.endsWith(".jsonl") || lower.endsWith(".ndjson"))
       Tab(Readers.readJsonl(spark, path))
     else if (lower.endsWith(".json")) Tab(Readers.readJsonAuto(spark, path))

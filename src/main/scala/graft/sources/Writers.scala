@@ -112,8 +112,14 @@ object Writers {
     * partition (the scale counterpart of [[toColumnarJson]]'s capped
     * driver-side envelope).
     */
-  def toJsonl(df: DataFrame, path: String): Unit =
-    fanOut(df).write.mode(SaveMode.Overwrite).json(path)
+  /** `compression`: e.g. "gzip"/"zstd" — Spark's json sink compresses
+    * per part-file, and [[Readers.readJsonl]] reads the result back
+    * transparently (codec from the part-file extension).
+    */
+  def toJsonl(df: DataFrame, path: String, compression: Option[String] = None): Unit = {
+    val w = fanOut(df).write.mode(SaveMode.Overwrite)
+    compression.fold(w)(c => w.option("compression", c)).json(path)
+  }
 
   /** tablite's columnar JSON envelope (export_utils.py:139-143). */
   def toColumnarJson(df: DataFrame, maxRows: Int = 1000000): String = {

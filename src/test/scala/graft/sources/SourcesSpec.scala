@@ -137,6 +137,31 @@ class SourcesSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("gzipped JSONL dispatches and decompresses; other .gz formats error clearly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_gz").toString
+    try {
+      val gzPath = s"$dir/lines.jsonl.gz"
+      val out = new java.util.zip.GZIPOutputStream(
+        new java.io.FileOutputStream(gzPath))
+      out.write("{\"n\": 1, \"s\": \"a\"}\n{\"n\": 2, \"s\": \"b\"}\n".getBytes("UTF-8"))
+      out.close()
+      val t = graft.Tab.fromFile(spark, gzPath).df
+      assert(t.orderBy("n").collect().map(_.getString(1)).toSeq === Seq("a", "b"))
+      // distributed gzip write → read roundtrip (codec from part-file
+      // extension, no dispatch involvement)
+      val df = Seq((1L, "x"), (2L, "y")).toDF("n", "s")
+      Writers.toJsonl(df, s"$dir/comp.jsonl", compression = Some("gzip"))
+      assert(new java.io.File(s"$dir/comp.jsonl").listFiles()
+        .exists(_.getName.endsWith(".json.gz")))
+      assert(Readers.readJsonl(spark, s"$dir/comp.jsonl", df.schema)
+        .orderBy("n").collect().map(_.getString(1)).toSeq === Seq("x", "y"))
+      // a .csv.gz would feed gzip bytes to the encoding sniff — refuse
+      val err = intercept[IllegalArgumentException](
+        graft.Tab.fromFile(spark, s"$dir/t.csv.gz"))
+      assert(err.getMessage.contains("decompress"), err.getMessage)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("readJsonl keepCorrupt surfaces malformed lines in _corrupt_record") {
     val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_corrupt").toString
     try {
