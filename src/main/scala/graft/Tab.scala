@@ -281,15 +281,18 @@ object Tab {
       skipEmpty = opts.skipEmpty, guessDatatypes = opts.guessDatatypes))
     // compressed JSON family: Spark's text/json sources decompress .gz
     // transparently, so only the DISPATCH needs to see through the
-    // suffix. Other .gz formats error clearly — the CSV path's
-    // encoding/delimiter sniff reads raw bytes and would parse gzip
-    // garbage into a one-column table with no warning.
+    // suffix. Every OTHER compression suffix errors clearly — the CSV
+    // path's encoding/delimiter sniff reads raw bytes and would parse
+    // compressed garbage into a one-column table with no warning
+    // (.zst/.bz2/... included: codec availability varies by deploy, so
+    // only the spec-verified .gz route is dispatched).
     else if (lower.endsWith(".jsonl.gz") || lower.endsWith(".ndjson.gz"))
       Tab(Readers.readJsonl(spark, path))
     else if (lower.endsWith(".json.gz")) Tab(Readers.readJsonAuto(spark, path))
-    else if (lower.endsWith(".gz"))
+    else if (Seq(".gz", ".gzip", ".zst", ".zstd", ".bz2", ".xz", ".lz4",
+        ".snappy", ".deflate").exists(lower.endsWith))
       throw new IllegalArgumentException(
-        s"compressed input only supported for .json/.jsonl/.ndjson (got $path); " +
+        s"compressed input only supported for .jsonl.gz/.ndjson.gz/.json.gz (got $path); " +
           "decompress first or convert to parquet")
     else if (lower.endsWith(".jsonl") || lower.endsWith(".ndjson"))
       Tab(Readers.readJsonl(spark, path))

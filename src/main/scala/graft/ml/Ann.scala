@@ -211,8 +211,13 @@ object Ann {
     */
   def readIvfCentroids(
       spark: org.apache.spark.sql.SparkSession, path: String): Array[Array[Double]] = {
-    val dir = new java.io.File(path + "/_centroids")
-    require(dir.exists,
+    // Hadoop FS, not java.io.File: the index lives wherever the Spark
+    // writers put it (HDFS/S3/local) — a local-only existence check
+    // would report "no centroids" on exactly the cluster deployments
+    // the self-contained read exists for
+    val p = new org.apache.hadoop.fs.Path(path + "/_centroids")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
       s"no _centroids under $path: the index was written without its quantizer " +
         "(writeIvfIndex(index, path, centroids)) — searching it with re-trained " +
         "centroids would probe the wrong lists")
@@ -249,11 +254,17 @@ object Ann {
       vecCol: String,
       centroids: Array[Array[Double]],
       k: Int = 10,
-      nProbe: Int = 4): DataFrame = {
+      nProbe: Int = 4,
+      excludeSelf: Boolean = true): DataFrame = {
     val probed = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       explode(Kernels.nearestCentroids(col(vecCol), centroids, nProbe)).as("list"))
-    val scored = probed.join(index, Seq("list"))
-      .filter(col("query_id") =!= col("neighbour_id"))
+    // excludeSelf = true is corpus self-search (a doc is trivially its
+    // own neighbour); pass false when query and corpus ids come from
+    // DIFFERENT id spaces — an accidental value collision would
+    // silently drop a legitimate neighbour
+    val joined = probed.join(index, Seq("list"))
+    val scored = (if (excludeSelf) joined.filter(col("query_id") =!= col("neighbour_id"))
+                  else joined)
       .select(col("query_id"), col("neighbour_id"),
         Kernels.cosineSim(col("qv"), col("cv")).as("cosine"))
     val w = Window.partitionBy("query_id")

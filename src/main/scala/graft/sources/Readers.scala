@@ -241,8 +241,18 @@ object Readers {
       compact == "{" || // pretty-printed JSON document, never a JSONL line
       (compact.startsWith("{") &&
         compact.contains("\"columns\":") && compact.contains("\"total_rows\":"))
-    if (isEnvelope) readColumnarJson(spark, path)
-    else readJsonl(spark, path)
+    if (isEnvelope) {
+      // the envelope codec is driver-side with a byte cap; on a
+      // compressed file the cap would measure COMPRESSED bytes while
+      // the driver materializes the decompressed text (20-100× for
+      // repetitive JSON) — the exact OOM the cap exists to prevent
+      if (path.toLowerCase.endsWith(".gz"))
+        throw new IllegalArgumentException(
+          s"compressed columnar-envelope JSON unsupported ($path): the driver-side " +
+            "byte cap cannot see the decompressed size — decompress first " +
+            "(JSONL .gz streams fine)")
+      readColumnarJson(spark, path)
+    } else readJsonl(spark, path)
   }
 
   /** tablite's column-oriented JSON envelope

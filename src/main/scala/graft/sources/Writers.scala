@@ -110,11 +110,11 @@ object Writers {
 
   /** Distributed JSONL write — one object per line, one file per
     * partition (the scale counterpart of [[toColumnarJson]]'s capped
-    * driver-side envelope).
-    */
-  /** `compression`: e.g. "gzip"/"zstd" — Spark's json sink compresses
-    * per part-file, and [[Readers.readJsonl]] reads the result back
-    * transparently (codec from the part-file extension).
+    * driver-side envelope). `compression`: e.g. "gzip" — Spark's json
+    * sink compresses per part-file, and [[Readers.readJsonl]] reads
+    * the result back transparently (codec from the part-file
+    * extension; non-gzip codecs depend on the deploy's Hadoop codec
+    * set).
     */
   def toJsonl(df: DataFrame, path: String, compression: Option[String] = None): Unit = {
     val w = fanOut(df).write.mode(SaveMode.Overwrite)

@@ -232,9 +232,20 @@ object Streams {
       k: Int = 10,
       nProbe: Int = 4): DataFrame => DataFrame =
     (batch: DataFrame) => {
-      val hits = graft.ml.Ann.ivfKnn(index, batch, idCol, vecCol, centroids, k, nProbe)
+      // excludeSelf = false: stream ids and corpus ids are different id
+      // SPACES — a value collision must not silently drop a neighbour.
+      // The array is rank-ordered (sort_array on the rank-led struct —
+      // collect_list alone returns shuffle-arrival order), so
+      // neighbours(0) IS the nearest.
+      val hits = graft.ml.Ann.ivfKnn(index, batch, idCol, vecCol, centroids,
+          k, nProbe, excludeSelf = false)
         .groupBy(col("query_id"))
-        .agg(collect_list(struct(col("neighbour_id"), col("cosine"))).as("neighbours"))
+        .agg(sort_array(collect_list(
+          struct(col("rank"), col("neighbour_id"), col("cosine")))).as("__ranked"))
+        .withColumn("neighbours",
+          transform(col("__ranked"), x =>
+            struct(x.getField("neighbour_id"), x.getField("cosine"))))
+        .drop("__ranked")
       batch.join(hits, batch(idCol) === col("query_id"), "left").drop("query_id")
     }
 

@@ -155,10 +155,24 @@ class SourcesSpec extends SparkSpec {
         .exists(_.getName.endsWith(".json.gz")))
       assert(Readers.readJsonl(spark, s"$dir/comp.jsonl", df.schema)
         .orderBy("n").collect().map(_.getString(1)).toSeq === Seq("x", "y"))
-      // a .csv.gz would feed gzip bytes to the encoding sniff — refuse
-      val err = intercept[IllegalArgumentException](
-        graft.Tab.fromFile(spark, s"$dir/t.csv.gz"))
-      assert(err.getMessage.contains("decompress"), err.getMessage)
+      // a .csv.gz would feed gzip bytes to the encoding sniff — refuse;
+      // same for ANY other compression suffix (.zst would need a codec
+      // the deploy may not have — better a clear error than garbage)
+      for (bad <- Seq("t.csv.gz", "t.jsonl.zst", "t.tsv.bz2")) {
+        val err = intercept[IllegalArgumentException](
+          graft.Tab.fromFile(spark, s"$dir/$bad"))
+        assert(err.getMessage.contains("decompress"), err.getMessage)
+      }
+      // a COMPRESSED columnar envelope refuses too: the driver-side
+      // byte cap would measure compressed bytes against a decompressed
+      // driver materialization
+      val envGz = s"$dir/env.json.gz"
+      val out2 = new java.util.zip.GZIPOutputStream(new java.io.FileOutputStream(envGz))
+      out2.write("""{"columns": {"n": [1]}, "total_rows": 1}""".getBytes("UTF-8"))
+      out2.close()
+      val envErr = intercept[IllegalArgumentException](
+        graft.Tab.fromFile(spark, envGz))
+      assert(envErr.getMessage.contains("envelope"), envErr.getMessage)
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 

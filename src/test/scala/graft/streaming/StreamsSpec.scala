@@ -223,10 +223,12 @@ class StreamsSpec extends SparkSpec {
     val centroids = graft.ml.Ann.trainCentroids(corpus, "embedding", nList = 4, sampleN = 60)
     val index = graft.ml.Ann.buildIvfIndex(corpus, "vec_id", "embedding", centroids)
     val dir = Files.createTempDirectory("graftann").toString + "/in"
-    // stream one vector that IS corpus vector 5 → its nearest neighbour
-    // at full probe must be vec 5
+    // stream one vector that IS corpus vector 5, under the COLLIDING id
+    // 5 — stream and corpus ids are different spaces, so the corpus's
+    // vec 5 must still be found nearest (the self-match exclusion that
+    // is right for corpus self-search would silently drop it here)
     val v5 = corpus.filter(col("vec_id") === 5).collect()(0).getSeq[Float](1).toArray
-    Seq((900L, v5)).toDF("vec_id", "embedding").coalesce(1).write.parquet(dir)
+    Seq((5L, v5)).toDF("vec_id", "embedding").coalesce(1).write.parquet(dir)
     val schema = spark.read.parquet(dir).schema
     val stream = Streams.readParquetStream(spark, dir, schema)
     val enrich = Streams.annEnrichBatch(index, centroids, "vec_id", "embedding",
@@ -241,7 +243,9 @@ class StreamsSpec extends SparkSpec {
       q.processAllAvailable()
       val hits = out.toArray.map(_.asInstanceOf[Seq[Long]])
       assert(hits.length === 1 && hits(0).length === 3)
-      assert(hits(0).contains(5L), s"identical vector not nearest: ${hits(0)}")
+      // the array is RANK-ordered (not collect_list arrival order): the
+      // identical vector is neighbours(0), cosine 1.0
+      assert(hits(0).head === 5L, s"identical vector not FIRST: ${hits(0)}")
     } finally q.stop()
   }
 
