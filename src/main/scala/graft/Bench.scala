@@ -106,6 +106,23 @@ object Bench {
           q, "vec_id", "embedding", dim = 16, k = 3).count()
         graft.ml.Dedup.embeddingPairs(vecs, "vec_id", "embedding", dim = 16).count()
         graft.ml.Dedup.semDedup(vecs, "vec_id", "embedding").count()
+        // r8 learned projections: ITQ planes + OPQ rotation kernels
+        // (breeze natives + the new codegen paths JIT here, not in the
+        // first timed gate rep)
+        val itqM = graft.ml.Ann.trainItq(vecs, "embedding", nPlanes = 6, sampleN = 300)
+        graft.ml.Ann.itqKnn(
+          graft.ml.Ann.buildItqIndex(vecs, "vec_id", "embedding", itqM),
+          q, "vec_id", "embedding", itqM, k = 3, nProbes = 8).count()
+        val (rotW, cbsW) = graft.ml.Ann.trainOpq(vecs, "embedding", cents, m = 4,
+          opqIters = 2, sampleN = 300)
+        graft.ml.Ann.pqKnn(
+          graft.ml.Ann.buildPqIndex(vecs, "vec_id", "embedding", cents, cbsW, rot = rotW),
+          q, "vec_id", "embedding", cents, cbsW, k = 3, nProbe = 4, rot = rotW).count()
+        // r8 trigram LM: both scorer paths
+        val pplM = graft.ml.Perplexity.train(docs, "text", buckets = 1 << 10)
+        graft.ml.Perplexity.score(docs.limit(50), "doc_id", "text", pplM).count()
+        graft.ml.Perplexity.scoreInline(docs.limit(50), "text",
+          graft.ml.Perplexity.collectModel(pplM)).count()
       }
       spark.catalog.clearCache()
     } catch { case e: Throwable => System.err.println(s"[bench] warmup: ${e.getMessage}") }

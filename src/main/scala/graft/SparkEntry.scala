@@ -923,6 +923,53 @@ object SparkEntry {
         dim = 64, k = 5, nPlanes = 8, nProbes = 256)
         .select(col("query_id"), col("neighbour_id"), col("rank"))
     }),
+    // streaming enrichers' BATCH CORES, oracled directly (their stream
+    // faces are pure functions of (batch, index) applied per micro-batch
+    // — StreamsSpec covers the foreachBatch plumbing, these rows gate
+    // the math): stream-vs-corpus near-dup drop at t=1.0 planted copies
+    "q_dedup_stream_batch" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val copies = docs.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"), col("text"))
+      val fresh = docs.filter(col("doc_id") % 4 === 1)
+        .select((col("doc_id") + 3000000).as("doc_id"),
+          concat_ws(" ", (0 until 8).map(i =>
+            md5(concat(col("doc_id").cast("string"), lit(s"-$i")))): _*).as("text"))
+      val idx = Dedup.minhashIndex(docs, "doc_id", "text")
+      val scope = new graft.operators.CacheScope
+      scope.track(idx.shingles)
+      val dropDups = graft.streaming.Streams.dedupAgainstCorpusBatch(
+        idx, "doc_id", "text", threshold = 1.0)
+      scope.releaseAfter(dropDups(SetOps.concat(copies, fresh)).select(col("doc_id")))
+    }),
+    // ANN enrichment batch core at full probe: every incoming row tagged
+    // with exact top-k corpus neighbours, cross id space (no self
+    // exclusion — the planted identical vector must rank 1)
+    "q_ann_enrich_batch" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val centroids = Ann.trainCentroids(e, "embedding", nList = 32)
+      val idx = Ann.buildIvfIndex(e, "vec_id", "embedding", centroids)
+      val batch = e.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 5000).as("vec_id"), col("embedding"))
+      val enrich = graft.streaming.Streams.annEnrichBatch(
+        idx, centroids, "vec_id", "embedding", k = 5, nProbe = 32)
+      enrich(batch)
+        .select(col("vec_id").as("query_id"),
+          posexplode(col("neighbours")).as(Seq("pos", "n")))
+        .select(col("query_id"), col("n.neighbour_id").as("neighbour_id"),
+          (col("pos") + 1).cast("int").as("rank"))
+    }),
+    // learned-plane (PCA+ITQ) variant at full probe: every bucket of the
+    // 8-plane learned projection joined ⇒ exact cosine top-k — oracles
+    // the learned bucket/probe kernels and the trained-model plumbing
+    "q_ann_itq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val model = Ann.trainItq(e, "embedding", nPlanes = 8)
+      val idx = Ann.buildItqIndex(e, "vec_id", "embedding", model)
+      Ann.itqKnn(idx, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        model, k = 5, nProbes = 256)
+        .select(col("query_id"), col("neighbour_id"), col("rank"))
+    }),
     // IVF scale path: k-means coarse quantizer + nProbe inverted lists
     "q_ann_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -965,24 +1012,47 @@ object SparkEntry {
     // and memoized quantizers the values are deterministic — so the
     // threshold verdicts ARE oracle-checkable. A silent recall collapse
     // (bad quantizer sample, broken probe sequence) now fails
-    // CORRECTNESS instead of passing a rows-only check. Floors are set
-    // at roughly half the observed recalls at these scan fractions
-    // (sf0.01: LSH 0.30 / IVF 0.415 / PQ 0.385 with 32/256 buckets ≈
-    // 4/32 lists ≈ 12.5% of the corpus scanned) — a collapse to
-    // near-random probing trips them; data-scale wobble does not.
+    // CORRECTNESS instead of passing a rows-only check.
+    //
+    // r8 operating points, all ≈12.5% of the corpus scanned:
+    //  - lsh: data-OBLIVIOUS random hyperplanes, 8 planes / 32 probes —
+    //    kept as the baseline row (observed 0.30 sf0.01 / 0.33 sf0.1).
+    //  - itq: LEARNED planes (PCA+ITQ, Ann.trainItq), 14 planes / 2048
+    //    probes — observed 0.52 / 0.55-0.60: the learned projection
+    //    roughly doubles hyperplane recall at the same scan fraction.
+    //  - ivf: adaptive list count (Ann.adaptiveNList ≈ n/8 lists,
+    //    nProbe = nList/8 keeps the scanned fraction) — observed
+    //    0.535 / 0.685: finer data-learned cells at the same fraction.
+    //  - pq: IVFADC-R on the adaptive grid with a 100-candidate exact
+    //    re-rank tail — observed 0.535 / 0.685 (tracks candidate
+    //    coverage; the rerank removes ADC distortion).
+    //  - opq: ADC-only on the adaptive grid with the learned OPQ
+    //    rotation — observed 0.485 / 0.42 (≥ plain PQ; the synthetic
+    //    embeddings are near-isotropic, so the rotation's headroom is
+    //    structurally small here — see AnnLearnedSpec for the
+    //    anisotropic case where it matters).
+    // Floors at roughly HALF the min observed across scales (the r5
+    // rule): a collapse to near-random probing trips them; data-scale
+    // wobble does not.
     "q_ann_gate" -> ((s, dir) => {
       import s.implicits._
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 20)
+      val nList = Ann.adaptiveNList(e.count())
+      val nProbe = math.max(2, nList / 8)
       def recall(df: DataFrame): Double = df.select(col("recall")).first().getDouble(0)
       val lsh = recall(Ann.recallAtK(e, q, "vec_id", "embedding",
         dim = 64, k = 10, nPlanes = 8, nProbes = 32))
+      val itq = recall(Ann.itqRecallAtK(e, q, "vec_id", "embedding",
+        k = 10, nPlanes = 14, nProbes = 2048))
       val ivf = recall(Ann.ivfRecallAtK(e, q, "vec_id", "embedding",
-        k = 10, nList = 32, nProbe = 4))
+        k = 10, nList = nList, nProbe = nProbe))
       val pq = recall(Ann.pqRecallAtK(e, q, "vec_id", "embedding",
-        k = 10, nList = 32, m = 8, nProbe = 4))
-      Seq((lsh >= 0.15, ivf >= 0.20, pq >= 0.20))
-        .toDF("lsh_ok", "ivf_ok", "pq_ok")
+        k = 10, nList = nList, m = 8, nProbe = nProbe, rerank = 100))
+      val opq = recall(Ann.pqRecallAtK(e, q, "vec_id", "embedding",
+        k = 10, nList = nList, m = 8, nProbe = nProbe, opq = true))
+      Seq((lsh >= 0.15, itq >= 0.26, ivf >= 0.26, pq >= 0.26, opq >= 0.21))
+        .toDF("lsh_ok", "itq_ok", "ivf_ok", "pq_ok", "opq_ok")
     }),
 
     // ---- HDF5 compat codec (clean-room, sources/Hdf5.scala) ---------
@@ -2021,7 +2091,8 @@ object SparkEntry {
     // q_ann_gate: deterministic recall-threshold verdicts (seeded,
     // memoized quantizers) — the approximate family's oracle hook
     "q_ann_gate" ->
-      "SELECT true AS lsh_ok, true AS ivf_ok, true AS pq_ok",
+      """SELECT true AS lsh_ok, true AS itq_ok, true AS ivf_ok,
+         true AS pq_ok, true AS opq_ok""",
     // q_hdf5_roundtrip: write→read through the clean-room HDF5 codec is
     // an identity map, so the oracle is the source table itself
     "q_hdf5_roundtrip" ->
@@ -2034,6 +2105,75 @@ object SparkEntry {
     // exact distances, so exact top-k IS their oracle (same shape as
     // q_knn); any dropped bucket/list or tie-break drift breaks it
     "q_ann_lsh" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+         s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbour_id,
+               list_cosine_similarity(q.embedding, e.embedding) AS c
+               FROM q, embeddings e WHERE e.vec_id != q.vec_id)
+         SELECT query_id, neighbour_id, rank FROM (
+           SELECT query_id, neighbour_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbour_id) AS rank
+           FROM s) WHERE rank <= 5""",
+    // q_dedup_stream_batch: kept = batch docs with NO t=1.0 match in the
+    // corpus — the same brute-force pair truth as q_dedup_incremental,
+    // anti-joined (short/shingle-less docs fall out identically on both
+    // sides because the pair construction is shared)
+    "q_dedup_stream_batch" ->
+      """WITH inc AS (
+           SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 4 = 0
+           UNION ALL
+           SELECT doc_id + 3000000 AS doc_id,
+             md5(CAST(doc_id AS VARCHAR) || '-0') || ' ' ||
+             md5(CAST(doc_id AS VARCHAR) || '-1') || ' ' ||
+             md5(CAST(doc_id AS VARCHAR) || '-2') || ' ' ||
+             md5(CAST(doc_id AS VARCHAR) || '-3') || ' ' ||
+             md5(CAST(doc_id AS VARCHAR) || '-4') || ' ' ||
+             md5(CAST(doc_id AS VARCHAR) || '-5') || ' ' ||
+             md5(CAST(doc_id AS VARCHAR) || '-6') || ' ' ||
+             md5(CAST(doc_id AS VARCHAR) || '-7') AS text
+           FROM documents WHERE doc_id % 4 = 1
+         ),
+         gi AS (
+           SELECT doc_id, list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                         FOR i IN range(1, len(tk)-1)]) AS g
+           FROM (SELECT doc_id,
+                   list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+                               x -> x <> '') AS tk
+                 FROM inc)
+         ),
+         gc AS (
+           SELECT doc_id, list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                         FOR i IN range(1, len(tk)-1)]) AS g
+           FROM (SELECT doc_id,
+                   list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+                               x -> x <> '') AS tk
+                 FROM documents)
+         ),
+         dups AS (
+           SELECT DISTINCT id_a FROM (
+             SELECT i.doc_id AS id_a,
+               len(list_intersect(i.g, c.g))::DOUBLE
+                 / len(list_distinct(list_concat(i.g, c.g)))::DOUBLE AS jaccard
+             FROM gi i JOIN gc c ON len(i.g) = len(c.g) AND len(i.g) > 0
+           ) WHERE jaccard >= 1.0
+         )
+         SELECT doc_id FROM inc WHERE doc_id NOT IN (SELECT id_a FROM dups)""",
+    // q_ann_enrich_batch: full probe ⇒ exact cosine top-k per incoming
+    // row, WITHOUT self-exclusion (cross id space — the planted
+    // identical vector must surface at rank 1)
+    "q_ann_enrich_batch" ->
+      """WITH q AS (SELECT vec_id + 5000 AS query_id, embedding
+                    FROM embeddings WHERE vec_id < 10),
+         s AS (SELECT q.query_id, e.vec_id AS neighbour_id,
+               list_cosine_similarity(q.embedding, e.embedding) AS c
+               FROM q, embeddings e)
+         SELECT query_id, neighbour_id, rank FROM (
+           SELECT query_id, neighbour_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbour_id) AS rank
+           FROM s) WHERE rank <= 5""",
+    // q_ann_itq: full probe over the LEARNED planes is exact the same
+    // way — the trained projection changes which bucket holds what, not
+    // the union of all buckets
+    "q_ann_itq" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
          s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbour_id,
                list_cosine_similarity(q.embedding, e.embedding) AS c

@@ -116,6 +116,187 @@ object Ann {
 
   private val centroidMemo = lruMemo[Array[Array[Double]]]()
 
+  /** Data-dependent LSH projection: `planes(p)` is a d-vector, bit p of
+    * a bucket is `sign(v·planes(p) − offsets(p))`. Offsets carry the
+    * training mean, so centering is free at hash time.
+    */
+  case class LshModel(planes: Array[Array[Double]], offsets: Array[Double]) {
+    def nPlanes: Int = planes.length
+  }
+
+  private val lshMemo = lruMemo[LshModel]()
+
+  private def rowToDoubles(r: org.apache.spark.sql.Row): Array[Double] =
+    r.getSeq[Any](0).map {
+      case f: Float  => f.toDouble
+      case d: Double => d
+      case x         => x.toString.toDouble
+    }.toArray
+
+  /** Train a PCA+ITQ projection (Gong & Lazebnik 2011, "Iterative
+    * Quantization"): center a bounded corpus sample, project onto the
+    * top-`nPlanes` principal directions, then learn the orthogonal
+    * rotation that minimizes the binary quantization error
+    * ‖B − VR‖² by alternating sign-assignment and orthogonal
+    * Procrustes. Data-dependent planes split the corpus where its
+    * variance actually lives — random hyperplanes waste bits on
+    * directions the data never occupies, which is why ITQ recall at the
+    * same scan fraction is roughly double (see `q_ann_gate`).
+    *
+    * Deterministic (seeded sample + seeded init), memoized like
+    * [[trainCentroids]]. Model size: nPlanes × (d+1) doubles — rides
+    * into the bucket kernels as expression constants.
+    */
+  def trainItq(
+      corpus: DataFrame,
+      vecCol: String,
+      nPlanes: Int = 8,
+      sampleN: Int = 20000,
+      seed: Long = 42L,
+      iters: Int = 50): LshModel = {
+    val key = (corpus.queryExecution.analyzed.canonicalized,
+      s"itq|$vecCol|$nPlanes|$sampleN|$seed|$iters")
+    memoized(lshMemo, key) {
+      import breeze.linalg.{svd, DenseMatrix}
+      val rows = trainingSample(corpus, vecCol, sampleN, seed).collect()
+        .map(rowToDoubles)
+      require(rows.nonEmpty, "empty ITQ training sample")
+      val n = rows.length
+      val d = rows.head.length
+      require(nPlanes <= d, s"nPlanes=$nPlanes exceeds vector dim $d")
+      val mu = new Array[Double](d)
+      rows.foreach { r =>
+        var j = 0
+        while (j < d) { mu(j) += r(j); j += 1 }
+      }
+      var j = 0
+      while (j < d) { mu(j) /= n; j += 1 }
+      val x = DenseMatrix.tabulate(n, d)((i, c) => rows(i)(c) - mu(c))
+      // top-nPlanes principal directions of the sample covariance
+      val es = breeze.linalg.eigSym((x.t * x) / n.toDouble)
+      val order = (0 until d).sortBy(i => -es.eigenvalues(i))
+      val p = DenseMatrix.tabulate(d, nPlanes)((r, c) => es.eigenvectors(r, order(c)))
+      val v = x * p // n × nPlanes
+      // seeded random orthogonal init (SVD-orthogonalized gaussian)
+      val rnd = new scala.util.Random(seed)
+      val g = DenseMatrix.tabulate(nPlanes, nPlanes)((_, _) => rnd.nextGaussian())
+      val s0 = svd(g)
+      var rot = s0.U * s0.Vt
+      var it = 0
+      while (it < iters) {
+        val b = (v * rot).map(e => if (e >= 0) 1.0 else -1.0)
+        val s = svd(v.t * b) // Procrustes: R = U·Vᵀ of VᵀB
+        rot = s.U * s.Vt
+        it += 1
+      }
+      val w = p * rot // d × nPlanes; plane p = column p
+      val planes = Array.tabulate(nPlanes)(c => Array.tabulate(d)(r => w(r, c)))
+      val offsets = planes.map { pl =>
+        var s = 0.0
+        var k = 0
+        while (k < d) { s += pl(k) * mu(k); k += 1 }
+        s
+      }
+      LshModel(planes, offsets)
+    }
+  }
+
+  /** Index over learned (ITQ) planes — the data-dependent counterpart of
+    * [[buildIndex]]. Same shape: one bucket per corpus row, map-side.
+    */
+  def buildItqIndex(
+      corpus: DataFrame, idCol: String, vecCol: String, model: LshModel): DataFrame =
+    corpus.select(col(idCol).as("neighbour_id"), col(vecCol).as("cv"),
+      Kernels.learnedBucket(col(vecCol), model.planes, model.offsets).as("bucket"))
+
+  /** Multi-probe search over a learned-plane index (the [[lshKnn]]
+    * counterpart — same join/rank shape, margins from the trained
+    * projection).
+    */
+  def itqKnn(
+      index: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      model: LshModel,
+      k: Int = 10,
+      nProbes: Int = 16): DataFrame = {
+    val probed = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      explode(Kernels.learnedProbes(col(vecCol), model.planes, model.offsets, nProbes))
+        .as("bucket"))
+    val scored = probed.join(index, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbour_id"))
+      .select(col("query_id"), col("neighbour_id"),
+        Kernels.cosineSim(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbour_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Recall@k of the learned-plane index against exact brute force. */
+  def itqRecallAtK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int = 10,
+      nPlanes: Int = 8,
+      nProbes: Int = 16): DataFrame = {
+    val model = trainItq(corpus, vecCol, nPlanes)
+    val exact = bruteForceKnn(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbour_id")).cache()
+    val approx = itqKnn(buildItqIndex(corpus, idCol, vecCol, model),
+      queries, idCol, vecCol, model, k, nProbes)
+      .select(col("query_id"), col("neighbour_id"))
+    try {
+      val hits = exact.intersect(approx).count().toDouble
+      val total = exact.count().toDouble
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      Seq((k, if (total == 0) 0.0 else hits / total)).toDF("k", "recall")
+    } finally exact.unpersist(blocking = false)
+  }
+
+  /** Persist a learned-plane LSH index with its OWN projection in a
+    * `_planes` side table — the [[writeIvfIndex]] self-containment rule:
+    * probing a stored index with RE-TRAINED planes hashes queries into
+    * different buckets than the stored vectors and recall collapses
+    * silently. Partitioned by bucket so a probe reads only
+    * nProbes/2^nPlanes of the files.
+    */
+  def writeLshIndex(index: DataFrame, path: String, model: LshModel = null): Unit = {
+    index.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    val spark = index.sparkSession
+    val side = new org.apache.hadoop.fs.Path(path + "/_planes")
+    val fs = side.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (model != null) {
+      import spark.implicits._
+      model.planes.zipWithIndex.toSeq
+        .map { case (pl, i) => (i, pl.toSeq, model.offsets(i)) }
+        .toDF("plane_id", "plane", "offset")
+        .coalesce(1).write.mode("overwrite").parquet(path + "/_planes")
+    } else if (fs.exists(side)) {
+      // a rewrite WITHOUT the model must not leave a stale projection
+      // behind for readLshModel to silently pair with the new vectors
+      fs.delete(side, true)
+    }
+  }
+
+  /** The projection a stored learned-plane index was hashed with. */
+  def readLshModel(
+      spark: org.apache.spark.sql.SparkSession, path: String): LshModel = {
+    val p = new org.apache.hadoop.fs.Path(path + "/_planes")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"no _planes under $path: the index was written without its projection " +
+        "(writeLshIndex(index, path, model)) — probing it with re-trained " +
+        "planes would hash into the wrong buckets")
+    val rows = spark.read.parquet(path + "/_planes")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+    LshModel(rows.map(_._2), rows.map(_._3))
+  }
+
   /** Deterministic, partition-UNbiased quantizer training sample: order by
     * a seeded 64-bit hash of the vector and keep the smallest `n`. A bare
     * `limit(n)` returns whatever the first-scanned partitions hold — at
@@ -163,6 +344,21 @@ object Ann {
     }
   }
 
+  /** Data-adaptive inverted-list count: target ~8 vectors per list in
+    * the small-corpus regime (finer cells at the same probed FRACTION
+    * are what lift candidate recall — probing 32 of 256 lists beats 4 of
+    * 32 at identical scan cost, because the probe ranking gets 8× the
+    * granularity), capped by the 16·√n large-corpus rule (FAISS-style
+    * guidance: past √n-scale list counts, quantizer training and probe
+    * ranking costs dominate while recall gains flatten). At 1e9 vectors
+    * this yields ~5×10⁵ lists — a standard production IVF shape.
+    */
+  def adaptiveNList(n: Long): Int = {
+    val byFill = n / 8
+    val bySqrt = (16.0 * math.sqrt(math.max(n, 1).toDouble)).toLong
+    math.max(16L, math.min(byFill, bySqrt)).toInt
+  }
+
   /** IVF index: every corpus vector assigned to its nearest centroid's
     * inverted list — one narrow map-side pass (no shuffle). At real scale
     * write this out `partitionBy("list")`: probing then prunes to
@@ -193,12 +389,20 @@ object Ann {
   def writeIvfIndex(index: DataFrame, path: String,
       centroids: Array[Array[Double]] = null): Unit = {
     index.write.mode("overwrite").partitionBy("list").parquet(path)
+    val spark = index.sparkSession
+    val side = new org.apache.hadoop.fs.Path(path + "/_centroids")
+    val fs = side.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (centroids != null) {
-      val spark = index.sparkSession
       import spark.implicits._
       centroids.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
         .toDF("list", "centroid")
         .coalesce(1).write.mode("overwrite").parquet(path + "/_centroids")
+    } else if (fs.exists(side)) {
+      // an index rewritten WITHOUT its quantizer must not leave the
+      // previous build's _centroids behind — under dynamic partition
+      // overwrite a re-trained rebuild would silently pair new vectors
+      // with the STALE stored quantizer and probe the wrong lists
+      fs.delete(side, true)
     }
   }
 
@@ -240,6 +444,61 @@ object Ann {
     val centroids = readIvfCentroids(spark, path)
     buildIvfIndex(corpus, idCol, vecCol, centroids)
       .write.mode("append").partitionBy("list").parquet(path)
+  }
+
+  /** Persist an IVFADC (PQ) index SELF-CONTAINED: the coarse quantizer
+    * (`_centroids`, [[readIvfCentroids]]-compatible), the sub-codebooks
+    * (`_codebooks`) and — when OPQ-trained — the rotation (`_rotation`)
+    * ride as side tables next to the list-partitioned code files. Same
+    * rule as [[writeIvfIndex]]: an 8-byte code is meaningless without
+    * the exact artifacts it was quantized against, and re-trained
+    * artifacts would decode garbage distances with no error anywhere.
+    */
+  def writePqIndex(index: DataFrame, path: String,
+      coarse: Array[Array[Double]], flatCodebooks: Array[Array[Double]],
+      rot: Array[Array[Double]] = null): Unit = {
+    writeIvfIndex(index, path, coarse)
+    val spark = index.sparkSession
+    import spark.implicits._
+    flatCodebooks.zipWithIndex.toSeq.map { case (cb, i) => (i, cb.toSeq) }
+      .toDF("subspace", "flat")
+      .coalesce(1).write.mode("overwrite").parquet(path + "/_codebooks")
+    val side = new org.apache.hadoop.fs.Path(path + "/_rotation")
+    val fs = side.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (rot != null) {
+      rot.zipWithIndex.toSeq.map { case (row, i) => (i, row.toSeq) }
+        .toDF("row_id", "row")
+        .coalesce(1).write.mode("overwrite").parquet(path + "/_rotation")
+    } else if (fs.exists(side)) {
+      // plain-PQ rewrite over a previous OPQ index: the stale rotation
+      // must go, or a reader would rotate residuals the codes never saw
+      fs.delete(side, true)
+    }
+  }
+
+  /** The quantizer artifacts of a stored PQ index:
+    * (coarse centroids, flat codebooks, rotation-or-null).
+    */
+  def readPqArtifacts(
+      spark: org.apache.spark.sql.SparkSession, path: String)
+      : (Array[Array[Double]], Array[Array[Double]], Array[Array[Double]]) = {
+    val coarse = readIvfCentroids(spark, path)
+    val cbPath = new org.apache.hadoop.fs.Path(path + "/_codebooks")
+    val fs = cbPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(cbPath),
+      s"no _codebooks under $path: the index was written without its " +
+        "sub-codebooks (writePqIndex) — ADC against re-trained codebooks " +
+        "would rank garbage distances")
+    val cb = spark.read.parquet(path + "/_codebooks")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    val rotPath = new org.apache.hadoop.fs.Path(path + "/_rotation")
+    val rot =
+      if (!fs.exists(rotPath)) null
+      else spark.read.parquet(path + "/_rotation")
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+        .sortBy(_._1).map(_._2)
+    (coarse, cb, rot)
   }
 
   /** IVF search: probe the `nProbe` nearest inverted lists per query,
@@ -317,30 +576,21 @@ object Ann {
       corpus, vecCol, coarse, m, codeK, sampleN, seed, maxIter))
   }
 
-  private def trainPqUncached(
-      corpus: DataFrame,
-      vecCol: String,
-      coarse: Array[Array[Double]],
-      m: Int,
-      codeK: Int,
-      sampleN: Int,
-      seed: Long,
-      maxIter: Int): Array[Array[Double]] = {
+  /** Bounded training sample as residuals against each vector's nearest
+    * coarse centroid (the IVFADC quantization space).
+    */
+  private def sampleResiduals(
+      corpus: DataFrame, vecCol: String, coarse: Array[Array[Double]],
+      m: Int, sampleN: Int, seed: Long): Array[Array[Double]] = {
     val rows = trainingSample(corpus, vecCol, sampleN, seed).collect()
-      .map(_.getSeq[Any](0).map {
-        case f: Float  => f.toDouble
-        case d: Double => d
-        case x         => x.toString.toDouble
-      }.toArray)
+      .map(rowToDoubles)
     require(rows.nonEmpty, "empty PQ training sample")
     val d = rows.head.length
     require(d % m == 0, s"dim $d not divisible by m=$m")
     require(coarse.head.length == d,
       s"coarse centroid dim ${coarse.head.length} != corpus dim $d — " +
         "centroids trained on a different corpus?")
-    val dsub = d / m
-    // residuals against each vector's nearest coarse centroid
-    val residuals = rows.map { v =>
+    rows.map { v =>
       var best = 0
       var bestD = Double.MaxValue
       var ci = 0
@@ -356,17 +606,32 @@ object Ann {
       while (j < d) { r(j) = v(j) - coarse(best)(j); j += 1 }
       r
     }
-    // subspaces are independent — train them concurrently (driver cores)
+  }
+
+  /** Per-subspace Lloyd refinement over residual points: m independent
+    * k-means runs, trained concurrently on driver cores. `warm` (from a
+    * previous OPQ alternation step) seeds the centroids instead of the
+    * random init. Returns flat row-major codeK×dsub codebooks.
+    */
+  private def lloydSubspaces(
+      residuals: Array[Array[Double]], m: Int, codeK: Int, seed: Long,
+      maxIter: Int, warm: Array[Array[Double]] = null): Array[Array[Double]] = {
+    val d = residuals.head.length
+    val dsub = d / m
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
     val subFutures = (0 until m).map { i => Future {
-      val rnd = new scala.util.Random(seed + i)
       val pts = residuals.map(_.slice(i * dsub, (i + 1) * dsub))
       val k = math.min(codeK, pts.length)
-      // init: distinct sample points (k-means++ unnecessary for a coarse
-      // sub-quantizer); short Lloyd refinement
-      val centroids = rnd.shuffle(pts.indices.toVector).take(k).map(pts(_).clone).toArray
+      // init: warm-start centroids when alternating (OPQ), else distinct
+      // sample points (k-means++ unnecessary for a coarse sub-quantizer)
+      val centroids =
+        if (warm != null) Array.tabulate(k)(c => warm(i).slice(c * dsub, (c + 1) * dsub))
+        else {
+          val rnd = new scala.util.Random(seed + i)
+          rnd.shuffle(pts.indices.toVector).take(k).map(pts(_).clone).toArray
+        }
       val assign = new Array[Int](pts.length)
       var iter = 0
       while (iter < maxIter) {
@@ -419,6 +684,120 @@ object Ann {
     Await.result(Future.sequence(subFutures), Duration.Inf).toArray
   }
 
+  private def trainPqUncached(
+      corpus: DataFrame,
+      vecCol: String,
+      coarse: Array[Array[Double]],
+      m: Int,
+      codeK: Int,
+      sampleN: Int,
+      seed: Long,
+      maxIter: Int): Array[Array[Double]] =
+    lloydSubspaces(
+      sampleResiduals(corpus, vecCol, coarse, m, sampleN, seed),
+      m, codeK, seed, maxIter)
+
+  /** PQ reconstruction of a residual point from the flat codebooks —
+    * the quantized vector the codes stand for.
+    */
+  private def pqReconstruct(
+      r: Array[Double], cb: Array[Array[Double]], m: Int, codeK: Int): Array[Double] = {
+    val d = r.length
+    val dsub = d / m
+    val out = new Array[Double](d)
+    var i = 0
+    while (i < m) {
+      val flat = cb(i)
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < codeK) {
+        var dist = 0.0
+        var j = 0
+        while (j < dsub) {
+          val df = r(i * dsub + j) - flat(c * dsub + j)
+          dist += df * df
+          j += 1
+        }
+        if (dist < bestD) { bestD = dist; best = c }
+        c += 1
+      }
+      var j = 0
+      while (j < dsub) { out(i * dsub + j) = flat(best * dsub + j); j += 1 }
+      i += 1
+    }
+    out
+  }
+
+  private val opqMemo = lruMemo[(Array[Array[Double]], Array[Array[Double]])]()
+
+  /** Optimized Product Quantization (Ge et al. 2013, OPQ-NP): learn an
+    * orthogonal rotation of the residual space jointly with the
+    * sub-codebooks, alternating (a) Lloyd refinement of the codebooks on
+    * the rotated residuals and (b) an orthogonal-Procrustes solve of the
+    * rotation against the current reconstruction. Rotating before the
+    * subspace split decorrelates the subspaces and balances their
+    * variance, cutting ADC quantization distortion — plain PQ chops the
+    * vector on arbitrary axis boundaries, which is why its recall at the
+    * same scan fraction lags (see `q_ann_gate`).
+    *
+    * Returns `(rotation, flatCodebooks)` where `rotation` is in KERNEL
+    * convention (row-major matrix applied to the residual:
+    * rotated = M·r, i.e. M = Rᵀ of the math above) — pass both straight
+    * to [[buildPqIndex]]/[[pqKnn]]/[[pqKnnRerank]]. Deterministic and
+    * memoized like [[trainPq]].
+    */
+  def trainOpq(
+      corpus: DataFrame,
+      vecCol: String,
+      coarse: Array[Array[Double]],
+      m: Int = 8,
+      codeK: Int = 256,
+      sampleN: Int = 20000,
+      seed: Long = 42L,
+      opqIters: Int = 8,
+      lloydIter: Int = 4,
+      finalIter: Int = 10): (Array[Array[Double]], Array[Array[Double]]) = {
+    val key = (corpus.queryExecution.analyzed.canonicalized,
+      s"opq|$vecCol|${coarse.length}|${coarse.head.length}|${centroidContentHash(coarse)}" +
+        s"|$m|$codeK|$sampleN|$seed|$opqIters|$lloydIter|$finalIter")
+    memoized(opqMemo, key) {
+      import breeze.linalg.{svd, DenseMatrix}
+      val residuals = sampleResiduals(corpus, vecCol, coarse, m, sampleN, seed)
+      val n = residuals.length
+      val d = residuals.head.length
+      val x = DenseMatrix.tabulate(n, d)((i, j) => residuals(i)(j))
+      var rot = DenseMatrix.eye[Double](d)
+      var cb: Array[Array[Double]] = null
+      var it = 0
+      while (it < opqIters) {
+        val xr = x * rot
+        val rotated = Array.tabulate(n)(i => Array.tabulate(d)(j => xr(i, j)))
+        cb = lloydSubspaces(rotated, m, codeK, seed, lloydIter, cb)
+        // Procrustes: R = U·Vᵀ of Xᵀ·Y, Y = quantized reconstruction
+        val y = DenseMatrix.tabulate(n, d) { (i, j) => 0.0 }
+        var i = 0
+        while (i < n) {
+          val rec = pqReconstruct(rotated(i), cb, m, codeK)
+          var j = 0
+          while (j < d) { y(i, j) = rec(j); j += 1 }
+          i += 1
+        }
+        val s = svd(x.t * y)
+        rot = s.U * s.Vt
+        it += 1
+      }
+      // final deeper Lloyd pass at the converged rotation
+      val xr = x * rot
+      val rotated = Array.tabulate(n)(i => Array.tabulate(d)(j => xr(i, j)))
+      cb = lloydSubspaces(rotated, m, codeK, seed, finalIter, cb)
+      // kernel convention: rotated = M·r with M = Rᵀ (training rotates
+      // row-vectors, the kernel rotates column-vectors)
+      val kernelRot = Array.tabulate(d)(i => Array.tabulate(d)(j => rot(j, i)))
+      (kernelRot, cb)
+    }
+  }
+
   /** PQ index: (id, coarse list, m-byte residual code) — one map-side
     * pass, codebooks as expression constants. Persist this partitioned
     * by `list` at real scale; it is ~30× smaller than the raw vectors.
@@ -426,11 +805,11 @@ object Ann {
   def buildPqIndex(
       corpus: DataFrame, idCol: String, vecCol: String,
       coarse: Array[Array[Double]], flatCodebooks: Array[Array[Double]],
-      codeK: Int = 256): DataFrame = {
+      codeK: Int = 256, rot: Array[Array[Double]] = null): DataFrame = {
     corpus
       .withColumn("list", element_at(Kernels.nearestCentroids(col(vecCol), coarse, 1), 1))
       .select(col(idCol).as("neighbour_id"), col("list"),
-        Kernels.pqEncode(col(vecCol), col("list"), coarse, flatCodebooks, codeK)
+        Kernels.pqEncode(col(vecCol), col("list"), coarse, flatCodebooks, codeK, rot)
           .as("code"))
   }
 
@@ -458,7 +837,8 @@ object Ann {
       k: Int = 10,
       nProbe: Int = 4,
       codeK: Int = 256,
-      broadcastQueries: Boolean = true): DataFrame = {
+      broadcastQueries: Boolean = true,
+      rot: Array[Array[Double]] = null): DataFrame = {
     val probed = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       explode(Kernels.nearestCentroids(col(vecCol), coarse, nProbe)).as("list"))
     val scored = index.join(
@@ -466,7 +846,7 @@ object Ann {
       .filter(col("query_id") =!= col("neighbour_id"))
       .select(col("query_id"), col("neighbour_id"),
         Kernels.pqAdcDist(col("qv"), col("list"), col("code"),
-          coarse, flatCodebooks).as("adc"))
+          coarse, flatCodebooks, rot).as("adc"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc").asc, col("neighbour_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -495,10 +875,11 @@ object Ann {
       nProbe: Int = 4,
       rerank: Int = 50,
       codeK: Int = 256,
-      broadcastQueries: Boolean = true): DataFrame = {
+      broadcastQueries: Boolean = true,
+      rot: Array[Array[Double]] = null): DataFrame = {
     val pool = pqKnn(index, queries, idCol, vecCol, coarse, flatCodebooks,
       k = math.max(rerank, k), nProbe = nProbe, codeK = codeK,
-      broadcastQueries = broadcastQueries)
+      broadcastQueries = broadcastQueries, rot = rot)
       .select(col("query_id"), col("neighbour_id"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("neighbour_id"), col(vecCol).as("cv"))
@@ -525,9 +906,12 @@ object Ann {
       nList: Int = 32,
       m: Int = 8,
       nProbe: Int = 4,
-      rerank: Int = 0): DataFrame = {
+      rerank: Int = 0,
+      opq: Boolean = false): DataFrame = {
     val coarse = trainCentroids(corpus, vecCol, nList)
-    val codebooks = trainPq(corpus, vecCol, coarse, m)
+    val (rot, codebooks) =
+      if (opq) trainOpq(corpus, vecCol, coarse, m)
+      else (null, trainPq(corpus, vecCol, coarse, m))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("neighbour_id"), col(vecCol).as("cv"))
     val wExact = Window.partitionBy("query_id")
@@ -537,12 +921,12 @@ object Ann {
         Kernels.l2Dist(col("qv"), col("cv")).as("l2"))
       .withColumn("rank", row_number().over(wExact)).filter(col("rank") <= k)
       .select(col("query_id"), col("neighbour_id")).cache()
-    val idx = buildPqIndex(corpus, idCol, vecCol, coarse, codebooks)
+    val idx = buildPqIndex(corpus, idCol, vecCol, coarse, codebooks, rot = rot)
     val approx = (if (rerank > 0)
         pqKnnRerank(idx, queries, corpus, idCol, vecCol, coarse, codebooks,
-          k, nProbe, rerank)
+          k, nProbe, rerank, rot = rot)
       else
-        pqKnn(idx, queries, idCol, vecCol, coarse, codebooks, k, nProbe))
+        pqKnn(idx, queries, idCol, vecCol, coarse, codebooks, k, nProbe, rot = rot))
       .select(col("query_id"), col("neighbour_id"))
     try {
       val hits = exact.intersect(approx).count().toDouble

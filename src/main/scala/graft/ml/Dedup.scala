@@ -463,7 +463,8 @@ object Dedup {
     * is garbage-collected (no scope listener involved).
     */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-      maxIter: Int = 20, driverThreshold: Long = 5000000): DataFrame = {
+      maxIter: Int = 20, driverThreshold: Long = 5000000,
+      reliableCheckpoint: Boolean = false): DataFrame = {
     // the upstream pairs pipeline (LSH join + verify) is the expensive
     // part — persist so the count probe and the actual edge consumption
     // don't each recompute it from the raw corpus
@@ -519,18 +520,30 @@ object Dedup {
     }
     edges.unpersist()
     fwd.unpersist(blocking = false)
-    // (id, label) — label = min id of the component. localCheckpoint
-    // truncates the O(iter) join lineage: every later action re-reads
-    // the stored label blocks instead of replaying the loop (the label
-    // frame is tiny — one row per id that appears in a dup pair — so
-    // the blocks are cheap to hold), and the ContextCleaner frees them
-    // when the frame is GC'd, so no listener lifecycle is needed.
-    // Tradeoff vs a reliable checkpoint: an executor loss invalidates
-    // its blocks and the truncated lineage cannot recompute them — the
-    // caller's job fails and retries connectedComponents; acceptable
-    // because the loop is minutes, not hours, even at 100 TB pair
-    // volumes, and needs no checkpoint-dir configuration.
-    val out = labels.localCheckpoint(eager = true)
+    // (id, label) — label = min id of the component. Both checkpoint
+    // flavors truncate the O(iter) join lineage so later actions
+    // re-read stored labels instead of replaying the loop.
+    //
+    // Default (localCheckpoint): blocks live on executors; an executor
+    // loss invalidates them and the truncated lineage cannot recompute
+    // — the caller's job fails and retries connectedComponents.
+    // Acceptable for batch jobs (the loop is minutes, not hours, even
+    // at 100 TB pair volumes) and needs no checkpoint-dir config.
+    //
+    // reliableCheckpoint = true: labels go to the fault-tolerant
+    // checkpoint dir (HDFS/S3) — an executor loss just re-reads the
+    // files. The right flavor for LONG-RUNNING curation services whose
+    // label frames outlive any single executor; requires
+    // spark.sparkContext.setCheckpointDir, checked here so the
+    // misconfiguration surfaces as one clear error, not a mid-job
+    // SparkException after the propagation loop already ran.
+    val out =
+      if (reliableCheckpoint) {
+        require(pairs.sparkSession.sparkContext.getCheckpointDir.isDefined,
+          "reliableCheckpoint requires spark.sparkContext.setCheckpointDir " +
+            "(a fault-tolerant location, e.g. HDFS/S3)")
+        labels.checkpoint(eager = true)
+      } else labels.localCheckpoint(eager = true)
     labels.unpersist(blocking = false)
     out
   }

@@ -11,117 +11,169 @@ import org.apache.spark.sql.functions._
   * filter or head/middle/tail-bucket on the score) re-expressed as a
   * distributed hashed n-gram model instead of a native KenLM binary.
   *
-  * Model: unigram + bigram token counts under the hashing trick (as in
-  * [[Dsir]] — xxhash64 → `buckets` bins), so the trained model is at
-  * most `2 × buckets` rows NO MATTER how large the reference corpus is,
-  * and broadcasts to every executor. Probability of a transition is
-  * Jelinek–Mercer interpolated:
+  * Model: unigram + bigram (+ trigram at the default `order = 3`) token
+  * counts under the hashing trick (as in [[Dsir]] — xxhash64 →
+  * `buckets` bins), so the trained model is at most `order × buckets`
+  * rows NO MATTER how large the reference corpus is, and broadcasts to
+  * every executor. Probability of a transition is recursively
+  * Jelinek–Mercer interpolated, highest order first:
   *
-  *   P(w | prev) = λ · cb(prev,w) / cu(prev)  +  (1−λ) · (cu(w)+1) / (N+B)
+  *   P₃(w | u v) = λ · c₃(u v w) / c₂(u v)  +  (1−λ) · P₂(w | v)
+  *   P₂(w | v)   = λ · c₂(v w) / c₁(v)      +  (1−λ) · P₁(w)
+  *   P₁(w)       = (c₁(w)+1) / (N+B)
   *
-  * (conditional bigram estimate backed off to an add-one-smoothed
-  * unigram; never zero, so log is total). Document perplexity =
-  * exp(mean −log P over its transitions).
+  * (each conditional estimate backed off to the next-lower order, the
+  * unigram add-one-smoothed; never zero, so log is total — the shape of
+  * KenLM's interpolated model with JM in place of Kneser–Ney discounts,
+  * which have no bounded-hash formulation). Document perplexity =
+  * exp(mean −log P over its order-gram windows). The trigram captures
+  * local word ORDER a bigram can't: text scrambled so as to preserve
+  * every bigram still breaks almost every trigram (PerplexitySpec).
   *
-  * Scale shape: training is two partial-agg shuffles of hashed longs
-  * (counts only — tokens never shuffle); scoring is explode → two
+  * Scale shape: training is `order` partial-agg shuffles of hashed
+  * longs (counts only — tokens never shuffle); scoring is explode →
   * BROADCAST joins → per-doc partial mean, so the corpus text itself
   * never crosses the network and the only shuffle payload is one
   * (doc_id, partial-sum) pair per partition.
   */
 object Perplexity {
 
-  /** Hashed LM counts: `(kind 1=unigram|2=bigram, bucket, cnt)` plus the
-    * constant training-token total `n_tokens` on every row (rides along
-    * so the model is one self-contained broadcastable frame). The
-    * hashing parameters `buckets` and `seed` ALSO ride on every row:
-    * scoring reads them from the model itself, so a train/score pair can
-    * never silently disagree on the hash space (a mismatch would read
-    * every count as 0 and score everything at the smoothed floor — no
-    * error, just garbage).
+  /** Hashed LM counts: `(kind 1=unigram|2=bigram|3=trigram, bucket,
+    * cnt)` plus the constant training-token total `n_tokens` on every
+    * row (rides along so the model is one self-contained broadcastable
+    * frame). The hashing parameters `buckets` and `seed` ALSO ride on
+    * every row: scoring reads them from the model itself, so a
+    * train/score pair can never silently disagree on the hash space (a
+    * mismatch would read every count as 0 and score everything at the
+    * smoothed floor — no error, just garbage). The model ORDER is
+    * likewise self-describing (max kind present), so scorers
+    * automatically apply the interpolation depth the model was trained
+    * with.
     */
   def train(
       corpus: DataFrame, textCol: String,
-      buckets: Int = 1 << 16, seed: Int = 0): DataFrame = {
+      buckets: Int = 1 << 16, seed: Int = 0, order: Int = 3): DataFrame = {
     require(buckets > 0, s"buckets: $buckets")
+    require(order == 2 || order == 3, s"order: $order (2 or 3)")
     def counts(n: Int, kind: Int): DataFrame = corpus
       .select(explode(Kernels.wordShingles(col(textCol), n)).as("__sh"))
       .select(pmod(xxhash64(col("__sh"), lit(seed)), lit(buckets.toLong)).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
       .select(lit(kind).as("kind"), col("bucket"), col("cnt"))
     val uni = counts(1, 1)
-    val bi = counts(2, 2)
+    val grams = (2 to order).map(n => counts(n, n))
+      .foldLeft(uni)(_ unionByName _)
     val total = uni.agg(sum("cnt").as("n_tokens"))
-    uni.unionByName(bi).crossJoin(broadcast(total))
+    grams.crossJoin(broadcast(total))
       .withColumn("buckets", lit(buckets))
       .withColumn("seed", lit(seed))
   }
 
-  /** The model's (buckets, seed, n_tokens) header — constant on every
-    * row; one tiny collect. Clear error on an empty model instead of an
-    * NPE three frames deep.
+  /** The model's (buckets, seed, n_tokens, order) header — the scalars
+    * are constant on every row, the order is the max kind present; one
+    * tiny collect. Clear error on an empty model instead of an NPE
+    * three frames deep.
     */
-  private def header(model: DataFrame): (Int, Int, Long) = {
-    val rows = model.select(first("buckets"), first("seed"), first("n_tokens")).collect()
+  private def header(model: DataFrame): (Int, Int, Long, Int) = {
+    val rows = model.select(first("buckets"), first("seed"), first("n_tokens"),
+      max("kind")).collect()
     require(rows.nonEmpty && !rows(0).isNullAt(0),
       "empty perplexity model: the reference corpus produced no tokens")
-    (rows(0).getInt(0), rows(0).getInt(1), rows(0).getLong(2))
+    (rows(0).getInt(0), rows(0).getInt(1), rows(0).getLong(2),
+      math.max(rows(0).getInt(3), 2))
   }
 
   /** `docs` + `ppl` (document perplexity under `model`) and
-    * `n_transitions`. Docs with fewer than 2 tokens have no bigram
-    * transitions: `ppl` is null there (no evidence either way — callers
-    * filter or fill by policy, CCNet drops them).
+    * `n_transitions`. Docs with fewer than `order` tokens have no
+    * order-gram windows: `ppl` is null there (no evidence either way —
+    * callers filter or fill by policy, CCNet drops them). The
+    * interpolation depth follows the MODEL's order (trigram by
+    * default; a model trained with `order = 2` scores as a bigram LM).
     */
   def score(
       docs: DataFrame, idCol: String, textCol: String,
       model: DataFrame,
       lambda: Double = 0.8): DataFrame = {
     require(lambda > 0.0 && lambda < 1.0, s"lambda: $lambda")
-    // The model plan (two shuffles over the whole reference corpus) is
-    // read three times below (uni, bi, header) — persist it through a
-    // scope that drains after the caller's first action, so a
-    // train-then-score pipeline pays training ONCE, not per broadcast.
+    // The model plan (order× shuffles over the whole reference corpus)
+    // is read several times below (per-kind frames + header) — persist
+    // it through a scope that drains after the caller's first action, so
+    // a train-then-score pipeline pays training ONCE, not per broadcast.
     // A model the CALLER already persisted is used as-is and NOT drained
     // (multi-score pipelines own their model's lifetime).
     val scope = new graft.operators.CacheScope
     val callerCached = model.storageLevel != org.apache.spark.storage.StorageLevel.NONE
     val m = if (callerCached) model else scope.persist(model)
-    // buckets/seed come from the model itself (train stamped them on
-    // every row) — a hash-space mismatch is impossible by construction.
-    // The header collect MATERIALIZES the scope's cache; if it throws
-    // (empty model), the cache must not leak — releaseAfter's cleanup
-    // listener is only installed at the end.
-    val (buckets, seed, nTokens) =
+    // buckets/seed/order come from the model itself (train stamped them
+    // on every row) — a hash-space or depth mismatch is impossible by
+    // construction. The header collect MATERIALIZES the scope's cache;
+    // if it throws (empty model), the cache must not leak —
+    // releaseAfter's cleanup listener is only installed at the end.
+    val (buckets, seed, nTokens, order) =
       try header(m)
       catch { case e: Throwable => if (!callerCached) scope.releaseNow(); throw e }
-    // model is ≤ 2×buckets rows; both kinds come from the one broadcast
-    val uni = broadcast(m.filter(col("kind") === 1)
-      .select(col("bucket").as("__ub"), col("cnt").as("__cu")))
-    val bi = broadcast(m.filter(col("kind") === 2)
-      .select(col("bucket").as("__bb"), col("cnt").as("__cb")))
+    // model is ≤ order×buckets rows; all kinds come from the one cache
+    def kindFrame(kind: Int, b: String, c: String): DataFrame =
+      broadcast(m.filter(col("kind") === kind)
+        .select(col("bucket").as(b), col("cnt").as(c)))
+    val uni = kindFrame(1, "__ub", "__cu")
+    val bi = kindFrame(2, "__bb", "__cb")
     def h(c: org.apache.spark.sql.Column) =
       pmod(xxhash64(c, lit(seed)), lit(buckets.toLong))
-    val transitions = docs
-      .select(col(idCol), explode(Kernels.wordShingles(col(textCol), 2)).as("__sh"))
-      .select(col(idCol),
-        h(col("__sh")).as("__hb"),
-        h(substring_index(col("__sh"), " ", 1)).as("__hprev"),
-        h(substring_index(col("__sh"), " ", -1)).as("__hcur"))
-      .join(bi, col("__hb") === col("__bb"), "left")
-      .join(uni.select(col("__ub"), col("__cu").as("__cprev")),
-        col("__hprev") === col("__ub"), "left").drop("__ub")
-      .join(uni, col("__hcur") === col("__ub"), "left")
-    val pCond = when(col("__cprev").isNotNull && col("__cb").isNotNull,
-      col("__cb").cast("double") / col("__cprev")).otherwise(lit(0.0))
     // the token total is a header scalar (NOT a column from the unigram
     // left join — a transition whose word hashes to an unseen bucket
     // must still see it; a join-null here would null the whole doc)
-    val pUni = (coalesce(col("__cu"), lit(0L)).cast("double") + 1.0) /
-      (nTokens.toDouble + buckets.toDouble)
-    val nll = -log(lit(lambda) * pCond + lit(1.0 - lambda) * pUni)
-    val perDoc = transitions
-      .select(col(idCol), nll.as("__nll"))
+    def pUniOf(cu: org.apache.spark.sql.Column) =
+      (coalesce(cu, lit(0L)).cast("double") + 1.0) /
+        (nTokens.toDouble + buckets.toDouble)
+    val nll =
+      if (order == 2) {
+        val transitions = docs
+          .select(col(idCol), explode(Kernels.wordShingles(col(textCol), 2)).as("__sh"))
+          .select(col(idCol),
+            h(col("__sh")).as("__hb"),
+            h(substring_index(col("__sh"), " ", 1)).as("__hprev"),
+            h(substring_index(col("__sh"), " ", -1)).as("__hcur"))
+          .join(bi, col("__hb") === col("__bb"), "left")
+          .join(uni.select(col("__ub"), col("__cu").as("__cprev")),
+            col("__hprev") === col("__ub"), "left").drop("__ub")
+          .join(uni, col("__hcur") === col("__ub"), "left")
+        val pCond = when(col("__cprev").isNotNull && col("__cb").isNotNull,
+          col("__cb").cast("double") / col("__cprev")).otherwise(lit(0.0))
+        transitions.select(col(idCol),
+          (-log(lit(lambda) * pCond + lit(1.0 - lambda) * pUniOf(col("__cu"))))
+            .as("__nll"))
+      } else {
+        // trigram windows: per window (u v w) the recursive JM needs
+        // c₃(u v w), c₂(u v), c₂(v w), c₁(v), c₁(w) — five broadcast
+        // joins against the ≤3×buckets model, still zero corpus shuffle
+        val tri = kindFrame(3, "__tb", "__c3")
+        val windows = docs
+          .select(col(idCol), explode(Kernels.wordShingles(col(textCol), 3)).as("__sh"))
+          .select(col(idCol),
+            h(col("__sh")).as("__h3"),
+            h(substring_index(col("__sh"), " ", 2)).as("__h2h"),
+            h(substring_index(col("__sh"), " ", -2)).as("__h2l"),
+            h(substring_index(substring_index(col("__sh"), " ", 2), " ", -1)).as("__hv"),
+            h(substring_index(col("__sh"), " ", -1)).as("__hw"))
+          .join(tri, col("__h3") === col("__tb"), "left")
+          .join(bi.select(col("__bb"), col("__cb").as("__c2h")),
+            col("__h2h") === col("__bb"), "left").drop("__bb")
+          .join(bi.select(col("__bb"), col("__cb").as("__c2l")),
+            col("__h2l") === col("__bb"), "left").drop("__bb")
+          .join(uni.select(col("__ub"), col("__cu").as("__cv")),
+            col("__hv") === col("__ub"), "left").drop("__ub")
+          .join(uni, col("__hw") === col("__ub"), "left")
+        val p3 = when(col("__c3").isNotNull && col("__c2h").isNotNull,
+          col("__c3").cast("double") / col("__c2h")).otherwise(lit(0.0))
+        val p2 = when(col("__c2l").isNotNull && col("__cv").isNotNull,
+          col("__c2l").cast("double") / col("__cv")).otherwise(lit(0.0))
+        val p = lit(lambda) * p3 +
+          lit(1.0 - lambda) * (lit(lambda) * p2 +
+            lit(1.0 - lambda) * pUniOf(col("__cu")))
+        windows.select(col(idCol), (-log(p)).as("__nll"))
+      }
+    val perDoc = nll
       .groupBy(col(idCol))
       .agg(exp(avg("__nll")).as("ppl"), count(lit(1)).as("n_transitions"))
     val out = docs.join(perDoc, Seq(idCol), "left")
@@ -137,10 +189,11 @@ object Perplexity {
   final case class LocalModel(
       uniK: Array[Long], uniV: Array[Long],
       biK: Array[Long], biV: Array[Long],
-      nTokens: Long, buckets: Int, seed: Int)
+      triK: Array[Long], triV: Array[Long],
+      nTokens: Long, buckets: Int, seed: Int, order: Int)
 
   def collectModel(model: DataFrame): LocalModel = {
-    // one materialization for all three reads (header + both kinds)
+    // one materialization for all reads (header + every kind)
     val rows = model.select("kind", "bucket", "cnt", "n_tokens", "buckets", "seed").collect()
     require(rows.nonEmpty,
       "empty perplexity model: the reference corpus produced no tokens")
@@ -151,8 +204,12 @@ object Perplexity {
     }
     val (uk, uv) = arrays(1)
     val (bk, bv) = arrays(2)
-    LocalModel(uk, uv, bk, bv,
-      rows(0).getLong(3), rows(0).getInt(4), rows(0).getInt(5))
+    val (tk, tv) = arrays(3)
+    // the model self-describes its depth: a bigram-trained model scores
+    // as a bigram LM even through the kernel path
+    val order = math.max(rows.map(_.getInt(0)).max, 2)
+    LocalModel(uk, uv, bk, bv, tk, tv,
+      rows(0).getLong(3), rows(0).getInt(4), rows(0).getInt(5), order)
   }
 
   /** Per-ROW perplexity column from the kernel — bit-compatible with
@@ -166,8 +223,8 @@ object Perplexity {
     */
   def pplColumn(text: org.apache.spark.sql.Column, m: LocalModel,
       lambda: Double = 0.8): org.apache.spark.sql.Column =
-    Kernels.pplScore(text, m.uniK, m.uniV, m.biK, m.biV,
-      m.nTokens, m.buckets.toLong, m.seed, lambda)
+    Kernels.pplScore(text, m.uniK, m.uniV, m.biK, m.biV, m.triK, m.triV,
+      m.nTokens, m.buckets.toLong, m.seed, lambda, m.order)
 
   /** [[score]]'s output shape via the per-row kernel. */
   def scoreInline(

@@ -289,6 +289,11 @@ object Sampling {
         s"(${base.schema(tokenCol).dataType}) defeats the boundary-carry scale path; " +
         "using a SINGLE-TASK global window. Cast/round the column to an integer " +
         "type to restore the distributed shape.")
+    if (partitionCols.isEmpty && reservedName && !Sorts.underLocalThreshold(base))
+      logger.warn("packSequences: a token/order column named 'bin' (the packing " +
+        "output column) defeats the boundary-carry scale path; using a " +
+        "SINGLE-TASK global window. Rename the input column to restore the " +
+        "distributed shape.")
     val w = (if (partitionCols.isEmpty) Window.partitionBy()
              else Window.partitionBy(partitionCols.map(col): _*))
       .orderBy(col(orderCol))

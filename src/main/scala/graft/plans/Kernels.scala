@@ -207,6 +207,16 @@ object Kernels {
       margins(p) = math.abs(d)
       p += 1
     }
+    probeBuckets(base, margins, nPlanes, nProbes)
+  }
+
+  /** Shared multi-probe enumeration: base bucket + cheapest margin-
+    * ordered perturbations (shift/expand heap — see
+    * [[hyperplaneProbesEval]] for the algorithm notes). Used by both the
+    * hash-derived and the learned-plane ([[learnedProbesEval]]) families.
+    */
+  private def probeBuckets(
+      base: Long, margins: Array[Double], nPlanes: Int, nProbes: Int): ArrayData = {
     // Long-safe cap: 1 << nPlanes wraps for nPlanes >= 31 (the Long
     // bucket admits up to 63 planes). Floor at 1: the base bucket is
     // always emitted, so nProbes <= 0 (SQL misuse of graft_lsh_probes)
@@ -249,6 +259,59 @@ object Kernels {
       if (k < out.length) return new GenericArrayData(out.take(k))
     }
     new GenericArrayData(out)
+  }
+
+  /** Signed margins against LEARNED hyperplanes (ITQ/PCA — planes(p) is
+    * a d-vector, offsets(p) the plane's threshold): writes
+    * `margins(p) = v·planes(p) − offsets(p)` and returns the sign-bit
+    * bucket. The offsets carry the training mean (b_p = μ·w_p), so
+    * centering never has to materialize a shifted vector column.
+    */
+  private def learnedMargins(
+      a: ArrayData, planes: Array[Array[Double]], offsets: Array[Double],
+      margins: Array[Double], elemKind: Int): Long = {
+    val nPlanes = planes.length
+    val n = a.numElements()
+    var base = 0L
+    var p = 0
+    while (p < nPlanes) {
+      val w = planes(p)
+      val m = math.min(n, w.length)
+      var d = -offsets(p)
+      var i = 0
+      while (i < m) {
+        val v =
+          if (elemKind == 0) a.getFloat(i).toDouble
+          else if (elemKind == 1) a.getDouble(i)
+          else 0.0
+        d += v * w(i)
+        i += 1
+      }
+      if (d > 0) base |= (1L << p)
+      margins(p) = math.abs(d)
+      p += 1
+    }
+    base
+  }
+
+  /** Learned-plane LSH bucket (data-dependent ITQ/PCA planes ride as
+    * expression constants, like the IVF centroids).
+    */
+  def learnedBucketEval(
+      a: ArrayData, planes: Array[Array[Double]], offsets: Array[Double],
+      elemKind: Int): Long =
+    learnedMargins(a, planes, offsets, new Array[Double](planes.length), elemKind)
+
+  /** Query-directed multi-probe over learned planes — same Lv et al.
+    * enumeration as [[hyperplaneProbesEval]], margins from the trained
+    * projection.
+    */
+  def learnedProbesEval(
+      a: ArrayData, planes: Array[Array[Double]], offsets: Array[Double],
+      nProbes: Int, elemKind: Int): ArrayData = {
+    val margins = new Array[Double](planes.length)
+    val base = learnedMargins(a, planes, offsets, margins, elemKind)
+    probeBuckets(base, margins, planes.length, nProbes)
   }
 
   /** Rolling-hash token windows for exact duplicated-substring dedup
@@ -596,18 +659,52 @@ object Kernels {
     d
   }
 
+  /** Residual of `vec` against its coarse centroid, optionally passed
+    * through a learned orthogonal rotation (OPQ, Ge et al. 2013 —
+    * `rot` is d×d row-major, rotated(i) = Σ_j rot(i)(j)·r(j); null skips
+    * the rotation so the plain-PQ hot path pays nothing).
+    */
+  private def pqResidual(
+      vec: ArrayData, cc: Array[Double], rot: Array[Array[Double]],
+      elemKind: Int): Array[Double] = {
+    val d = cc.length
+    val r = new Array[Double](d)
+    val n = math.min(vec.numElements(), d)
+    var i = 0
+    while (i < n) {
+      val v = if (elemKind == 0) vec.getFloat(i).toDouble else vec.getDouble(i)
+      r(i) = v - cc(i)
+      i += 1
+    }
+    if (rot == null) r
+    else {
+      val out = new Array[Double](d)
+      var p = 0
+      while (p < d) {
+        val row = rot(p)
+        var s = 0.0
+        var j = 0
+        while (j < d) { s += row(j) * r(j); j += 1 }
+        out(p) = s
+        p += 1
+      }
+      out
+    }
+  }
+
   /** Product-quantization encode (Jégou et al. 2011): subtract the
-    * coarse centroid (IVFADC residual), then per subspace emit the index
-    * of the nearest sub-codebook centroid. Output: m bytes.
-    * `flatCodebooks(i)` holds subspace i's codeK×dsub centroids row-major.
+    * coarse centroid (IVFADC residual), optionally rotate (OPQ), then
+    * per subspace emit the index of the nearest sub-codebook centroid.
+    * Output: m bytes. `flatCodebooks(i)` holds subspace i's codeK×dsub
+    * centroids row-major.
     */
   def pqEncodeEval(
       vec: ArrayData, list: Int, coarse: Array[Array[Double]],
-      flatCodebooks: Array[Array[Double]], codeK: Int, elemKind: Int): Array[Byte] = {
+      flatCodebooks: Array[Array[Double]], codeK: Int, rot: Array[Array[Double]],
+      elemKind: Int): Array[Byte] = {
     val m = flatCodebooks.length
-    val d = vec.numElements()
-    val dsub = d / m
-    val cc = coarse(list)
+    val dsub = coarse(list).length / m
+    val r = pqResidual(vec, coarse(list), rot, elemKind)
     val out = new Array[Byte](m)
     var i = 0
     while (i < m) {
@@ -619,9 +716,7 @@ object Kernels {
         var dist = 0.0
         var j = 0
         while (j < dsub) {
-          val idx = i * dsub + j
-          val v = (if (elemKind == 0) vec.getFloat(idx).toDouble else vec.getDouble(idx)) - cc(idx)
-          val diff = v - cb(c * dsub + j)
+          val diff = r(i * dsub + j) - cb(c * dsub + j)
           dist += diff * diff
           j += 1
         }
@@ -648,7 +743,7 @@ object Kernels {
   private final class AdcEntry(
       val q: Array[Double], val cb: Array[Array[Double]],
       val coarse: Array[Array[Double]], val list: Int,
-      val table: Array[Double])
+      val rot: Array[Array[Double]], val table: Array[Double])
 
   private val adcCache =
     new ThreadLocal[java.util.LinkedHashMap[java.lang.Long, AdcEntry]] {
@@ -665,7 +760,7 @@ object Kernels {
   def pqAdcDistEval(
       q: ArrayData, list: Int, code: Array[Byte],
       coarse: Array[Array[Double]], flatCodebooks: Array[Array[Double]],
-      elemKind: Int): Double = {
+      rot: Array[Array[Double]], elemKind: Int): Double = {
     val m = flatCodebooks.length
     val d = coarse(0).length
     val dsub = d / m
@@ -673,10 +768,11 @@ object Kernels {
     // hash the query in place (no allocation on the hit path) —
     // candidates vastly outnumber distinct (query, list) pairs, so the
     // codeK·d table build amortizes to the O(d) hash + m lookups per row
-    // both quantizer artifacts key the table: same codebooks with
-    // retrained coarse centroids must not serve stale residual tables
+    // ALL quantizer artifacts key the table: same codebooks with
+    // retrained coarse centroids (or a different OPQ rotation) must not
+    // serve stale residual tables
     var h = 1125899906842597L * (list + 1) + System.identityHashCode(flatCodebooks) +
-      31L * System.identityHashCode(coarse)
+      31L * System.identityHashCode(coarse) + 17L * System.identityHashCode(rot)
     var i = 0
     while (i < d) {
       val v = if (elemKind == 0) q.getFloat(i).toDouble else q.getDouble(i)
@@ -686,7 +782,8 @@ object Kernels {
     val cache = adcCache.get()
     val key = java.lang.Long.valueOf(h)
     var e = cache.get(key)
-    if (e != null && (e.list != list || (e.cb ne flatCodebooks) || (e.coarse ne coarse))) e = null
+    if (e != null && (e.list != list || (e.cb ne flatCodebooks) ||
+        (e.coarse ne coarse) || (e.rot ne rot))) e = null
     if (e != null) {
       // verify content equality without materializing the query
       var j = 0
@@ -707,6 +804,24 @@ object Kernels {
         x += 1
       }
       val cc = coarse(list)
+      // query residual, through the OPQ rotation when trained — the d²
+      // rotate runs once per (query, list) table build, amortized over
+      // every candidate in the probed list
+      val qr = new Array[Double](d)
+      if (rot == null) {
+        var j = 0
+        while (j < d) { qr(j) = qa(j) - cc(j); j += 1 }
+      } else {
+        var p = 0
+        while (p < d) {
+          val row = rot(p)
+          var s = 0.0
+          var j = 0
+          while (j < d) { s += row(j) * (qa(j) - cc(j)); j += 1 }
+          qr(p) = s
+          p += 1
+        }
+      }
       val table = new Array[Double](m * codeK)
       var s = 0
       while (s < m) {
@@ -716,7 +831,7 @@ object Kernels {
           var dist = 0.0
           var j = 0
           while (j < dsub) {
-            val df = (qa(s * dsub + j) - cc(s * dsub + j)) - cb(c * dsub + j)
+            val df = qr(s * dsub + j) - cb(c * dsub + j)
             dist += df * df
             j += 1
           }
@@ -725,7 +840,7 @@ object Kernels {
         }
         s += 1
       }
-      e = new AdcEntry(qa, flatCodebooks, coarse, list, table)
+      e = new AdcEntry(qa, flatCodebooks, coarse, list, rot, table)
       cache.put(key, e)
     }
     var dist = 0.0
@@ -899,6 +1014,58 @@ object Kernels {
       nullSafeCodeGen(ctx, ev, c =>
         s"${ev.value} = graft.plans.Kernels.hyperplaneProbesEval($c, $nPlanes, $nProbes, $elemKind);")
     override protected def withNewChildInternal(c: Expression): HyperplaneProbesExpr =
+      copy(child = c)
+  }
+
+  /** Data-dependent LSH bucket: sign bits against LEARNED planes
+    * (PCA+ITQ, trained by [[graft.ml.Ann.trainItq]]). Planes and offsets
+    * ride as codegen reference constants — assignment stays map-side.
+    */
+  case class LearnedBucketExpr(
+      child: Expression, planes: Array[Array[Double]], offsets: Array[Double])
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    @transient private lazy val elemKind =
+      child.dataType.asInstanceOf[ArrayType].elementType match {
+        case FloatType  => 0
+        case DoubleType => 1
+        case _          => 2
+      }
+    override def nullSafeEval(input: Any): Any =
+      learnedBucketEval(input.asInstanceOf[ArrayData], planes, offsets, elemKind)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val pRef = ctx.addReferenceObj("lshPlanes", planes, "double[][]")
+      val oRef = ctx.addReferenceObj("lshOffsets", offsets, "double[]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.plans.Kernels.learnedBucketEval($c, $pRef, $oRef, $elemKind);")
+    }
+    override protected def withNewChildInternal(c: Expression): LearnedBucketExpr =
+      copy(child = c)
+  }
+
+  /** Query-directed multi-probe over learned planes (query side of
+    * [[LearnedBucketExpr]]).
+    */
+  case class LearnedProbesExpr(
+      child: Expression, planes: Array[Array[Double]], offsets: Array[Double],
+      nProbes: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    @transient private lazy val elemKind =
+      child.dataType.asInstanceOf[ArrayType].elementType match {
+        case FloatType  => 0
+        case DoubleType => 1
+        case _          => 2
+      }
+    override def nullSafeEval(input: Any): Any =
+      learnedProbesEval(input.asInstanceOf[ArrayData], planes, offsets, nProbes, elemKind)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val pRef = ctx.addReferenceObj("lshPlanes", planes, "double[][]")
+      val oRef = ctx.addReferenceObj("lshOffsets", offsets, "double[]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.plans.Kernels.learnedProbesEval($c, $pRef, $oRef, $nProbes, $elemKind);")
+    }
+    override protected def withNewChildInternal(c: Expression): LearnedProbesExpr =
       copy(child = c)
   }
 
@@ -1086,7 +1253,8 @@ object Kernels {
     */
   case class PqEncodeExpr(
       left: Expression, right: Expression,
-      coarse: Array[Array[Double]], flatCodebooks: Array[Array[Double]], codeK: Int)
+      coarse: Array[Array[Double]], flatCodebooks: Array[Array[Double]], codeK: Int,
+      rot: Array[Array[Double]] = null)
       extends BinaryExpression {
     override def dataType: DataType = BinaryType
     @transient private lazy val elemKind =
@@ -1096,12 +1264,15 @@ object Kernels {
       }
     override def nullSafeEval(v: Any, l: Any): Any =
       pqEncodeEval(v.asInstanceOf[ArrayData], l.asInstanceOf[Int],
-        coarse, flatCodebooks, codeK, elemKind)
+        coarse, flatCodebooks, codeK, rot, elemKind)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val coarseRef = ctx.addReferenceObj("pqCoarse", coarse, "double[][]")
       val cbRef = ctx.addReferenceObj("pqCodebooks", flatCodebooks, "double[][]")
+      val rotRef =
+        if (rot == null) "((double[][]) null)"
+        else ctx.addReferenceObj("pqRot", rot, "double[][]")
       nullSafeCodeGen(ctx, ev, (v, l) =>
-        s"${ev.value} = graft.plans.Kernels.pqEncodeEval($v, $l, $coarseRef, $cbRef, $codeK, $elemKind);")
+        s"${ev.value} = graft.plans.Kernels.pqEncodeEval($v, $l, $coarseRef, $cbRef, $codeK, $rotRef, $elemKind);")
     }
     override protected def withNewChildrenInternal(l: Expression, r: Expression): PqEncodeExpr =
       copy(left = l, right = r)
@@ -1113,7 +1284,8 @@ object Kernels {
     */
   case class PqAdcDistExpr(
       first: Expression, second: Expression, third: Expression,
-      coarse: Array[Array[Double]], flatCodebooks: Array[Array[Double]])
+      coarse: Array[Array[Double]], flatCodebooks: Array[Array[Double]],
+      rot: Array[Array[Double]] = null)
       extends TernaryExpression {
     override def dataType: DataType = DoubleType
     @transient private lazy val elemKind =
@@ -1123,12 +1295,15 @@ object Kernels {
       }
     override def nullSafeEval(q: Any, l: Any, c: Any): Any =
       pqAdcDistEval(q.asInstanceOf[ArrayData], l.asInstanceOf[Int],
-        c.asInstanceOf[Array[Byte]], coarse, flatCodebooks, elemKind)
+        c.asInstanceOf[Array[Byte]], coarse, flatCodebooks, rot, elemKind)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val coarseRef = ctx.addReferenceObj("pqCoarse", coarse, "double[][]")
       val cbRef = ctx.addReferenceObj("pqCodebooks", flatCodebooks, "double[][]")
+      val rotRef =
+        if (rot == null) "((double[][]) null)"
+        else ctx.addReferenceObj("pqRot", rot, "double[][]")
       nullSafeCodeGen(ctx, ev, (q, l, c) =>
-        s"${ev.value} = graft.plans.Kernels.pqAdcDistEval($q, $l, $c, $coarseRef, $cbRef, $elemKind);")
+        s"${ev.value} = graft.plans.Kernels.pqAdcDistEval($q, $l, $c, $coarseRef, $cbRef, $rotRef, $elemKind);")
     }
     override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): PqAdcDistExpr =
       copy(first = f, second = s, third = t)
@@ -1199,7 +1374,9 @@ object Kernels {
       input: UTF8String,
       uniK: Array[Long], uniV: Array[Long],
       biK: Array[Long], biV: Array[Long],
-      nTokens: Long, buckets: Long, seed: Int, lambda: Double): java.lang.Double = {
+      triK: Array[Long], triV: Array[Long],
+      nTokens: Long, buckets: Long, seed: Int, lambda: Double,
+      order: Int): java.lang.Double = {
     def bucketOf(u: UTF8String): Long = {
       val h = XXH64.hashInt(seed, XXH64.hashUTF8String(u, 42L))
       ((h % buckets) + buckets) % buckets
@@ -1210,22 +1387,45 @@ object Kernels {
     }
     val toks = wordShinglesEval(input, 1)
     val n = toks.numElements()
-    if (n < 2) return null
+    if (n < order) return null
     var nll = 0.0
-    var i = 0
-    while (i < n - 1) {
-      val prev = toks.getUTF8String(i)
-      val cur = toks.getUTF8String(i + 1)
-      val sh = UTF8String.fromString(prev.toString + " " + cur.toString)
-      val cb = lookup(biK, biV, bucketOf(sh))
-      val cprev = lookup(uniK, uniV, bucketOf(prev))
-      val cu = lookup(uniK, uniV, bucketOf(cur))
-      val pCond = if (cb > 0L && cprev > 0L) cb.toDouble / cprev.toDouble else 0.0
-      val pUni = (cu.toDouble + 1.0) / (nTokens.toDouble + buckets.toDouble)
-      nll -= math.log(lambda * pCond + (1.0 - lambda) * pUni)
-      i += 1
+    if (order == 2) {
+      var i = 0
+      while (i < n - 1) {
+        val prev = toks.getUTF8String(i)
+        val cur = toks.getUTF8String(i + 1)
+        val sh = UTF8String.fromString(prev.toString + " " + cur.toString)
+        val cb = lookup(biK, biV, bucketOf(sh))
+        val cprev = lookup(uniK, uniV, bucketOf(prev))
+        val cu = lookup(uniK, uniV, bucketOf(cur))
+        val pCond = if (cb > 0L && cprev > 0L) cb.toDouble / cprev.toDouble else 0.0
+        val pUni = (cu.toDouble + 1.0) / (nTokens.toDouble + buckets.toDouble)
+        nll -= math.log(lambda * pCond + (1.0 - lambda) * pUni)
+        i += 1
+      }
+      java.lang.Double.valueOf(math.exp(nll / (n - 1)))
+    } else {
+      // recursive Jelinek–Mercer: P₃ = λ·c₃/c₂(hist) + (1−λ)·P₂,
+      // P₂ = λ·c₂(last)/c₁(v) + (1−λ)·P₁, P₁ add-one-smoothed — never
+      // zero, so the log is total
+      var i = 0
+      while (i < n - 2) {
+        val u = toks.getUTF8String(i).toString
+        val v = toks.getUTF8String(i + 1).toString
+        val w = toks.getUTF8String(i + 2).toString
+        val c3 = lookup(triK, triV, bucketOf(UTF8String.fromString(u + " " + v + " " + w)))
+        val c2h = lookup(biK, biV, bucketOf(UTF8String.fromString(u + " " + v)))
+        val c2l = lookup(biK, biV, bucketOf(UTF8String.fromString(v + " " + w)))
+        val cv = lookup(uniK, uniV, bucketOf(UTF8String.fromString(v)))
+        val cw = lookup(uniK, uniV, bucketOf(UTF8String.fromString(w)))
+        val p3 = if (c3 > 0L && c2h > 0L) c3.toDouble / c2h.toDouble else 0.0
+        val p2 = if (c2l > 0L && cv > 0L) c2l.toDouble / cv.toDouble else 0.0
+        val p1 = (cw.toDouble + 1.0) / (nTokens.toDouble + buckets.toDouble)
+        nll -= math.log(lambda * p3 + (1.0 - lambda) * (lambda * p2 + (1.0 - lambda) * p1))
+        i += 1
+      }
+      java.lang.Double.valueOf(math.exp(nll / (n - 2)))
     }
-    java.lang.Double.valueOf(math.exp(nll / (n - 1)))
   }
 
   /** Single-pass per-row DSIR log importance weight (Xie et al. 2023)
@@ -1267,6 +1467,11 @@ object Kernels {
       keys: Array[Long], vals: Array[Double],
       floor: Double, nGram: Int, buckets: Long, seed: Int, mean: Boolean)
       extends UnaryExpression {
+    // floor is spliced into generated Java source as a literal below —
+    // NaN/Infinity have no Java literal form and would fail codegen.
+    // (Dsir's degenerate-ratio-frame guards make this unreachable today;
+    // the invariant belongs to the expression, not its callers.)
+    require(java.lang.Double.isFinite(floor), s"non-finite DSIR floor: $floor")
     override def dataType: DataType = DoubleType
     override def nullSafeEval(input: Any): Any =
       dsirWeightEval(input.asInstanceOf[UTF8String],
@@ -1286,21 +1491,30 @@ object Kernels {
       child: Expression,
       uniK: Array[Long], uniV: Array[Long],
       biK: Array[Long], biV: Array[Long],
-      nTokens: Long, buckets: Long, seed: Int, lambda: Double)
+      triK: Array[Long], triV: Array[Long],
+      nTokens: Long, buckets: Long, seed: Int, lambda: Double, order: Int)
       extends UnaryExpression {
+    // lambda is spliced into generated Java source as a literal — a
+    // non-finite value has no Java literal form (same invariant as
+    // DsirWeightExpr's floor)
+    require(java.lang.Double.isFinite(lambda) && lambda > 0.0 && lambda < 1.0,
+      s"lambda: $lambda")
+    require(order == 2 || order == 3, s"order: $order (2 or 3)")
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true
     override def nullSafeEval(input: Any): Any =
       pplScoreEval(input.asInstanceOf[UTF8String],
-        uniK, uniV, biK, biV, nTokens, buckets, seed, lambda)
+        uniK, uniV, biK, biV, triK, triV, nTokens, buckets, seed, lambda, order)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val uk = ctx.addReferenceObj("uniK", uniK, "long[]")
       val uv = ctx.addReferenceObj("uniV", uniV, "long[]")
       val bk = ctx.addReferenceObj("biK", biK, "long[]")
       val bv = ctx.addReferenceObj("biV", biV, "long[]")
+      val tk = ctx.addReferenceObj("triK", triK, "long[]")
+      val tv = ctx.addReferenceObj("triV", triV, "long[]")
       nullSafeCodeGen(ctx, ev, c => s"""
         java.lang.Double ${ev.value}_r = graft.plans.Kernels.pplScoreEval(
-          $c, $uk, $uv, $bk, $bv, ${nTokens}L, ${buckets}L, $seed, $lambda);
+          $c, $uk, $uv, $bk, $bv, $tk, $tv, ${nTokens}L, ${buckets}L, $seed, $lambda, $order);
         if (${ev.value}_r == null) {
           ${ev.isNull} = true;
         } else {
@@ -1360,6 +1574,12 @@ object Kernels {
     ExpressionUtils.column(HyperplaneBucketExpr(ExpressionUtils.expression(vec), nPlanes))
   def hyperplaneProbes(vec: Column, nPlanes: Int, nProbes: Int): Column =
     ExpressionUtils.column(HyperplaneProbesExpr(ExpressionUtils.expression(vec), nPlanes, nProbes))
+  def learnedBucket(vec: Column, planes: Array[Array[Double]], offsets: Array[Double]): Column =
+    ExpressionUtils.column(LearnedBucketExpr(ExpressionUtils.expression(vec), planes, offsets))
+  def learnedProbes(vec: Column, planes: Array[Array[Double]], offsets: Array[Double],
+      nProbes: Int): Column =
+    ExpressionUtils.column(
+      LearnedProbesExpr(ExpressionUtils.expression(vec), planes, offsets, nProbes))
   def tokenWindowHashes(text: Column, winLen: Int): Column =
     ExpressionUtils.column(TokenWindowHashesExpr(ExpressionUtils.expression(text), winLen))
   def normalizeText(text: Column): Column =
@@ -1378,10 +1598,10 @@ object Kernels {
     ExpressionUtils.column(DsirWeightExpr(ExpressionUtils.expression(text),
       keys, vals, floor, nGram, buckets, seed, mean))
   def pplScore(text: Column, uniK: Array[Long], uniV: Array[Long],
-      biK: Array[Long], biV: Array[Long],
-      nTokens: Long, buckets: Long, seed: Int, lambda: Double): Column =
+      biK: Array[Long], biV: Array[Long], triK: Array[Long], triV: Array[Long],
+      nTokens: Long, buckets: Long, seed: Int, lambda: Double, order: Int): Column =
     ExpressionUtils.column(PplScoreExpr(ExpressionUtils.expression(text),
-      uniK, uniV, biK, biV, nTokens, buckets, seed, lambda))
+      uniK, uniV, biK, biV, triK, triV, nTokens, buckets, seed, lambda, order))
   def localeNumber(s: Column): Column =
     ExpressionUtils.column(LocaleNumberExpr(ExpressionUtils.expression(s)))
   def localeNorm(s: Column): Column =
@@ -1400,14 +1620,16 @@ object Kernels {
   def l2Dist(a: Column, b: Column): Column =
     ExpressionUtils.column(L2DistExpr(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
   def pqEncode(vec: Column, list: Column, coarse: Array[Array[Double]],
-      flatCodebooks: Array[Array[Double]], codeK: Int): Column =
+      flatCodebooks: Array[Array[Double]], codeK: Int,
+      rot: Array[Array[Double]] = null): Column =
     ExpressionUtils.column(PqEncodeExpr(ExpressionUtils.expression(vec),
-      ExpressionUtils.expression(list), coarse, flatCodebooks, codeK))
+      ExpressionUtils.expression(list), coarse, flatCodebooks, codeK, rot))
   def pqAdcDist(qv: Column, list: Column, code: Column,
-      coarse: Array[Array[Double]], flatCodebooks: Array[Array[Double]]): Column =
+      coarse: Array[Array[Double]], flatCodebooks: Array[Array[Double]],
+      rot: Array[Array[Double]] = null): Column =
     ExpressionUtils.column(PqAdcDistExpr(ExpressionUtils.expression(qv),
       ExpressionUtils.expression(list), ExpressionUtils.expression(code),
-      coarse, flatCodebooks))
+      coarse, flatCodebooks, rot))
   def bloomMightContain(key: Column, bloom: org.apache.spark.util.sketch.BloomFilter): Column =
     ExpressionUtils.column(BloomMightContainExpr(ExpressionUtils.expression(key), bloom))
   def zValue(cols: Column, boundaries: Array[Array[Double]], bits: Int): Column =

@@ -138,11 +138,13 @@ object Readers {
         graft.functions.TypeInference.applyBestTypes(df) else df
     }
     val encoding = opts.encoding.getOrElse(sniffEncoding(spark, path))
-    // textFile is UTF-8-only; other charsets decode per FILE (one task per
-    // file — the parallelism tradeoff for exotic encodings; re-encode to
-    // UTF-8 upstream for multi-GB single files)
+    // textFile is UTF-8-only; splittable charsets (UTF-16 and every
+    // single-byte codepage) decode DISTRIBUTED by byte range; only
+    // stateful/shift encodings fall back to one task per file
     val raw: Dataset[String] =
       if (encoding.equalsIgnoreCase("UTF-8")) spark.read.textFile(path)
+      else if (splittableCharset(encoding))
+        decodeTextDistributed(spark, path, encoding)
       else {
         val cs = encoding
         spark.sparkContext.binaryFiles(path).values
@@ -198,6 +200,153 @@ object Readers {
     }
 
     if (opts.guessDatatypes) graft.functions.TypeInference.applyBestTypes(df) else df
+  }
+
+  /** A charset whose byte stream can be SPLIT at newline boundaries
+    * without decoder state: every single-byte codepage (each byte is one
+    * char — 0x0A is always '\n'), and UTF-16LE/BE (code units are
+    * 2 bytes and '\n' = U+000A cannot be half a surrogate pair —
+    * surrogate code units live in D800–DFFF — so a 0x0A/0x00 unit at an
+    * even offset IS a newline). Stateful/shift encodings (ISO-2022,
+    * UTF-7) and unmarked multi-byte DBCS stay on the per-file path.
+    */
+  private[sources] def splittableCharset(name: String): Boolean = {
+    val up = name.toUpperCase
+    if (up == "UTF-16LE" || up == "UTF-16BE" || up == "UTF-16") true
+    else
+      try {
+        val cs = java.nio.charset.Charset.forName(name)
+        cs.canEncode && cs.newEncoder().maxBytesPerChar() == 1.0f
+      } catch { case _: Exception => false }
+  }
+
+  /** Distributed line decode for non-UTF-8 text: files are split into
+    * `splitBytes` byte ranges (the 10 GB UTF-16 export that used to
+    * serialize on one core now decodes on every executor), each task
+    * aligns itself to the charset's code-unit grid and to record
+    * boundaries with the classic split contract — a task owns every
+    * line that STARTS inside its range, skipping to the first newline
+    * when it doesn't start the file and reading past its end until the
+    * line it began closes. Works on any Hadoop filesystem.
+    */
+  private[sources] def decodeTextDistributed(
+      spark: SparkSession, path: String, charset: String,
+      splitBytes: Long = 32L << 20): Dataset[String] = {
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val uri = new java.net.URI(
+      path match { case p if p.startsWith("/") => s"file:$p"; case p => p })
+    val fs = org.apache.hadoop.fs.FileSystem.get(uri, hconf)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val files: Seq[(String, Long)] = {
+      val st = fs.globStatus(root) match {
+        case null => Array(fs.getFileStatus(root))
+        case gs   => gs
+      }
+      st.flatMap { s =>
+        if (s.isDirectory)
+          fs.listStatus(s.getPath)
+            .filter(f => f.isFile && !f.getPath.getName.startsWith("_")
+              && !f.getPath.getName.startsWith("."))
+        else Array(s)
+      }.map(s => (s.getPath.toString, s.getLen)).toSeq
+    }
+    // "UTF-16" (endianness from BOM) must be pinned to LE/BE up front:
+    // chunks past the first have no BOM, and the bare UTF-16 decoder
+    // would default them to BE — silently mis-decoding an LE file's
+    // tail. The BOM lives in the file; read it once.
+    val unitSize = charset.toUpperCase match {
+      case "UTF-16" | "UTF-16LE" | "UTF-16BE" => 2
+      case _                                  => 1
+    }
+    val cs0 = charset.toUpperCase match {
+      case "UTF-16" =>
+        val in = fs.open(new org.apache.hadoop.fs.Path(files.head._1))
+        val bom = new Array[Byte](2)
+        val n = in.read(bom); in.close()
+        if (n >= 2 && bom(0) == 0xFF.toByte && bom(1) == 0xFE.toByte) "UTF-16LE"
+        else "UTF-16BE" // BOM-less UTF-16 is big-endian per the standard
+      case other => other
+    }
+    val le = cs0.equalsIgnoreCase("UTF-16LE")
+    val splits: Seq[(String, Long, Long, Long)] = files.flatMap { case (f, len) =>
+      val n = math.max(1L, (len + splitBytes - 1) / splitBytes)
+      (0L until n).map { i =>
+        // align to the code-unit grid (BOM is one unit, so the grid is
+        // offset-0-anchored either way)
+        val s = (i * splitBytes) / unitSize * unitSize
+        val e = if (i == n - 1) len else ((i + 1) * splitBytes) / unitSize * unitSize
+        (f, s, e, len)
+      }.filter { case (_, s, e, _) => s < e }
+    }
+    val confBc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(hconf))
+    spark.sparkContext.parallelize(splits, math.max(splits.size, 1))
+      .flatMap { case (file, start, end, fileLen) =>
+        val p = new org.apache.hadoop.fs.Path(file)
+        val tfs = p.getFileSystem(confBc.value.value)
+        val in = tfs.open(p)
+        try {
+          def isNl(b0: Byte, b1: Byte): Boolean =
+            if (unitSize == 1) b0 == 0x0A
+            else if (le) b0 == 0x0A && b1 == 0x00
+            else b0 == 0x00 && b1 == 0x0A
+          // read [start, end) plus overshoot to the newline that closes
+          // the last line this split started (bounded only by EOF; a
+          // pathological newline-free tail costs one task its memory,
+          // same as the per-file path would)
+          val base = (end - start).toInt
+          var buf = new Array[Byte](base + (64 << 10))
+          in.seek(start)
+          in.readFully(start, buf, 0, base)
+          var have = base
+          var stop = -1
+          // find the first newline at-or-after `end` (scanning the grid)
+          var i = 0
+          while (stop < 0 && start + have < fileLen) {
+            // extend until a newline shows up past `end`
+            val want = math.min(fileLen - start, have.toLong + (1 << 20)).toInt
+            if (want > buf.length) buf = java.util.Arrays.copyOf(buf, math.max(want, buf.length * 2))
+            in.readFully(start + have, buf, have, want - have)
+            i = base
+            while (i + unitSize <= want && stop < 0) {
+              if (isNl(buf(i), if (unitSize == 2) buf(i + 1) else 0)) stop = i + unitSize
+              i += unitSize
+            }
+            have = want
+          }
+          if (stop < 0) {
+            // no newline past end before EOF — take everything to EOF;
+            // also scan the tail of [start,end) itself below
+            stop = have
+          }
+          // a split that doesn't start its file begins at the first
+          // newline INSIDE it; if none, every line here started in an
+          // earlier split — emit nothing
+          var begin = 0
+          if (start > 0) {
+            begin = -1
+            var j = 0
+            while (j + unitSize <= stop && begin < 0) {
+              if (isNl(buf(j), if (unitSize == 2) buf(j + 1) else 0)) begin = j + unitSize
+              j += unitSize
+            }
+            // the newline must be within OUR range — one at/after `end`
+            // closes a line owned by a predecessor
+            if (begin < 0 || begin > base) begin = -1
+          }
+          if (begin < 0) Iterator.empty
+          else {
+            val text = new String(buf, begin, stop - begin,
+              java.nio.charset.Charset.forName(cs0))
+            val noBom = if (start == 0 && begin == 0) text.stripPrefix("﻿") else text
+            noBom.split("\r?\n", -1).iterator
+              .map(l => if (l.endsWith("\r")) l.dropRight(1) else l)
+              .filter(_.nonEmpty)
+          }
+        } finally in.close()
+      }
+      .toDS()
   }
 
   /** Distributed JSONL / NDJSON read — the scale path for JSON ingest

@@ -26,7 +26,11 @@ object Tpz {
     * plus the page's Spark type (the npy dtype is authoritative — no
     * re-inference for typed pages).
     */
-  private[sources] def readNpy(bytes: Array[Byte]): (Array[String], String) = {
+  /** Parse just the .npy magic + header dict: (descr, shape, dataStart).
+    * The header lives in the first few hundred bytes, so kind/shape
+    * planning (the distributed stripe reader) never pulls page bodies.
+    */
+  private[sources] def npyHeader(bytes: Array[Byte]): (String, Int, Int) = {
     require(bytes.length > 10 && bytes(0) == 0x93.toByte &&
       new String(bytes, 1, 5, StandardCharsets.US_ASCII) == "NUMPY", "not an .npy page")
     val major = bytes(6)
@@ -45,6 +49,29 @@ object Tpz {
     val shape = "'shape':\\s*\\((\\d*)".r.findFirstMatchIn(header)
       .map(m => if (m.group(1).isEmpty) 1 else m.group(1).toInt)
       .getOrElse(sys.error(s"no shape in npy header: $header"))
+    (descr, shape, dataStart)
+  }
+
+  /** The Spark kind an .npy descr decodes to (must agree with
+    * [[readNpy]]'s returned kind — the stripe planner uses this to type
+    * columns without touching page bodies).
+    */
+  private[sources] def descrKind(descr: String): String =
+    descr.stripPrefix("<").stripPrefix("|").stripPrefix(">") match {
+      case "b1"                                    => "boolean"
+      case "i1" | "i2" | "i4" | "i8" | "u1"        => "bigint"
+      case "f4" | "f8"                             => "double"
+      case "M8[D]"                                 => "date"
+      case "M8[s]" | "M8[ms]" | "M8[us]" | "M8[ns]" => "timestamp"
+      case u if u.startsWith("U")                  => "string"
+      case "O" => throw new UnsupportedOperationException(
+        "npy page has dtype object (pickled python values) — typed pages only; " +
+          "re-export with typed columns or use parquet")
+      case other => throw new UnsupportedOperationException(s"npy dtype: $other")
+    }
+
+  private[sources] def readNpy(bytes: Array[Byte]): (Array[String], String) = {
+    val (descr, shape, dataStart) = npyHeader(bytes)
     val buf = ByteBuffer.wrap(bytes, dataStart, bytes.length - dataStart)
       .order(ByteOrder.LITTLE_ENDIAN)
     val epoch = LocalDate.of(1970, 1, 1)
@@ -165,6 +192,104 @@ object Tpz {
       // (e.g. <U pages holding dates) — typed pages stay authoritative
       if (guessDatatypes) graft.functions.TypeInference.applyBestTypes(typed) else typed
     } finally zip.close()
+  }
+
+  /** Distributed `.tpz` read — one task per PAGE STRIPE (the manifest's
+    * natural parallel unit: the reference itself pages every column at a
+    * fixed row count, so stripe `s` is the same row window in every
+    * column). Each task reads only its own stripe's `.npy` entries, so a
+    * multi-GB archive decodes on every core instead of serializing on
+    * the driver like [[readTpz]].
+    *
+    * Planning is header-only (descr + shape from the first few hundred
+    * bytes of each entry — page bodies never reach the driver). Kinds
+    * follow [[readNpy]]'s promote rule per column. Requirements, checked
+    * up front with clear errors: every non-final page of every column
+    * must have the uniform page height (the reference writer's layout;
+    * anything else would mis-align rows across columns — fall back to
+    * [[readTpz]] for hand-built ragged archives), and `path` must be
+    * readable from every executor (a shared filesystem — the zip
+    * central directory forces local `ZipFile` opens; HDFS/S3 users
+    * should unpack or use parquet).
+    */
+  def readTpzDistributed(spark: SparkSession, path: String,
+      guessDatatypes: Boolean = true): DataFrame = {
+    val (columns, kinds, stripeHeights) = {
+      val zip = new ZipFile(path)
+      try {
+        val yml = Option(zip.getEntry("table.yml"))
+          .map { e =>
+            val in = zip.getInputStream(e)
+            try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+          }
+          .getOrElse(throw new IllegalArgumentException("no table.yml — not a .tpz?"))
+        val cols = parseManifest(yml)
+        require(cols.nonEmpty, "empty .tpz manifest")
+        // header-only scan: per page (descr, shape)
+        val heads: Seq[(String, Seq[(String, Int)])] = cols.map { case (name, pages) =>
+          name -> pages.map { p =>
+            val e = Option(zip.getEntry(p))
+              .getOrElse(throw new IllegalArgumentException(s"page $p missing from archive"))
+            val in = zip.getInputStream(e)
+            val head = try in.readNBytes(4096) finally in.close()
+            val (descr, shape, _) = npyHeader(head)
+            (descr, shape)
+          }
+        }
+        val kinds = heads.map { case (name, ph) =>
+          val ks = ph.map(h => descrKind(h._1)).distinct
+          name -> (ks match {
+            case Seq(k)                                    => k
+            case s if s.toSet == Set("bigint", "double")   => "double"
+            case _                                         => "string"
+          })
+        }
+        val nStripes = heads.map(_._2.size).max
+        val stripeHeights = (0 until nStripes).map { s =>
+          heads.flatMap(_._2.lift(s)).map(_._2).max
+        }
+        // row alignment: every column's non-final pages must fill their
+        // stripe completely (the reference's fixed page_size layout)
+        heads.foreach { case (name, ph) =>
+          ph.zipWithIndex.dropRight(1).foreach { case ((_, shape), s) =>
+            require(shape == stripeHeights(s),
+              s"column '$name' page $s has $shape rows but the stripe holds " +
+                s"${stripeHeights(s)} — non-uniform paging mis-aligns rows across " +
+                "columns; read this archive with readTpz")
+          }
+        }
+        (cols, kinds, stripeHeights)
+      } finally zip.close()
+    }
+    val names = columns.map(_._1)
+    val pagesByStripe: Seq[(Int, Seq[Option[String]])] = stripeHeights.indices.map { s =>
+      s -> columns.map { case (_, pages) => pages.lift(s) }
+    }
+    val heightsArr = stripeHeights.toArray
+    val rdd = spark.sparkContext
+      .parallelize(pagesByStripe, math.max(1, pagesByStripe.size))
+      .flatMap { case (s, pageNames) =>
+        val zip = new ZipFile(path) // executor-local open (shared FS)
+        try {
+          val colVals: Seq[Array[String]] = pageNames.map {
+            case Some(p) =>
+              val in = zip.getInputStream(zip.getEntry(p))
+              try readNpy(in.readAllBytes())._1 finally in.close()
+            case None => Array.empty[String]
+          }
+          val h = heightsArr(s)
+          (0 until h).map { r =>
+            Row.fromSeq(colVals.map(v => if (r < v.length) v(r) else null))
+          }.iterator
+        } finally zip.close()
+      }
+    val schema = StructType(names.map(n => StructField(n, StringType, nullable = true)))
+    val raw = spark.createDataFrame(rdd, schema)
+    val typed = kinds.foldLeft(raw) { case (df, (name, kind)) =>
+      if (kind == "string") df
+      else df.withColumn(name, org.apache.spark.sql.functions.col(name).cast(kind))
+    }
+    if (guessDatatypes) graft.functions.TypeInference.applyBestTypes(typed) else typed
   }
 
   // ---- writer ---------------------------------------------------------

@@ -232,6 +232,13 @@ object Streams {
       k: Int = 10,
       nProbe: Int = 4): DataFrame => DataFrame =
     (batch: DataFrame) => {
+      // the enrichment column must not collide with an existing one —
+      // a left join would otherwise yield duplicate 'neighbours'
+      // columns and an ambiguous-reference error far downstream
+      // (mirrors packSequences' guard on its 'bin' output column)
+      require(!batch.columns.contains("neighbours"),
+        "annEnrichBatch: the batch already has a 'neighbours' column — " +
+          "rename or drop it before enrichment")
       // excludeSelf = false: stream ids and corpus ids are different id
       // SPACES — a value collision must not silently drop a neighbour.
       // The array is rank-ordered (sort_array on the rank-led struct —

@@ -1,0 +1,177 @@
+package graft.ml
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Data-dependent ANN projections (round 8): PCA+ITQ learned planes,
+  * OPQ rotation, adaptive IVF granularity, and the self-contained
+  * persistence of every trained artifact.
+  */
+class AnnLearnedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb =
+    spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").cache()
+
+  private def tmpDir(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(name).toFile
+    d.deleteOnExit()
+    d.getAbsolutePath + "/idx"
+  }
+
+  test("ITQ learned planes beat random hyperplanes at the same scan fraction") {
+    val q = emb.filter(col("vec_id") < 20)
+    def recall(df: org.apache.spark.sql.DataFrame): Double =
+      df.select(col("recall")).first().getDouble(0)
+    // 12.5% of the bucket space probed on both sides
+    val random = recall(Ann.recallAtK(emb, q, "vec_id", "embedding",
+      dim = 64, k = 10, nPlanes = 8, nProbes = 32))
+    val learned = recall(Ann.itqRecallAtK(emb, q, "vec_id", "embedding",
+      k = 10, nPlanes = 8, nProbes = 32))
+    assert(learned > random,
+      s"ITQ recall $learned should beat random-plane recall $random")
+    assert(learned >= 0.30, s"ITQ recall $learned collapsed")
+  }
+
+  test("trainItq is deterministic and memoized; planes are unit-ish and distinct") {
+    val m1 = Ann.trainItq(emb, "embedding", nPlanes = 8)
+    val m2 = Ann.trainItq(emb, "embedding", nPlanes = 8)
+    assert(m1 eq m2, "second call should hit the quantizer memo")
+    assert(m1.planes.length == 8 && m1.planes.head.length == 64)
+    // PCA+rotation of an orthonormal basis stays orthonormal: w·w ≈ 1
+    m1.planes.foreach { w =>
+      val n2 = w.map(x => x * x).sum
+      assert(math.abs(n2 - 1.0) < 1e-6, s"plane norm² $n2 != 1")
+    }
+    // planes must be mutually orthogonal (distinct directions)
+    val dot01 = m1.planes(0).zip(m1.planes(1)).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot01) < 1e-6)
+  }
+
+  test("writeLshIndex persists the projection; readLshModel restores it bit-for-bit") {
+    val path = tmpDir("lshidx")
+    val model = Ann.trainItq(emb, "embedding", nPlanes = 6)
+    val idx = Ann.buildItqIndex(emb, "vec_id", "embedding", model)
+    Ann.writeLshIndex(idx, path, model)
+    val back = Ann.readLshModel(spark, path)
+    assert(back.planes.map(_.toSeq).toSeq == model.planes.map(_.toSeq).toSeq)
+    assert(back.offsets.toSeq == model.offsets.toSeq)
+    // a fresh session searching the STORED index with the STORED model
+    // reproduces the original result set exactly
+    val q = emb.filter(col("vec_id") < 5)
+    val stored = spark.read.parquet(path)
+    val a = Ann.itqKnn(stored, q, "vec_id", "embedding", back, k = 5, nProbes = 64)
+      .select("query_id", "neighbour_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Ann.itqKnn(idx, q, "vec_id", "embedding", model, k = 5, nProbes = 64)
+      .select("query_id", "neighbour_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
+  test("writeLshIndex without a model removes a stale _planes side table") {
+    val path = tmpDir("lshstale")
+    val model = Ann.trainItq(emb, "embedding", nPlanes = 6)
+    val idx = Ann.buildItqIndex(emb, "vec_id", "embedding", model)
+    Ann.writeLshIndex(idx, path, model)
+    Ann.writeLshIndex(idx, path) // rewrite WITHOUT the projection
+    val ex = intercept[IllegalArgumentException](Ann.readLshModel(spark, path))
+    assert(ex.getMessage.contains("_planes"))
+  }
+
+  test("writeIvfIndex without centroids removes a stale _centroids side table") {
+    val path = tmpDir("ivfstale")
+    val centroids = Ann.trainCentroids(emb, "embedding", nList = 8)
+    val idx = Ann.buildIvfIndex(emb, "vec_id", "embedding", centroids)
+    Ann.writeIvfIndex(idx, path, centroids)
+    assert(Ann.readIvfCentroids(spark, path).length == 8)
+    Ann.writeIvfIndex(idx, path) // re-trained rebuild, quantizer not passed
+    val ex = intercept[IllegalArgumentException](Ann.readIvfCentroids(spark, path))
+    assert(ex.getMessage.contains("_centroids"))
+  }
+
+  test("writePqIndex persists coarse+codebooks+rotation; readPqArtifacts restores them") {
+    val path = tmpDir("pqidx")
+    val coarse = Ann.trainCentroids(emb, "embedding", nList = 8)
+    val (rot, cb) = Ann.trainOpq(emb, "embedding", coarse, m = 8, opqIters = 2)
+    val idx = Ann.buildPqIndex(emb, "vec_id", "embedding", coarse, cb, rot = rot)
+    Ann.writePqIndex(idx, path, coarse, cb, rot)
+    val (c2, cb2, rot2) = Ann.readPqArtifacts(spark, path)
+    assert(c2.map(_.toSeq).toSeq == coarse.map(_.toSeq).toSeq)
+    assert(cb2.map(_.toSeq).toSeq == cb.map(_.toSeq).toSeq)
+    assert(rot2 != null && rot2.map(_.toSeq).toSeq == rot.map(_.toSeq).toSeq)
+    // searching the stored index with the stored artifacts reproduces
+    // the in-session result (the self-containment guarantee)
+    val q = emb.filter(col("vec_id") < 5)
+    val stored = spark.read.parquet(path)
+    val a = Ann.pqKnn(stored, q, "vec_id", "embedding", c2, cb2, k = 5,
+        nProbe = 8, rot = rot2)
+      .select("query_id", "neighbour_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Ann.pqKnn(idx, q, "vec_id", "embedding", coarse, cb, k = 5,
+        nProbe = 8, rot = rot)
+      .select("query_id", "neighbour_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
+  test("plain-PQ rewrite over an OPQ index removes the stale _rotation") {
+    val path = tmpDir("pqstale")
+    val coarse = Ann.trainCentroids(emb, "embedding", nList = 8)
+    val (rot, cb) = Ann.trainOpq(emb, "embedding", coarse, m = 8, opqIters = 2)
+    Ann.writePqIndex(
+      Ann.buildPqIndex(emb, "vec_id", "embedding", coarse, cb, rot = rot),
+      path, coarse, cb, rot)
+    val plainCb = Ann.trainPq(emb, "embedding", coarse, m = 8)
+    Ann.writePqIndex(
+      Ann.buildPqIndex(emb, "vec_id", "embedding", coarse, plainCb),
+      path, coarse, plainCb) // no rotation this time
+    val (_, _, rot2) = Ann.readPqArtifacts(spark, path)
+    assert(rot2 == null, "stale _rotation survived a plain-PQ rewrite")
+  }
+
+  test("OPQ rotation is orthogonal") {
+    val coarse = Ann.trainCentroids(emb, "embedding", nList = 8)
+    val (rot, _) = Ann.trainOpq(emb, "embedding", coarse, m = 8, opqIters = 2)
+    val d = rot.length
+    // M·Mᵀ = I for the kernel-convention matrix
+    for (i <- 0 until d; j <- 0 until d) {
+      val dot = (0 until d).map(k => rot(i)(k) * rot(j)(k)).sum
+      val expect = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - expect) < 1e-8, s"MMᵀ[$i][$j] = $dot")
+    }
+  }
+
+  test("OPQ cuts quantization distortion on anisotropic data (where rotation matters)") {
+    // Correlated pairs SPLIT ACROSS subspace boundaries — the structured
+    // case plain PQ handles worst: dims (2i, 2i+1) carry the same latent
+    // variable, but the m=4 splitter puts them in different subspaces.
+    // OPQ learns the rotation that re-aligns them.
+    val rnd = new scala.util.Random(7)
+    val d = 8
+    val rows = (0 until 600).map { i =>
+      val a = Array.fill(d / 2)(rnd.nextGaussian())
+      // interleave: v = (a0, a0+ε, a1, a1+ε, ...) — pairwise correlated
+      val v = new Array[Double](d)
+      for (j <- 0 until d / 2) {
+        v(2 * j) = a(j)
+        v(2 * j + 1) = a(j) + 0.01 * rnd.nextGaussian()
+      }
+      (i.toLong, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val coarse = Ann.trainCentroids(df, "embedding", nList = 2)
+    val (rot, opqCb) = Ann.trainOpq(df, "embedding", coarse, m = 4, codeK = 16)
+    val pqCb = Ann.trainPq(df, "embedding", coarse, m = 4, codeK = 16)
+    // mean self-ADC distance == mean quantization error of the codec
+    def distortion(cb: Array[Array[Double]], r: Array[Array[Double]]): Double = {
+      val idx = Ann.buildPqIndex(df, "vec_id", "embedding", coarse, cb,
+        codeK = 16, rot = r)
+      val joined = df.select(col("vec_id").as("neighbour_id"), col("embedding"))
+        .join(idx, "neighbour_id")
+      joined.select(avg(graft.plans.Kernels.pqAdcDist(
+          col("embedding"), col("list"), col("code"), coarse, cb, r)).as("e"))
+        .first().getDouble(0)
+    }
+    val ePq = distortion(pqCb, null)
+    val eOpq = distortion(opqCb, rot)
+    assert(eOpq < ePq * 0.8,
+      s"OPQ distortion $eOpq should be well under plain PQ $ePq on anisotropic data")
+  }
+}

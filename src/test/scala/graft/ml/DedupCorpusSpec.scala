@@ -23,6 +23,38 @@ class DedupCorpusSpec extends SparkSpec {
     assert(dist(4L) === 1L) // 3-hop chain converges
   }
 
+  test("reliableCheckpoint without a checkpoint dir errors up front; with one, labels persist to it") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty, "test precondition: no checkpoint dir set")
+    // misconfiguration surfaces as ONE clear error before the loop runs
+    val ex = intercept[IllegalArgumentException](
+      Dedup.connectedComponents(pairs, driverThreshold = 0, reliableCheckpoint = true))
+    assert(ex.getMessage.contains("setCheckpointDir"))
+    val dir = java.nio.file.Files.createTempDirectory("graftckpt").toFile
+    dir.deleteOnExit()
+    sc.setCheckpointDir(dir.getAbsolutePath)
+    try {
+      val labels = Dedup.connectedComponents(pairs, driverThreshold = 0,
+          reliableCheckpoint = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+      // the labels actually live in the fault-tolerant dir (the point:
+      // an executor loss re-reads files instead of failing the job)
+      def rddFiles(f: java.io.File): Int =
+        f.listFiles() match {
+          case null => 0
+          case fs => fs.count(_.getName.startsWith("rdd-")) +
+            fs.filter(_.isDirectory).map(rddFiles).sum
+        }
+      assert(rddFiles(dir) > 0, s"no checkpointed RDD under $dir")
+    } finally {
+      // the shared session must not leak a checkpoint dir into suites
+      // that assert the default localCheckpoint behavior
+      sc.setCheckpointDir(null)
+    }
+  }
+
   test("dedupedCorpus keeps one doc per cluster plus all unpaired docs") {
     val docs = Seq((1L, "a"), (2L, "a'"), (3L, "a''"), (5L, "solo")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")

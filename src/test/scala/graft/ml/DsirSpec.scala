@@ -139,6 +139,16 @@ class DsirSpec extends SparkSpec {
     assert(inline.forall(_ % 2 == 0), "greedy inline draw picked web docs")
   }
 
+  test("DsirWeightExpr refuses a non-finite floor (it would break codegen literals)") {
+    for (bad <- Seq(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity)) {
+      val ex = intercept[IllegalArgumentException](
+        graft.plans.Kernels.DsirWeightExpr(
+          org.apache.spark.sql.catalyst.expressions.Literal("x"),
+          Array(1L), Array(0.5), bad, 2, 1L << 12, 7, mean = true))
+      assert(ex.getMessage.contains("floor"), ex.getMessage)
+    }
+  }
+
   test("one-sided-empty training corpus errors instead of scoring everything 0") {
     // target docs all shorter than the n-gram: its count frame is empty,
     // every ratio/floor is null — both scoring paths must refuse (a

@@ -14,17 +14,21 @@ class PerplexitySpec extends SparkSpec {
     s"the quick brown fox jumps over the lazy dog near the old stone bridge ${i % 5}"
   }.toDF("text")
 
-  test("model is a bounded self-contained frame (≤ 2×buckets rows, token total rides along)") {
+  test("model is a bounded self-contained frame (≤ order×buckets rows, token total rides along)") {
     val m = Perplexity.train(reference, "text", buckets = 1 << 10, seed = 1)
     val rows = m.collect()
-    assert(rows.length <= 2 * (1 << 10))
+    assert(rows.length <= 3 * (1 << 10))
     assert(m.columns.toSet === Set("kind", "bucket", "cnt", "n_tokens", "buckets", "seed"))
     // every row carries the same header: token total + hashing params
-    // (scoring reads buckets/seed from the model — no side channel)
+    // (scoring reads buckets/seed from the model — no side channel);
+    // the model's ORDER is self-describing too (max kind present)
     assert(rows.map(_.getAs[Long]("n_tokens")).distinct.toSeq === Seq(60L * 15))
     assert(rows.map(_.getAs[Int]("buckets")).distinct.toSeq === Seq(1 << 10))
     assert(rows.map(_.getAs[Int]("seed")).distinct.toSeq === Seq(1))
-    assert(rows.map(_.getAs[Int]("kind")).toSet === Set(1, 2))
+    assert(rows.map(_.getAs[Int]("kind")).toSet === Set(1, 2, 3))
+    // bigram-order training stays available and self-describes as order 2
+    val m2 = Perplexity.train(reference, "text", buckets = 1 << 10, seed = 1, order = 2)
+    assert(m2.collect().map(_.getAs[Int]("kind")).toSet === Set(1, 2))
   }
 
   test("in-domain text scores lower perplexity than scrambled/out-of-domain text") {
@@ -50,8 +54,39 @@ class PerplexitySpec extends SparkSpec {
     val one = run(1)
     assert(one(0)._2.isEmpty && one(0)._3 === 0L)
     assert(one(1)._2.isEmpty && one(1)._3 === 0L)
-    assert(one(2)._2.isDefined && one(2)._3 === 3L)
+    // 4 tokens → 2 trigram windows
+    assert(one(2)._2.isDefined && one(2)._3 === 2L)
     assert(run(7).toSeq === one.toSeq)
+  }
+
+  test("trigram separates scrambled-but-bigram-preserving text that bigram can't") {
+    // Reference with two 3-token sentences sharing the middle token:
+    // "a b c" and "d b e", repeated. Every bigram of the PROBE "a b e"
+    // (ab, be) appears in the reference with the same counts as the
+    // in-domain "a b c"'s (ab, bc) — a bigram LM scores the two
+    // identically. The trigram "a b e" never occurs, so the order-3
+    // model penalizes it (backoff to the λ-discounted bigram level).
+    val ref = Seq.fill(40)("a b c").toDF("text")
+      .unionByName(Seq.fill(40)("d b e").toDF("text"))
+    val docs = Seq((1L, "a b c"), (2L, "a b e")).toDF("doc_id", "text")
+    def ppls(order: Int): Map[Long, Double] = {
+      val m = Perplexity.train(ref, "text", buckets = 1 << 12, seed = 13, order = order)
+      Perplexity.score(docs, "doc_id", "text", m)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("ppl")).toMap
+    }
+    val bi = ppls(2)
+    assert(math.abs(bi(1) - bi(2)) < 1e-9 * bi(1),
+      s"bigram LM should NOT separate: ${bi(1)} vs ${bi(2)}")
+    val tri = ppls(3)
+    assert(tri(2) > tri(1) * 1.5,
+      s"trigram LM should separate clearly: in-domain ${tri(1)} vs scrambled ${tri(2)}")
+    // the kernel path applies the same order-aware interpolation
+    val m3 = Perplexity.collectModel(
+      Perplexity.train(ref, "text", buckets = 1 << 12, seed = 13))
+    assert(m3.order === 3)
+    val viaKernel = Perplexity.scoreInline(docs, "text", m3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("ppl")).toMap
+    assert(viaKernel(2) > viaKernel(1) * 1.5)
   }
 
   test("withBand labels head/middle/tail by the corpus ppl distribution") {
@@ -101,20 +136,25 @@ class PerplexitySpec extends SparkSpec {
       (3L, "zebra quantum flux capacitor discombobulated xylophone"),
       (4L, "Mixed CASE punctuation, and  runs   of spaces!"),
       (5L, "single"), (6L, "")).toDF("doc_id", "text").repartition(3)
-    val model = Perplexity.train(reference, "text", buckets = 1 << 12, seed = 9)
-    val viaJoin = Perplexity.score(docs, "doc_id", "text", model)
-      .select("doc_id", "ppl").collect()
-      .map(r => r.getLong(0) -> Option(r.getAs[java.lang.Double]("ppl"))).toMap
-    val m = Perplexity.collectModel(model)
-    val viaKernel = Perplexity.scoreInline(docs, "text", m)
-      .select("doc_id", "ppl").collect()
-      .map(r => r.getLong(0) -> Option(r.getAs[java.lang.Double]("ppl"))).toMap
-    assert(viaKernel.keySet === viaJoin.keySet)
-    for ((id, k) <- viaKernel) (k, viaJoin(id)) match {
-      case (None, None) => ()
-      case (Some(a), Some(b)) =>
-        assert(math.abs(a - b) <= 1e-9 * math.max(a, b), s"doc $id: kernel $a vs join $b")
-      case other => fail(s"doc $id null mismatch: $other")
+    for (order <- Seq(2, 3)) {
+      val model = Perplexity.train(reference, "text", buckets = 1 << 12, seed = 9,
+        order = order)
+      val viaJoin = Perplexity.score(docs, "doc_id", "text", model)
+        .select("doc_id", "ppl").collect()
+        .map(r => r.getLong(0) -> Option(r.getAs[java.lang.Double]("ppl"))).toMap
+      val m = Perplexity.collectModel(model)
+      assert(m.order === order)
+      val viaKernel = Perplexity.scoreInline(docs, "text", m)
+        .select("doc_id", "ppl").collect()
+        .map(r => r.getLong(0) -> Option(r.getAs[java.lang.Double]("ppl"))).toMap
+      assert(viaKernel.keySet === viaJoin.keySet)
+      for ((id, k) <- viaKernel) (k, viaJoin(id)) match {
+        case (None, None) => ()
+        case (Some(a), Some(b)) =>
+          assert(math.abs(a - b) <= 1e-9 * math.max(a, b),
+            s"order $order doc $id: kernel $a vs join $b")
+        case other => fail(s"order $order doc $id null mismatch: $other")
+      }
     }
   }
 

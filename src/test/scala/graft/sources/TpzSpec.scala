@@ -102,4 +102,57 @@ class TpzSpec extends SparkSpec {
     assert(back.count() === 2500)
     assert(back.agg(org.apache.spark.sql.functions.sum("v")).head.getLong(0) === 2500L * 2501 / 2)
   }
+
+  test("readTpzDistributed: >1M rows decode as one task per page stripe, equal to serial") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val n = 1200000
+    val df = spark.range(n)
+      .select(col("id").as("v"), (col("id") % 97 * 0.5).as("x"),
+        concat(lit("s"), (col("id") % 1000).cast("string")).as("s"))
+    val p = Files.createTempFile("graftbig", ".tpz").toString
+    Tpz.writeTpz(df, p, pageSize = 200000)
+    val dist = Tpz.readTpzDistributed(spark, p)
+    assert(dist.rdd.getNumPartitions === 6, "one task per page stripe")
+    assert(dist.count() === n)
+    // content equality with the serial reader, Spark-side (no collect)
+    val serial = Tpz.readTpz(spark, p)
+    assert(dist.schema === serial.schema)
+    assert(dist.exceptAll(serial).isEmpty && serial.exceptAll(dist).isEmpty)
+  }
+
+  test("readTpzDistributed rejects non-uniform interior pages with a clear error") {
+    // col a: two 8-row pages; col b: one 16-row page — a's NON-FINAL
+    // page doesn't fill the 16-row stripe, so stripe reads would
+    // mis-align rows across columns (hand-built layout, not the
+    // reference writer's)
+    def intNpy(n: Int): Array[Byte] = {
+      val dict = s"{'descr': '<i8', 'fortran_order': False, 'shape': ($n,), }"
+      val pad = 64 - ((10 + dict.length + 1) % 64)
+      val h = dict + (" " * pad) + "\n"
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(0x93); out.write("NUMPY".getBytes("ASCII"))
+      out.write(1); out.write(0)
+      out.write(h.length & 0xFF); out.write((h.length >> 8) & 0xFF)
+      out.write(h.getBytes("ASCII"))
+      val bb = java.nio.ByteBuffer.allocate(8 * n)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until n).foreach(i => bb.putLong(i.toLong))
+      out.write(bb.array())
+      out.toByteArray
+    }
+    val f = Files.createTempFile("graftrag", ".tpz").toString
+    val zip = new ZipOutputStream(Files.newOutputStream(Paths.get(f)))
+    val yml = "columns:\n  a:\n    pages: [p8a.npy, p8b.npy]\n  b:\n    pages: [p16.npy]\n"
+    zip.putNextEntry(new ZipEntry("table.yml")); zip.write(yml.getBytes("UTF-8")); zip.closeEntry()
+    for ((name, n) <- Seq(("p8a.npy", 8), ("p8b.npy", 8), ("p16.npy", 16))) {
+      zip.putNextEntry(new ZipEntry(name)); zip.write(intNpy(n)); zip.closeEntry()
+    }
+    zip.close()
+    val ex = intercept[IllegalArgumentException](
+      Tpz.readTpzDistributed(spark, f).collect())
+    assert(ex.getMessage.contains("readTpz"), ex.getMessage)
+    // the serial reader handles the same archive (table-level padding)
+    assert(Tpz.readTpz(spark, f).count() === 16)
+  }
 }

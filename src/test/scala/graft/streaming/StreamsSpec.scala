@@ -249,6 +249,18 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("annEnrichBatch refuses a batch that already has a 'neighbours' column") {
+    val corpus = Seq((1L, Array.fill(4)(0.1f)), (2L, Array.fill(4)(0.9f)))
+      .toDF("vec_id", "embedding")
+    val centroids = graft.ml.Ann.trainCentroids(corpus, "embedding", nList = 2, sampleN = 2)
+    val index = graft.ml.Ann.buildIvfIndex(corpus, "vec_id", "embedding", centroids)
+    val enrich = Streams.annEnrichBatch(index, centroids, "vec_id", "embedding")
+    val batch = Seq((9L, Array.fill(4)(0.2f), "x"))
+      .toDF("vec_id", "embedding", "neighbours")
+    val ex = intercept[IllegalArgumentException](enrich(batch))
+    assert(ex.getMessage.contains("neighbours"))
+  }
+
   test("streamingPack: bins continue across micro-batches, per-group running totals") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val s: org.apache.spark.sql.SparkSession = spark
