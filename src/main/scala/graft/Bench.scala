@@ -172,6 +172,12 @@ object Bench {
         graft.sources.Writers.toJsonl(li, s"$tmp/li.jsonl")
       tasks("io_jsonl_read") = () =>
         noopSink(graft.sources.Readers.readJsonl(spark, s"$tmp/li.jsonl", li.schema))
+      // .tpz interop is NOT a headline: the reference's "load 0.922 s/1M"
+      // is a numpy memory-map into its OWN native format — the honest
+      // comparable on our side is io_parquet_load (the SURVEY-§1.1
+      // native-format swap, 0.20 s/600k). The distributed stripe reader
+      // measures 1.44 s/600k locally (string-canonicalized compat
+      // decode); recorded in NOTES.md, gated by TpzSpec.
     } catch { case e: Throwable => System.err.println(s"[bench] io setup: ${e.getMessage}") }
 
     // Optional task filter for local iteration on one query's timing

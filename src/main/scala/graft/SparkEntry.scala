@@ -1041,18 +1041,30 @@ object SparkEntry {
       val nList = Ann.adaptiveNList(e.count())
       val nProbe = math.max(2, nList / 8)
       def recall(df: DataFrame): Double = df.select(col("recall")).first().getDouble(0)
-      val lsh = recall(Ann.recallAtK(e, q, "vec_id", "embedding",
-        dim = 64, k = 10, nPlanes = 8, nProbes = 32))
-      val itq = recall(Ann.itqRecallAtK(e, q, "vec_id", "embedding",
-        k = 10, nPlanes = 14, nProbes = 2048))
-      val ivf = recall(Ann.ivfRecallAtK(e, q, "vec_id", "embedding",
-        k = 10, nList = nList, nProbe = nProbe))
-      val pq = recall(Ann.pqRecallAtK(e, q, "vec_id", "embedding",
-        k = 10, nList = nList, m = 8, nProbe = nProbe, rerank = 100))
-      val opq = recall(Ann.pqRecallAtK(e, q, "vec_id", "embedding",
-        k = 10, nList = nList, m = 8, nProbe = nProbe, opq = true))
-      Seq((lsh >= 0.15, itq >= 0.26, ivf >= 0.26, pq >= 0.26, opq >= 0.21))
-        .toDF("lsh_ok", "itq_ok", "ivf_ok", "pq_ok", "opq_ok")
+      // each metric family's exact top-k is computed ONCE and shared
+      // across its evals (five evals, two brute-force passes, not five)
+      val exactCos = Ann.exactCosineKnn(e, q, "vec_id", "embedding", 10).cache()
+      val exactL2 = Ann.exactL2Knn(e, q, "vec_id", "embedding", 10).cache()
+      try {
+        val lsh = recall(Ann.recallAtK(e, q, "vec_id", "embedding",
+          dim = 64, k = 10, nPlanes = 8, nProbes = 32, exactKnn = exactCos))
+        val itq = recall(Ann.itqRecallAtK(e, q, "vec_id", "embedding",
+          k = 10, nPlanes = 14, nProbes = 2048, exactKnn = exactCos))
+        val ivf = recall(Ann.ivfRecallAtK(e, q, "vec_id", "embedding",
+          k = 10, nList = nList, nProbe = nProbe, exactKnn = exactCos))
+        val pq = recall(Ann.pqRecallAtK(e, q, "vec_id", "embedding",
+          k = 10, nList = nList, m = 8, nProbe = nProbe, rerank = 100,
+          exactKnn = exactL2))
+        val opq = recall(Ann.pqRecallAtK(e, q, "vec_id", "embedding",
+          k = 10, nList = nList, m = 8, nProbe = nProbe, opq = true,
+          exactKnn = exactL2))
+        Seq((lsh >= 0.15, itq >= 0.26, ivf >= 0.26, pq >= 0.26, opq >= 0.21))
+          .toDF("lsh_ok", "itq_ok", "ivf_ok", "pq_ok", "opq_ok")
+      } finally {
+        exactCos.unpersist(blocking = false)
+        exactL2.unpersist(blocking = false)
+        ()
+      }
     }),
 
     // ---- HDF5 compat codec (clean-room, sources/Hdf5.scala) ---------

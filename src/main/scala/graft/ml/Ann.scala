@@ -233,7 +233,52 @@ object Ann {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Recall@k of the learned-plane index against exact brute force. */
+  /** (k, recall) of `approx` against `exact` (both (query_id,
+    * neighbour_id) sets). `ownedExact` marks a frame this call cached
+    * and must release.
+    */
+  private def recallFrame(
+      exact: DataFrame, approx: DataFrame, k: Int, ownedExact: Boolean): DataFrame =
+    try {
+      val hits = exact.intersect(approx).count().toDouble
+      val total = exact.count().toDouble
+      val spark = exact.sparkSession
+      import spark.implicits._
+      Seq((k, if (total == 0) 0.0 else hits / total)).toDF("k", "recall")
+    } finally if (ownedExact) { exact.unpersist(blocking = false); () }
+
+  /** The exact cosine top-k set for recall evals — compute ONCE and pass
+    * to each family's `recallAtK` via `exactKnn` when evaluating several
+    * methods against the same (corpus, queries): the gate's five evals
+    * then pay one brute-force pass, not five.
+    */
+  def exactCosineKnn(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame =
+    bruteForceKnn(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbour_id"))
+
+  /** Exact squared-L2 top-k set (the IVFADC family's ground truth —
+    * ties to cosine only for normalized vectors).
+    */
+  def exactL2Knn(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbour_id"), col(vecCol).as("cv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("l2").asc, col("neighbour_id").asc)
+    c.join(broadcast(q), col("query_id") =!= col("neighbour_id"))
+      .select(col("query_id"), col("neighbour_id"),
+        Kernels.l2Dist(col("qv"), col("cv")).as("l2"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbour_id"))
+  }
+
+  /** Recall@k of the learned-plane index against exact brute force.
+    * `exactKnn`: a pre-computed (cached) [[exactCosineKnn]] frame to
+    * share across evals; null computes it here.
+    */
   def itqRecallAtK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -241,20 +286,16 @@ object Ann {
       vecCol: String,
       k: Int = 10,
       nPlanes: Int = 8,
-      nProbes: Int = 16): DataFrame = {
+      nProbes: Int = 16,
+      exactKnn: DataFrame = null): DataFrame = {
     val model = trainItq(corpus, vecCol, nPlanes)
-    val exact = bruteForceKnn(corpus, queries, idCol, vecCol, k)
-      .select(col("query_id"), col("neighbour_id")).cache()
+    val owned = exactKnn == null
+    val exact = if (owned) exactCosineKnn(corpus, queries, idCol, vecCol, k).cache()
+                else exactKnn
     val approx = itqKnn(buildItqIndex(corpus, idCol, vecCol, model),
       queries, idCol, vecCol, model, k, nProbes)
       .select(col("query_id"), col("neighbour_id"))
-    try {
-      val hits = exact.intersect(approx).count().toDouble
-      val total = exact.count().toDouble
-      val spark = corpus.sparkSession
-      import spark.implicits._
-      Seq((k, if (total == 0) 0.0 else hits / total)).toDF("k", "recall")
-    } finally exact.unpersist(blocking = false)
+    recallFrame(exact, approx, k, owned)
   }
 
   /** Persist a learned-plane LSH index with its OWN projection in a
@@ -907,20 +948,15 @@ object Ann {
       m: Int = 8,
       nProbe: Int = 4,
       rerank: Int = 0,
-      opq: Boolean = false): DataFrame = {
+      opq: Boolean = false,
+      exactKnn: DataFrame = null): DataFrame = {
     val coarse = trainCentroids(corpus, vecCol, nList)
     val (rot, codebooks) =
       if (opq) trainOpq(corpus, vecCol, coarse, m)
       else (null, trainPq(corpus, vecCol, coarse, m))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbour_id"), col(vecCol).as("cv"))
-    val wExact = Window.partitionBy("query_id")
-      .orderBy(col("l2").asc, col("neighbour_id").asc)
-    val exact = c.join(broadcast(q), col("query_id") =!= col("neighbour_id"))
-      .select(col("query_id"), col("neighbour_id"),
-        Kernels.l2Dist(col("qv"), col("cv")).as("l2"))
-      .withColumn("rank", row_number().over(wExact)).filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbour_id")).cache()
+    val owned = exactKnn == null
+    val exact = if (owned) exactL2Knn(corpus, queries, idCol, vecCol, k).cache()
+                else exactKnn
     val idx = buildPqIndex(corpus, idCol, vecCol, coarse, codebooks, rot = rot)
     val approx = (if (rerank > 0)
         pqKnnRerank(idx, queries, corpus, idCol, vecCol, coarse, codebooks,
@@ -928,13 +964,7 @@ object Ann {
       else
         pqKnn(idx, queries, idCol, vecCol, coarse, codebooks, k, nProbe, rot = rot))
       .select(col("query_id"), col("neighbour_id"))
-    try {
-      val hits = exact.intersect(approx).count().toDouble
-      val total = exact.count().toDouble
-      val spark = corpus.sparkSession
-      import spark.implicits._
-      Seq((k, if (total == 0) 0.0 else hits / total)).toDF("k", "recall")
-    } finally exact.unpersist(blocking = false)
+    recallFrame(exact, approx, k, owned)
   }
 
   /** Recall@k of the IVF index against exact brute force. */
@@ -945,22 +975,18 @@ object Ann {
       vecCol: String,
       k: Int = 10,
       nList: Int = 64,
-      nProbe: Int = 4): DataFrame = {
+      nProbe: Int = 4,
+      exactKnn: DataFrame = null): DataFrame = {
     val centroids = trainCentroids(corpus, vecCol, nList)
     // exact set feeds both the intersect and the denominator: cache it
     // so brute force runs once, not twice
-    val exact = bruteForceKnn(corpus, queries, idCol, vecCol, k)
-      .select(col("query_id"), col("neighbour_id")).cache()
+    val owned = exactKnn == null
+    val exact = if (owned) exactCosineKnn(corpus, queries, idCol, vecCol, k).cache()
+                else exactKnn
     val approx = ivfKnn(buildIvfIndex(corpus, idCol, vecCol, centroids),
       queries, idCol, vecCol, centroids, k, nProbe)
       .select(col("query_id"), col("neighbour_id"))
-    try {
-      val hits = exact.intersect(approx).count().toDouble
-      val total = exact.count().toDouble
-      val spark = corpus.sparkSession
-      import spark.implicits._
-      Seq((k, if (total == 0) 0.0 else hits / total)).toDF("k", "recall")
-    } finally exact.unpersist(blocking = false)
+    recallFrame(exact, approx, k, owned)
   }
 
   /** Recall@k of the LSH index against exact brute force — the eval loop
@@ -974,18 +1000,14 @@ object Ann {
       dim: Int,
       k: Int = 10,
       nPlanes: Int = 8,
-      nProbes: Int = 16): DataFrame = {
-    val exact = bruteForceKnn(corpus, queries, idCol, vecCol, k)
-      .select(col("query_id"), col("neighbour_id")).cache()
+      nProbes: Int = 16,
+      exactKnn: DataFrame = null): DataFrame = {
+    val owned = exactKnn == null
+    val exact = if (owned) exactCosineKnn(corpus, queries, idCol, vecCol, k).cache()
+                else exactKnn
     val approx = lshKnn(buildIndex(corpus, idCol, vecCol, dim, nPlanes),
       queries, idCol, vecCol, dim, k, nPlanes, nProbes)
       .select(col("query_id"), col("neighbour_id"))
-    try {
-      val hits = exact.intersect(approx).count().toDouble
-      val total = exact.count().toDouble
-      val spark = corpus.sparkSession
-      import spark.implicits._
-      Seq((k, if (total == 0) 0.0 else hits / total)).toDF("k", "recall")
-    } finally exact.unpersist(blocking = false)
+    recallFrame(exact, approx, k, owned)
   }
 }

@@ -300,4 +300,25 @@ class PlanQualitySpec extends SparkSpec {
         s"shuffle carries: $cols")
     }
   }
+
+  test("learned-plane ANN search: probe side broadcasts, corpus never shuffles pre-join") {
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 5)
+    val model = graft.ml.Ann.trainItq(e, "embedding", nPlanes = 6, sampleN = 200)
+    val df = graft.ml.Ann.itqKnn(
+      graft.ml.Ann.buildItqIndex(e, "vec_id", "embedding", model),
+      q, "vec_id", "embedding", model, k = 3, nProbes = 16)
+    df.write.format("noop").mode("overwrite").save() // finalize AQE
+    val p = plan(df)
+    // the tiny exploded probe frame is the broadcast build side — the
+    // corpus scans straight into the join with no exchange before it
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // only the post-join top-k shuffle exists, and a PARTIAL
+    // WindowGroupLimit prunes candidates to k per query before it —
+    // the shuffle payload is k rows per (query, partition), not the
+    // whole probed candidate set
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"), p.take(2000))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"expected at most one hash exchange, got $exchanges")
+  }
 }
