@@ -103,6 +103,23 @@ object SparkEntry {
       s"$tmp/docs.jsonl"
     })
 
+  /** Write-once ORC copy of `documents` (same lifecycle contract as
+    * [[jsonlDir]]: the ORC scan is lazy/distributed, so the files must
+    * outlive the returned frame's evaluation).
+    */
+  private val orcDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def orcDir(s: SparkSession, dir: String): String =
+    orcDirs.computeIfAbsent(dir, _ => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_orc")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        catch { case _: Throwable => () }))
+      graft.sources.Writers.toOrc(
+        t(s, dir, "documents").select(col("doc_id"), col("text"), col("lang"), col("n_chars")),
+        s"$tmp/docs.orc")
+      s"$tmp/docs.orc"
+    })
+
   /** Flagship query on sf=0.001: revenue per nation — scan-heavy join
     * pipeline with broadcast dims (lineitem ⋈ orders ⋈ customer ⋈ nation).
     */
@@ -698,6 +715,73 @@ object SparkEntry {
           means.getDouble(1) > means.getDouble(0)).toDF("ppl_ok")
       } finally { model.unpersist(false); () }
     }),
+    // learned quality filter gate (planted construction, boolean-verdict
+    // oracle like q_ppl_gate): train the hashed-n-gram logistic
+    // regression on even-doc_id naturals (label 1) vs deterministic
+    // shared-vocabulary gibberish (label 0), then require BOTH
+    //  (1) held-out (odd doc_id) docs classify at >= 0.95 accuracy, and
+    //  (2) the codegen kernel matches the independent broadcast-join
+    //      scorer to 1e-8 on a holdout slice (train/score parity).
+    "q_quality_clf" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      // gibberish drawn from a SHARED 97-token vocabulary (mod 97), so
+      // held-out negatives reuse trained buckets — the classifier must
+      // generalize, not memorize per-doc tokens
+      val gib = docs.select(col("doc_id"),
+        array_join(transform(sequence(lit(0), lit(24)),
+          j => concat(lit("zq"), pmod(hash(col("doc_id") * 31 + j), lit(97)).cast("string"))),
+          " ").as("text"))
+      // labeled sets are bounded in practice (a Wikipedia-sized
+      // reference, not the corpus): train on the doc_id%4==0 slice,
+      // hold out %4==1 — the gate's cost stays a fixed fraction of the
+      // corpus, not a multiple of it
+      val even = pmod(col("doc_id"), lit(4)) === 0
+      val hold = pmod(col("doc_id"), lit(4)) === 1
+      val m = graft.ml.QualityClassifier.train(
+        docs.filter(even).select("text"), gib.filter(even).select("text"),
+        "text", buckets = 1 << 14, seed = 17, iters = 10)
+      val holdout = docs.filter(hold).withColumn("y", lit(1.0))
+        .unionByName(gib.filter(hold)
+          .withColumn("doc_id", -col("doc_id")).withColumn("y", lit(0.0)))
+      val acc = graft.ml.QualityClassifier.scoreInline(holdout, "text", m)
+        .select(((col("quality_prob") >= 0.5).cast("double") === col("y"))
+          .cast("long").as("ok"))
+        .agg(avg("ok").as("acc"), count(lit(1)).as("n")).collect()(0)
+      val slice = docs.filter(pmod(col("doc_id"), lit(7)) === 3)
+      val viaKernel = graft.ml.QualityClassifier.scoreInline(slice, "text", m)
+        .select(col("doc_id"), col("quality_prob").as("pk"))
+      val viaJoin = graft.ml.QualityClassifier.scoreJoin(slice, "doc_id", "text",
+          graft.ml.QualityClassifier.modelFrame(s, m))
+        .select(col("doc_id"), col("quality_prob").as("pj"))
+      val maxDiff = viaKernel.join(viaJoin, "doc_id")
+        .agg(max(abs(col("pk") - col("pj")))).collect()(0).getDouble(0)
+      Seq(acc.getLong(1) > 0 && acc.getDouble(0) >= 0.95 && maxDiff <= 1e-8)
+        .toDF("quality_clf_ok")
+    }),
+    // learned BPE tokenizer gate (boolean-verdict oracle): train merges
+    // on the corpus's own word-frequency dictionary, then require
+    //  (1) losslessness — every doc's tokens reassemble its normalized
+    //      words exactly (drop the </w> markers, compare concatenated),
+    //  (2) the subword bound — at least one token per word, and
+    //  (3) compression — learned merges make the mean token count
+    //      strictly smaller than the mean character count.
+    "q_bpe" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val m = graft.ml.Bpe.train(docs, "text", numMerges = 200)
+      val toks = graft.ml.Bpe.tokens(col("text"), m)
+      val words = graft.plans.Kernels.wordShingles(col("text"), 1)
+      val agg = docs.select(
+          (regexp_replace(array_join(toks, ""), "</w>", "") ===
+            array_join(words, "")).cast("long").as("lossless"),
+          (size(toks) >= size(words)).cast("long").as("ge_words"),
+          size(toks).cast("double").as("nb"),
+          length(array_join(words, "")).cast("double").as("nc"))
+        .agg(min("lossless"), min("ge_words"), avg("nb"), avg("nc")).collect()(0)
+      Seq(agg.getLong(0) == 1L && agg.getLong(1) == 1L &&
+        agg.getDouble(2) < agg.getDouble(3)).toDF("bpe_ok")
+    }),
     // fixed-stride token chunking (40-token windows, stride 30)
     "q_chunk" -> ((s, dir) =>
       Chunking.chunkByTokens(
@@ -1084,6 +1168,12 @@ object SparkEntry {
       graft.sources.Readers.readJsonl(s, jsonlDir(s, dir), schema)
         .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
     }),
+    // write→distributed-read through the native ORC source/sink must be
+    // lossless against the source table (stripe stats + pushdown are
+    // Spark's own; this pins OUR dispatch and fan-out plumbing)
+    "q_orc_roundtrip" -> ((s, dir) =>
+      Tab.fromFile(s, orcDir(s, dir)).df
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))),
     "q_hdf5_roundtrip" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(
         col("doc_id"), col("text"), col("lang"), col("n_chars"))
@@ -1689,6 +1779,14 @@ object SparkEntry {
     // boolean verdict (the q_dsir_gate / q_ann_gate pattern)
     "q_ppl_gate" ->
       "SELECT true AS ppl_ok",
+    // q_quality_clf: planted separable-classes construction; the oracle
+    // is the boolean verdict (held-out accuracy + kernel/join parity)
+    "q_quality_clf" ->
+      "SELECT true AS quality_clf_ok",
+    // q_bpe: losslessness + subword bound + compression under learned
+    // merges; the oracle is the boolean verdict
+    "q_bpe" ->
+      "SELECT true AS bpe_ok",
     "q_chunk" ->
       """WITH c AS (
            SELECT doc_id, string_split(text, ' ') AS toks,
@@ -2112,6 +2210,10 @@ object SparkEntry {
     // q_jsonl_roundtrip: write→distributed-read through JSONL must be
     // lossless against the source table
     "q_jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, n_chars FROM documents",
+    // q_orc_roundtrip: write→read through the native ORC source/sink is
+    // an identity map, so the oracle is the source table itself
+    "q_orc_roundtrip" ->
       "SELECT doc_id, text, lang, n_chars FROM documents",
     // q_ann_lsh / q_ann_ivf at FULL probe scan the whole corpus with
     // exact distances, so exact top-k IS their oracle (same shape as

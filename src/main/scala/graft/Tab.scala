@@ -251,6 +251,7 @@ final case class Tab(df: DataFrame) {
   def toTpz(path: String): Unit = Tpz.writeTpz(df, path)
   def toHdf5(path: String): Unit = Hdf5.writeHdf5(df, path)
   def toJsonl(path: String): Unit = Writers.toJsonl(df, path)
+  def toOrc(path: String): Unit = Writers.toOrc(df, path)
   def toSqlText(tableName: String): String = Writers.toSql(df, tableName)
   def toJsonText: String = Writers.toColumnarJson(df)
   def toHtmlText: String = Writers.toHtml(df)
@@ -263,6 +264,7 @@ object Tab {
       opts: Readers.CsvOptions = Readers.CsvOptions()): Tab = {
     val lower = path.toLowerCase
     if (lower.endsWith(".parquet")) Tab(spark.read.parquet(path))
+    else if (lower.endsWith(".orc")) Tab(spark.read.orc(path))
     else if (lower.endsWith(".tpz")) Tab(Tpz.readTpz(spark, path,
       guessDatatypes = opts.guessDatatypes))
     else if (lower.endsWith(".xlsx") || lower.endsWith(".xlsm"))

@@ -1563,6 +1563,182 @@ object Kernels {
       copy(child = c)
   }
 
+  /** All hashed n-gram buckets of a document, orders 1..maxOrder, one
+    * element per OCCURRENCE (duplicates kept — they carry the term
+    * frequency). Bucket hashing is bit-identical to the DataFrame path
+    * (`pmod(xxhash64(shingle, lit(seed:Int)), buckets)` =
+    * `hashInt(seed, hashUTF8String(shingle, 42L))` then pmod — the
+    * [[dsirWeightEval]]/[[pplScoreEval]] contract), so a model trained
+    * through this kernel scores identically through the broadcast-join
+    * path. Empty text → empty array.
+    */
+  def hashedGramsEval(
+      input: UTF8String, buckets: Long, seed: Int, maxOrder: Int): ArrayData = {
+    var total = 0
+    val parts = new Array[ArrayData](maxOrder)
+    var o = 0
+    while (o < maxOrder) {
+      parts(o) = wordShinglesEval(input, o + 1)
+      total += parts(o).numElements()
+      o += 1
+    }
+    val out = new Array[Any](total)
+    var j = 0
+    o = 0
+    while (o < maxOrder) {
+      val p = parts(o)
+      val n = p.numElements()
+      var i = 0
+      while (i < n) {
+        val h = XXH64.hashInt(seed, XXH64.hashUTF8String(p.getUTF8String(i), 42L))
+        out(j) = ((h % buckets) + buckets) % buckets
+        j += 1
+        i += 1
+      }
+      o += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  case class HashedGramsExpr(child: Expression, buckets: Long, seed: Int, maxOrder: Int)
+      extends UnaryExpression {
+    require(buckets > 0 && maxOrder >= 1 && maxOrder <= 3,
+      s"buckets: $buckets, maxOrder: $maxOrder")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      hashedGramsEval(input.asInstanceOf[UTF8String], buckets, seed, maxOrder)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.plans.Kernels.hashedGramsEval($c, ${buckets}L, $seed, $maxOrder);")
+    override protected def withNewChildInternal(c: Expression): HashedGramsExpr =
+      copy(child = c)
+  }
+
+  /** Greedy byte-pair encode of ONE word (symbol list of single chars +
+    * an `</w>` end marker) under a learned merge-rank table: repeatedly
+    * merge the adjacent pair with the LOWEST rank until none remains —
+    * the canonical BPE application order (Sennrich et al. 2016, §3.2:
+    * merges learned on the training dictionary replay in learned
+    * order). Pairs are keyed `"left right"` in `ranks`.
+    */
+  private def bpeEncodeWord(
+      word: String, ranks: java.util.HashMap[String, Integer]): Array[String] = {
+    var syms = new Array[String](word.length + 1)
+    var i = 0
+    while (i < word.length) { syms(i) = String.valueOf(word.charAt(i)); i += 1 }
+    syms(word.length) = "</w>"
+    while (syms.length > 1) {
+      var best = -1
+      var bestRank = Int.MaxValue
+      var j = 0
+      while (j < syms.length - 1) {
+        val r = ranks.get(syms(j) + " " + syms(j + 1))
+        if (r != null && r.intValue() < bestRank) { bestRank = r.intValue(); best = j }
+        j += 1
+      }
+      if (best < 0) return syms
+      val merged = new Array[String](syms.length - 1)
+      System.arraycopy(syms, 0, merged, 0, best)
+      merged(best) = syms(best) + syms(best + 1)
+      System.arraycopy(syms, best + 2, merged, best + 1, syms.length - best - 2)
+      syms = merged
+    }
+    syms
+  }
+
+  /** BPE tokens of a whole document: tokenize with the engine-wide word
+    * rule ([[wordShinglesEval]] order 1 — lowercased [a-z0-9] runs), then
+    * greedy-encode each word. Per-call word memo: natural text repeats
+    * words heavily, so each distinct word encodes once per row batch.
+    */
+  def bpeTokensEval(
+      input: UTF8String, ranks: java.util.HashMap[String, Integer]): ArrayData = {
+    val words = wordShinglesEval(input, 1)
+    val n = words.numElements()
+    val memo = new java.util.HashMap[String, Array[String]]()
+    val out = new java.util.ArrayList[Any]()
+    var i = 0
+    while (i < n) {
+      val w = words.getUTF8String(i).toString
+      var toks = memo.get(w)
+      if (toks == null) { toks = bpeEncodeWord(w, ranks); memo.put(w, toks) }
+      var j = 0
+      while (j < toks.length) { out.add(UTF8String.fromString(toks(j))); j += 1 }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  case class BpeTokensExpr(child: Expression, ranks: java.util.HashMap[String, Integer])
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      bpeTokensEval(input.asInstanceOf[UTF8String], ranks)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val r = ctx.addReferenceObj("bpeRanks", ranks, "java.util.HashMap")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.plans.Kernels.bpeTokensEval($c, $r);")
+    }
+    override protected def withNewChildInternal(c: Expression): BpeTokensExpr =
+      copy(child = c)
+  }
+
+  /** Single-pass logistic-regression quality probability under a DENSE
+    * hashed-n-gram weight vector riding as a reference object (the
+    * fastText-supervised / CCNet-linear-classifier shape): tokenize
+    * once, x = per-bucket term frequency over orders 1..maxOrder
+    * (L1-normalized by the total gram count), return
+    * σ(bias + w·x) = σ(bias + Σ w[h(g)] / total). No explode, no join,
+    * no shuffle — STATELESS, so it composes into Structured Streaming.
+    * A doc with no grams carries no evidence: returns σ(bias) (the
+    * prior), matching the join path's fill.
+    */
+  def logRegProbEval(
+      input: UTF8String, weights: Array[Double], bias: Double,
+      buckets: Long, seed: Int, maxOrder: Int): Double = {
+    var sum = 0.0
+    var total = 0
+    var o = 0
+    while (o < maxOrder) {
+      val p = wordShinglesEval(input, o + 1)
+      val n = p.numElements()
+      total += n
+      var i = 0
+      while (i < n) {
+        val h = XXH64.hashInt(seed, XXH64.hashUTF8String(p.getUTF8String(i), 42L))
+        sum += weights((((h % buckets) + buckets) % buckets).toInt)
+        i += 1
+      }
+      o += 1
+    }
+    val z = if (total == 0) bias else bias + sum / total
+    1.0 / (1.0 + math.exp(-z))
+  }
+
+  case class LogRegProbExpr(
+      child: Expression, weights: Array[Double], bias: Double,
+      buckets: Long, seed: Int, maxOrder: Int)
+      extends UnaryExpression {
+    // bias is spliced into generated Java source as a literal —
+    // non-finite values have no Java literal form (the DsirWeightExpr
+    // floor invariant)
+    require(java.lang.Double.isFinite(bias), s"non-finite bias: $bias")
+    require(weights.length == buckets,
+      s"weights length ${weights.length} != buckets $buckets")
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(input: Any): Any =
+      logRegProbEval(input.asInstanceOf[UTF8String],
+        weights, bias, buckets, seed, maxOrder)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val w = ctx.addReferenceObj("logRegWeights", weights, "double[]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"""${ev.value} = graft.plans.Kernels.logRegProbEval(
+           $c, $w, $bias, ${buckets}L, $seed, $maxOrder);""")
+    }
+    override protected def withNewChildInternal(c: Expression): LogRegProbExpr =
+      copy(child = c)
+  }
+
   // Column-API wrappers
   def simhash64(tokens: Column): Column =
     ExpressionUtils.column(SimHash64Expr(ExpressionUtils.expression(tokens)))
@@ -1634,4 +1810,13 @@ object Kernels {
     ExpressionUtils.column(BloomMightContainExpr(ExpressionUtils.expression(key), bloom))
   def zValue(cols: Column, boundaries: Array[Array[Double]], bits: Int): Column =
     ExpressionUtils.column(ZValueExpr(ExpressionUtils.expression(cols), boundaries, bits))
+  def bpeTokens(text: Column, ranks: java.util.HashMap[String, Integer]): Column =
+    ExpressionUtils.column(BpeTokensExpr(ExpressionUtils.expression(text), ranks))
+  def hashedGrams(text: Column, buckets: Long, seed: Int, maxOrder: Int): Column =
+    ExpressionUtils.column(HashedGramsExpr(ExpressionUtils.expression(text),
+      buckets, seed, maxOrder))
+  def logRegProb(text: Column, weights: Array[Double], bias: Double,
+      buckets: Long, seed: Int, maxOrder: Int): Column =
+    ExpressionUtils.column(LogRegProbExpr(ExpressionUtils.expression(text),
+      weights, bias, buckets, seed, maxOrder))
 }

@@ -71,6 +71,14 @@ object Writers {
   def save(df: DataFrame, path: String): Unit =
     fanOut(df).write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** ORC sink — the other columnar format Spark ships natively
+    * (stripe-level statistics give the same pushdown/pruning story as
+    * parquet; for Hive/Trino-adjacent deployments that standardize on
+    * ORC). Same fan-out rule as [[save]].
+    */
+  def toOrc(df: DataFrame, path: String): Unit =
+    fanOut(df).write.mode(SaveMode.Overwrite).orc(path)
+
   /** Bucketed persisted table: pre-shuffles once at write time so every
     * later equi-join/aggregation on `keys` runs shuffle-free (both sides
     * bucketed with the same count → zero Exchange in the join plan).

@@ -107,6 +107,26 @@ class SourcesSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("orc roundtrip: native write/read through Tab dispatch, types and tricky strings survive") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc_spec").toString
+    try {
+      val df = Seq(
+        (1L, 1.5, "plain", true),
+        (2L, -0.25, "line\nbreak \"quoted\" \t tab", false),
+        (3L, 0.0, "unicode ✓ Ωmega", true)
+      ).toDF("id", "x", "s", "b").repartition(3)
+      Writers.toOrc(df, s"$dir/t.orc")
+      val back = graft.Tab.fromFile(spark, s"$dir/t.orc").df
+      assert(back.count() === 3)
+      assert(back.orderBy("id").collect().map(_.toSeq) ===
+        df.orderBy("id").collect().map(_.toSeq))
+      // schema is self-describing — no inference pass, exact types back
+      // (files read back nullable, like parquet — compare names/types)
+      assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+        df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test(".json dispatch sniffs envelope vs JSONL; .jsonl goes distributed") {
     val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_sniff").toString
     try {
