@@ -715,6 +715,49 @@ object SparkEntry {
           means.getDouble(1) > means.getDouble(0)).toDF("ppl_ok")
       } finally { model.unpersist(false); () }
     }),
+    // Kneser–Ney variant of the perplexity gate: same planted
+    // construction (OOV pull + reversed-text separation) on the
+    // KN-smoothed model, PLUS kernel/join parity — the KN math exists
+    // twice (broadcast-join path and codegen kernel) and must agree
+    "q_ppl_kn" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val gibberish = docs.select(col("doc_id"),
+        array_join(transform(sequence(lit(0), lit(29)),
+          j => concat(lit("zq"), pmod(hash(col("doc_id") * 53 + j), lit(9973)).cast("string"))),
+          " ").as("text"))
+      val reversed = docs.select(col("doc_id"),
+        concat_ws(" ", reverse(split(col("text"), " "))).as("text"))
+      val model = graft.ml.Perplexity.train(docs, "text", buckets = 1 << 14,
+        seed = 11, smoothing = "kn").persist()
+      try {
+        val lm = graft.ml.Perplexity.collectModel(model)
+        def ppl(d: DataFrame, as: String) =
+          graft.ml.Perplexity.scoreInline(d, "text", lm)
+            .select(col("doc_id"), col("ppl").as(as))
+        val nat = ppl(docs, "ppl_nat")
+        val oov = nat.join(ppl(gibberish, "ppl_oov"), "doc_id")
+          .filter(col("ppl_nat").isNotNull && col("ppl_oov").isNotNull)
+          .select((col("ppl_oov") > col("ppl_nat")).cast("long").as("hi"))
+          .agg(sum("hi").as("hi"), count(lit(1)).as("n")).collect()(0)
+        val means = nat.join(ppl(reversed, "ppl_rev"), "doc_id")
+          .agg(avg("ppl_nat").as("mn"), avg("ppl_rev").as("mr")).collect()(0)
+        // parity on a 1/7 slice: the join path's cost is the explode +
+        // seven broadcast joins, and a slice exercises the identical
+        // plan (the q_quality_clf parity rule)
+        val slice = docs.filter(pmod(col("doc_id"), lit(7)) === 3)
+        val parity = graft.ml.Perplexity.score(slice, "doc_id", "text", model)
+          .select(col("doc_id"), col("ppl").as("pj"))
+          .join(nat, "doc_id")
+          .filter(col("pj").isNotNull && col("ppl_nat").isNotNull)
+          .agg(max(abs(col("pj") - col("ppl_nat")) /
+            greatest(col("pj"), lit(1.0)))).collect()(0).getDouble(0)
+        Seq(oov.getLong(1) > 0 &&
+          oov.getLong(0).toDouble / oov.getLong(1) >= 0.99 &&
+          means.getDouble(1) > means.getDouble(0) &&
+          parity <= 1e-8).toDF("ppl_kn_ok")
+      } finally { model.unpersist(false); () }
+    }),
     // learned quality filter gate (planted construction, boolean-verdict
     // oracle like q_ppl_gate): train the hashed-n-gram logistic
     // regression on even-doc_id naturals (label 1) vs deterministic
@@ -1779,6 +1822,10 @@ object SparkEntry {
     // boolean verdict (the q_dsir_gate / q_ann_gate pattern)
     "q_ppl_gate" ->
       "SELECT true AS ppl_ok",
+    // q_ppl_kn: the Kneser–Ney variant's planted construction + parity;
+    // the oracle is the boolean verdict
+    "q_ppl_kn" ->
+      "SELECT true AS ppl_kn_ok",
     // q_quality_clf: planted separable-classes construction; the oracle
     // is the boolean verdict (held-out accuracy + kernel/join parity)
     "q_quality_clf" ->

@@ -44,6 +44,14 @@ object Curate {
       // logistic over quality features with shipped coefficients
       qualityWeights: Option[Array[Double]] = None,
       minQuality: Double = 0.5,
+      // opt-in LEARNED quality-classifier gate ([[QualityClassifier]],
+      // the GPT-3/CCNet "similar to reference corpus" filter): keep
+      // docs with σ(bias + w·tf) ≥ minClfProb. The heuristic
+      // qualityWeights gate above scores FIXED features; this one is
+      // trained from labeled positives/negatives. Stateless kernel —
+      // streams for free.
+      clfModel: Option[QualityClassifier.Model] = None,
+      minClfProb: Double = 0.5,
       // opt-in Gopher document-rules gate (Rae et al. 2021 §A1.1,
       // [[TextFunctions.gopherFlags]]): Some(stopwords) enables it with
       // the published thresholds; word-count floor tunable separately
@@ -79,8 +87,10 @@ object Curate {
       .filter(col("n_tokens").between(cfg.minTokens, cfg.maxTokens))
       .filter(col("__rep.dup_line_frac") <= cfg.maxDupLineFrac &&
         col("__rep.top_ngram_char_share") <= cfg.maxTopNgramCharShare)
-    val staged1 = cfg.qualityWeights.fold(staged0)(w =>
+    val staged1h = cfg.qualityWeights.fold(staged0)(w =>
       staged0.filter(TextFunctions.qualityScore(text, w) >= cfg.minQuality))
+    val staged1 = cfg.clfModel.fold(staged1h)(m =>
+      staged1h.filter(QualityClassifier.prob(text, m) >= cfg.minClfProb))
     val staged2 = cfg.gopherStopwords.fold(staged1)(sw =>
       staged1.filter(TextFunctions.gopherFlags(text,
         minWords = cfg.gopherMinWords, stopwords = sw).getField("pass") === 1L))

@@ -23,12 +23,23 @@ import org.apache.spark.sql.functions._
   *   P₁(w)       = (c₁(w)+1) / (N+B)
   *
   * (each conditional estimate backed off to the next-lower order, the
-  * unigram add-one-smoothed; never zero, so log is total — the shape of
-  * KenLM's interpolated model with JM in place of Kneser–Ney discounts,
-  * which have no bounded-hash formulation). Document perplexity =
-  * exp(mean −log P over its order-gram windows). The trigram captures
-  * local word ORDER a bigram can't: text scrambled so as to preserve
-  * every bigram still breaks almost every trigram (PerplexitySpec).
+  * unigram add-one-smoothed; never zero, so log is total). Document
+  * perplexity = exp(mean −log P over its order-gram windows). The
+  * trigram captures local word ORDER a bigram can't: text scrambled so
+  * as to preserve every bigram still breaks almost every trigram
+  * (PerplexitySpec).
+  *
+  * `smoothing = "kn"` trains the interpolated KNESER–NEY variant
+  * instead (Kneser & Ney 1995; Chen & Goodman 1999 §2.7 — the family
+  * KenLM itself ships): absolute discount D on observed counts, mass
+  * redistributed by CONTINUATION weight, with the unigram level using
+  * type counts N1+(·w) ("in how many contexts was w seen?") rather
+  * than frequency — the classic "francisco" correction: a frequent
+  * word glued to one context gets low continuation probability. The
+  * type counts are hashed like everything else (kinds 4/5/6 + a
+  * kind-0 type-total row), so the KN model is still ≤ (order+3)×buckets
+  * + 1 rows and broadcastable; smoothing is self-describing from the
+  * kinds present, like the order.
   *
   * Scale shape: training is `order` partial-agg shuffles of hashed
   * longs (counts only — tokens never shuffle); scoring is explode →
@@ -52,17 +63,53 @@ object Perplexity {
     */
   def train(
       corpus: DataFrame, textCol: String,
-      buckets: Int = 1 << 16, seed: Int = 0, order: Int = 3): DataFrame = {
+      buckets: Int = 1 << 16, seed: Int = 0, order: Int = 3,
+      smoothing: String = "jm"): DataFrame = {
     require(buckets > 0, s"buckets: $buckets")
     require(order == 2 || order == 3, s"order: $order (2 or 3)")
+    require(smoothing == "jm" || smoothing == "kn", s"smoothing: $smoothing")
     def counts(n: Int, kind: Int): DataFrame = corpus
       .select(explode(Kernels.wordShingles(col(textCol), n)).as("__sh"))
       .select(pmod(xxhash64(col("__sh"), lit(seed)), lit(buckets.toLong)).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
       .select(lit(kind).as("kind"), col("bucket"), col("cnt"))
     val uni = counts(1, 1)
-    val grams = (2 to order).map(n => counts(n, n))
+    var grams = (2 to order).map(n => counts(n, n))
       .foldLeft(uni)(_ unionByName _)
+    if (smoothing == "kn") {
+      // Kneser–Ney needs TYPE counts, not token counts: N1+(·w)
+      // (distinct contexts preceding w — kind 4), N1+(v·) (distinct
+      // continuations of v — kind 5), N1+(uv·) (kind 6, order 3), and
+      // the total distinct-bigram-type count (kind 0 header row,
+      // bucket −1 — no hash bucket is negative). All computed from
+      // DISTINCT HASHED n-gram triples: 8-byte columns shuffle, the
+      // text never does, and every output is ≤ buckets rows. Bucket
+      // collisions merge types consistently with the count model.
+      def h(c: org.apache.spark.sql.Column) =
+        pmod(xxhash64(c, lit(seed)), lit(buckets.toLong))
+      val biTypes = corpus
+        .select(explode(Kernels.wordShingles(col(textCol), 2)).as("__sh"))
+        .select(h(col("__sh")).as("__h2"),
+          h(substring_index(col("__sh"), " ", 1)).as("__hv"),
+          h(substring_index(col("__sh"), " ", -1)).as("__hw"))
+        .distinct()
+      def typeCount(src: DataFrame, by: String, kind: Int): DataFrame = src
+        .groupBy(col(by).as("bucket")).agg(count(lit(1)).as("cnt"))
+        .select(lit(kind).as("kind"), col("bucket"), col("cnt"))
+      grams = grams
+        .unionByName(typeCount(biTypes, "__hw", 4))
+        .unionByName(typeCount(biTypes, "__hv", 5))
+        .unionByName(biTypes.agg(count(lit(1)).as("cnt"))
+          .select(lit(0).as("kind"), lit(-1L).as("bucket"), col("cnt")))
+      if (order == 3) {
+        val triTypes = corpus
+          .select(explode(Kernels.wordShingles(col(textCol), 3)).as("__sh"))
+          .select(h(col("__sh")).as("__h3"),
+            h(substring_index(col("__sh"), " ", 2)).as("__h2h"))
+          .distinct()
+        grams = grams.unionByName(typeCount(triTypes, "__h2h", 6))
+      }
+    }
     val total = uni.agg(sum("cnt").as("n_tokens"))
     grams.crossJoin(broadcast(total))
       .withColumn("buckets", lit(buckets))
@@ -74,13 +121,15 @@ object Perplexity {
     * tiny collect. Clear error on an empty model instead of an NPE
     * three frames deep.
     */
-  private def header(model: DataFrame): (Int, Int, Long, Int) = {
+  private def header(model: DataFrame): (Int, Int, Long, Int, Boolean) = {
+    // order = max GRAM kind (1..3); kinds 0/4/5/6 are the Kneser–Ney
+    // type-count sidecar, whose presence self-describes the smoothing
     val rows = model.select(first("buckets"), first("seed"), first("n_tokens"),
-      max("kind")).collect()
+      max(when(col("kind").between(1, 3), col("kind"))), max("kind")).collect()
     require(rows.nonEmpty && !rows(0).isNullAt(0),
       "empty perplexity model: the reference corpus produced no tokens")
     (rows(0).getInt(0), rows(0).getInt(1), rows(0).getLong(2),
-      math.max(rows(0).getInt(3), 2))
+      math.max(rows(0).getInt(3), 2), rows(0).getInt(4) >= 4)
   }
 
   /** `docs` + `ppl` (document perplexity under `model`) and
@@ -93,8 +142,9 @@ object Perplexity {
   def score(
       docs: DataFrame, idCol: String, textCol: String,
       model: DataFrame,
-      lambda: Double = 0.8): DataFrame = {
+      lambda: Double = 0.8, discount: Double = 0.75): DataFrame = {
     require(lambda > 0.0 && lambda < 1.0, s"lambda: $lambda")
+    require(discount > 0.0 && discount < 1.0, s"discount: $discount")
     // The model plan (order× shuffles over the whole reference corpus)
     // is read several times below (per-kind frames + header) — persist
     // it through a scope that drains after the caller's first action, so
@@ -109,7 +159,7 @@ object Perplexity {
     // construction. The header collect MATERIALIZES the scope's cache;
     // if it throws (empty model), the cache must not leak —
     // releaseAfter's cleanup listener is only installed at the end.
-    val (buckets, seed, nTokens, order) =
+    val (buckets, seed, nTokens, order, kn) =
       try header(m)
       catch { case e: Throwable => if (!callerCached) scope.releaseNow(); throw e }
     // model is ≤ order×buckets rows; all kinds come from the one cache
@@ -127,7 +177,81 @@ object Perplexity {
       (coalesce(cu, lit(0L)).cast("double") + 1.0) /
         (nTokens.toDouble + buckets.toDouble)
     val nll =
-      if (order == 2) {
+      if (kn) {
+        // Interpolated Kneser–Ney with absolute discount D (Kneser &
+        // Ney 1995; Chen & Goodman 1999 §2.7 — the smoothing family
+        // KenLM ships). Continuation probability from TYPE counts:
+        //   Pcont(w)  = (N1+(·w) + 1) / (B2 + buckets)     [add-one: never 0]
+        //   P2(w|v)   = [max(c(vw)−D, 0) + D·N1+(v·)·Pcont(w)] / c(v)
+        //               (c(v)=0 → Pcont(w); result 0 → Pcont(w): a
+        //               history with no observed continuation backs
+        //               off wholesale)
+        //   P3(w|uv)  = [max(c(uvw)−D, 0) + D·N1+(uv·)·P2(w|v)] / c(uv)
+        //               (same two fallbacks, one level up)
+        val b2Rows = m.filter(col("kind") === 0).select(first("cnt")).collect()
+        require(b2Rows.nonEmpty && !b2Rows(0).isNullAt(0),
+          "KN model missing its kind-0 type-total row")
+        val b2 = b2Rows(0).getLong(0)
+        val contF = kindFrame(4, "__kb4", "__cont")
+        val folF = kindFrame(5, "__kb5", "__fol")
+        val dD = lit(discount)
+        def pContOf(contC: org.apache.spark.sql.Column) =
+          (coalesce(contC, lit(0L)).cast("double") + 1.0) /
+            (b2.toDouble + buckets.toDouble)
+        if (order == 2) {
+          val transitions = docs
+            .select(col(idCol), explode(Kernels.wordShingles(col(textCol), 2)).as("__sh"))
+            .select(col(idCol),
+              h(col("__sh")).as("__hb"),
+              h(substring_index(col("__sh"), " ", 1)).as("__hprev"),
+              h(substring_index(col("__sh"), " ", -1)).as("__hcur"))
+            .join(bi, col("__hb") === col("__bb"), "left")
+            .join(uni.select(col("__ub"), col("__cu").as("__cprev")),
+              col("__hprev") === col("__ub"), "left").drop("__ub")
+            .join(folF, col("__hprev") === col("__kb5"), "left")
+            .join(contF, col("__hcur") === col("__kb4"), "left")
+          val pcont = pContOf(col("__cont"))
+          val p2raw = when(col("__cprev").isNotNull,
+            (greatest(coalesce(col("__cb"), lit(0L)).cast("double") - dD, lit(0.0)) +
+              dD * coalesce(col("__fol"), lit(0L)).cast("double") * pcont) /
+              col("__cprev").cast("double")).otherwise(pcont)
+          val p2 = when(p2raw > 0.0, p2raw).otherwise(pcont)
+          transitions.select(col(idCol), (-log(p2)).as("__nll"))
+        } else {
+          val tri = kindFrame(3, "__tb", "__c3")
+          val fol2F = kindFrame(6, "__kb6", "__fol2")
+          val windows = docs
+            .select(col(idCol), explode(Kernels.wordShingles(col(textCol), 3)).as("__sh"))
+            .select(col(idCol),
+              h(col("__sh")).as("__h3"),
+              h(substring_index(col("__sh"), " ", 2)).as("__h2h"),
+              h(substring_index(col("__sh"), " ", -2)).as("__h2l"),
+              h(substring_index(substring_index(col("__sh"), " ", 2), " ", -1)).as("__hv"),
+              h(substring_index(col("__sh"), " ", -1)).as("__hw"))
+            .join(tri, col("__h3") === col("__tb"), "left")
+            .join(bi.select(col("__bb"), col("__cb").as("__c2h")),
+              col("__h2h") === col("__bb"), "left").drop("__bb")
+            .join(bi.select(col("__bb"), col("__cb").as("__c2l")),
+              col("__h2l") === col("__bb"), "left").drop("__bb")
+            .join(uni.select(col("__ub"), col("__cu").as("__cv")),
+              col("__hv") === col("__ub"), "left").drop("__ub")
+            .join(folF, col("__hv") === col("__kb5"), "left")
+            .join(contF, col("__hw") === col("__kb4"), "left")
+            .join(fol2F, col("__h2h") === col("__kb6"), "left")
+          val pcont = pContOf(col("__cont"))
+          val p2raw = when(col("__cv").isNotNull,
+            (greatest(coalesce(col("__c2l"), lit(0L)).cast("double") - dD, lit(0.0)) +
+              dD * coalesce(col("__fol"), lit(0L)).cast("double") * pcont) /
+              col("__cv").cast("double")).otherwise(pcont)
+          val p2 = when(p2raw > 0.0, p2raw).otherwise(pcont)
+          val p3raw = when(col("__c2h").isNotNull,
+            (greatest(coalesce(col("__c3"), lit(0L)).cast("double") - dD, lit(0.0)) +
+              dD * coalesce(col("__fol2"), lit(0L)).cast("double") * p2) /
+              col("__c2h").cast("double")).otherwise(p2)
+          val p3 = when(p3raw > 0.0, p3raw).otherwise(p2)
+          windows.select(col(idCol), (-log(p3)).as("__nll"))
+        }
+      } else if (order == 2) {
         val transitions = docs
           .select(col(idCol), explode(Kernels.wordShingles(col(textCol), 2)).as("__sh"))
           .select(col(idCol),
@@ -190,7 +314,14 @@ object Perplexity {
       uniK: Array[Long], uniV: Array[Long],
       biK: Array[Long], biV: Array[Long],
       triK: Array[Long], triV: Array[Long],
-      nTokens: Long, buckets: Int, seed: Int, order: Int)
+      nTokens: Long, buckets: Int, seed: Int, order: Int,
+      contK: Array[Long] = Array.empty, contV: Array[Long] = Array.empty,
+      folK: Array[Long] = Array.empty, folV: Array[Long] = Array.empty,
+      fol2K: Array[Long] = Array.empty, fol2V: Array[Long] = Array.empty,
+      b2Types: Long = 0L) {
+    /** Kneser–Ney type-count sidecar present (kinds 4/5/6 + kind-0). */
+    def isKn: Boolean = b2Types > 0L
+  }
 
   def collectModel(model: DataFrame): LocalModel = {
     // one materialization for all reads (header + every kind)
@@ -205,11 +336,17 @@ object Perplexity {
     val (uk, uv) = arrays(1)
     val (bk, bv) = arrays(2)
     val (tk, tv) = arrays(3)
+    val (ck, cv) = arrays(4)
+    val (fk, fv) = arrays(5)
+    val (f2k, f2v) = arrays(6)
     // the model self-describes its depth: a bigram-trained model scores
-    // as a bigram LM even through the kernel path
-    val order = math.max(rows.map(_.getInt(0)).max, 2)
+    // as a bigram LM even through the kernel path (kinds 0/4/5/6 are
+    // the KN sidecar — excluded from the order)
+    val order = math.max(rows.map(_.getInt(0)).filter(_ <= 3).max, 2)
+    val b2 = rows.find(_.getInt(0) == 0).map(_.getLong(2)).getOrElse(0L)
     LocalModel(uk, uv, bk, bv, tk, tv,
-      rows(0).getLong(3), rows(0).getInt(4), rows(0).getInt(5), order)
+      rows(0).getLong(3), rows(0).getInt(4), rows(0).getInt(5), order,
+      ck, cv, fk, fv, f2k, f2v, b2)
   }
 
   /** Per-ROW perplexity column from the kernel — bit-compatible with
@@ -222,9 +359,14 @@ object Perplexity {
     * use [[score]] for jumbo-bucket models.
     */
   def pplColumn(text: org.apache.spark.sql.Column, m: LocalModel,
-      lambda: Double = 0.8): org.apache.spark.sql.Column =
-    Kernels.pplScore(text, m.uniK, m.uniV, m.biK, m.biV, m.triK, m.triV,
-      m.nTokens, m.buckets.toLong, m.seed, lambda, m.order)
+      lambda: Double = 0.8, discount: Double = 0.75): org.apache.spark.sql.Column =
+    if (m.isKn)
+      Kernels.knPplScore(text, m.uniK, m.uniV, m.biK, m.biV, m.triK, m.triV,
+        m.contK, m.contV, m.folK, m.folV, m.fol2K, m.fol2V,
+        m.b2Types, m.buckets.toLong, m.seed, discount, m.order)
+    else
+      Kernels.pplScore(text, m.uniK, m.uniV, m.biK, m.biV, m.triK, m.triV,
+        m.nTokens, m.buckets.toLong, m.seed, lambda, m.order)
 
   /** [[score]]'s output shape via the per-row kernel. */
   def scoreInline(

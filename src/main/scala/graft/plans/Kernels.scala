@@ -1428,6 +1428,123 @@ object Kernels {
     }
   }
 
+  /** Per-row interpolated Kneser–Ney perplexity — bit-compatible with
+    * the KN branch of `Perplexity.score` (same hashing, same discount
+    * math, same two wholesale-backoff fallbacks; pinned by spec).
+    * Lookup of an absent bucket returns count 0, which is exactly the
+    * join path's left-join-null: "history unseen" ⇔ c(history) == 0.
+    */
+  def knPplScoreEval(
+      input: UTF8String,
+      uniK: Array[Long], uniV: Array[Long],
+      biK: Array[Long], biV: Array[Long],
+      triK: Array[Long], triV: Array[Long],
+      contK: Array[Long], contV: Array[Long],
+      folK: Array[Long], folV: Array[Long],
+      fol2K: Array[Long], fol2V: Array[Long],
+      b2Types: Long, buckets: Long, seed: Int, discount: Double,
+      order: Int): java.lang.Double = {
+    def bucketOf(s: String): Long = {
+      val h = XXH64.hashInt(seed, XXH64.hashUTF8String(UTF8String.fromString(s), 42L))
+      ((h % buckets) + buckets) % buckets
+    }
+    def lookup(keys: Array[Long], vals: Array[Long], k: Long): Long = {
+      val idx = java.util.Arrays.binarySearch(keys, k)
+      if (idx >= 0) vals(idx) else 0L
+    }
+    val toks = wordShinglesEval(input, 1)
+    val n = toks.numElements()
+    if (n < order) return null
+    def pCont(w: String): Double =
+      (lookup(contK, contV, bucketOf(w)).toDouble + 1.0) /
+        (b2Types.toDouble + buckets.toDouble)
+    def p2Of(v: String, w: String): Double = {
+      val pcont = pCont(w)
+      val cv = lookup(uniK, uniV, bucketOf(v))
+      val p2raw =
+        if (cv > 0L) {
+          val c2 = lookup(biK, biV, bucketOf(v + " " + w))
+          val fol = lookup(folK, folV, bucketOf(v))
+          (math.max(c2.toDouble - discount, 0.0) +
+            discount * fol.toDouble * pcont) / cv.toDouble
+        } else pcont
+      if (p2raw > 0.0) p2raw else pcont
+    }
+    var nll = 0.0
+    if (order == 2) {
+      var i = 0
+      while (i < n - 1) {
+        nll -= math.log(p2Of(toks.getUTF8String(i).toString,
+          toks.getUTF8String(i + 1).toString))
+        i += 1
+      }
+      java.lang.Double.valueOf(math.exp(nll / (n - 1)))
+    } else {
+      var i = 0
+      while (i < n - 2) {
+        val u = toks.getUTF8String(i).toString
+        val v = toks.getUTF8String(i + 1).toString
+        val w = toks.getUTF8String(i + 2).toString
+        val p2 = p2Of(v, w)
+        val c2h = lookup(biK, biV, bucketOf(u + " " + v))
+        val p3raw =
+          if (c2h > 0L) {
+            val c3 = lookup(triK, triV, bucketOf(u + " " + v + " " + w))
+            val fol2 = lookup(fol2K, fol2V, bucketOf(u + " " + v))
+            (math.max(c3.toDouble - discount, 0.0) +
+              discount * fol2.toDouble * p2) / c2h.toDouble
+          } else p2
+        nll -= math.log(if (p3raw > 0.0) p3raw else p2)
+        i += 1
+      }
+      java.lang.Double.valueOf(math.exp(nll / (n - 2)))
+    }
+  }
+
+  case class KnPplScoreExpr(
+      child: Expression,
+      uniK: Array[Long], uniV: Array[Long],
+      biK: Array[Long], biV: Array[Long],
+      triK: Array[Long], triV: Array[Long],
+      contK: Array[Long], contV: Array[Long],
+      folK: Array[Long], folV: Array[Long],
+      fol2K: Array[Long], fol2V: Array[Long],
+      b2Types: Long, buckets: Long, seed: Int, discount: Double, order: Int)
+      extends UnaryExpression {
+    // discount is spliced into generated Java source as a literal (the
+    // PplScoreExpr lambda invariant)
+    require(java.lang.Double.isFinite(discount) && discount > 0.0 && discount < 1.0,
+      s"discount: $discount")
+    require(order == 2 || order == 3, s"order: $order (2 or 3)")
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true
+    override def nullSafeEval(input: Any): Any =
+      knPplScoreEval(input.asInstanceOf[UTF8String],
+        uniK, uniV, biK, biV, triK, triV, contK, contV, folK, folV,
+        fol2K, fol2V, b2Types, buckets, seed, discount, order)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      def ref(name: String, a: Array[Long]) = ctx.addReferenceObj(name, a, "long[]")
+      val (uk, uv) = (ref("uniK", uniK), ref("uniV", uniV))
+      val (bk, bv) = (ref("biK", biK), ref("biV", biV))
+      val (tk, tv) = (ref("triK", triK), ref("triV", triV))
+      val (ck, cv) = (ref("contK", contK), ref("contV", contV))
+      val (fk, fv) = (ref("folK", folK), ref("folV", folV))
+      val (f2k, f2v) = (ref("fol2K", fol2K), ref("fol2V", fol2V))
+      nullSafeCodeGen(ctx, ev, c => s"""
+        java.lang.Double ${ev.value}_r = graft.plans.Kernels.knPplScoreEval(
+          $c, $uk, $uv, $bk, $bv, $tk, $tv, $ck, $cv, $fk, $fv, $f2k, $f2v,
+          ${b2Types}L, ${buckets}L, $seed, $discount, $order);
+        if (${ev.value}_r == null) {
+          ${ev.isNull} = true;
+        } else {
+          ${ev.value} = ${ev.value}_r.doubleValue();
+        }
+      """)
+    }
+    override protected def withNewChildInternal(c: Expression): KnPplScoreExpr =
+      copy(child = c)
+  }
+
   /** Single-pass per-row DSIR log importance weight (Xie et al. 2023)
     * under a hashed-n-gram log-ratio table riding as expression
     * constants (sorted bucket keys + parallel ratios — the
@@ -1810,6 +1927,14 @@ object Kernels {
     ExpressionUtils.column(BloomMightContainExpr(ExpressionUtils.expression(key), bloom))
   def zValue(cols: Column, boundaries: Array[Array[Double]], bits: Int): Column =
     ExpressionUtils.column(ZValueExpr(ExpressionUtils.expression(cols), boundaries, bits))
+  def knPplScore(text: Column, uniK: Array[Long], uniV: Array[Long],
+      biK: Array[Long], biV: Array[Long], triK: Array[Long], triV: Array[Long],
+      contK: Array[Long], contV: Array[Long], folK: Array[Long], folV: Array[Long],
+      fol2K: Array[Long], fol2V: Array[Long],
+      b2Types: Long, buckets: Long, seed: Int, discount: Double, order: Int): Column =
+    ExpressionUtils.column(KnPplScoreExpr(ExpressionUtils.expression(text),
+      uniK, uniV, biK, biV, triK, triV, contK, contV, folK, folV, fol2K, fol2V,
+      b2Types, buckets, seed, discount, order))
   def bpeTokens(text: Column, ranks: java.util.HashMap[String, Integer]): Column =
     ExpressionUtils.column(BpeTokensExpr(ExpressionUtils.expression(text), ranks))
   def hashedGrams(text: Column, buckets: Long, seed: Int, maxOrder: Int): Column =

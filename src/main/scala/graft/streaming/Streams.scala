@@ -70,6 +70,8 @@ object Streams {
       normalize: Boolean = false,
       qualityWeights: Option[Array[Double]] = None,
       minQuality: Double = 0.5,
+      clfModel: Option[graft.ml.QualityClassifier.Model] = None,
+      minClfProb: Double = 0.5,
       gopherStopwords: Option[Seq[String]] = None,
       gopherMinWords: Long = 50L,
       perplexityModel: Option[DataFrame] = None,
@@ -89,8 +91,13 @@ object Streams {
       .withColumn("pred_lang", TextFunctions.langId(text))
       .withColumn("n_tokens", TextFunctions.tokenCount(text))
       .filter(col("pred_lang").isin(langs.toSeq: _*) && col("n_tokens") >= minTokens)
-    val scored = qualityWeights.fold(flt)(w =>
+    val scoredH = qualityWeights.fold(flt)(w =>
       flt.filter(TextFunctions.qualityScore(text, w) >= minQuality))
+    // learned-classifier gate: σ(bias + w·tf) from the stateless kernel
+    // (dense weights ride as a reference object) — batch ≡ streaming by
+    // construction, same as the perplexity/DSIR gates below
+    val scored = clfModel.fold(scoredH)(m =>
+      scoredH.filter(graft.ml.QualityClassifier.prob(text, m) >= minClfProb))
     // Gopher rules are a pure map-side conjunction — stateless, streams
     // for free, same as the classifier gate
     val gated = gopherStopwords.fold(scored)(sw =>

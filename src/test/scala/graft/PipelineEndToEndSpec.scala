@@ -5,12 +5,14 @@ import org.apache.spark.sql.functions._
 /** The whole training-data pipeline composed end-to-end on the driver
   * testdata — the "a reference user could switch" proof in one spec:
   *
-  *   documents → curate (lang/length/quality + perplexity gate)
+  *   documents → curate (lang/length + perplexity gate + LEARNED
+  *                quality classifier)
   *            → near-dup removal (minhash corpus dedup)
   *            → benchmark decontamination
   *            → DSIR selection toward a target style
   *            → temperature-flattened language mix
-  *            → deterministic shuffle → token-budget packing
+  *            → deterministic shuffle
+  *            → token-budget packing under a LEARNED BPE vocabulary
   *            → fixed-stride chunking
   *
   * Each stage is individually oracled elsewhere; this spec pins that
@@ -25,12 +27,21 @@ class PipelineEndToEndSpec extends SparkSpec {
       .select(col("doc_id"), col("lang"), col("text"))
 
     // 1. curate: language + length + an LM-perplexity gate trained on
-    //    the corpus itself (drops the unscorable/degenerate tail)
+    //    the corpus itself (drops the unscorable/degenerate tail) + a
+    //    learned quality classifier (corpus vs planted gibberish — the
+    //    GPT-3-style filter; naturals must sail through)
+    val clf = graft.ml.QualityClassifier.train(
+      docs.select("text"),
+      docs.select(array_join(transform(sequence(lit(0), lit(19)),
+        j => concat(lit("zq"), pmod(hash(col("doc_id") * 17 + j), lit(97)).cast("string"))),
+        " ").as("text")),
+      "text", buckets = 1 << 12, seed = 4, iters = 8)
     val model = graft.ml.Perplexity.train(docs, "text", buckets = 1 << 12, seed = 1).persist()
     val curated =
       try graft.ml.Curate.curate(docs, "doc_id", "text",
         graft.ml.Curate.Config(langs = Set("en", "de", "fr", "es", "zh"),
           minTokens = 3L, scrubPii = false,
+          clfModel = Some(clf), minClfProb = 0.5,
           perplexityModel = Some(model), maxPpl = 1e6))
         .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
         .persist()
@@ -67,14 +78,17 @@ class PipelineEndToEndSpec extends SparkSpec {
     assert(evenShare >= 0.8, s"DSIR pull too weak: $evenShare")
 
     // 5. temperature mix over lang (α=0.5 flattens the skew), then
-    // 6. deterministic shuffle, 7. pack to a token budget, 8. chunk
+    // 6. deterministic shuffle, 7. pack to a token budget measured in
+    //    LEARNED BPE tokens (the vocabulary the downstream model would
+    //    actually see), 8. chunk
     val n = picked.count().toInt
+    val bpe = graft.ml.Bpe.train(picked.select("text"), "text", numMerges = 150)
     val mixed = graft.operators.Sampling.temperatureMix(
       picked, "lang", "doc_id", alpha = 0.5, n = (n * 3 / 4).max(5), seed = 2)
     val shuffled = graft.operators.Sampling.shuffleDeterministic(mixed, "doc_id", seed = 3)
     val packed = graft.operators.Sampling.packSequences(
       shuffled.withColumn("n_tokens",
-        graft.functions.TextFunctions.tokenCount(col("text"))),
+        graft.ml.Bpe.tokenCount(col("text"), bpe).cast("long")),
       "n_tokens", "shuffle_rank", budget = 512)
     // chunking appends its own per-chunk n_tokens — the doc-level one
     // served the packing and retires here
@@ -98,7 +112,7 @@ class PipelineEndToEndSpec extends SparkSpec {
           graft.operators.Sampling.temperatureMix(
             picked, "lang", "doc_id", alpha = 0.5, n = (n * 3 / 4).max(5), seed = 2),
           "doc_id", seed = 3)
-          .withColumn("n_tokens", graft.functions.TextFunctions.tokenCount(col("text"))),
+          .withColumn("n_tokens", graft.ml.Bpe.tokenCount(col("text"), bpe).cast("long")),
         "n_tokens", "shuffle_rank", budget = 512).drop("n_tokens"),
       "doc_id", "text", maxTokens = 64, stride = 48)
     assert(again.orderBy("doc_id", "chunk_id").collect().toSeq ===

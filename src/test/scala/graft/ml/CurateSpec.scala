@@ -68,6 +68,24 @@ class CurateSpec extends SparkSpec {
     assert(open.count() === 2L)
   }
 
+  test("curate opt-in learned-classifier gate drops what the trained model rejects") {
+    val junk = "zzq vvkp zzt wmm qqp jjx kkz ppv zzx jql nng hhw rrt ssv bbk"
+    val docs = Seq((1L, good), (2L, junk + " " + junk)).toDF("doc_id", "text")
+    val m = QualityClassifier.train(
+      Seq.fill(40)(good).toDF("text"),
+      Seq.fill(40)(junk).toDF("text"), "text",
+      buckets = 1 << 12, seed = 3, iters = 25)
+    // langId reads "the/and"-ish stopwords: the junk doc would PASS the
+    // heuristic lang gate as unknown → restrict to the clf gate's effect
+    // by allowing whatever language it predicts
+    val langs = docs.select(graft.functions.TextFunctions.langId(col("text")))
+      .collect().map(_.getString(0)).toSet
+    val out = Curate.curate(docs, "doc_id", "text",
+      Curate.Config(langs = langs, minTokens = 5L,
+        clfModel = Some(m), minClfProb = 0.5))
+    assert(out.select("doc_id").as[Long].collect().toSet === Set(1L))
+  }
+
   test("curate opt-in model gates: perplexity drops gibberish, DSIR drops off-target") {
     val offTarget = "the best deal and the free shipping on the cart at the checkout sale"
     val gibberish = "the the zorp vrilk plon qhudrix blet snarv wumpet grafix blon"

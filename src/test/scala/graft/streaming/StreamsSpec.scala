@@ -153,6 +153,38 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming curation with the learned-classifier gate (stateless kernel, no extra state)") {
+    val dir = Files.createTempDirectory("graftcurate5").toString + "/in"
+    val en = "the cat and the dog ran to the park and it was a fine day for all of us"
+    val junk = "the and zzq vvkp zzt wmm qqp jjx kkz ppv zzx jql nng hhw rrt"
+    Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, en),
+      (java.sql.Timestamp.valueOf("2024-01-01 10:00:01"), 2L, junk)
+    ).toDF("ts", "doc_id", "text").coalesce(1).write.parquet(dir)
+    val m = graft.ml.QualityClassifier.train(
+      Seq.fill(40)(en).toDF("text"),
+      Seq.fill(40)(junk).toDF("text"), "text",
+      buckets = 1 << 12, seed = 7, iters = 25)
+    val schema = spark.read.parquet(dir).schema
+    val stream = Streams.readParquetStream(spark, dir, schema)
+    val curated = Streams.streamingCurate(stream, "ts", "1 hour", "text",
+      langs = Set("en"), minTokens = 5L,
+      clfModel = Some(m), minClfProb = 0.5)
+    val q = curated.writeStream.outputMode("append")
+      .format("memory").queryName("curate5_out").start()
+    try {
+      q.processAllAvailable()
+      val ids = spark.sql("SELECT doc_id FROM curate5_out").collect().map(_.getLong(0)).toSet
+      assert(ids === Set(1L), ids)
+      // batch ≡ streaming on the same inputs
+      val batch = graft.ml.Curate.curate(
+        spark.read.parquet(dir), "doc_id", "text",
+        graft.ml.Curate.Config(langs = Set("en"), minTokens = 5L,
+          clfModel = Some(m), minClfProb = 0.5, scrubPii = false))
+      assert(batch.select("doc_id").as[Long].collect().toSet === ids)
+    } finally q.stop()
+  }
+
   test("streaming curation with the DSIR gate (stateless kernel, no extra state)") {
     val dir = Files.createTempDirectory("graftcurate4").toString + "/in"
     val wiki = "the history of science and the theory of culture in the early modern article"
