@@ -836,6 +836,17 @@ object SparkEntry {
         t(s, dir, "documents").select(col("doc_id"), col("lang"),
           TextFunctions.tokenCount(col("text")).as("n_tokens")),
         "n_tokens", "doc_id", budget = 4096, partitionCols = Seq("lang"))),
+    // packed bins materialized as training-ready sequence rows: member
+    // docs in pack order + per-bin token totals (the export surface a
+    // training pipeline hands to the tokenizer/loader)
+    "q_pack_export" -> ((s, dir) =>
+      Sampling.materializePacked(
+        Sampling.packSequences(
+          t(s, dir, "documents").select(col("doc_id"), col("lang"),
+            TextFunctions.tokenCount(col("text")).as("n_tokens")),
+          "n_tokens", "doc_id", budget = 4096, partitionCols = Seq("lang")),
+        orderCol = "doc_id", idCol = "doc_id", tokenCol = "n_tokens",
+        partitionCols = Seq("lang"))),
     // UNKEYED packing through the boundary-carry scale path (no global
     // window, no SinglePartition): the exact global running total the
     // carry reconstructs from per-partition offsets is oracled directly
@@ -1127,6 +1138,19 @@ object SparkEntry {
       // oracle-checkable against DuckDB's exact list_distance ranking
       Ann.pqKnnRerank(idx, e.filter(col("vec_id") < 10), e, "vec_id",
         "embedding", coarse, codebooks, k = 5, nProbe = 32, rerank = 150)
+        .select(col("query_id"), col("neighbour_id"), col("rank"))
+    }),
+    // SQ8 scalar quantization with the exact-rerank tail: SQ distances
+    // prune to a 150-candidate pool (30× the k=5 ask — 8-bit fidelity
+    // cannot evict a true neighbour at that margin), exact-L2 re-rank ⇒
+    // exact top-5; the encode/ADC kernels stay in the plan and the row
+    // set oracle-checks against DuckDB's exact list_distance ranking
+    "q_ann_sq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val p = Ann.trainSq(e, "embedding")
+      val idx = Ann.buildSqIndex(e, "vec_id", "embedding", p)
+      Ann.sqKnnRerank(idx, e.filter(col("vec_id") < 10), e, "vec_id",
+        "embedding", p, k = 5, rerank = 150)
         .select(col("query_id"), col("neighbour_id"), col("rank"))
     }),
     "q_ann_pq_recall" -> ((s, dir) => {
@@ -1854,6 +1878,17 @@ object SparkEntry {
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4096) AS BIGINT) AS bin
          FROM (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
                FROM documents)""",
+    "q_pack_export" ->
+      """WITH p AS (
+           SELECT doc_id, lang, n_tokens,
+             CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 4096) AS BIGINT) AS bin
+           FROM (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+                 FROM documents))
+         SELECT lang, bin, array_agg(doc_id ORDER BY doc_id) AS doc_ids,
+           CAST(count(*) AS INTEGER) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_seq_tokens
+         FROM p GROUP BY lang, bin""",
     "q_pack_global" ->
       """SELECT doc_id, n_tokens,
          CAST(floor(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
@@ -2356,6 +2391,17 @@ object SparkEntry {
     // exact Euclidean ranking — the ADC pool covers the true top-k, the
     // re-rank tail restores the exact order
     "q_ann_pq" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+         s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbour_id,
+               list_distance(q.embedding, e.embedding) AS d
+               FROM q, embeddings e WHERE e.vec_id != q.vec_id)
+         SELECT query_id, neighbour_id, rank FROM (
+           SELECT query_id, neighbour_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY d ASC, neighbour_id) AS rank
+           FROM s) WHERE rank <= 5""",
+    // q_ann_sq: SQ8 + exact rerank at a 30× pool ⇒ exact top-5, same
+    // oracle as q_ann_pq
+    "q_ann_sq" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
          s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbour_id,
                list_distance(q.embedding, e.embedding) AS d

@@ -243,6 +243,28 @@ final case class Tab(df: DataFrame) {
       graft.ml.Perplexity.score(df, idCol, textCol, model)))
   }
 
+  /** Learned-quality filter (ml.QualityClassifier): train the hashed
+    * n-gram logistic regression on caller-labeled positives/negatives,
+    * keep rows scoring ≥ minProb — the GPT-3-style classifier gate.
+    */
+  def filterByQuality(textCol: String, positives: Tab, negatives: Tab,
+      posTextCol: String, minProb: Double = 0.5): Tab = {
+    val m = graft.ml.QualityClassifier.train(
+      positives.df.select(org.apache.spark.sql.functions.col(posTextCol)),
+      negatives.df.select(org.apache.spark.sql.functions.col(posTextCol)),
+      posTextCol)
+    Tab(graft.ml.QualityClassifier.filterByQuality(df, textCol, m, minProb))
+  }
+
+  /** Token counts under a learned BPE vocabulary (ml.Bpe) as a new
+    * column — budget accounting with the tokens the downstream model
+    * actually sees.
+    */
+  def withBpeTokenCount(textCol: String, model: graft.ml.Bpe.Model,
+      as: String = "n_bpe_tokens"): Tab =
+    Tab(df.withColumn(as, graft.ml.Bpe.tokenCount(
+      org.apache.spark.sql.functions.col(textCol), model)))
+
   def save(path: String): Unit = Writers.save(df, path)
   def toCsv(path: String): Unit = Writers.toCsv(df, path)
   def toTsv(path: String): Unit = Writers.toTsv(df, path)

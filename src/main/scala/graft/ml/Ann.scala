@@ -935,6 +935,185 @@ object Ann {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  // ---- SQ8: 8-bit scalar quantization (the FAISS SQ family) ---------
+
+  /** Per-dimension quantization grid: code c decodes to lo + c·step.
+    * 4× smaller than float32 with near-exact distances — the middle
+    * rung of the memory/recall ladder (raw > SQ8 > PQ).
+    */
+  final case class SqParams(lo: Array[Double], step: Array[Double]) {
+    def dim: Int = lo.length
+  }
+
+  /** EXACT per-dimension [min, max] over the whole corpus — one
+    * posexplode + `dim`-row partial aggregation (combine happens
+    * map-side; only `dim` rows shuffle), then a bounded collect. No
+    * sampling, no seed: the grid is a deterministic function of the
+    * corpus, so re-training can never silently shift it.
+    */
+  def trainSq(corpus: DataFrame, vecCol: String): SqParams = {
+    val rows = corpus
+      .select(posexplode(col(vecCol)).as(Seq("__pos", "__x")))
+      .groupBy("__pos")
+      .agg(min(col("__x").cast("double")).as("__lo"),
+        max(col("__x").cast("double")).as("__hi"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    require(rows.nonEmpty, "SQ training corpus has no vectors")
+    SqParams(rows.map(_._2), rows.map { case (_, lo, hi) => (hi - lo) / 255.0 })
+  }
+
+  /** SQ8 index: `(neighbour_id, code)` — one map-side encode pass, the
+    * raw vectors never shuffle. dim bytes per row instead of 4·dim.
+    */
+  def buildSqIndex(
+      corpus: DataFrame, idCol: String, vecCol: String, p: SqParams): DataFrame =
+    corpus.select(col(idCol).as("neighbour_id"),
+      Kernels.sqEncode(col(vecCol), p.lo, p.step).as("code"))
+
+  /** Full-scan SQ search: asymmetric distance (raw query vs dequantized
+    * code, [[Kernels.SqAdcDistExpr]]) over the broadcast-joined query
+    * set — the [[bruteForceKnn]] plan shape at a quarter of the scan
+    * bytes. Squared-L2 ascending, ties to `neighbour_id`.
+    */
+  def sqKnn(
+      index: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      p: SqParams, k: Int = 10, broadcastQueries: Boolean = true): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = index
+      .join(if (broadcastQueries) broadcast(q) else q,
+        col("query_id") =!= col("neighbour_id"))
+      .select(col("query_id"), col("neighbour_id"),
+        Kernels.sqAdcDist(col("qv"), col("code"), p.lo, p.step).as("adc"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc").asc, col("neighbour_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** SQ with an exact re-rank tail (the [[pqKnnRerank]] shape): SQ
+    * distances prune to `rerank` candidates per query, the exact pass
+    * touches only |queries|×rerank raw vectors. With a pool that covers
+    * the true neighbours this equals exact L2 top-k — which is what
+    * lets the driver oracle-check it (q_ann_sq).
+    */
+  def sqKnnRerank(
+      index: DataFrame, queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, p: SqParams,
+      k: Int = 10, rerank: Int = 50, broadcastQueries: Boolean = true): DataFrame = {
+    val pool = sqKnn(index, queries, idCol, vecCol, p,
+      k = math.max(rerank, k), broadcastQueries = broadcastQueries)
+      .select(col("query_id"), col("neighbour_id"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbour_id"), col(vecCol).as("cv"))
+    val cand = pool.join(broadcast(q), Seq("query_id"))
+    val scored = c.join(broadcast(cand), Seq("neighbour_id"))
+      .select(col("query_id"), col("neighbour_id"),
+        Kernels.l2Dist(col("qv"), col("cv")).as("l2"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("l2").asc, col("neighbour_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Persist an SQ index self-contained: the grid rides in a
+    * `_sqparams` side table (per-dim rows), same rules as
+    * [[writeIvfIndex]]'s `_centroids` — including deleting a stale
+    * side table when rewritten without params.
+    */
+  def writeSqIndex(index: DataFrame, path: String, p: SqParams = null): Unit = {
+    index.write.mode("overwrite").parquet(path)
+    val spark = index.sparkSession
+    val side = new org.apache.hadoop.fs.Path(path + "/_sqparams")
+    val fs = side.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (p != null) {
+      import spark.implicits._
+      p.lo.indices.map(i => (i, p.lo(i), p.step(i))).toDF("pos", "lo", "step")
+        .coalesce(1).write.mode("overwrite").parquet(path + "/_sqparams")
+    } else if (fs.exists(side)) {
+      fs.delete(side, true)
+    }
+  }
+
+  def readSqParams(
+      spark: org.apache.spark.sql.SparkSession, path: String): SqParams = {
+    val sp = new org.apache.hadoop.fs.Path(path + "/_sqparams")
+    val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(sp),
+      s"no _sqparams under $path: the index was written without its grid " +
+        "(writeSqIndex(index, path, params)) — decoding it with a re-trained " +
+        "grid would shift every distance")
+    val rows = spark.read.parquet(path + "/_sqparams")
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    SqParams(rows.map(_._2), rows.map(_._3))
+  }
+
+  /** IVF+SQ composite (FAISS's IVFSQ8): coarse inverted lists prune
+    * the scan, SQ8 codes shrink what's scanned — one map-side pass
+    * builds both columns. Codes encode the RAW vector (not the
+    * residual), so distances are list-independent and the same
+    * `_sqparams` grid serves every list.
+    */
+  def buildIvfSqIndex(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], p: SqParams): DataFrame =
+    corpus.select(col(idCol).as("neighbour_id"),
+      element_at(Kernels.nearestCentroids(col(vecCol), centroids, 1), 1).as("list"),
+      Kernels.sqEncode(col(vecCol), p.lo, p.step).as("code"))
+
+  /** IVFSQ search: probe `nProbe` lists ([[ivfKnn]]'s join shape),
+    * score candidates with the asymmetric SQ distance ([[sqKnn]]'s
+    * kernel). Write the index `partitionBy("list")` (via
+    * [[writeIvfIndex]]) and the probe prunes to nProbe/nList of the
+    * files at a quarter of the bytes.
+    */
+  def ivfSqKnn(
+      index: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], p: SqParams,
+      k: Int = 10, nProbe: Int = 4, broadcastQueries: Boolean = true): DataFrame = {
+    val probed = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      explode(Kernels.nearestCentroids(col(vecCol), centroids, nProbe)).as("list"))
+    val scored = index
+      .join(if (broadcastQueries) broadcast(probed) else probed, Seq("list"))
+      .filter(col("query_id") =!= col("neighbour_id"))
+      .select(col("query_id"), col("neighbour_id"),
+        Kernels.sqAdcDist(col("qv"), col("code"), p.lo, p.step).as("adc"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc").asc, col("neighbour_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Recall@k of IVFSQ against exact L2 brute force. */
+  def ivfSqRecallAtK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int = 10, nList: Int = 32, nProbe: Int = 4,
+      exactFrame: DataFrame = null): DataFrame = {
+    val centroids = trainCentroids(corpus, vecCol, nList)
+    val p = trainSq(corpus, vecCol)
+    val approx = ivfSqKnn(buildIvfSqIndex(corpus, idCol, vecCol, centroids, p),
+      queries, idCol, vecCol, centroids, p, k, nProbe)
+      .select(col("query_id"), col("neighbour_id"))
+    val owned = exactFrame == null
+    val exact =
+      if (owned) exactL2Knn(corpus, queries, idCol, vecCol, k).persist()
+      else exactFrame
+    recallFrame(exact, approx, k, ownedExact = owned)
+  }
+
+  /** Recall@k of full-scan SQ against exact L2 brute force. */
+  def sqRecallAtK(
+      corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      k: Int = 10, exactFrame: DataFrame = null): DataFrame = {
+    val p = trainSq(corpus, vecCol)
+    val approx = sqKnn(buildSqIndex(corpus, idCol, vecCol, p),
+      queries, idCol, vecCol, p, k)
+      .select(col("query_id"), col("neighbour_id"))
+    val owned = exactFrame == null
+    val exact =
+      if (owned) exactL2Knn(corpus, queries, idCol, vecCol, k).persist()
+      else exactFrame
+    recallFrame(exact, approx, k, ownedExact = owned)
+  }
+
   /** Recall@k of IVFADC against exact L2 brute force. `rerank > 0`
     * routes the approximate side through [[pqKnnRerank]]'s exact tail.
     */

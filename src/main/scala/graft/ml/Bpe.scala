@@ -149,6 +149,32 @@ object Bpe {
   def tokenCount(text: Column, m: Model): Column =
     size(tokens(text, m))
 
+  /** The id-bearing vocabulary a trained model can emit: the 37 base
+    * symbols (`a-z`, `0-9`, `</w>`) in fixed order, then each merge's
+    * output symbol in rank order — so ids are DETERMINISTIC given the
+    * merges, stable under save/load, and dense in
+    * `[0, 37 + numMerges)`. (Encoding only ever outputs base symbols
+    * and merge results — the word rule lowercases to `[a-z0-9]` — so
+    * this vocabulary is complete by construction.)
+    */
+  def vocab(m: Model): Array[String] = {
+    val base = (('a' to 'z') ++ ('0' to '9')).map(String.valueOf) :+ "</w>"
+    (base ++ m.merges.map { case (l, r) => l + r }).toArray
+  }
+
+  /** Token-ID array of a document — the training-ready sequence.
+    * Implemented as tokens → map-literal lookup via `transform` over
+    * the kernel's output; every token is in [[vocab]] by construction,
+    * so there is no OOV id. Two merge paths CAN produce the same
+    * symbol string (("a","bc") and ("ab","c") both yield "abc") —
+    * equal strings are the same token, so the FIRST occurrence's id
+    * wins and the map stays total.
+    */
+  def tokenIds(text: Column, m: Model): Column = {
+    val firstIds = vocab(m).zipWithIndex.reverse.toMap // earlier entries overwrite later
+    transform(tokens(text, m), t => element_at(typedlit(firstIds), t))
+  }
+
   /** The model as a self-contained frame: `(rank, left, right)`, one
     * row per merge. Bounded by `numMerges` by construction.
     */

@@ -346,4 +346,36 @@ object Sampling {
     spark.createDataFrame(packed,
       schema.add("bin", org.apache.spark.sql.types.LongType))
   }
+
+  /** Export packed bins as training-ready sequence rows: one row per
+    * (partitionCols, bin) with the member docs in pack order —
+    * `doc_ids`, `n_docs`, `n_seq_tokens`, and (when `idsCol` is set)
+    * the concatenated token-id sequence `token_ids`. The shuffle unit
+    * is the bin: ONE partial-agg exchange of (bin, member structs),
+    * and a bin is ≤ budget tokens by construction, so no row can
+    * outgrow an executor no matter the corpus size.
+    */
+  def materializePacked(
+      packed: DataFrame, orderCol: String, idCol: String, tokenCol: String,
+      partitionCols: Seq[String] = Nil, idsCol: String = null): DataFrame = {
+    val fields = Seq(col(orderCol), col(idCol).as("__id"),
+      col(tokenCol).cast("long").as("__t")) ++
+      (if (idsCol == null) Nil else Seq(col(idsCol).as("__ids")))
+    val keys = (partitionCols :+ "bin").map(col)
+    val agged = packed
+      .groupBy(keys: _*)
+      .agg(sort_array(collect_list(struct(fields: _*))).as("__e"))
+    val base = agged.select(keys ++ Seq(
+      transform(col("__e"), x => x.getField("__id")).as("doc_ids"),
+      size(col("__e")).as("n_docs"),
+      aggregate(col("__e"), lit(0L),
+        (acc, x) => acc + coalesce(x.getField("__t"), lit(0L))).as("n_seq_tokens")): _*)
+    if (idsCol == null) base
+    else agged.select(keys ++ Seq(
+      transform(col("__e"), x => x.getField("__id")).as("doc_ids"),
+      size(col("__e")).as("n_docs"),
+      aggregate(col("__e"), lit(0L),
+        (acc, x) => acc + coalesce(x.getField("__t"), lit(0L))).as("n_seq_tokens"),
+      flatten(transform(col("__e"), x => x.getField("__ids"))).as("token_ids")): _*)
+  }
 }

@@ -1731,6 +1731,96 @@ object Kernels {
       copy(child = c)
   }
 
+  /** 8-bit scalar-quantization encode (the FAISS SQ8 shape): per
+    * dimension, code = round((x − lo) / step) clamped to [0, 255],
+    * with step = (hi − lo)/255 trained from the corpus. 4× smaller
+    * than float32 at far higher fidelity than PQ — the middle rung of
+    * the memory/recall ladder. A degenerate dimension (hi == lo →
+    * step 0) encodes 0 and decodes back to lo exactly.
+    */
+  def sqEncodeEval(
+      vec: ArrayData, lo: Array[Double], step: Array[Double],
+      elemKind: Int): Array[Byte] = {
+    val d = lo.length
+    require(vec.numElements() == d,
+      s"vector dim ${vec.numElements()} != trained dim $d")
+    val out = new Array[Byte](d)
+    var i = 0
+    while (i < d) {
+      val x = if (elemKind == 0) vec.getFloat(i).toDouble else vec.getDouble(i)
+      val q =
+        if (step(i) <= 0.0) 0L
+        else math.round((x - lo(i)) / step(i))
+      out(i) = math.max(0L, math.min(255L, q)).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Asymmetric SQ distance: squared L2 between a raw query vector and
+    * a dequantized SQ8 code (lo(i) + (code(i) & 0xFF)·step(i)) — the
+    * codes never decode to a materialized float column.
+    */
+  def sqAdcDistEval(
+      q: ArrayData, code: Array[Byte], lo: Array[Double], step: Array[Double],
+      elemKind: Int): Double = {
+    val d = lo.length
+    var s = 0.0
+    var i = 0
+    while (i < d) {
+      val x = if (elemKind == 0) q.getFloat(i).toDouble else q.getDouble(i)
+      val y = lo(i) + (code(i) & 0xFF).toDouble * step(i)
+      val diff = x - y
+      s += diff * diff
+      i += 1
+    }
+    s
+  }
+
+  case class SqEncodeExpr(child: Expression, lo: Array[Double], step: Array[Double])
+      extends UnaryExpression {
+    require(lo.length == step.length, s"lo/step dims: ${lo.length}/${step.length}")
+    override def dataType: DataType = BinaryType
+    @transient private lazy val elemKind =
+      child.dataType.asInstanceOf[ArrayType].elementType match {
+        case FloatType => 0
+        case _         => 1
+      }
+    override def nullSafeEval(input: Any): Any =
+      sqEncodeEval(input.asInstanceOf[ArrayData], lo, step, elemKind)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val l = ctx.addReferenceObj("sqLo", lo, "double[]")
+      val s = ctx.addReferenceObj("sqStep", step, "double[]")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.plans.Kernels.sqEncodeEval($c, $l, $s, $elemKind);")
+    }
+    override protected def withNewChildInternal(c: Expression): SqEncodeExpr =
+      copy(child = c)
+  }
+
+  case class SqAdcDistExpr(left: Expression, right: Expression,
+      lo: Array[Double], step: Array[Double])
+      extends BinaryExpression {
+    require(lo.length == step.length, s"lo/step dims: ${lo.length}/${step.length}")
+    override def dataType: DataType = DoubleType
+    @transient private lazy val elemKind =
+      left.dataType.asInstanceOf[ArrayType].elementType match {
+        case FloatType => 0
+        case _         => 1
+      }
+    override def nullSafeEval(q: Any, code: Any): Any =
+      sqAdcDistEval(q.asInstanceOf[ArrayData], code.asInstanceOf[Array[Byte]],
+        lo, step, elemKind)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val l = ctx.addReferenceObj("sqLo", lo, "double[]")
+      val s = ctx.addReferenceObj("sqStep", step, "double[]")
+      nullSafeCodeGen(ctx, ev, (q, c) =>
+        s"${ev.value} = graft.plans.Kernels.sqAdcDistEval($q, $c, $l, $s, $elemKind);")
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): SqAdcDistExpr =
+      copy(left = l, right = r)
+  }
+
   /** Greedy byte-pair encode of ONE word (symbol list of single chars +
     * an `</w>` end marker) under a learned merge-rank table: repeatedly
     * merge the adjacent pair with the LOWEST rank until none remains —
@@ -1927,6 +2017,11 @@ object Kernels {
     ExpressionUtils.column(BloomMightContainExpr(ExpressionUtils.expression(key), bloom))
   def zValue(cols: Column, boundaries: Array[Array[Double]], bits: Int): Column =
     ExpressionUtils.column(ZValueExpr(ExpressionUtils.expression(cols), boundaries, bits))
+  def sqEncode(vec: Column, lo: Array[Double], step: Array[Double]): Column =
+    ExpressionUtils.column(SqEncodeExpr(ExpressionUtils.expression(vec), lo, step))
+  def sqAdcDist(qv: Column, code: Column, lo: Array[Double], step: Array[Double]): Column =
+    ExpressionUtils.column(SqAdcDistExpr(
+      ExpressionUtils.expression(qv), ExpressionUtils.expression(code), lo, step))
   def knPplScore(text: Column, uniK: Array[Long], uniV: Array[Long],
       biK: Array[Long], biV: Array[Long], triK: Array[Long], triV: Array[Long],
       contK: Array[Long], contV: Array[Long], folK: Array[Long], folV: Array[Long],

@@ -321,4 +321,18 @@ class PlanQualitySpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(exchanges <= 1, s"expected at most one hash exchange, got $exchanges")
   }
+
+  test("SQ8 search: queries broadcast, corpus never shuffles before the per-query top-k") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val sq = graft.ml.Ann.trainSq(emb, "embedding")
+    val idx = graft.ml.Ann.buildSqIndex(emb, "vec_id", "embedding", sq)
+    val p = plan(graft.ml.Ann.sqKnn(idx, emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", sq, k = 5))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(2000))
+    // candidate pruning before the single per-query exchange
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"), p.take(2000))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"expected at most one hash exchange, got $exchanges")
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
 }

@@ -182,4 +182,63 @@ class PropertySpec extends SparkSpec {
       new java.io.File(p).delete()
     }
   }
+
+  test("BPE encode is lossless for ARBITRARY unicode input under arbitrary merge tables") {
+    // train on random word soup, encode unrelated random strings: the
+    // reassembly law (concat tokens, drop </w>) must hold regardless
+    val word = Gen.chooseNum(1, 8).flatMap(n => Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+    val doc = Gen.chooseNum(0, 12).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val anyStr = Gen.listOfN(30, Gen.chooseNum(Char.MinValue, Char.MaxValue)).map(_.mkString)
+    samples(Gen.zip(Gen.listOfN(15, doc), Gen.listOfN(10, Gen.oneOf(doc, anyStr))), n = 4)
+      .foreach { case (corpus, docs) =>
+        if (corpus.exists(_.exists(_.isLetterOrDigit))) {
+          val m = graft.ml.Bpe.train(corpus.toDF("text"), "text", numMerges = 40)
+          val rows = docs.toDF("text").select(
+            regexp_replace(array_join(graft.ml.Bpe.tokens(col("text"), m), ""), "</w>", "")
+              .as("rebuilt"),
+            array_join(graft.plans.Kernels.wordShingles(col("text"), 1), "").as("expected"))
+            .collect()
+          rows.foreach(r => assert(r.getString(0) === r.getString(1)))
+        }
+      }
+  }
+
+  test("classifier probability is a probability, and kernel == join path on random text") {
+    val word = Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val doc = Gen.chooseNum(0, 15).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    samples(Gen.zip(Gen.listOfN(10, doc), Gen.listOfN(10, doc), Gen.listOfN(12, doc)), n = 3)
+      .foreach { case (pos, neg, docs) =>
+        if (pos.exists(_.nonEmpty) && neg.exists(_.nonEmpty)) {
+          val m = graft.ml.QualityClassifier.train(
+            pos.toDF("text"), neg.toDF("text"), "text",
+            buckets = 1 << 10, seed = 1, iters = 5)
+          val scored = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+            .toDF("doc_id", "text")
+          val k = graft.ml.QualityClassifier.scoreInline(scored, "text", m)
+            .select(col("doc_id"), col("quality_prob").as("pk"))
+          val j = graft.ml.QualityClassifier.scoreJoin(scored, "doc_id", "text",
+            graft.ml.QualityClassifier.modelFrame(spark, m))
+            .select(col("doc_id"), col("quality_prob").as("pj"))
+          k.join(j, "doc_id").collect().foreach { r =>
+            val (pk, pj) = (r.getDouble(1), r.getDouble(2))
+            assert(pk >= 0.0 && pk <= 1.0)
+            assert(math.abs(pk - pj) <= 1e-8, s"parity: $pk vs $pj")
+          }
+        }
+      }
+  }
+
+  test("KN perplexity is positive and finite wherever defined, on random corpora") {
+    val word = Gen.chooseNum(1, 5).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val doc = Gen.chooseNum(3, 12).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    samples(Gen.listOfN(12, doc), n = 3).foreach { corpus =>
+      val model = graft.ml.Perplexity.train(corpus.toDF("text"), "text",
+        buckets = 1 << 10, seed = 2, smoothing = "kn")
+      val m = graft.ml.Perplexity.collectModel(model)
+      val ppl = graft.ml.Perplexity.scoreInline(corpus.toDF("text"), "text", m)
+        .select("ppl").collect().flatMap(r => Option(r.getAs[Any]("ppl")))
+        .map(_.asInstanceOf[Double])
+      ppl.foreach(p => assert(p > 0.0 && java.lang.Double.isFinite(p), s"ppl $p"))
+    }
+  }
 }

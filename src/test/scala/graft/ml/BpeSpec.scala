@@ -86,6 +86,30 @@ class BpeSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"encode plan shuffles:\n$plan")
   }
 
+  test("tokenIds: dense deterministic ids, roundtrip through vocab, stable under save/load") {
+    val corpus = Seq.tabulate(50)(i => s"pack the sequence budget tokens tight $i").toDF("text")
+    val m = Bpe.train(corpus, "text", numMerges = 30)
+    val v = Bpe.vocab(m)
+    // base symbols then merge outputs, ids dense in [0, 37 + merges)
+    assert(v.length === 37 + m.merges.length)
+    assert(v(0) === "a" && v(36) === "</w>")
+    val docs = Seq((1L, "pack the budget"), (2L, "")).toDF("doc_id", "text")
+    val ids = docs.select(col("doc_id"), Bpe.tokenIds(col("text"), m).as("ids"))
+      .orderBy("doc_id").collect().map(_.getSeq[Int](1))
+    // ids decode back to exactly the token strings the kernel emits
+    val toks = docs.select(col("doc_id"), Bpe.tokens(col("text"), m).as("t"))
+      .orderBy("doc_id").collect().map(_.getSeq[String](1))
+    assert(ids(0).map(v(_)) === toks(0))
+    assert(ids(1).isEmpty)
+    // stable across persistence
+    val dir = java.nio.file.Files.createTempDirectory("bpeid").toString
+    Bpe.save(spark, m, s"$dir/model")
+    val ids2 = docs.select(col("doc_id"),
+        Bpe.tokenIds(col("text"), Bpe.load(spark, s"$dir/model")).as("ids"))
+      .orderBy("doc_id").collect().map(_.getSeq[Int](1))
+    assert(ids2(0) === ids(0))
+  }
+
   test("minCount floor stops merge learning; maxTypes caps the dictionary") {
     // every pair occurs once -> nothing reaches minCount=2
     val m = Bpe.learnMerges(Array(("abc", 1L)), numMerges = 10, minCount = 2)

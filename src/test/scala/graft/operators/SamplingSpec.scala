@@ -155,6 +155,35 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("materializePacked: one row per bin, members in pack order, totals add up, ids concatenate") {
+    val packed = Sampling.packSequences(docs, "n_tokens", "id", budget = 500,
+      partitionCols = Seq("lang"))
+      .withColumn("ids", array(col("id"), col("id") * 10))
+    val seqs = Sampling.materializePacked(packed,
+      orderCol = "id", idCol = "id", tokenCol = "n_tokens",
+      partitionCols = Seq("lang"), idsCol = "ids")
+    val rows = seqs.collect()
+    // every (lang, bin) of the packing appears exactly once
+    val expectBins = packed.select("lang", "bin").distinct().count()
+    assert(rows.length.toLong === expectBins)
+    rows.foreach { r =>
+      val ids = r.getSeq[Long](r.fieldIndex("doc_ids"))
+      assert(ids === ids.sorted, "members not in pack order")
+      assert(r.getAs[Int]("n_docs") === ids.length)
+      // concatenated token ids are the per-doc arrays in the same order
+      val tok = r.getSeq[Long](r.fieldIndex("token_ids"))
+      assert(tok === ids.flatMap(i => Seq(i, i * 10)))
+    }
+    // token totals agree with the packing input
+    val total = rows.map(_.getAs[Long]("n_seq_tokens")).sum
+    val want = docs.agg(sum("n_tokens")).collect()(0).getLong(0)
+    assert(total === want)
+    // without idsCol the token_ids column is absent
+    val bare = Sampling.materializePacked(packed,
+      orderCol = "id", idCol = "id", tokenCol = "n_tokens", partitionCols = Seq("lang"))
+    assert(!bare.columns.contains("token_ids"))
+  }
+
   test("unkeyed packing: boundary-carry scale path equals the global window exactly") {
     // null token counts included: the window's sum ignores them, the
     // carry must treat them as 0 — identical bins either way
