@@ -1021,7 +1021,11 @@ object Ann {
     */
   def writeSqIndex(index: DataFrame, path: String, p: SqParams = null): Unit = {
     index.write.mode("overwrite").parquet(path)
-    val spark = index.sparkSession
+    writeSqSidecar(index.sparkSession, path, p)
+  }
+
+  private def writeSqSidecar(
+      spark: org.apache.spark.sql.SparkSession, path: String, p: SqParams): Unit = {
     val side = new org.apache.hadoop.fs.Path(path + "/_sqparams")
     val fs = side.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (p != null) {
@@ -1031,6 +1035,17 @@ object Ann {
     } else if (fs.exists(side)) {
       fs.delete(side, true)
     }
+  }
+
+  /** Persist an IVFSQ index self-contained: partitioned by inverted
+    * list (so probes prune files, [[writeIvfIndex]]'s shape) with BOTH
+    * sidecars — `_centroids` for the probe quantizer and `_sqparams`
+    * for the code grid, each under its own stale-rewrite deletion rule.
+    */
+  def writeIvfSqIndex(index: DataFrame, path: String,
+      centroids: Array[Array[Double]] = null, p: SqParams = null): Unit = {
+    writeIvfIndex(index, path, centroids)
+    writeSqSidecar(index.sparkSession, path, p)
   }
 
   def readSqParams(

@@ -123,6 +123,29 @@ class AnnSqSpec extends SparkSpec {
     assert(r >= 0.3, s"IVFSQ recall $r at 25% probe")
   }
 
+  test("IVFSQ persistence: partitioned by list, both sidecars roundtrip, search works cold") {
+    val p = Ann.trainSq(emb, "embedding")
+    val centroids = Ann.trainCentroids(emb, "embedding", nList = 8)
+    val idx = Ann.buildIvfSqIndex(emb, "vec_id", "embedding", centroids, p)
+    val dir = tmpDir("ivfsq")
+    Ann.writeIvfSqIndex(idx, dir, centroids, p)
+    // a fresh-session read needs NOTHING but the path
+    val c2 = Ann.readIvfCentroids(spark, dir)
+    val p2 = Ann.readSqParams(spark, dir)
+    assert(c2.length === 8 && p2.lo.toSeq === p.lo.toSeq)
+    val q = emb.filter(col("vec_id") < 5)
+    val live = Ann.ivfSqKnn(idx, q, "vec_id", "embedding", centroids, p,
+      k = 5, nProbe = 8).select("query_id", "neighbour_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    val cold = Ann.ivfSqKnn(Ann.readIvfIndex(spark, dir), q, "vec_id", "embedding",
+      c2, p2, k = 5, nProbe = 8).select("query_id", "neighbour_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted
+    assert(cold.toSeq === live.toSeq)
+    // the on-disk layout is list-partitioned (probe prunes files)
+    val sub = new java.io.File(dir).listFiles().map(_.getName)
+    assert(sub.exists(_.startsWith("list=")), sub.toSeq)
+  }
+
   test("scale shape: encode is map-side (no shuffle); codes are dim bytes") {
     val p = Ann.trainSq(emb, "embedding")
     val idx = Ann.buildSqIndex(emb, "vec_id", "embedding", p)
