@@ -487,6 +487,19 @@ object Ann {
       .write.mode("append").partitionBy("list").parquet(path)
   }
 
+  /** Incremental SQ ingestion: encode a new batch with the index's OWN
+    * stored grid ([[readSqParams]]) and append. The grid is the
+    * training corpus's per-dim [min, max] — out-of-range values clamp
+    * to the edges (inherent SQ behavior); re-train + rebuild when the
+    * distribution drifts, like any scalar quantizer deployment.
+    */
+  def appendToSqIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      corpus: DataFrame, idCol: String, vecCol: String): Unit = {
+    val p = readSqParams(spark, path)
+    buildSqIndex(corpus, idCol, vecCol, p).write.mode("append").parquet(path)
+  }
+
   /** Persist an IVFADC (PQ) index SELF-CONTAINED: the coarse quantizer
     * (`_centroids`, [[readIvfCentroids]]-compatible), the sub-codebooks
     * (`_codebooks`) and — when OPQ-trained — the rotation (`_rotation`)

@@ -263,6 +263,23 @@ object Streams {
       batch.join(hits, batch(idCol) === col("query_id"), "left").drop("query_id")
     }
 
+  /** Stream → ANN index ingestion: each micro-batch is assigned with
+    * the index's OWN stored quantizer ([[ml.Ann.appendToIvfIndex]]) and
+    * appended to the list-partitioned files — the long-running
+    * curation service's "new docs become searchable" loop, with NO
+    * rebuild: only the appended lists' files are touched, and a
+    * concurrent [[annEnrichBatch]] reader sees them on its next batch.
+    * Use as `stream.writeStream.foreachBatch(ivfAppendBatch(path, ...))`.
+    * Exactly-once caveat (documented, standard for file-append sinks):
+    * a batch retried after a mid-append crash can append twice —
+    * downstream search dedups by id, or compact periodically.
+    */
+  def ivfAppendBatch(
+      path: String, idCol: String, vecCol: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, _: Long) =>
+      if (!batch.isEmpty)
+        graft.ml.Ann.appendToIvfIndex(batch.sparkSession, path, batch, idCol, vecCol)
+
   final case class PackEvent(group: String, ts: java.sql.Timestamp,
       doc_id: Long, n_tokens: Long)
   final case class PackOut(group: String, ts: java.sql.Timestamp,

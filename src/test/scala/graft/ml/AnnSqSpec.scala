@@ -123,6 +123,24 @@ class AnnSqSpec extends SparkSpec {
     assert(r >= 0.3, s"IVFSQ recall $r at 25% probe")
   }
 
+  test("appendToSqIndex: new batch encoded with the STORED grid, searchable after append") {
+    val p = Ann.trainSq(emb, "embedding")
+    val dir = tmpDir("sqappend")
+    Ann.writeSqIndex(Ann.buildSqIndex(emb, "vec_id", "embedding", p), dir, p)
+    // append a copy of corpus vector 3 under a fresh id
+    val v3 = emb.filter(col("vec_id") === 3).collect()(0).getSeq[Float](1).toArray
+    Ann.appendToSqIndex(spark, dir,
+      Seq((99999L, v3)).toDF("vec_id", "embedding"), "vec_id", "embedding")
+    val idx = spark.read.parquet(dir)
+    assert(idx.count() === emb.count() + 1)
+    // identical query: both vec 3 and the appended twin land in the
+    // top-2 at (quantized) distance ~0
+    val top2 = Ann.sqKnn(idx, Seq((1L, v3)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", Ann.readSqParams(spark, dir), k = 2)
+      .select("neighbour_id").collect().map(_.getLong(0)).toSet
+    assert(top2 === Set(3L, 99999L), top2)
+  }
+
   test("IVFSQ persistence: partitioned by list, both sidecars roundtrip, search works cold") {
     val p = Ann.trainSq(emb, "embedding")
     val centroids = Ann.trainCentroids(emb, "embedding", nList = 8)

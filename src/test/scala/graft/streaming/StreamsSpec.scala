@@ -281,6 +281,43 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ivfAppendBatch: streamed vectors land in the persisted index and become searchable") {
+    val corpus = Seq.tabulate(40)(i =>
+      (i.toLong, Array.tabulate(8)(j => ((i * 7 + j) % 10) / 10.0f)))
+      .toDF("vec_id", "embedding")
+    val centroids = graft.ml.Ann.trainCentroids(corpus, "embedding", nList = 4, sampleN = 40)
+    val idxDir = Files.createTempDirectory("graftivfappend").toString + "/idx"
+    graft.ml.Ann.writeIvfIndex(
+      graft.ml.Ann.buildIvfIndex(corpus, "vec_id", "embedding", centroids),
+      idxDir, centroids)
+    val inDir = Files.createTempDirectory("graftivfappend_in").toString + "/in"
+    // batch 1: two new vectors in a fresh id space
+    Seq((1000L, Array.fill(8)(0.42f)), (1001L, Array.fill(8)(0.13f)))
+      .toDF("vec_id", "embedding").coalesce(1).write.parquet(inDir)
+    val schema = spark.read.parquet(inDir).schema
+    val stream = Streams.readParquetStream(spark, inDir, schema)
+    val q = stream.writeStream
+      .foreachBatch(Streams.ivfAppendBatch(idxDir, "vec_id", "embedding"))
+      .start()
+    try {
+      q.processAllAvailable()
+      // batch 2 arrives later — the append loop keeps running
+      Seq((1002L, Array.fill(8)(0.77f))).toDF("vec_id", "embedding")
+        .coalesce(1).write.mode("append").parquet(inDir)
+      q.processAllAvailable()
+      val idx = graft.ml.Ann.readIvfIndex(spark, idxDir)
+      assert(idx.count() === 43L)
+      // the appended vector is searchable through the STORED quantizer,
+      // and an identical query finds it nearest (cross id space)
+      val c2 = graft.ml.Ann.readIvfCentroids(spark, idxDir)
+      val hit = graft.ml.Ann.ivfKnn(idx,
+          Seq((1L, Array.fill(8)(0.42f))).toDF("vec_id", "embedding"),
+          "vec_id", "embedding", c2, k = 1, nProbe = 4, excludeSelf = false)
+        .select("neighbour_id").collect()
+      assert(hit.length === 1 && hit(0).getLong(0) === 1000L, hit.toSeq)
+    } finally q.stop()
+  }
+
   test("annEnrichBatch refuses a batch that already has a 'neighbours' column") {
     val corpus = Seq((1L, Array.fill(4)(0.1f)), (2L, Array.fill(4)(0.9f)))
       .toDF("vec_id", "embedding")
