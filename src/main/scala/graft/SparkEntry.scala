@@ -619,6 +619,18 @@ object SparkEntry {
         "lang", "doc_id", alpha = 0.5, n = 300, seed = 11)),
     // deterministic global training-order shuffle: reproducible md5
     // permutation materialized as shuffle_rank (withRowIndex scale path)
+    // leakage-safe split: near-dup clusters (here a closed-form pair
+    // relation — doc k ~ k+1 when k%5==0 — so the oracle can derive
+    // the same components without running CC) never straddle the
+    // train/holdout boundary; the md5-threshold assignment reproduces
+    // exactly in DuckDB (the q_shuffle md5-portability trick)
+    "q_split_safe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val pairs = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      graft.ml.Splits.leakageSafeSplit(docs, "doc_id", pairs,
+        holdoutPermille = 200, seed = 9)
+    }),
     "q_shuffle" -> ((s, dir) =>
       Sampling.shuffleDeterministic(
         t(s, dir, "documents").select(col("doc_id"), col("lang")),
@@ -1831,6 +1843,20 @@ object SparkEntry {
            FROM documents d, cnt, agg WHERE cnt.lang = d.lang)
          SELECT doc_id, lang FROM scored
          ORDER BY lnu / w DESC, doc_id LIMIT 300""",
+    // q_split_safe: closed-form components (k ~ k+1 iff k%5==0) + the
+    // portable md5-threshold assignment; permille 200 → floor(200·65536
+    // /1000) = 13107 = 0x3333
+    "q_split_safe" ->
+      """WITH c AS (
+           SELECT doc_id, lang,
+             CASE WHEN doc_id % 5 = 0 THEN doc_id
+                  WHEN doc_id % 5 = 1 THEN doc_id - 1
+                  ELSE doc_id END AS comp
+           FROM documents)
+         SELECT doc_id, lang,
+           CASE WHEN substr(md5(comp::VARCHAR || '_9'), 1, 4) < '3333'
+                THEN 'holdout' ELSE 'train' END AS split
+         FROM c""",
     "q_shuffle" ->
       """SELECT doc_id, lang,
            row_number() OVER (ORDER BY md5(doc_id::VARCHAR || '_5'), doc_id) - 1
