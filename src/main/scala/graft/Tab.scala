@@ -256,6 +256,14 @@ final case class Tab(df: DataFrame) {
     Tab(graft.ml.QualityClassifier.filterByQuality(df, textCol, m, minProb))
   }
 
+  /** Leakage-safe train/holdout split (ml.Splits): near-dup clusters
+    * from `pairs` (a `minhashPairs`-shaped frame) never straddle the
+    * boundary; assignment is deterministic in (cluster, seed).
+    */
+  def leakageSafeSplit(idCol: String, pairs: Tab,
+      holdoutPermille: Int = 100, seed: Int = 0): Tab =
+    Tab(graft.ml.Splits.leakageSafeSplit(df, idCol, pairs.df, holdoutPermille, seed))
+
   /** Token counts under a learned BPE vocabulary (ml.Bpe) as a new
     * column — budget accounting with the tokens the downstream model
     * actually sees.

@@ -90,6 +90,20 @@ class PipelineEndToEndSpec extends SparkSpec {
       shuffled.withColumn("n_tokens",
         graft.ml.Bpe.tokenCount(col("text"), bpe).cast("long")),
       "n_tokens", "shuffle_rank", budget = 512)
+    // the export surface: one sequence row per bin, members in pack
+    // order, BPE token-id sequences concatenated — what a loader reads
+    val seqs = graft.operators.Sampling.materializePacked(
+      packed.withColumn("ids", graft.ml.Bpe.tokenIds(col("text"), bpe)),
+      orderCol = "shuffle_rank", idCol = "doc_id", tokenCol = "n_tokens",
+      idsCol = "ids")
+    val seqStats = seqs.agg(
+      sum("n_seq_tokens"), sum(size(col("token_ids"))), sum("n_docs")).collect()(0)
+    // every packed doc appears in exactly one sequence, and the
+    // concatenated id streams account for every BPE token counted
+    assert(seqStats.getLong(2) === packed.count())
+    assert(seqStats.getLong(0) === seqStats.getLong(1),
+      s"token-id stream ${seqStats.getLong(1)} != counted ${seqStats.getLong(0)}")
+
     // chunking appends its own per-chunk n_tokens — the doc-level one
     // served the packing and retires here
     val chunks = graft.operators.Chunking.chunkByTokens(
