@@ -1165,6 +1165,18 @@ object SparkEntry {
         "embedding", p, k = 5, rerank = 150)
         .select(col("query_id"), col("neighbour_id"), col("rank"))
     }),
+    // IVFSQ-R at full probe: the probe join + SQ ADC prune to a 150
+    // pool, exact-L2 tail ⇒ exact top-5; exercises the coarse-probe
+    // machinery UNDER the SQ codes with the same oracle as q_ann_pq
+    "q_ann_ivfsq" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val p = Ann.trainSq(e, "embedding")
+      val centroids = Ann.trainCentroids(e, "embedding", nList = 32)
+      val idx = Ann.buildIvfSqIndex(e, "vec_id", "embedding", centroids, p)
+      Ann.ivfSqKnnRerank(idx, e.filter(col("vec_id") < 10), e, "vec_id",
+        "embedding", centroids, p, k = 5, nProbe = 32, rerank = 150)
+        .select(col("query_id"), col("neighbour_id"), col("rank"))
+    }),
     "q_ann_pq_recall" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       Ann.pqRecallAtK(e, e.filter(col("vec_id") < 20), "vec_id", "embedding",
@@ -2417,6 +2429,17 @@ object SparkEntry {
     // exact Euclidean ranking — the ADC pool covers the true top-k, the
     // re-rank tail restores the exact order
     "q_ann_pq" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+         s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbour_id,
+               list_distance(q.embedding, e.embedding) AS d
+               FROM q, embeddings e WHERE e.vec_id != q.vec_id)
+         SELECT query_id, neighbour_id, rank FROM (
+           SELECT query_id, neighbour_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY d ASC, neighbour_id) AS rank
+           FROM s) WHERE rank <= 5""",
+    // q_ann_ivfsq: IVFSQ-R at full probe + exact rerank ⇒ exact top-5,
+    // same oracle as q_ann_pq
+    "q_ann_ivfsq" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
          s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbour_id,
                list_distance(q.embedding, e.embedding) AS d

@@ -1110,6 +1110,33 @@ object Ann {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IVFSQ with the exact re-rank tail (the [[pqKnnRerank]] /
+    * [[sqKnnRerank]] shape): probed SQ distances prune to `rerank`
+    * candidates, the exact pass touches only |queries|×rerank raw
+    * vectors. At full probe with a covering pool this equals exact L2
+    * top-k — the oracle shape (q_ann_ivfsq).
+    */
+  def ivfSqKnnRerank(
+      index: DataFrame, queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], p: SqParams,
+      k: Int = 10, nProbe: Int = 4, rerank: Int = 50,
+      broadcastQueries: Boolean = true): DataFrame = {
+    val pool = ivfSqKnn(index, queries, idCol, vecCol, centroids, p,
+      k = math.max(rerank, k), nProbe = nProbe,
+      broadcastQueries = broadcastQueries)
+      .select(col("query_id"), col("neighbour_id"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbour_id"), col(vecCol).as("cv"))
+    val cand = pool.join(broadcast(q), Seq("query_id"))
+    val scored = c.join(broadcast(cand), Seq("neighbour_id"))
+      .select(col("query_id"), col("neighbour_id"),
+        Kernels.l2Dist(col("qv"), col("cv")).as("l2"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("l2").asc, col("neighbour_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Recall@k of IVFSQ against exact L2 brute force. */
   def ivfSqRecallAtK(
       corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,

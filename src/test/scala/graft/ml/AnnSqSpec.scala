@@ -141,6 +141,20 @@ class AnnSqSpec extends SparkSpec {
     assert(top2 === Set(3L, 99999L), top2)
   }
 
+  test("IVFSQ + exact rerank at full probe equals exact L2 top-k") {
+    val p = Ann.trainSq(emb, "embedding")
+    val centroids = Ann.trainCentroids(emb, "embedding", nList = 8)
+    val idx = Ann.buildIvfSqIndex(emb, "vec_id", "embedding", centroids, p)
+    val q = emb.filter(col("vec_id") < 8)
+    val got = Ann.ivfSqKnnRerank(idx, q, emb, "vec_id", "embedding",
+      centroids, p, k = 5, nProbe = 8, rerank = 60)
+      .select("query_id", "neighbour_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Ann.exactL2Knn(emb, q, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === exact)
+  }
+
   test("IVFSQ persistence: partitioned by list, both sidecars roundtrip, search works cold") {
     val p = Ann.trainSq(emb, "embedding")
     val centroids = Ann.trainCentroids(emb, "embedding", nList = 8)
