@@ -631,6 +631,15 @@ object SparkEntry {
       graft.ml.Splits.leakageSafeSplit(docs, "doc_id", pairs,
         holdoutPermille = 200, seed = 9)
     }),
+    // cluster-aware k-fold assignment (the cross-validation flavor of
+    // q_split_safe: same closed-form components, fold = md5 bucket
+    // range — integer-division ranges ≡ hex-threshold CASE in DuckDB)
+    "q_split_folds" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val pairs = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      graft.ml.Splits.leakageSafeFolds(docs, "doc_id", pairs, k = 4, seed = 9)
+    }),
     "q_shuffle" -> ((s, dir) =>
       Sampling.shuffleDeterministic(
         t(s, dir, "documents").select(col("doc_id"), col("lang")),
@@ -1855,6 +1864,21 @@ object SparkEntry {
            FROM documents d, cnt, agg WHERE cnt.lang = d.lang)
          SELECT doc_id, lang FROM scored
          ORDER BY lnu / w DESC, doc_id LIMIT 300""",
+    // q_split_folds: k=4 fold ranges are 0x4000-wide md5-bucket bands —
+    // floor(bucket·4/65536) ≡ the hex-threshold CASE
+    "q_split_folds" ->
+      """WITH c AS (
+           SELECT doc_id, lang,
+             CASE WHEN doc_id % 5 = 0 THEN doc_id
+                  WHEN doc_id % 5 = 1 THEN doc_id - 1
+                  ELSE doc_id END AS comp
+           FROM documents)
+         SELECT doc_id, lang,
+           CASE WHEN substr(md5(comp::VARCHAR || '_9'), 1, 4) < '4000' THEN 0
+                WHEN substr(md5(comp::VARCHAR || '_9'), 1, 4) < '8000' THEN 1
+                WHEN substr(md5(comp::VARCHAR || '_9'), 1, 4) < 'c000' THEN 2
+                ELSE 3 END AS fold
+         FROM c""",
     // q_split_safe: closed-form components (k ~ k+1 iff k%5==0) + the
     // portable md5-threshold assignment; permille 200 → floor(200·65536
     // /1000) = 13107 = 0x3333

@@ -56,4 +56,27 @@ object Splits {
           lit("holdout")).otherwise(lit("train")))
       .drop("__cc_id", "__cc_label", "__comp")
   }
+
+  /** `docs` + `fold` (0 .. k−1): the cross-validation flavor — every
+    * near-dup cluster lands whole in ONE fold, so no fold's holdout
+    * leaks into its training complement. Same portable md5 bucket as
+    * [[leakageSafeSplit]], mapped onto k equal bucket ranges.
+    */
+  def leakageSafeFolds(
+      docs: DataFrame, idCol: String, pairs: DataFrame,
+      k: Int, seed: Int = 0, foldCol: String = "fold"): DataFrame = {
+    require(k >= 2 && k <= 1000, s"k: $k (2..1000)")
+    require(!docs.columns.contains(foldCol),
+      s"leakageSafeFolds: docs already have a '$foldCol' column")
+    val comp = Dedup.connectedComponents(pairs)
+      .select(col("id").as("__cc_id"), col("label").as("__cc_label"))
+    docs
+      .join(comp, docs(idCol) === col("__cc_id"), "left")
+      .withColumn("__comp", coalesce(col("__cc_label"), docs(idCol)))
+      .withColumn(foldCol,
+        (conv(substring(md5(concat(col("__comp").cast("string"),
+          lit("_" + seed)).cast("binary")), 1, 4), 16, 10)
+          .cast("long") * k / 65536L).cast("int"))
+      .drop("__cc_id", "__cc_label", "__comp")
+  }
 }

@@ -55,6 +55,25 @@ class SplitsSpec extends SparkSpec {
     assert(e.getMessage.contains("split"))
   }
 
+  test("leakageSafeFolds: clusters land whole in one fold; folds cover 0..k-1 reasonably") {
+    val pairs = (0L until 300L).filter(_ % 3 != 2)
+      .map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Splits.leakageSafeFolds(docs(300), "doc_id", pairs, k = 5, seed = 4)
+    val straddle = out
+      .withColumn("comp", col("doc_id") - pmod(col("doc_id"), lit(3)))
+      .groupBy("comp").agg(countDistinct("fold").as("n"))
+      .agg(max("n")).collect()(0).getLong(0)
+    assert(straddle === 1L)
+    val folds = out.select("fold").distinct().collect().map(_.getInt(0)).sorted
+    assert(folds.forall(f => f >= 0 && f < 5), folds.toSeq)
+    assert(folds.length >= 4, s"only ${folds.toSeq} folds hit on 100 clusters")
+    // fold assignment is consistent with the two-way split's buckets:
+    // same md5, same component unit
+    val e = intercept[IllegalArgumentException](
+      Splits.leakageSafeFolds(docs(5), "doc_id", pairs, k = 1))
+    assert(e.getMessage.contains("k"))
+  }
+
   test("end-to-end with real minhash pairs: twins land on the same side") {
     val base = Seq.tabulate(30)(i =>
       (i.toLong, s"completely distinct document number $i about topic ${i * 37}"))
