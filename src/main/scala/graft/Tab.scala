@@ -246,13 +246,15 @@ final case class Tab(df: DataFrame) {
   /** Learned-quality filter (ml.QualityClassifier): train the hashed
     * n-gram logistic regression on caller-labeled positives/negatives,
     * keep rows scoring ≥ minProb — the GPT-3-style classifier gate.
+    * `labelTextCol` names the text column in BOTH label frames (rename
+    * upstream if they differ — the shared name IS the contract).
     */
   def filterByQuality(textCol: String, positives: Tab, negatives: Tab,
-      posTextCol: String, minProb: Double = 0.5): Tab = {
+      labelTextCol: String, minProb: Double = 0.5): Tab = {
     val m = graft.ml.QualityClassifier.train(
-      positives.df.select(org.apache.spark.sql.functions.col(posTextCol)),
-      negatives.df.select(org.apache.spark.sql.functions.col(posTextCol)),
-      posTextCol)
+      positives.df.select(org.apache.spark.sql.functions.col(labelTextCol)),
+      negatives.df.select(org.apache.spark.sql.functions.col(labelTextCol)),
+      labelTextCol)
     Tab(graft.ml.QualityClassifier.filterByQuality(df, textCol, m, minProb))
   }
 

@@ -496,8 +496,30 @@ object Ann {
   def appendToSqIndex(
       spark: org.apache.spark.sql.SparkSession, path: String,
       corpus: DataFrame, idCol: String, vecCol: String): Unit = {
+    // IVFSQ indexes ALSO carry _sqparams, so readSqParams alone would
+    // succeed here and this append would drop flat (id, code) files
+    // into a list-partitioned layout — appended rows land with a null
+    // `list`, invisible to every probe, with no error anywhere
+    val cPath = new org.apache.hadoop.fs.Path(path + "/_centroids")
+    require(!cPath.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(cPath),
+      s"_centroids under $path: this is a list-partitioned IVFSQ index — " +
+        "append through appendToIvfSqIndex so new rows are assigned to " +
+        "inverted lists, not written flat")
     val p = readSqParams(spark, path)
     buildSqIndex(corpus, idCol, vecCol, p).write.mode("append").parquet(path)
+  }
+
+  /** The IVFSQ twin of [[appendToSqIndex]]: assign with the stored
+    * coarse quantizer AND encode with the stored grid, append to the
+    * list-partitioned files.
+    */
+  def appendToIvfSqIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      corpus: DataFrame, idCol: String, vecCol: String): Unit = {
+    val centroids = readIvfCentroids(spark, path)
+    val p = readSqParams(spark, path)
+    buildIvfSqIndex(corpus, idCol, vecCol, centroids, p)
+      .write.mode("append").partitionBy("list").parquet(path)
   }
 
   /** Persist an IVFADC (PQ) index SELF-CONTAINED: the coarse quantizer

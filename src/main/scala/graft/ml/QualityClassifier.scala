@@ -209,10 +209,15 @@ object QualityClassifier {
         Seq("__b"), "left")
       .groupBy(col(idCol))
       .agg((sum(coalesce(col("w"), lit(0.0))) / count(lit(1))).as("__dot"))
+    // null text scores NULL, not sigma(bias): the kernel path
+    // ([[prob]], nullSafeEval) yields NULL there, and the two paths are
+    // pinned equal — a left-join coalesce must not resurrect rows the
+    // kernel's downstream quality filter would drop
     val out = docs.join(perDoc, Seq(idCol), "left")
       .withColumn("quality_prob",
-        lit(1.0) / (lit(1.0) +
-          exp(-(lit(bias) + coalesce(col("__dot"), lit(0.0))))))
+        when(col(textCol).isNull, lit(null).cast("double"))
+          .otherwise(lit(1.0) / (lit(1.0) +
+            exp(-(lit(bias) + coalesce(col("__dot"), lit(0.0)))))))
       .drop("__dot")
     if (callerCached) out else scope.releaseAfter(out)
   }
