@@ -323,6 +323,31 @@ object SparkEntry {
         Seq("l_orderkey"), Seq("o_orderkey"), "inner", buckets = 16)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
           col("o_totalprice"))),
+    // rolling aggregates (moving window of 5 rows) keyed by order
+    // priority, ordered by the UNIQUE o_orderkey (a total order — the
+    // rolling contract); the measure is floor(o_totalprice), so sums
+    // are integer-valued doubles and cross-engine addition is exact
+    "q_rolling" -> ((s, dir) =>
+      graft.operators.Rolling.rolling(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"),
+          floor(col("o_totalprice")).cast("double").as("o_total_i")),
+        Seq("o_total_i"), "o_orderkey", n = 5,
+        partitionCols = Seq("o_orderpriority"))
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_total_i"),
+          col("o_total_i_roll_sum"), col("o_total_i_roll_avg"),
+          col("o_total_i_roll_min"), col("o_total_i_roll_max"))),
+    // point-in-interval join through the BANDED equi-join scale path
+    // (explode intervals to fixed-width bands, hash-join on the band,
+    // exact residual BETWEEN) — banding changes cost, never rows, so
+    // the oracle is the plain theta join
+    "q_join_range" -> ((s, dir) =>
+      Joins.rangeJoin(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+        t(s, dir, "supplier").select(col("s_suppkey"),
+          (col("s_suppkey") * 3000.0).as("lo"),
+          (col("s_suppkey") * 3000.0 + 4500.0).as("hi")),
+        "o_totalprice", "lo", "hi", bandWidth = 3000L)
+        .select(col("o_orderkey"), col("s_suppkey"))),
     // layout op: z-order-cluster lineitem on (l_partkey, l_suppkey), read
     // back through a 2-D range filter — layout changes file pruning, never
     // rows (oracle = plain SQL over the unclustered table)
@@ -589,6 +614,14 @@ object SparkEntry {
         .groupBy(col("gram")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("gram").asc)
         .limit(100)),
+    // BM25 lexical retrieval: top-50 docs for a fixed 3-term query,
+    // ranked on the 6-dp-rounded score (absorbs cross-engine ln/avg ulp
+    // drift; ties break by doc_id) — the oracle recomputes the exact
+    // Okapi/Lucene formula in SQL
+    "q_bm25" -> ((s, dir) =>
+      graft.ml.Retrieval.bm25TopK(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", Seq("spark", "vector", "hash"), k = 50)),
     // same vocab top-k via SpaceSaving: bounded capacity-entry summaries
     // merge map-side — the shuffle carries ≤ capacity entries per task
     // instead of one row per distinct gram (exact here: 916 < 4096)
@@ -847,6 +880,45 @@ object SparkEntry {
         .agg(max(abs(col("pk") - col("pj")))).collect()(0).getDouble(0)
       Seq(acc.getLong(1) > 0 && acc.getDouble(0) >= 0.95 && maxDiff <= 1e-8)
         .toDF("quality_clf_ok")
+    }),
+    // unigram-LM tokenizer gate (q_bpe's construction for the SECOND
+    // tokenizer family — Kudo 2018 / SentencePiece unigram): train on
+    // the corpus's word dictionary, then require
+    //  (1) losslessness — every doc's pieces reassemble its normalized
+    //      words exactly,
+    //  (2) compression — total pieces strictly below total characters,
+    //  (3) EM did work — the trained probabilities fit the corpus at
+    //      least as well (Viterbi log-likelihood) as uniform
+    //      probabilities over the SAME vocabulary, and
+    //  (4) ids are dense in [0, |vocab|) with no OOV on the corpus.
+    "q_unigram" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val m = graft.ml.UnigramLm.train(docs, "text", vocabSize = 300,
+        maxPieceLen = 6)
+      val uniform = graft.ml.UnigramLm.Model(m.pieces,
+        Array.fill(m.pieces.length)(math.log(1.0 / m.pieces.length)))
+      val agg = docs.select(
+        graft.ml.UnigramLm.tokens(col("text"), m).as("toks"),
+        graft.plans.Kernels.wordShingles(col("text"), 1).as("words"),
+        graft.ml.UnigramLm.logLikelihood(col("text"), m).as("lla"),
+        graft.ml.UnigramLm.logLikelihood(col("text"), uniform).as("llb"),
+        graft.ml.UnigramLm.tokenIds(col("text"), m).as("ids"))
+        .select(
+          (array_join(col("toks"), "") === array_join(col("words"), ""))
+            .cast("long").as("lossless"),
+          size(col("toks")).cast("double").as("np"),
+          length(array_join(col("words"), "")).cast("double").as("nc"),
+          col("lla"), col("llb"),
+          coalesce(array_min(col("ids")), lit(0)).as("idlo"),
+          coalesce(array_max(col("ids")), lit(0)).as("idhi"))
+        .agg(min("lossless"), sum("np"), sum("nc"), sum("lla"), sum("llb"),
+          min("idlo"), max("idhi")).collect()(0)
+      Seq(agg.getLong(0) == 1L &&
+        agg.getDouble(1) < agg.getDouble(2) &&
+        agg.getDouble(3) >= agg.getDouble(4) - 1e-6 &&
+        agg.getInt(5) >= 0 && agg.getInt(6) < m.pieces.length)
+        .toDF("unigram_ok")
     }),
     // learned BPE tokenizer gate (boolean-verdict oracle): train merges
     // on the corpus's own word-frequency dictionary, then require
@@ -1570,6 +1642,20 @@ object SparkEntry {
     "q_join_salted" ->
       """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_totalprice
          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""",
+    "q_join_range" ->
+      """SELECT o.o_orderkey, s.s_suppkey FROM orders o JOIN supplier s
+         ON o.o_totalprice BETWEEN s.s_suppkey * 3000.0
+                               AND s.s_suppkey * 3000.0 + 4500.0""",
+    "q_rolling" ->
+      """SELECT o_orderkey, o_orderpriority,
+           CAST(floor(o_totalprice) AS DOUBLE) AS o_total_i,
+           sum(CAST(floor(o_totalprice) AS DOUBLE)) OVER w AS o_total_i_roll_sum,
+           avg(CAST(floor(o_totalprice) AS DOUBLE)) OVER w AS o_total_i_roll_avg,
+           min(CAST(floor(o_totalprice) AS DOUBLE)) OVER w AS o_total_i_roll_min,
+           max(CAST(floor(o_totalprice) AS DOUBLE)) OVER w AS o_total_i_roll_max
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""",
     "q_zorder" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM lineitem
          WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 60""",
@@ -1753,6 +1839,31 @@ object SparkEntry {
     // dup corpus = embeddings ∪ exact copies (ids +1e6); identical vectors
     // share a k-means cell, min-id keep-one ⇒ survivors are the originals
     "q_semdedup" -> "SELECT vec_id FROM embeddings",
+    // q_bm25: the exact Okapi formula (Lucene idf) recomputed in SQL;
+    // ranks on the 6-dp-rounded score with doc_id tie-break — the same
+    // rounding the Spark side applies, so last-ulp ln/avg drift between
+    // engines cannot flip a rank
+    "q_bm25" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                      FROM documents WHERE text IS NOT NULL),
+         dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tok GROUP BY doc_id),
+         st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+         tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok
+                WHERE term IN ('spark', 'vector', 'hash') GROUP BY doc_id, term),
+         df AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tok
+                WHERE term IN ('spark', 'vector', 'hash') GROUP BY term),
+         sc AS (SELECT tf.doc_id,
+                  sum(ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+                      (tf.tf * (1.2 + 1)) /
+                      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS s
+                FROM tf JOIN df ON tf.term = df.term
+                        JOIN dl ON tf.doc_id = dl.doc_id
+                        CROSS JOIN st
+                GROUP BY tf.doc_id)
+         SELECT doc_id, rank FROM (
+           SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY round(s, 6) DESC, doc_id) AS INTEGER) AS rank
+           FROM sc) WHERE rank <= 50""",
     "q_vocab" ->
       """WITH toks AS (
            SELECT doc_id, list_filter(string_split(
@@ -1983,6 +2094,10 @@ object SparkEntry {
     // merges; the oracle is the boolean verdict
     "q_bpe" ->
       "SELECT true AS bpe_ok",
+    // q_unigram: losslessness + compression + EM-beats-uniform + dense
+    // ids under the unigram-LM tokenizer; the oracle is the verdict
+    "q_unigram" ->
+      "SELECT true AS unigram_ok",
     "q_chunk" ->
       """WITH c AS (
            SELECT doc_id, string_split(text, ' ') AS toks,

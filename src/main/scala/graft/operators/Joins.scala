@@ -208,6 +208,69 @@ object Joins {
         join(pruned, sm, Seq(largeKey), Seq(smallKey), "inner", nullSafe = false))
   }
 
+  /** Point-in-interval (range) join: every (point, interval) pair with
+    * `lo <= point <= hi`, plus optional extra equi-keys. No reference
+    * analogue (its theta `lookup` is first-match and row-at-a-time);
+    * the natural companion of [[asofJoin]] for event/interval data.
+    *
+    * A naive theta join is a cartesian product — dead at scale. This is
+    * the BANDED equi-join shape: the number line is cut into fixed
+    * `bandWidth` bands, each interval row is exploded to every band it
+    * overlaps, each point row maps to exactly ONE band, and a hash
+    * equi-join on (band [, keys]) with a residual exact BETWEEN filter
+    * yields each qualifying pair exactly once (the point's band is
+    * unique — no dedup pass). The final filter is exact, so banding
+    * affects cost only, never the row set. Pick `bandWidth` near the
+    * typical interval span: the explode factor is span/bandWidth + 1.
+    * Pathological spans fail loudly via `maxBandsPerInterval` (a
+    * codegen raise_error, not a silent 2^31-row explode); hot bands are
+    * AQE skew-join territory. Null points, null bounds, and inverted
+    * intervals (`lo > hi`) match nothing — SQL BETWEEN semantics.
+    * Interval-side name collisions get the `_1` suffix rule like every
+    * other join here.
+    */
+  def rangeJoin(
+      points: DataFrame,
+      intervals: DataFrame,
+      pointCol: String,
+      loCol: String,
+      hiCol: String,
+      bandWidth: Long,
+      pointKeys: Seq[String] = Nil,
+      intervalKeys: Seq[String] = Nil,
+      maxBandsPerInterval: Int = 1 << 16): DataFrame = {
+    require(bandWidth > 0, s"bandWidth: $bandWidth")
+    require(pointKeys.length == intervalKeys.length, "key arity mismatch")
+    val w = lit(bandWidth.toDouble)
+    val p = points
+      .filter(col(pointCol).isNotNull)
+      .withColumn("__band", floor(col(pointCol) / w).cast("long"))
+    val loB = floor(col(loCol) / w).cast("long")
+    val hiB = floor(col(hiCol) / w).cast("long")
+    val iv = intervals
+      .filter(col(loCol).isNotNull && col(hiCol).isNotNull &&
+        col(loCol) <= col(hiCol))
+      .withColumn("__band", explode(sequence(loB,
+        when(hiB - loB < lit(maxBandsPerInterval.toLong), hiB)
+          .otherwise(raise_error(concat(
+            lit(s"rangeJoin: an interval spans over $maxBandsPerInterval bands at " +
+              s"bandWidth=$bandWidth — widen bandWidth or split the interval (span "),
+            col(hiCol) - col(loCol), lit(")")))))))
+    val renames = dedupRight(p.columns.toSeq, iv.columns.toSeq)
+    val r = renames.foldLeft(iv) { case (df, (from, to)) =>
+      if (from == to) df else df.withColumnRenamed(from, to)
+    }
+    val bandR = renames.toMap.apply("__band")
+    val loR = renames.toMap.getOrElse(loCol, loCol)
+    val hiR = renames.toMap.getOrElse(hiCol, hiCol)
+    val keyCond = pointKeys.zip(intervalKeys.map(k => renames.toMap.getOrElse(k, k)))
+      .map { case (a, b) => col(a) <=> col(b) }
+    val cond = (Seq(col("__band") === col(bandR),
+      col(pointCol) >= col(loR), col(pointCol) <= col(hiR)) ++ keyCond)
+      .reduce(_ && _)
+    p.join(r, cond, "inner").drop("__band").drop(bandR)
+  }
+
   /** As-of join (no reference analogue; the natural generalization of
     * `lookup` with a time criterion, and table stakes for event data).
     * For each left row: the right row with the greatest `rightTime` <=

@@ -1890,6 +1890,92 @@ object Kernels {
       copy(child = c)
   }
 
+  /** Viterbi-best unigram-LM segmentation of one word (Kudo 2018,
+    * "Subword Regularization", §3.1 decoding): maximize the sum of
+    * piece log-probabilities over all segmentations — classic dp over
+    * word positions, transitions bounded by `maxLen`. Ties keep the
+    * EARLIEST start (longest final piece) — deterministic given the
+    * table. A position unreachable through the table (a character
+    * outside the trained vocabulary) falls back to per-character
+    * emission so encoding is total.
+    */
+  private def unigramViterbiWord(
+      word: String, logp: java.util.HashMap[String, java.lang.Double],
+      maxLen: Int): Array[String] = {
+    val n = word.length
+    val best = new Array[Double](n + 1)
+    val back = new Array[Int](n + 1)
+    java.util.Arrays.fill(best, Double.NegativeInfinity)
+    best(0) = 0.0
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - maxLen)
+      while (j < i) {
+        if (best(j) != Double.NegativeInfinity) {
+          val p = logp.get(word.substring(j, i))
+          if (p != null) {
+            val s = best(j) + p.doubleValue()
+            if (s > best(i)) { best(i) = s; back(i) = j }
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (best(n) == Double.NegativeInfinity) {
+      val out = new Array[String](n)
+      var k = 0
+      while (k < n) { out(k) = String.valueOf(word.charAt(k)); k += 1 }
+      return out
+    }
+    val rev = new java.util.ArrayList[String]()
+    var pos = n
+    while (pos > 0) { rev.add(word.substring(back(pos), pos)); pos = back(pos) }
+    val out = new Array[String](rev.size)
+    var k = 0
+    while (k < out.length) { out(k) = rev.get(out.length - 1 - k); k += 1 }
+    out
+  }
+
+  /** Unigram-LM tokens of a whole document: engine-wide word rule
+    * ([[wordShinglesEval]] order 1), then Viterbi-segment each word.
+    * Per-call word memo, like [[bpeTokensEval]].
+    */
+  def unigramTokensEval(
+      input: UTF8String, logp: java.util.HashMap[String, java.lang.Double],
+      maxLen: Int): ArrayData = {
+    val words = wordShinglesEval(input, 1)
+    val n = words.numElements()
+    val memo = new java.util.HashMap[String, Array[String]]()
+    val out = new java.util.ArrayList[Any]()
+    var i = 0
+    while (i < n) {
+      val w = words.getUTF8String(i).toString
+      var toks = memo.get(w)
+      if (toks == null) { toks = unigramViterbiWord(w, logp, maxLen); memo.put(w, toks) }
+      var j = 0
+      while (j < toks.length) { out.add(UTF8String.fromString(toks(j))); j += 1 }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  case class UnigramTokensExpr(child: Expression,
+      logp: java.util.HashMap[String, java.lang.Double], maxLen: Int)
+      extends UnaryExpression {
+    require(maxLen > 0, s"maxLen: $maxLen")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      unigramTokensEval(input.asInstanceOf[UTF8String], logp, maxLen)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val t = ctx.addReferenceObj("unigramLogp", logp, "java.util.HashMap")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.plans.Kernels.unigramTokensEval($c, $t, $maxLen);")
+    }
+    override protected def withNewChildInternal(c: Expression): UnigramTokensExpr =
+      copy(child = c)
+  }
+
   /** Single-pass logistic-regression quality probability under a DENSE
     * hashed-n-gram weight vector riding as a reference object (the
     * fastText-supervised / CCNet-linear-classifier shape): tokenize
@@ -2032,6 +2118,9 @@ object Kernels {
       b2Types, buckets, seed, discount, order))
   def bpeTokens(text: Column, ranks: java.util.HashMap[String, Integer]): Column =
     ExpressionUtils.column(BpeTokensExpr(ExpressionUtils.expression(text), ranks))
+  def unigramTokens(text: Column,
+      logp: java.util.HashMap[String, java.lang.Double], maxLen: Int): Column =
+    ExpressionUtils.column(UnigramTokensExpr(ExpressionUtils.expression(text), logp, maxLen))
   def hashedGrams(text: Column, buckets: Long, seed: Int, maxOrder: Int): Column =
     ExpressionUtils.column(HashedGramsExpr(ExpressionUtils.expression(text),
       buckets, seed, maxOrder))

@@ -335,4 +335,40 @@ class PlanQualitySpec extends SparkSpec {
     assert(exchanges <= 1, s"expected at most one hash exchange, got $exchanges")
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
+
+  test("rangeJoin is a banded hash equi-join, never a nested-loop cartesian") {
+    import spark.implicits._
+    val pts = spark.range(2000).select(col("id").as("pid"),
+      (col("id") % 997).cast("double").as("x"))
+    val ivs = spark.range(100).select(col("id").as("iid"),
+      (col("id") * 9).cast("double").as("lo"),
+      (col("id") * 9 + 25).cast("double").as("hi"))
+    val p = plan(graft.operators.Joins.rangeJoin(pts, ivs, "x", "lo", "hi",
+      bandWidth = 10L))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("bm25: idf side broadcasts; no cartesian; corpus text scans once per stat pass") {
+    import spark.implicits._
+    val docs = Seq.tabulate(50)(i => (i.toLong, s"spark join row $i"))
+      .toDF("doc_id", "text").repartition(4)
+    val p = plan(graft.ml.Retrieval.bm25(docs, "doc_id", "text",
+      Seq("spark", "join")))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("keyed rolling is one hash-partitioned window, no global sort") {
+    import spark.implicits._
+    val df = Seq.tabulate(100)(i => (i.toLong, s"g${i % 4}", i.toDouble))
+      .toDF("i", "g", "v").repartition(4)
+    val p = plan(graft.operators.Rolling.rolling(df, Seq("v"), "i", n = 5,
+      partitionCols = Seq("g")))
+    assert(p.contains("Window"), p)
+    // hash partitioning on the key, not a SinglePartition global window
+    assert(!p.contains("SinglePartition"), p)
+  }
 }

@@ -120,4 +120,46 @@ class JoinsSpec extends SparkSpec {
     assert(Joins.uniqueName("a", Set("a", "a_1")) === "a_2")
     assert(Joins.uniqueName("b", Set("a")) === "b")
   }
+
+  test("rangeJoin equals the naive theta join; nulls and inverted intervals drop") {
+    val rnd = new scala.util.Random(3)
+    val pts = Seq.tabulate(300)(i =>
+      (i.toLong, if (i % 29 == 0) None else Some(rnd.nextInt(1000).toDouble)))
+      .toDF("pid", "x")
+    val ivs = Seq.tabulate(60) { i =>
+      val lo = rnd.nextInt(950).toDouble
+      // every few intervals inverted (lo > hi) or null-bounded — must match nothing
+      if (i % 13 == 0) (i.toLong, Some(lo), Some(lo - 5.0))
+      else if (i % 17 == 0) (i.toLong, None: Option[Double], Some(lo))
+      else (i.toLong, Some(lo), Some(lo + rnd.nextInt(120).toDouble))
+    }.toDF("iid", "lo", "hi")
+    val banded = Joins.rangeJoin(pts, ivs, "x", "lo", "hi", bandWidth = 40L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val naive = pts.join(ivs, col("x") >= col("lo") && col("x") <= col("hi"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(banded === naive)
+    assert(naive.nonEmpty, "degenerate fixture: no matches at all")
+  }
+
+  test("rangeJoin with extra equi-keys restricts pairs; colliding names get _1") {
+    val pts = Seq((1L, "a", 5.0), (2L, "b", 5.0)).toDF("pid", "g", "x")
+    val ivs = Seq((10L, "a", 0.0, 9.0), (11L, "b", 0.0, 9.0), (12L, "a", 6.0, 9.0))
+      .toDF("pid", "g", "lo", "hi") // pid/g collide with the point side
+    val out = Joins.rangeJoin(pts, ivs, "x", "lo", "hi", bandWidth = 4L,
+      pointKeys = Seq("g"), intervalKeys = Seq("g"))
+    assert(out.columns.contains("pid_1") && out.columns.contains("g_1"))
+    val pairs = out.select(col("pid"), col("pid_1")).as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 10L), (2L, 11L)))
+  }
+
+  test("rangeJoin fails loudly on a pathological interval span") {
+    val pts = Seq((1L, 5.0)).toDF("pid", "x")
+    val ivs = Seq((1L, 0.0, 1e12)).toDF("iid", "lo", "hi")
+    val ex = intercept[Exception] {
+      Joins.rangeJoin(pts, ivs, "x", "lo", "hi", bandWidth = 1L,
+        maxBandsPerInterval = 1000).count()
+    }
+    assert(ex.getMessage.contains("rangeJoin") ||
+      Option(ex.getCause).exists(_.getMessage.contains("rangeJoin")))
+  }
 }
