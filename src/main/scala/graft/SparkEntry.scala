@@ -1162,6 +1162,16 @@ object SparkEntry {
       graft.ml.Decontaminate.decontaminate(docs, "doc_id", "text", bench, "bench_text", n = 8)
         .select(col("doc_id"))
     }),
+    // per-doc benchmark-overlap AUDIT (decontaminate's report face):
+    // distinct-trigram totals, benchmark hits, and the ratio — exact
+    // integer counts and a small-int division, so fully hashable
+    "q_overlap_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") % 10 === 0)
+        .select(col("text").as("bench_text"))
+      graft.ml.Decontaminate.overlapReport(docs, "doc_id", "text",
+        bench, "bench_text", n = 3)
+    }),
 
     // ---- similarity search ------------------------------------------
     // The oracled ANN rows run at FULL probe: with every bucket/list
@@ -2512,6 +2522,25 @@ object SparkEntry {
          )
          SELECT doc_id FROM documents
          WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)""",
+    // q_overlap_report: distinct-trigram totals and benchmark hits per
+    // doc — brute-force SQL truth, n=3 over the engine word rule
+    "q_overlap_report" ->
+      """WITH g AS (
+           SELECT doc_id, unnest(list_distinct(
+             [tk[i]||' '||tk[i+1]||' '||tk[i+2] FOR i IN range(1, len(tk)-1)])) AS g
+           FROM (SELECT doc_id,
+                   list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+                               x -> x <> '') AS tk
+                 FROM documents)
+         ),
+         d AS (SELECT DISTINCT g FROM g WHERE doc_id % 10 = 0),
+         tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM g GROUP BY doc_id),
+         hit AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+                 FROM g JOIN d ON g.g = d.g GROUP BY g.doc_id)
+         SELECT tot.doc_id, tot.n_grams,
+           coalesce(hit.n_hits, 0) AS n_hits,
+           CAST(coalesce(hit.n_hits, 0) AS DOUBLE) / tot.n_grams AS overlap_frac
+         FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id""",
     // q_simhash_pairs: md5-token corpus — distinct docs share no tokens,
     // so the only pairs within hamming 3 are the planted exact copies
     "q_simhash_pairs" ->

@@ -275,6 +275,34 @@ final case class Tab(df: DataFrame) {
     Tab(df.withColumn(as, graft.ml.Bpe.tokenCount(
       org.apache.spark.sql.functions.col(textCol), model)))
 
+  /** Token counts under a learned unigram-LM vocabulary
+    * (ml.UnigramLm) — [[withBpeTokenCount]]'s counterpart for the
+    * SentencePiece-unigram tokenizer family.
+    */
+  def withUnigramTokenCount(textCol: String, model: graft.ml.UnigramLm.Model,
+      as: String = "n_unigram_tokens"): Tab =
+    Tab(df.withColumn(as, graft.ml.UnigramLm.tokenCount(
+      org.apache.spark.sql.functions.col(textCol), model)))
+
+  /** Point-in-interval join (operators.Joins.rangeJoin): rows of THIS
+    * table whose `pointCol` falls in [lo, hi] of `intervals`, through
+    * the banded equi-join scale path.
+    */
+  def rangeJoin(intervals: Tab, pointCol: String, loCol: String, hiCol: String,
+      bandWidth: Long, pointKeys: Seq[String] = Nil,
+      intervalKeys: Seq[String] = Nil): Tab =
+    Tab(Joins.rangeJoin(df, intervals.df, pointCol, loCol, hiCol, bandWidth,
+      pointKeys, intervalKeys))
+
+  /** Rolling aggregates over the last `n` rows (operators.Rolling). */
+  def rolling(valueCols: Seq[String], orderCol: String, n: Int,
+      partitionCols: Seq[String] = Nil, tieBreak: Seq[String] = Nil): Tab =
+    Tab(Rolling.rolling(df, valueCols, orderCol, n, partitionCols, tieBreak))
+
+  /** Top-k rows by BM25 relevance to `terms` (ml.Retrieval). */
+  def bm25TopK(idCol: String, textCol: String, terms: Seq[String], k: Int): Tab =
+    Tab(graft.ml.Retrieval.bm25TopK(df, idCol, textCol, terms, k))
+
   def save(path: String): Unit = Writers.save(df, path)
   def toCsv(path: String): Unit = Writers.toCsv(df, path)
   def toTsv(path: String): Unit = Writers.toTsv(df, path)

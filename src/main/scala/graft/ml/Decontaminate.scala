@@ -57,6 +57,49 @@ object Decontaminate {
       .select(col("id")))
   }
 
+  /** Per-document overlap AUDIT — the report counterpart of
+    * [[decontaminate]]'s drop: `(idCol, n_grams, n_hits, overlap_frac)`
+    * where `n_grams` is the doc's distinct word n-gram count, `n_hits`
+    * how many of those appear in the benchmark, and `overlap_frac`
+    * their ratio. The triage surface for leak review and for tuning
+    * `minHits` before committing to a drop. Docs too short for any
+    * n-gram emit no row (no evidence either way — the
+    * [[Perplexity.score]] null convention).
+    *
+    * Same scale shape as [[contaminatedIds]]: the per-doc gram frame is
+    * distinct (id, hash64) pairs — 16 bytes/gram, text never shuffles —
+    * cached once and read by both the total count and the bloom-pruned
+    * hit count.
+    */
+  def overlapReport(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bench: DataFrame,
+      benchTextCol: String,
+      n: Int = 13): DataFrame = {
+    val scope = new graft.operators.CacheScope
+    val dict = scope.persist(bench
+      .select(explode(Kernels.wordShingles(col(benchTextCol), n)).as("g"))
+      .select(xxhash64(col("g")).as("h")).distinct())
+    val nDict = math.max(dict.count(), 1L)
+    val bloom = dict.stat.bloomFilter("h", nDict, 0.01)
+    val grams = scope.persist(docs
+      .select(col(idCol), explode(Kernels.wordShingles(col(textCol), n)).as("g"))
+      .select(col(idCol), xxhash64(col("g")).as("h")).distinct())
+    val totals = grams.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams"))
+    val hits = grams
+      .filter(Kernels.bloomMightContain(col("h"), bloom))
+      .join(dict, Seq("h"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("__hits"))
+    scope.releaseAfter(totals
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol), col("n_grams"),
+        coalesce(col("__hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("__hits"), lit(0L)).cast("double") /
+          col("n_grams").cast("double")).as("overlap_frac")))
+  }
+
   /** The clean corpus: docs with no (or < `minHits`) benchmark overlap. */
   def decontaminate(
       docs: DataFrame,

@@ -320,6 +320,42 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
   }
 
+  final case class RollEvent(group: String, ts: java.sql.Timestamp,
+      id: Long, v: Double)
+  final case class RollOut(group: String, ts: java.sql.Timestamp,
+      id: Long, v: Double, roll_sum: Double, roll_avg: Double,
+      roll_min: Double, roll_max: Double)
+
+  /** Continuous rolling aggregates — the streaming face of
+    * [[graft.operators.Rolling.rolling]]: sum/avg/min/max over the
+    * trailing `n` rows PER GROUP, windows continuing ACROSS
+    * micro-batches via the last n−1 values held as group state
+    * (bounded by n × groups, not stream length). Within a micro-batch
+    * rows apply in (event-time, id) order; across batches, arrival
+    * order — the [[streamingPack]] ordering contract. State never
+    * times out: a trailing window must survive idle periods.
+    */
+  def streamingRolling(events: Dataset[RollEvent], n: Int)
+      (implicit spark: SparkSession): Dataset[RollOut] = {
+    require(n > 0, s"n: $n")
+    import spark.implicits._
+    def fn(group: String, rows: Iterator[RollEvent],
+        state: GroupState[List[Double]]): Iterator[RollOut] = {
+      var ring = state.getOption.getOrElse(Nil)
+      val out = rows.toSeq
+        .sortBy(e => (if (e.ts == null) Long.MinValue else e.ts.getTime, e.id))
+        .map { e =>
+          ring = (ring :+ e.v).takeRight(n)
+          RollOut(e.group, e.ts, e.id, e.v,
+            ring.sum, ring.sum / ring.length, ring.min, ring.max)
+        }
+      state.update(ring.takeRight(n - 1))
+      out.iterator
+    }
+    events.groupByKey(_.group)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+  }
+
   final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(start: Long, lastTs: Long, n: Int, sum: Double)
   final case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,

@@ -374,6 +374,44 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingRolling: trailing windows continue across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(g: String, sec: Int, id: Long, v: Double) = Streams.RollEvent(
+      g, java.sql.Timestamp.valueOf(s"2024-01-01 10:00:$sec"), id, v)
+    val in = MemoryStream[Streams.RollEvent]
+    val rolled = Streams.streamingRolling(in.toDS(), n = 3)
+    val q = rolled.writeStream.outputMode("append")
+      .format("memory").queryName("roll_out").start()
+    try {
+      in.addData(ev("a", 1, 1L, 10.0), ev("a", 2, 2L, 20.0), ev("b", 3, 9L, 5.0))
+      q.processAllAvailable()
+      // batch 2: a's window must SEE batch 1's 10,20 — sum 10+20+30
+      in.addData(ev("a", 4, 3L, 30.0), ev("a", 5, 4L, 40.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT id, roll_sum, roll_avg, roll_min, roll_max FROM roll_out")
+        .collect().map(r => r.getLong(0) ->
+          (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+      assert(rows(1L) === ((10.0, 10.0, 10.0, 10.0)))
+      assert(rows(2L) === ((30.0, 15.0, 10.0, 20.0)))
+      assert(rows(3L) === ((60.0, 20.0, 10.0, 30.0))) // crosses the batch boundary
+      assert(rows(4L) === ((90.0, 30.0, 20.0, 40.0))) // 20+30+40, 10 evicted
+      assert(rows(9L) === ((5.0, 5.0, 5.0, 5.0)))
+      // parity with the batch operator on the same arrival order
+      import spark.implicits._
+      val batch = graft.operators.Rolling.rolling(
+        Seq(("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 30.0), ("a", 4L, 40.0),
+          ("b", 9L, 5.0)).toDF("g", "id", "v"),
+        Seq("v"), "id", n = 3, partitionCols = Seq("g"))
+        .select("id", "v_roll_sum", "v_roll_avg", "v_roll_min", "v_roll_max")
+        .collect().map(r => r.getLong(0) ->
+          (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+      assert(batch === rows)
+    } finally q.stop()
+  }
+
   test("stateful sessionizer emits gap-separated sessions") {
     val src = writeEventsParquet()
     val schema = spark.read.parquet(src).schema
