@@ -608,6 +608,14 @@ object SparkEntry {
           lit("\u0001x\u0007y\r\ne\u0301 fin"))).as("text"))),
     // corpus vocabulary analytics: top bigrams by frequency — explode →
     // map-side partial agg on the gram → TakeOrdered (no full sort)
+    // whole-table column profile in exact mode (count-distinct per
+    // column through one Expand) — the data-quality audit pass; doubles
+    // excluded so min/max string rendering is engine-neutral
+    "q_profile" -> ((s, dir) =>
+      graft.operators.GroupBy.profile(
+        t(s, dir, "customer").select(col("c_custkey"), col("c_name"),
+          col("c_nationkey"), col("c_mktsegment")),
+        exact = true)),
     "q_vocab" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(explode(graft.plans.Kernels.wordShingles(col("text"), 2)).as("gram"))
@@ -1192,6 +1200,21 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       Ann.bruteForceKnn(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
         .select(col("query_id"), col("neighbour_id"), col("rank"))
+    }),
+    // hybrid retrieval: reciprocal-rank fusion of the lexical BM25
+    // top-100 (documents.text) with the dense exact-cosine top-100
+    // (embeddings, query vec 0) over the shared id space — both input
+    // rank lists are already oracled shapes, and the fused score is a
+    // fixed-order sum of exact rationals, bit-reproducible in SQL
+    "q_hybrid" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val lex = graft.ml.Retrieval.bm25TopK(docs, "doc_id", "text",
+        Seq("spark", "vector", "hash"), k = 100)
+      val e = t(s, dir, "embeddings")
+      val dense = Ann.bruteForceKnn(e, e.filter(col("vec_id") === 0),
+          "vec_id", "embedding", k = 100)
+        .select(col("neighbour_id").as("doc_id"), col("rank"))
+      graft.ml.Retrieval.rrfFuse(Seq(lex, dense), "doc_id", topK = 25)
     }),
     "q_ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -1874,6 +1897,72 @@ object SparkEntry {
            SELECT doc_id,
              CAST(row_number() OVER (ORDER BY round(s, 6) DESC, doc_id) AS INTEGER) AS rank
            FROM sc) WHERE rank <= 50""",
+    // q_profile: per-column audit recomputed literally in SQL
+    "q_profile" ->
+      """SELECT 'c_custkey' AS "column", 'bigint' AS dtype,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(c_custkey) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
+           CAST(min(c_custkey) AS VARCHAR) AS min_value,
+           CAST(max(c_custkey) AS VARCHAR) AS max_value
+         FROM customer
+         UNION ALL
+         SELECT 'c_name', 'string', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(c_name) AS BIGINT),
+           CAST(count(DISTINCT c_name) AS BIGINT),
+           CAST(min(c_name) AS VARCHAR), CAST(max(c_name) AS VARCHAR)
+         FROM customer
+         UNION ALL
+         SELECT 'c_nationkey', 'int', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(c_nationkey) AS BIGINT),
+           CAST(count(DISTINCT c_nationkey) AS BIGINT),
+           CAST(min(c_nationkey) AS VARCHAR), CAST(max(c_nationkey) AS VARCHAR)
+         FROM customer
+         UNION ALL
+         SELECT 'c_mktsegment', 'string', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(c_mktsegment) AS BIGINT),
+           CAST(count(DISTINCT c_mktsegment) AS BIGINT),
+           CAST(min(c_mktsegment) AS VARCHAR), CAST(max(c_mktsegment) AS VARCHAR)
+         FROM customer""",
+    // q_hybrid: RRF of the two exact rank lists, recomputed in SQL —
+    // 1/(60+rank) sums are identical doubles on both engines
+    "q_hybrid" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                      FROM documents WHERE text IS NOT NULL),
+         dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tok GROUP BY doc_id),
+         st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl),
+         tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok
+                WHERE term IN ('spark', 'vector', 'hash') GROUP BY doc_id, term),
+         df AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tok
+                WHERE term IN ('spark', 'vector', 'hash') GROUP BY term),
+         sc AS (SELECT tf.doc_id,
+                  sum(ln((st.n - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+                      (tf.tf * (1.2 + 1)) /
+                      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl))) AS s
+                FROM tf JOIN df ON tf.term = df.term
+                        JOIN dl ON tf.doc_id = dl.doc_id
+                        CROSS JOIN st
+                GROUP BY tf.doc_id),
+         lex AS (SELECT doc_id, rank FROM (
+                   SELECT doc_id,
+                     row_number() OVER (ORDER BY round(s, 6) DESC, doc_id) AS rank
+                   FROM sc) WHERE rank <= 100),
+         dense AS (SELECT doc_id, rank FROM (
+                     SELECT e.vec_id AS doc_id,
+                       row_number() OVER (ORDER BY
+                         list_cosine_similarity(q.embedding, e.embedding) DESC,
+                         e.vec_id) AS rank
+                     FROM embeddings e,
+                          (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+                     WHERE e.vec_id != 0) WHERE rank <= 100),
+         fused AS (SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+                     coalesce(1.0 / (60 + l.rank), 0.0)
+                       + coalesce(1.0 / (60 + d.rank), 0.0) AS s
+                   FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id)
+         SELECT doc_id, rank FROM (
+           SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INTEGER) AS rank
+           FROM fused) WHERE rank <= 25""",
     "q_vocab" ->
       """WITH toks AS (
            SELECT doc_id, list_filter(string_split(

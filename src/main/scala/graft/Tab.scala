@@ -105,6 +105,7 @@ final case class Tab(df: DataFrame) {
     Tab(Pivots.melt(df, keep, columns))
   def transpose(): Tab = Tab(Pivots.transpose(df))
   def statistics(column: String): Tab = Tab(GroupBy.statistics(df, column))
+  def profile(exact: Boolean = false): Tab = Tab(GroupBy.profile(df, exact))
   def histogram(column: String): Tab = Tab(GroupBy.histogram(df, column))
   def unique(column: String): Tab = Tab(GroupBy.unique(df, column))
   def countValue(column: String, value: Any): Long = GroupBy.countValue(df, column, value)

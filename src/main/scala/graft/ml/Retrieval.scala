@@ -86,4 +86,39 @@ object Retrieval {
     top.withColumn("rank", row_number().over(w))
       .select(col(idCol), col("rank"))
   }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) — the
+    * standard hybrid-retrieval combiner: given ranked lists
+    * `(idCol, rank)` (e.g. [[bm25TopK]]'s lexical ranks and an
+    * [[Ann]]-family dense top-k), score each id by
+    * Σ_lists 1/(k + rank) (absent from a list ⇒ contributes 0) and
+    * return the fused top-`topK` as `(idCol, rank)`. RRF needs no
+    * score calibration between the lists — only ranks — which is why
+    * it is the default fusion in hybrid search.
+    *
+    * Scale shape: the inputs are already top-k lists (small); the
+    * fusion is an outer join + TakeOrderedAndProject. Fused scores are
+    * sums of exact rationals evaluated in a fixed order, so they are
+    * bit-reproducible across engines; ties break by id.
+    */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String, topK: Int,
+      k: Int = 60): DataFrame = {
+    require(lists.size >= 2, s"rrfFuse: need >= 2 lists, got ${lists.size}")
+    require(topK > 0 && k > 0, s"rrfFuse: topK=$topK k=$k")
+    val scored = lists.zipWithIndex
+      .map { case (l, i) =>
+        l.select(col(idCol), (lit(1.0) / (lit(k) + col("rank"))).as(s"__s$i"))
+      }
+      .reduce((a, b) => a.join(b, Seq(idCol), "outer"))
+    val total = lists.indices
+      .map(i => coalesce(col(s"__s$i"), lit(0.0)))
+      .reduce(_ + _)
+    val top = scored.select(col(idCol), total.as("__rrf"))
+      .orderBy(col("__rrf").desc, col(idCol).asc)
+      .limit(topK)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__rrf").desc, col(idCol).asc)
+    top.withColumn("rank", row_number().over(w))
+      .select(col(idCol), col("rank"))
+  }
 }

@@ -171,4 +171,50 @@ object GroupBy {
   /** `unique_index` (base.py:1967-1989): first row id per distinct key. */
   def uniqueIndex(df: DataFrame, keys: Seq[String], idCol: String): DataFrame =
     df.groupBy(keys.map(col): _*).agg(min(col(idCol)).as("first_row_id"))
+
+  /** Whole-table column profile — the data-quality audit surface a
+    * pipeline runs before committing to a source: one row per atomic
+    * column with `(column, dtype, n_rows, n_nulls, n_distinct,
+    * min_value, max_value)` (min/max rendered as strings so the frame
+    * is one homogeneous shape regardless of column types; non-atomic
+    * columns — arrays/structs/maps — are skipped).
+    *
+    * Scale shape: ONE aggregation pass. With `exact = false` (default)
+    * distinct counts are HyperLogLog `approx_count_distinct` — fully
+    * partial-aggregated, single pass, the 100 TB mode. `exact = true`
+    * uses `count(DISTINCT)` per column, which Catalyst plans through
+    * one Expand (rows × columns) — exact, costlier, the oracle/audit
+    * mode. The driver materializes exactly one row (4 cells per
+    * column) either way.
+    */
+  def profile(df: DataFrame, exact: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cols = df.schema.fields.filter { f =>
+      import org.apache.spark.sql.types._
+      f.dataType match {
+        case _: ArrayType | _: StructType | _: MapType | _: BinaryType => false
+        case _ => true
+      }
+    }
+    require(cols.nonEmpty, "profile: no atomic columns to profile")
+    val aggs = Seq(count(lit(1)).as("__n")) ++ cols.flatMap { f =>
+      val c = col(f.name)
+      Seq(count(c).as(s"__nn_${f.name}"),
+        (if (exact) count_distinct(c) else approx_count_distinct(c))
+          .as(s"__nd_${f.name}"),
+        min(c).cast("string").as(s"__mn_${f.name}"),
+        max(c).cast("string").as(s"__mx_${f.name}"))
+    }
+    val r = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val n = r.getLong(0)
+    cols.zipWithIndex.map { case (f, i) =>
+      val b = 1 + i * 4
+      (f.name, f.dataType.simpleString, n, n - r.getLong(b),
+        r.getLong(b + 1),
+        if (r.isNullAt(b + 2)) null else r.getString(b + 2),
+        if (r.isNullAt(b + 3)) null else r.getString(b + 3))
+    }.toSeq.toDF("column", "dtype", "n_rows", "n_nulls", "n_distinct",
+      "min_value", "max_value")
+  }
 }

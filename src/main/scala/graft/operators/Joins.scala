@@ -241,6 +241,17 @@ object Joins {
       maxBandsPerInterval: Int = 1 << 16): DataFrame = {
     require(bandWidth > 0, s"bandWidth: $bandWidth")
     require(pointKeys.length == intervalKeys.length, "key arity mismatch")
+    // '__band' is the internal band column on BOTH sides — a caller
+    // column of that name would be silently replaced by withColumn
+    require(!points.columns.contains("__band") && !intervals.columns.contains("__band"),
+      "'__band' is rangeJoin's internal band column; rename the input column")
+    // banding needs numeric division — a string column would cast to
+    // null bands and silently drop every row
+    Seq(points.schema(pointCol), intervals.schema(loCol), intervals.schema(hiCol))
+      .foreach(f => require(
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"rangeJoin: '${f.name}' is ${f.dataType.simpleString}, need numeric " +
+          "(cast timestamps to long/double first)"))
     val w = lit(bandWidth.toDouble)
     val p = points
       .filter(col(pointCol).isNotNull)

@@ -31,6 +31,9 @@ object Rolling {
   def rolling(
       df: DataFrame, valueCols: Seq[String], orderCol: String, n: Int,
       partitionCols: Seq[String] = Nil, tieBreak: Seq[String] = Nil): DataFrame = {
+    // the order must be TOTAL within each partition — ties make every
+    // window's membership partition-order-dependent; pass tieBreak
+    // columns when orderCol alone is not unique (the ffill contract)
     require(n > 0, s"rolling: n=$n")
     require(valueCols.nonEmpty, "rolling: no value columns")
     valueCols.foreach { c =>

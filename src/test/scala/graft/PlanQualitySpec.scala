@@ -371,4 +371,24 @@ class PlanQualitySpec extends SparkSpec {
     // hash partitioning on the key, not a SinglePartition global window
     assert(!p.contains("SinglePartition"), p)
   }
+
+  test("bucketed tables join with ZERO exchanges (pre-shuffled at write time)") {
+    import spark.implicits._
+    val a = Seq.tabulate(200)(i => (i.toLong, s"a$i")).toDF("k", "va")
+    val b = Seq.tabulate(200)(i => (i.toLong, s"b$i")).toDF("k", "vb")
+    graft.sources.Writers.saveBucketed(a, "bkt_a_plan", Seq("k"), numBuckets = 4)
+    graft.sources.Writers.saveBucketed(b, "bkt_b_plan", Seq("k"), numBuckets = 4)
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = plan(spark.table("bkt_a_plan")
+        .join(spark.table("bkt_b_plan"), "k"))
+      assert(!p.contains("Exchange"), p)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+      spark.sql("DROP TABLE IF EXISTS bkt_a_plan")
+      spark.sql("DROP TABLE IF EXISTS bkt_b_plan")
+    }
+  }
 }

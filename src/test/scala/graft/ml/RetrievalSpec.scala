@@ -50,6 +50,18 @@ class RetrievalSpec extends SparkSpec {
     assert(a.head._2 === 1)
   }
 
+  test("rrfFuse combines rank lists; absent ids contribute zero") {
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rank")
+    val b = Seq((20L, 1), (40L, 2)).toDF("doc_id", "rank")
+    val fused = Retrieval.rrfFuse(Seq(a, b), "doc_id", topK = 4)
+      .orderBy("rank").collect().map(r => (r.getLong(0), r.getInt(1)))
+    // 20: 1/62 + 1/61 ≈ .0325 wins over 10: 1/61 ≈ .0164
+    assert(fused.head === ((20L, 1)))
+    assert(fused.map(_._1).toSet === Set(10L, 20L, 30L, 40L))
+    // 10 (1/61) beats 40 (1/62) beats 30 (1/63)
+    assert(fused.toSeq === Seq((20L, 1), (10L, 2), (40L, 3), (30L, 4)))
+  }
+
   test("bm25 rejects an empty term set") {
     val ex = intercept[IllegalArgumentException](
       Retrieval.bm25(corpus, "doc_id", "text", Nil))

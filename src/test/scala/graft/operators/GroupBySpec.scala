@@ -117,4 +117,29 @@ class GroupBySpec extends SparkSpec {
     assert(exact === 9973L)
     assert(math.abs(approx - exact).toDouble / exact < 0.05, s"approx=$approx")
   }
+
+  test("profile: one row per atomic column, exact nulls/distinct/min/max") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("a"), Some(1.5), Seq(1, 2)),
+      (2L, None, Some(2.5), Seq(3)),
+      (2L, Some("c"), None, Seq.empty[Int])
+    ).toDF("id", "s", "x", "arr")
+    val p = GroupBy.profile(df, exact = true).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // array column skipped
+    assert(p.keySet === Set("id", "s", "x"))
+    val id = p("id")
+    assert(id.getString(1) === "bigint" && id.getLong(2) === 3L &&
+      id.getLong(3) === 0L && id.getLong(4) === 2L &&
+      id.getString(5) === "1" && id.getString(6) === "2")
+    val s = p("s")
+    assert(s.getLong(3) === 1L && s.getLong(4) === 2L &&
+      s.getString(5) === "a" && s.getString(6) === "c")
+    val x = p("x")
+    assert(x.getLong(3) === 1L && x.getLong(4) === 2L)
+    // approx mode: same shape, distinct within HLL tolerance
+    val ap = GroupBy.profile(df).collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(math.abs(ap("id") - 2L) <= 1)
+  }
 }
