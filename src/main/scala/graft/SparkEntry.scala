@@ -26,6 +26,24 @@ object SparkEntry {
     try f(file.getAbsolutePath) finally { file.delete(); () }
   }
 
+  /** One per-process temp root with ONE shutdown hook; per-invocation
+    * scratch dirs are subdirs of it ([[freshTmp]]). Queries that persist
+    * an index and search it lazily (q_ann_append et al.) can't delete
+    * eagerly — but repeated bench reps must not accumulate shutdown
+    * hooks, so the hook is registered exactly once here.
+    */
+  private lazy val tmpRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_scratch")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
+      catch { case _: Throwable => () }))
+    p
+  }
+  private val tmpSeq = new java.util.concurrent.atomic.AtomicLong()
+  private def freshTmp(name: String): String =
+    java.nio.file.Files.createDirectories(
+      tmpRoot.resolve(s"${name}_${tmpSeq.incrementAndGet()}")).toString
+
   /** Normalize an events `ts` column to microsecond TimestampType
     * regardless of the parquet vintage: the driver's generator has shipped
     * TIMESTAMP(NANOS) (read as long under nanosAsLong), timestamp[us]
@@ -128,9 +146,14 @@ object SparkEntry {
     * `q_ppl_kn` share ONE training pass over the corpus and each keeps
     * its own scoring verdicts.
     */
-  private val pplModels = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val pplModels =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private def pplModel(s: SparkSession, dir: String): DataFrame =
-    pplModels.computeIfAbsent(dir, _ => {
+    // keyed by (session, dir), NOT dir alone: the model is a persisted,
+    // session-bound DataFrame — a later call with a fresh session must
+    // retrain rather than join a dead-session frame (the collected
+    // LocalModel below stays keyed by dir; it is session-independent)
+    pplModels.computeIfAbsent((s, dir), _ => {
       val m = graft.ml.Perplexity.train(
         t(s, dir, "documents").select(col("doc_id"), col("text")), "text",
         buckets = 1 << 14, seed = 11, smoothing = "kn").persist()
@@ -345,6 +368,26 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_orderpriority"), col("o_total_i"),
           col("o_total_i_roll_sum"), col("o_total_i_roll_avg"),
           col("o_total_i_roll_min"), col("o_total_i_roll_max"))),
+    // UNKEYED rolling through the boundary-carry scale path (no global
+    // window, no SinglePartition): pin the local threshold to 1 byte so
+    // the dispatch takes the carry (the q_pack_global precedent); the
+    // carry must bit-match the plain unpartitioned window SQL
+    "q_rolling_global" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          floor(col("o_totalprice")).cast("double").as("o_total_i"))
+        .repartition(8)
+      val old = s.conf.getOption("graft.rowIndex.localThresholdBytes")
+      s.conf.set("graft.rowIndex.localThresholdBytes", "1")
+      try graft.operators.Rolling.rolling(base, Seq("o_total_i"), "o_orderkey", n = 5)
+        .select(col("o_orderkey"), col("o_total_i"),
+          col("o_total_i_roll_sum"), col("o_total_i_roll_avg"),
+          col("o_total_i_roll_min"), col("o_total_i_roll_max"))
+      finally old match {
+        case Some(v) => s.conf.set("graft.rowIndex.localThresholdBytes", v)
+        case None => s.conf.unset("graft.rowIndex.localThresholdBytes")
+      }
+    }),
     // point-in-interval join through the BANDED equi-join scale path
     // (explode intervals to fixed-width bands, hash-join on the band,
     // exact residual BETWEEN) — banding changes cost, never rows, so
@@ -1274,6 +1317,41 @@ object SparkEntry {
         idx, "doc_id", "text", threshold = 1.0)
       scope.releaseAfter(dropDups(SetOps.concat(copies, fresh)).select(col("doc_id")))
     }),
+    // streaming rolling through REAL micro-batches: plant every 40th
+    // order as a RollEvent (bounded driver collect — sf0.1 → ~3.8k
+    // events), feed three ascending-key micro-batches through a
+    // MemoryStream, and read the memory sink back. Micro-batches split
+    // on ascending o_orderkey and within-batch order is (ts, id) with
+    // ts = f(key), so arrival order per group ≡ key order — the emitted
+    // windows must equal the batch window SQL exactly
+    "q_rolling_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val ss: SparkSession = s
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import ss.implicits._
+      val events = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 40 === 0)
+        .select(col("o_orderpriority"), col("o_orderkey").cast("long"),
+          floor(col("o_totalprice")).cast("double").as("v"))
+        .orderBy("o_orderkey")
+        .collect()
+        .map(r => graft.streaming.Streams.RollEvent(
+          r.getString(0), new java.sql.Timestamp(r.getLong(1)),
+          r.getLong(1), r.getDouble(2)))
+      val in = MemoryStream[graft.streaming.Streams.RollEvent]
+      val name = s"roll_stream_${tmpSeq.incrementAndGet()}"
+      val q = graft.streaming.Streams.streamingRolling(in.toDS(), n = 5)
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try
+        events.grouped(math.max(1, events.length / 3 + 1)).foreach { b =>
+          in.addData(b.toSeq: _*); q.processAllAvailable()
+        }
+      finally q.stop()
+      s.table(name).select(
+        col("group").as("o_orderpriority"), col("id").as("o_orderkey"),
+        col("v"), col("roll_sum"), col("roll_avg"),
+        col("roll_min"), col("roll_max"))
+    }),
     // ANN enrichment batch core at full probe: every incoming row tagged
     // with exact top-k corpus neighbours, cross id space (no self
     // exclusion — the planted identical vector must rank 1)
@@ -1301,11 +1379,7 @@ object SparkEntry {
     // the query's own corpus row; ids tie-break below the +5000 space).
     "q_ann_append" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val tmp = java.nio.file.Files.createTempDirectory("graft_annappend")
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        try org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
-        catch { case _: Throwable => () }))
-      val path = s"$tmp/ivf"
+      val path = s"${freshTmp("annappend")}/ivf"
       val centroids = Ann.trainCentroids(e, "embedding", nList = 32)
       Ann.writeIvfIndex(
         Ann.buildIvfIndex(e, "vec_id", "embedding", centroids), path, centroids)
@@ -1315,6 +1389,32 @@ object SparkEntry {
       Ann.ivfKnn(Ann.readIvfIndex(s, path), e.filter(col("vec_id") < 10),
           "vec_id", "embedding", Ann.readIvfCentroids(s, path),
           k = 5, nProbe = 32, excludeSelf = false)
+        .select(col("query_id"), col("neighbour_id"), col("rank"))
+    }),
+    // IVFSQ continuous-ingestion append core: persist an IVFSQ index
+    // (BOTH sidecars: _centroids for list assignment, _sqparams for the
+    // code grid), append a planted batch through the STORED artifacts,
+    // then search the STORED index cold at full probe with the exact
+    // re-rank tail over (corpus ∪ appended). Full probe + covering pool
+    // ⇒ exact L2 top-5 over the union IS the oracle — a misassigned
+    // list or mis-encoded code in the appended rows breaks the row set,
+    // and each planted identical copy must rank 1 (self id-excluded).
+    "q_ann_ivfsq_append" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val path = s"${freshTmp("ivfsqappend")}/ivfsq"
+      val centroids = Ann.trainCentroids(e, "embedding", nList = 32)
+      val p = Ann.trainSq(e, "embedding")
+      Ann.writeIvfSqIndex(
+        Ann.buildIvfSqIndex(e, "vec_id", "embedding", centroids, p),
+        path, centroids, p)
+      val batch = e.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 5000).as("vec_id"), col("embedding"))
+      Ann.appendToIvfSqIndex(s, path, batch, "vec_id", "embedding")
+      val union = e.select(col("vec_id"), col("embedding")).unionAll(batch)
+      Ann.ivfSqKnnRerank(Ann.readIvfIndex(s, path), e.filter(col("vec_id") < 10),
+          union, "vec_id", "embedding",
+          Ann.readIvfCentroids(s, path), Ann.readSqParams(s, path),
+          k = 5, nProbe = 32, rerank = 150)
         .select(col("query_id"), col("neighbour_id"), col("rank"))
     }),
     // learned-plane (PCA+ITQ) variant at full probe: every bucket of the
@@ -1719,6 +1819,19 @@ object SparkEntry {
            max(CAST(floor(o_totalprice) AS DOUBLE)) OVER w AS o_total_i_roll_max
          FROM orders
          WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""",
+    // q_rolling_global: the boundary-carry scale path must bit-match
+    // the plain UNPARTITIONED window (o_orderkey is unique ⇒ total
+    // order ⇒ a deterministic window per row)
+    "q_rolling_global" ->
+      """SELECT o_orderkey,
+           CAST(floor(o_totalprice) AS DOUBLE) AS o_total_i,
+           sum(CAST(floor(o_totalprice) AS DOUBLE)) OVER w AS o_total_i_roll_sum,
+           avg(CAST(floor(o_totalprice) AS DOUBLE)) OVER w AS o_total_i_roll_avg,
+           min(CAST(floor(o_totalprice) AS DOUBLE)) OVER w AS o_total_i_roll_min,
+           max(CAST(floor(o_totalprice) AS DOUBLE)) OVER w AS o_total_i_roll_max
+         FROM orders
+         WINDOW w AS (ORDER BY o_orderkey
                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""",
     "q_zorder" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM lineitem
@@ -2661,6 +2774,19 @@ object SparkEntry {
            coalesce(hit.n_hits, 0) AS n_hits,
            CAST(coalesce(hit.n_hits, 0) AS DOUBLE) / tot.n_grams AS overlap_frac
          FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id""",
+    // q_rolling_stream: micro-batch arrival order per group ≡ key order
+    // by construction, so the streaming state windows must equal the
+    // plain keyed window SQL over the same planted rows
+    "q_rolling_stream" ->
+      """WITH e AS (SELECT o_orderpriority, o_orderkey,
+                    CAST(floor(o_totalprice) AS DOUBLE) AS v
+                    FROM orders WHERE o_orderkey % 40 = 0)
+         SELECT o_orderpriority, o_orderkey, v,
+           sum(v) OVER w AS roll_sum, avg(v) OVER w AS roll_avg,
+           min(v) OVER w AS roll_min, max(v) OVER w AS roll_max
+         FROM e
+         WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""",
     // q_simhash_pairs: md5-token corpus — distinct docs share no tokens,
     // so the only pairs within hamming 3 are the planted exact copies
     "q_simhash_pairs" ->
@@ -2774,6 +2900,22 @@ object SparkEntry {
          SELECT query_id, neighbour_id, rank FROM (
            SELECT query_id, neighbour_id,
              row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbour_id) AS rank
+           FROM s) WHERE rank <= 5""",
+    // q_ann_ivfsq_append: full probe + exact re-rank over the stored
+    // index after the append ⇒ exact L2 top-5 over (corpus ∪ appended),
+    // self id-excluded — the q_ann_ivfsq oracle over the union
+    "q_ann_ivfsq_append" ->
+      """WITH u AS (SELECT vec_id, embedding FROM embeddings
+                    UNION ALL
+                    SELECT vec_id + 5000 AS vec_id, embedding
+                    FROM embeddings WHERE vec_id < 10),
+         q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+         s AS (SELECT q.vec_id AS query_id, u.vec_id AS neighbour_id,
+               list_distance(q.embedding, u.embedding) AS d
+               FROM q, u WHERE u.vec_id != q.vec_id)
+         SELECT query_id, neighbour_id, rank FROM (
+           SELECT query_id, neighbour_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY d ASC, neighbour_id) AS rank
            FROM s) WHERE rank <= 5""",
     // q_ann_itq: full probe over the LEARNED planes is exact the same
     // way — the trained projection changes which bucket holds what, not

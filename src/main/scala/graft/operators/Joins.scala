@@ -225,9 +225,11 @@ object Joins {
     * Pathological spans fail loudly via `maxBandsPerInterval` (a
     * codegen raise_error, not a silent 2^31-row explode); hot bands are
     * AQE skew-join territory. Null points, null bounds, and inverted
-    * intervals (`lo > hi`) match nothing — SQL BETWEEN semantics.
-    * Interval-side name collisions get the `_1` suffix rule like every
-    * other join here.
+    * intervals (`lo > hi`) match nothing — SQL BETWEEN semantics. Extra
+    * equi-keys compare with SQL `=`: a null key on either side matches
+    * nothing (plain equi-join semantics, so a SQL oracle agrees on
+    * null-keyed data). Interval-side name collisions get the `_1`
+    * suffix rule like every other join here.
     */
   def rangeJoin(
       points: DataFrame,
@@ -275,7 +277,7 @@ object Joins {
     val loR = renames.toMap.getOrElse(loCol, loCol)
     val hiR = renames.toMap.getOrElse(hiCol, hiCol)
     val keyCond = pointKeys.zip(intervalKeys.map(k => renames.toMap.getOrElse(k, k)))
-      .map { case (a, b) => col(a) <=> col(b) }
+      .map { case (a, b) => col(a) === col(b) }
     val cond = (Seq(col("__band") === col(bandR),
       col(pointCol) >= col(loR), col(pointCol) <= col(hiR)) ++ keyCond)
       .reduce(_ && _)

@@ -178,6 +178,54 @@ class AnnSqSpec extends SparkSpec {
     assert(sub.exists(_.startsWith("list=")), sub.toSeq)
   }
 
+  test("appendToIvfSqIndex: stored quantizer assigns, stored grid encodes, cold search finds the batch") {
+    val p = Ann.trainSq(emb, "embedding")
+    val centroids = Ann.trainCentroids(emb, "embedding", nList = 8)
+    val dir = tmpDir("ivfsqappend")
+    Ann.writeIvfSqIndex(
+      Ann.buildIvfSqIndex(emb, "vec_id", "embedding", centroids, p), dir, centroids, p)
+    val batch = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 90000L).as("vec_id"), col("embedding"))
+    Ann.appendToIvfSqIndex(spark, dir, batch, "vec_id", "embedding")
+    // cold read needs nothing but the path
+    val idx = Ann.readIvfIndex(spark, dir)
+    val c2 = Ann.readIvfCentroids(spark, dir)
+    val p2 = Ann.readSqParams(spark, dir)
+    assert(idx.count() === emb.count() + 5)
+    // appended rows' list assignment AND codes ≡ a fresh build under the
+    // STORED artifacts (the silent failure this API exists to prevent is
+    // assignment/encoding under re-trained artifacts)
+    val expect = Ann.buildIvfSqIndex(batch, "vec_id", "embedding", c2, p2)
+      .collect().map(r => (r.getLong(0),
+        (r.get(1).toString, r.getAs[Array[Byte]](2).toSeq))).toMap
+    val got = idx.filter(col("neighbour_id") >= 90000L)
+      .collect().map(r => (r.getAs[Long]("neighbour_id"),
+        (r.getAs[Any]("list").toString, r.getAs[Array[Byte]]("code").toSeq))).toMap
+    assert(got === expect)
+    // full-probe cold search: each planted identical copy ranks 1 (the
+    // query's own corpus row is id-excluded; ADC distance to the twin is
+    // the bare quantization error, unbeatable by any distinct vector)
+    val top1 = Ann.ivfSqKnn(idx, emb.filter(col("vec_id") < 5),
+      "vec_id", "embedding", c2, p2, k = 1, nProbe = 8)
+      .select("query_id", "neighbour_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(top1 === (0L until 5L).map(q => (q, q + 90000L)).toSet, top1)
+  }
+
+  test("appendToSqIndex refuses a list-partitioned IVFSQ layout (would append flat)") {
+    val p = Ann.trainSq(emb, "embedding")
+    val centroids = Ann.trainCentroids(emb, "embedding", nList = 8)
+    val dir = tmpDir("ivfsqrefuse")
+    Ann.writeIvfSqIndex(
+      Ann.buildIvfSqIndex(emb, "vec_id", "embedding", centroids, p), dir, centroids, p)
+    val batch = emb.filter(col("vec_id") < 2)
+      .select((col("vec_id") + 90000L).as("vec_id"), col("embedding"))
+    val e = intercept[IllegalArgumentException](
+      Ann.appendToSqIndex(spark, dir, batch, "vec_id", "embedding"))
+    assert(e.getMessage.contains("_centroids") &&
+      e.getMessage.contains("appendToIvfSqIndex"), e.getMessage)
+  }
+
   test("scale shape: encode is map-side (no shuffle); codes are dim bytes") {
     val p = Ann.trainSq(emb, "embedding")
     val idx = Ann.buildSqIndex(emb, "vec_id", "embedding", p)

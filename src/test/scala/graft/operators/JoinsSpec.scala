@@ -152,6 +152,17 @@ class JoinsSpec extends SparkSpec {
     assert(pairs === Set((1L, 10L), (2L, 11L)))
   }
 
+  test("rangeJoin null equi-keys match nothing (SQL '=' semantics)") {
+    val pts = Seq((1L, Option.empty[String], 5.0), (2L, Option("b"), 5.0))
+      .toDF("pid", "g", "x")
+    val ivs = Seq((10L, Option.empty[String], 0.0, 9.0), (11L, Option("b"), 0.0, 9.0))
+      .toDF("iid", "g", "lo", "hi")
+    val out = Joins.rangeJoin(pts, ivs, "x", "lo", "hi", bandWidth = 4L,
+      pointKeys = Seq("g"), intervalKeys = Seq("g"))
+    val pairs = out.select(col("pid"), col("iid")).as[(Long, Long)].collect().toSet
+    assert(pairs === Set((2L, 11L))) // null g never pairs with null g
+  }
+
   test("rangeJoin fails loudly on a pathological interval span") {
     val pts = Seq((1L, 5.0)).toDF("pid", "x")
     val ivs = Seq((1L, 0.0, 1e12)).toDF("iid", "lo", "hi")
