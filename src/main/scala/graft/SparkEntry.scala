@@ -1109,6 +1109,22 @@ object SparkEntry {
     // distinct docs share no tokens (simhash distance ~32 bits), planted
     // exact copies sit at hamming 0 — so the ≤3 result is exactly the
     // planted pairs
+    // perceptual-hash media dedup: deterministic per-doc payloads (md5
+    // of the id — unique, unlike raw text) + planted exact copies; the
+    // stub gray decoder is a pure function of the payload, so identical
+    // payloads hash identically (hamming 0) and distinct payloads get
+    // pseudorandom 64-bit hashes (P[hamming ≤ 3] ≈ 2.4e-15 per banded
+    // candidate — zero cross pairs at any SF)
+    "q_phash_pairs" -> ((s, dir) => {
+      implicit val ss: SparkSession = s
+      val base = t(s, dir, "documents").select(col("doc_id"),
+        md5(concat(lit("ph"), col("doc_id").cast("string"))).as("payload"))
+      val copies = base.select((col("doc_id") + 1000000).as("doc_id"), col("payload"))
+      val media = graft.ml.Multimodal.asMediaTable(
+        SetOps.concat(base, copies), "doc_id", "payload", "image")
+      graft.ml.Multimodal.phashPairs(media, algo = "ahash", maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+    }),
     "q_simhash_pairs" -> ((s, dir) => {
       val base = t(s, dir, "documents").select(col("doc_id"),
         concat_ws(" ", (0 until 12).map(i =>
@@ -1316,6 +1332,27 @@ object SparkEntry {
       val dropDups = graft.streaming.Streams.dedupAgainstCorpusBatch(
         idx, "doc_id", "text", threshold = 1.0)
       scope.releaseAfter(dropDups(SetOps.concat(copies, fresh)).select(col("doc_id")))
+    }),
+    // perceptual media dedup against a static corpus, batch core of the
+    // stream face: planted exact-payload copies must drop (hamming 0 to
+    // their corpus twin), fresh payloads must survive (pseudorandom
+    // hashes — cross pairs within hamming 3 have P ≈ 2.4e-15 per banded
+    // candidate). The q_dedup_stream_batch construction on media rows.
+    "q_phash_stream_batch" -> ((s, dir) => {
+      implicit val ss: SparkSession = s
+      val base = t(s, dir, "documents").select(col("doc_id"),
+        md5(concat(lit("ph"), col("doc_id").cast("string"))).as("payload"))
+      val corpusHashes = graft.ml.Multimodal.perceptualHashes(
+        graft.ml.Multimodal.asMediaTable(base, "doc_id", "payload", "image"))
+      val copies = base.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"), col("payload"))
+      val fresh = base.filter(col("doc_id") % 4 === 1)
+        .select((col("doc_id") + 3000000).as("doc_id"),
+          md5(concat(lit("fresh"), col("doc_id").cast("string"))).as("payload"))
+      val batch = graft.ml.Multimodal.asMediaTable(
+        SetOps.concat(copies, fresh), "doc_id", "payload", "image")
+      val dropDups = graft.streaming.Streams.phashDedupBatch(corpusHashes)
+      dropDups(batch).select(col("media_id"))
     }),
     // streaming rolling through REAL micro-batches: plant every 40th
     // order as a RollEvent (bounded driver collect — sf0.1 → ~3.8k
@@ -2791,6 +2828,14 @@ object SparkEntry {
     // so the only pairs within hamming 3 are the planted exact copies
     "q_simhash_pairs" ->
       "SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, 0 AS hamming FROM documents",
+    // q_phash_pairs: unique payloads per doc + planted exact copies —
+    // the only perceptual pairs within hamming 3 are the copies
+    "q_phash_pairs" ->
+      "SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, 0 AS hamming FROM documents",
+    // q_phash_stream_batch: kept = batch media with NO perceptual match
+    // in the corpus = exactly the fresh rows
+    "q_phash_stream_batch" ->
+      "SELECT doc_id + 3000000 AS media_id FROM documents WHERE doc_id % 4 = 1",
     // q_dedup_corpus: components are exactly {d, d+1M} → survivors = originals
     "q_dedup_corpus" ->
       "SELECT doc_id FROM documents",

@@ -163,14 +163,30 @@ object Bpe {
   }
 
   /** Token-ID array of a document — the training-ready sequence.
-    * Implemented as tokens → map-literal lookup via `transform` over
-    * the kernel's output; every token is in [[vocab]] by construction,
-    * so there is no OOV id. Two merge paths CAN produce the same
-    * symbol string (("a","bc") and ("ab","c") both yield "abc") —
-    * equal strings are the same token, so the FIRST occurrence's id
-    * wins and the map stays total.
+    * Tokenize + id-emit in ONE codegen kernel call with a HashMap id
+    * table as a reference object: O(1) per token, vs the map-literal
+    * `element_at` route's O(|V|) linear probe of ArrayBasedMapData
+    * (~100× slower at a production 32k–64k vocabulary). Every token is
+    * in [[vocab]] by construction, so there is no OOV id. Two merge
+    * paths CAN produce the same symbol string (("a","bc") and
+    * ("ab","c") both yield "abc") — equal strings are the same token,
+    * so the FIRST occurrence's id wins and the table stays total.
     */
-  def tokenIds(text: Column, m: Model): Column = {
+  def tokenIds(text: Column, m: Model): Column =
+    Kernels.bpeTokenIds(text, m.ranksTable, idTable(m))
+
+  private def idTable(m: Model): java.util.HashMap[String, Integer] = {
+    val ids = new java.util.HashMap[String, Integer]()
+    // reversed iteration: later puts win, so the EARLIEST index per
+    // symbol is what survives (the first-occurrence rule above)
+    vocab(m).zipWithIndex.reverse.foreach { case (s, i) => ids.put(s, i) }
+    ids
+  }
+
+  /** The map-literal id route the kernel replaced — kept (test-only)
+    * as the parity reference for the kernel path.
+    */
+  private[graft] def tokenIdsMapLiteral(text: Column, m: Model): Column = {
     val firstIds = vocab(m).zipWithIndex.reverse.toMap // earlier entries overwrite later
     transform(tokens(text, m), t => element_at(typedlit(firstIds), t))
   }

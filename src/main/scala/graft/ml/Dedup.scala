@@ -288,6 +288,53 @@ object Dedup {
     val toks = split(TextFunctions.normalized(col(textCol)), " ", -1)
     val sig = docs.where(size(toks) >= 3)
       .select(col(idCol).as("id"), Kernels.simhash64(toks).as("sim"))
+    hamming64Pairs(sig, "id", "sim", maxHamming, maxBucket, saltCap)
+  }
+
+  /** Banded Hamming self-join over an arbitrary 64-bit fingerprint
+    * column — the [[simhashPairs]] core lifted out for non-text
+    * fingerprints (perceptual image hashes
+    * [[graft.ml.Multimodal.phashPairs]], audio fingerprints). 4×16-bit
+    * quadrant bands: a pair within Hamming `maxHamming` ≤ 3 differs in
+    * at most 3 of the 4 quadrants, so it shares ≥ 1 intact quadrant
+    * (pigeonhole) and banding recall is exactly 1; above 3 the bands
+    * become a heuristic prefilter (same contract as [[simhashPairs]]).
+    */
+  /** Banded Hamming join BETWEEN two fingerprint frames — the
+    * [[hamming64Pairs]] shape without the self-join: `(id_a, id_b,
+    * hamming)` for every cross pair within `maxHamming` (id_a from
+    * `left`, id_b from `right`). Same 4×16-bit quadrant bands, same
+    * pigeonhole recall guarantee at `maxHamming` ≤ 3. This is the
+    * continuous-ingestion probe: left = incoming batch (small — pass
+    * it pre-`broadcast` and the band join never shuffles the corpus),
+    * right = the corpus fingerprint index.
+    */
+  def hamming64JoinPairs(
+      left: DataFrame,
+      right: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    def quads(df: DataFrame, s: String) = df
+      .select(col(idCol).as(s"id_$s"), col(hashCol).cast("long").as(s"sim_$s"))
+      .select(col(s"id_$s"), col(s"sim_$s"), explode(array(
+        (0 until 4).map(q => concat_ws(":", lit(q),
+          shiftrightunsigned(col(s"sim_$s"), q * 16).bitwiseAND(lit(0xFFFFL)))): _*)).as("qk"))
+    quads(left, "a").join(quads(right, "b"), "qk")
+      .select(col("id_a"), col("id_b"),
+        Similarity.hamming64(col("sim_a"), col("sim_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct() // a pair appears once per shared quadrant (≤4×)
+  }
+
+  def hamming64Pairs(
+      hashes: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int = 3,
+      maxBucket: Int = 500,
+      saltCap: Int = 10000): DataFrame = {
+    val sig = hashes.select(col(idCol).as("id"), col(hashCol).cast("long").as("sim"))
     val quads = sig.select(col("id"), col("sim"), explode(array(
       (0 until 4).map(q => concat_ws(":", lit(q),
         shiftrightunsigned(col("sim"), q * 16).bitwiseAND(lit(0xFFFFL)))): _*)).as("qk"))

@@ -58,6 +58,24 @@ object Multimodal {
       */
     def decodeBatch(kind: String, batch: Seq[Array[Byte]]): Seq[Array[Float]] =
       batch.map(decode(kind, _))
+
+    /** Decode + downscale one payload to a `w`×`h` grayscale grid
+      * (row-major, values in [0, 255]) — the perceptual-hash input
+      * ([[perceptualHashes]]). A real deployment overrides with actual
+      * decode → luma → box-downscale; the default is the deterministic
+      * stub (splitmix64 stream off the payload hash), so identical
+      * payloads get identical grids and the hash plumbing is testable
+      * end-to-end in this codec-less container.
+      */
+    def decodeGray(kind: String, bytes: Array[Byte], w: Int, h: Int): Array[Double] = {
+      val h0 = bytes.foldLeft(1125899906842597L)((acc, b) => acc * 31 + b)
+      Array.tabulate(w * h) { i =>
+        var z = h0 + (i + 1) * 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        ((z ^ (z >>> 31)) >>> 11).toDouble / (1L << 53).toDouble * 255.0
+      }
+    }
   }
 
   object MediaCodec {
@@ -127,6 +145,57 @@ object Multimodal {
       }
     }
   }
+
+  /** Perceptual hash per media row — the image/audio cousin of text
+    * SimHash (public-knowledge aHash/dHash constructions). `ahash`:
+    * 8×8 gray grid, bit i = pixel_i > grid mean. `dhash`: 9×8 grid
+    * (9 columns × 8 rows), bit (r,c) = p(r,c) < p(r,c+1) — horizontal
+    * gradient signs, robust to uniform brightness shifts. Both are one
+    * map-side pass through the registered [[MediaCodec]]'s
+    * `decodeGray`; nothing shuffles. Returns `(media_id, phash)`.
+    */
+  def perceptualHashes(media: DataFrame, algo: String = "ahash")(
+      implicit spark: SparkSession): DataFrame = {
+    require(algo == "ahash" || algo == "dhash", s"algo: $algo")
+    import spark.implicits._
+    val codec = MediaCodec.active // plan-time capture, ships in the closure
+    val aHash = algo == "ahash"
+    media.as[MediaRow].map { m =>
+      val bytes = Option(m.bytes).getOrElse(Array.emptyByteArray)
+      val h =
+        if (aHash) {
+          val g = codec.decodeGray(m.kind, bytes, 8, 8)
+          val mean = g.sum / 64.0
+          var acc = 0L; var i = 0
+          while (i < 64) { if (g(i) > mean) acc |= (1L << i); i += 1 }
+          acc
+        } else {
+          val g = codec.decodeGray(m.kind, bytes, 9, 8)
+          var acc = 0L; var r = 0
+          while (r < 8) {
+            var c = 0
+            while (c < 8) {
+              if (g(r * 9 + c) < g(r * 9 + c + 1)) acc |= (1L << (r * 8 + c))
+              c += 1
+            }
+            r += 1
+          }
+          acc
+        }
+      (m.media_id, h)
+    }.toDF("media_id", "phash")
+  }
+
+  /** Perceptual near-dup pairs: [[perceptualHashes]] →
+    * [[Dedup.hamming64Pairs]] (4×16-bit banded self-join — recall 1 at
+    * `maxHamming` ≤ 3, never all-pairs). Returns
+    * `(id_a, id_b, hamming)`.
+    */
+  def phashPairs(media: DataFrame, algo: String = "ahash", maxHamming: Int = 3,
+      maxBucket: Int = 500, saltCap: Int = 10000)(
+      implicit spark: SparkSession): DataFrame =
+    Dedup.hamming64Pairs(perceptualHashes(media, algo), "media_id", "phash",
+      maxHamming, maxBucket, saltCap)
 
   /** Media near-dup detection: decoded features feed the embedding dedup
     * path ([[Dedup.embeddingPairs]]) — the image/audio analogue of text

@@ -173,11 +173,23 @@ object UnigramLm {
   def tokenCount(text: Column, m: Model): Column = size(tokens(text, m))
 
   /** Token-ID array — ids are the model's deterministic piece order.
-    * Characters outside the trained charset decode via the kernel's
-    * per-character fallback and map to id -1 here (explicit OOV
-    * marker, unlike [[Bpe]] whose charset is closed).
+    * Tokenize + id-emit in ONE codegen kernel call with a HashMap id
+    * table as a reference object (O(1) per token — see
+    * [[Bpe.tokenIds]] for why the map-literal route doesn't scale to
+    * real vocabularies). Characters outside the trained charset decode
+    * via the kernel's per-character fallback and map to id -1 (explicit
+    * OOV marker, unlike [[Bpe]] whose charset is closed).
     */
   def tokenIds(text: Column, m: Model): Column = {
+    val ids = new java.util.HashMap[String, Integer]()
+    m.pieces.zipWithIndex.foreach { case (p, i) => ids.put(p, i) }
+    Kernels.unigramTokenIds(text, m.table, m.maxLen, ids)
+  }
+
+  /** The map-literal id route the kernel replaced — kept (test-only)
+    * as the parity reference for the kernel path.
+    */
+  private[graft] def tokenIdsMapLiteral(text: Column, m: Model): Column = {
     val ids = m.pieces.zipWithIndex.toMap
     transform(tokens(text, m), t => coalesce(
       element_at(typedlit(ids), t), lit(-1)))

@@ -1976,6 +1976,84 @@ object Kernels {
       copy(child = c)
   }
 
+  /** Ids for an already-encoded token array: one HashMap probe per token
+    * (O(1)), NOT an `element_at` over a Catalyst map literal (a linear
+    * probe of ArrayBasedMapData — O(|V|) per token, ~100× slower at a
+    * production 32k–64k vocabulary). `missing` is emitted for a token
+    * outside the table; null means emit SQL NULL.
+    */
+  def tokenIdsEval(toks: ArrayData,
+      ids: java.util.HashMap[String, Integer],
+      missing: java.lang.Integer): ArrayData = {
+    val n = toks.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val id = ids.get(toks.getUTF8String(i).toString)
+      out(i) = if (id != null) id else missing
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def bpeTokenIdsEval(input: UTF8String,
+      ranks: java.util.HashMap[String, Integer],
+      ids: java.util.HashMap[String, Integer]): ArrayData =
+    // BPE's charset is closed (encode only emits base symbols and merge
+    // outputs, all present in the id table) — `missing` null never fires
+    tokenIdsEval(bpeTokensEval(input, ranks), ids, null)
+
+  def unigramTokenIdsEval(input: UTF8String,
+      logp: java.util.HashMap[String, java.lang.Double], maxLen: Int,
+      ids: java.util.HashMap[String, Integer]): ArrayData =
+    // characters outside the trained charset fall back to per-character
+    // emission in the encoder and carry the explicit OOV id -1
+    tokenIdsEval(unigramTokensEval(input, logp, maxLen), ids, Integer.valueOf(-1))
+
+  /** Tokenize + id-emit in ONE kernel call — the training-export hot
+    * path (q_pack_export's token-id stream). Nullability mirrors the
+    * map-literal path it replaces: element_at is nullable (though BPE's
+    * closed charset means null never actually occurs).
+    */
+  case class BpeTokenIdsExpr(child: Expression,
+      ranks: java.util.HashMap[String, Integer],
+      ids: java.util.HashMap[String, Integer])
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = true)
+    override def nullSafeEval(input: Any): Any =
+      bpeTokenIdsEval(input.asInstanceOf[UTF8String], ranks, ids)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val r = ctx.addReferenceObj("bpeRanks", ranks, "java.util.HashMap")
+      val t = ctx.addReferenceObj("bpeIds", ids, "java.util.HashMap")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.plans.Kernels.bpeTokenIdsEval($c, $r, $t);")
+    }
+    override protected def withNewChildInternal(c: Expression): BpeTokenIdsExpr =
+      copy(child = c)
+  }
+
+  /** [[BpeTokenIdsExpr]]'s unigram twin; -1 is the explicit OOV id
+    * (the coalesce fallback of the map-literal path), so the array is
+    * null-free.
+    */
+  case class UnigramTokenIdsExpr(child: Expression,
+      logp: java.util.HashMap[String, java.lang.Double], maxLen: Int,
+      ids: java.util.HashMap[String, Integer])
+      extends UnaryExpression {
+    require(maxLen > 0, s"maxLen: $maxLen")
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      unigramTokenIdsEval(input.asInstanceOf[UTF8String], logp, maxLen, ids)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val l = ctx.addReferenceObj("unigramLogp", logp, "java.util.HashMap")
+      val t = ctx.addReferenceObj("unigramIds", ids, "java.util.HashMap")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.plans.Kernels.unigramTokenIdsEval($c, $l, $maxLen, $t);")
+    }
+    override protected def withNewChildInternal(c: Expression): UnigramTokenIdsExpr =
+      copy(child = c)
+  }
+
   /** Single-pass logistic-regression quality probability under a DENSE
     * hashed-n-gram weight vector riding as a reference object (the
     * fastText-supervised / CCNet-linear-classifier shape): tokenize
@@ -2121,6 +2199,14 @@ object Kernels {
   def unigramTokens(text: Column,
       logp: java.util.HashMap[String, java.lang.Double], maxLen: Int): Column =
     ExpressionUtils.column(UnigramTokensExpr(ExpressionUtils.expression(text), logp, maxLen))
+  def bpeTokenIds(text: Column, ranks: java.util.HashMap[String, Integer],
+      ids: java.util.HashMap[String, Integer]): Column =
+    ExpressionUtils.column(BpeTokenIdsExpr(ExpressionUtils.expression(text), ranks, ids))
+  def unigramTokenIds(text: Column,
+      logp: java.util.HashMap[String, java.lang.Double], maxLen: Int,
+      ids: java.util.HashMap[String, Integer]): Column =
+    ExpressionUtils.column(
+      UnigramTokenIdsExpr(ExpressionUtils.expression(text), logp, maxLen, ids))
   def hashedGrams(text: Column, buckets: Long, seed: Int, maxOrder: Int): Column =
     ExpressionUtils.column(HashedGramsExpr(ExpressionUtils.expression(text),
       buckets, seed, maxOrder))

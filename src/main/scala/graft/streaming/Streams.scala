@@ -223,6 +223,28 @@ object Streams {
       batch.join(dupIds, batch(idCol) === col("__dup_id"), "left_anti")
     }
 
+  /** Media near-dup dedup against a static corpus fingerprint index —
+    * the perceptual cousin of [[dedupAgainstCorpusBatch]]: drop
+    * incoming media whose perceptual hash lands within `maxHamming`
+    * of any corpus fingerprint. `corpusHashes` is
+    * [[graft.ml.Multimodal.perceptualHashes]] output `(media_id,
+    * phash)` — typically precomputed once and persisted; the batch
+    * side is hashed in-flight and broadcast into the band join, so
+    * the corpus frame never shuffles per micro-batch.
+    */
+  def phashDedupBatch(
+      corpusHashes: DataFrame,
+      algo: String = "ahash",
+      maxHamming: Int = 3)(
+      implicit spark: SparkSession): DataFrame => DataFrame =
+    (batch: DataFrame) => {
+      val bh = graft.ml.Multimodal.perceptualHashes(batch, algo)
+      val dupIds = graft.ml.Dedup.hamming64JoinPairs(
+        broadcast(bh), corpusHashes, "media_id", "phash", maxHamming)
+        .select(col("id_a").as("__dup_id")).distinct()
+      batch.join(dupIds, batch("media_id") === col("__dup_id"), "left_anti")
+    }
+
   /** Stream ANN enrichment: tag each micro-batch row with its top-`k`
     * nearest corpus neighbours from a static IVF index (id, cosine
     * pairs) — "which training docs is this incoming doc closest to",

@@ -110,6 +110,18 @@ class BpeSpec extends SparkSpec {
     assert(ids2(0) === ids(0))
   }
 
+  test("tokenIds kernel path ≡ the map-literal route it replaced") {
+    val corpus = Seq.tabulate(60)(i => s"the quick brown fox $i jumps over lazy dogs").toDF("text")
+    val m = Bpe.train(corpus, "text", numMerges = 25)
+    val docs = Seq((1L, "the quick fox"), (2L, ""), (3L, "unseen zebra 42"))
+      .toDF("doc_id", "text")
+    val both = docs.select(col("doc_id"),
+        Bpe.tokenIds(col("text"), m).as("kernel"),
+        Bpe.tokenIdsMapLiteral(col("text"), m).as("literal"))
+      .orderBy("doc_id").collect()
+    both.foreach(r => assert(r.getSeq[Int](1) === r.getSeq[Int](2), s"doc ${r.getLong(0)}"))
+  }
+
   test("minCount floor stops merge learning; maxTypes caps the dictionary") {
     // every pair occurs once -> nothing reaches minCount=2
     val m = Bpe.learnMerges(Array(("abc", 1L)), numMerges = 10, minCount = 2)

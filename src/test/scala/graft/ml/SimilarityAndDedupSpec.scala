@@ -384,6 +384,42 @@ class SimilarityAndDedupSpec extends SparkSpec {
     assert(pairs.contains((42L, 999L)), pairs.mkString(","))
   }
 
+  test("perceptual hashes: known-vector aHash/dHash under an injected gray decoder") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val media = Multimodal.asMediaTable(
+      Seq((1L, "x")).toDF("id", "data").withColumn("bin", $"data".cast("binary")),
+      "id", "bin", "image")
+    // fixed gradient grid: pixel i = i (row-major)
+    object GradientCodec extends Multimodal.MediaCodec {
+      override def decode(kind: String, bytes: Array[Byte]): Array[Float] = Array(0f)
+      override def decodeGray(kind: String, bytes: Array[Byte], w: Int, h: Int): Array[Double] =
+        Array.tabulate(w * h)(_.toDouble)
+    }
+    try {
+      Multimodal.MediaCodec.register(GradientCodec)
+      // aHash: 8×8 grid 0..63, mean 31.5 → bits 32..63 set
+      val a = Multimodal.perceptualHashes(media, "ahash").collect()(0).getLong(1)
+      assert(a === (0xFFFFFFFFL << 32), f"ahash $a%016x")
+      // dHash: every p(r,c) < p(r,c+1) on a rising gradient → all 64 set
+      val d = Multimodal.perceptualHashes(media, "dhash").collect()(0).getLong(1)
+      assert(d === -1L, f"dhash $d%016x")
+    } finally Multimodal.MediaCodec.reset()
+  }
+
+  test("phashPairs: planted identical payloads pair at hamming 0; distinct payloads don't") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val rows = (0L until 40L).map(i => (i, s"payload-$i")) :+ (999L, "payload-7")
+    val media = Multimodal.asMediaTable(
+      rows.toDF("id", "data").withColumn("bin", $"data".cast("binary")),
+      "id", "bin", "image")
+    Seq("ahash", "dhash").foreach { algo =>
+      val pairs = Multimodal.phashPairs(media, algo)
+        .select("id_a", "id_b", "hamming").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      assert(pairs.toSeq === Seq((7L, 999L, 0)), s"$algo: ${pairs.mkString(",")}")
+    }
+  }
+
   test("media codec SPI: a registered codec replaces the stub without pipeline changes") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val media = Multimodal.asMediaTable(

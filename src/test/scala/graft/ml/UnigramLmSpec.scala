@@ -54,6 +54,17 @@ class UnigramLmSpec extends SparkSpec {
     assert(ids.getInt(1) < m.pieces.length)
   }
 
+  test("tokenIds kernel path ≡ the map-literal route it replaced (incl. OOV -1)") {
+    val m = UnigramLm.train(corpus, "text", vocabSize = 80, maxPieceLen = 6)
+    val docs = Seq((1L, "the quick fox"), (2L, ""), (3L, "zzqqxx17 unseen"))
+      .toDF("doc_id", "text")
+    val both = docs.select(col("doc_id"),
+        UnigramLm.tokenIds(col("text"), m).as("kernel"),
+        UnigramLm.tokenIdsMapLiteral(col("text"), m).as("literal"))
+      .orderBy("doc_id").collect()
+    both.foreach(r => assert(r.getSeq[Int](1) === r.getSeq[Int](2), s"doc ${r.getLong(0)}"))
+  }
+
   test("EM does not decrease corpus likelihood on the fixed final vocabulary") {
     val m = UnigramLm.train(corpus, "text", vocabSize = 80, maxPieceLen = 6)
     // a degenerate competitor: same pieces, uniform probabilities —

@@ -247,6 +247,24 @@ class StreamsSpec extends SparkSpec {
     } finally index.release()
   }
 
+  test("phashDedupBatch drops stream media that perceptually match the static corpus") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val corpus = graft.ml.Multimodal.asMediaTable(
+      (0L until 20L).map(i => (i, s"media-payload-$i")).toDF("id", "data")
+        .withColumn("bin", $"data".cast("binary")),
+      "id", "bin", "image")
+    val corpusHashes = graft.ml.Multimodal.perceptualHashes(corpus)
+    val batch = graft.ml.Multimodal.asMediaTable(
+      Seq((100L, "media-payload-7"), // exact perceptual dup of corpus 7
+          (101L, "entirely novel media payload")).toDF("id", "data")
+        .withColumn("bin", $"data".cast("binary")),
+      "id", "bin", "image")
+    val dropDups = Streams.phashDedupBatch(corpusHashes)
+    val kept = dropDups(batch)
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(101L), kept)
+  }
+
   test("annEnrichBatch tags stream rows with top-k corpus neighbours") {
     val corpus = (0 until 60).map { i =>
       val rnd = new scala.util.Random(i * 31 + 7)
