@@ -770,6 +770,14 @@ object SparkEntry {
       Sampling.shuffleDeterministic(
         t(s, dir, "documents").select(col("doc_id"), col("lang")),
         "doc_id", seed = 5)),
+    // token-budget mixing: ~5000 tokens per language in deterministic
+    // md5-shuffled order — the keep rule (tokens BEFORE the doc <
+    // budget) is exact integer math, so DuckDB re-derives the set
+    "q_token_budget" -> ((s, dir) =>
+      Sampling.capTokensPerGroup(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens")),
+        "lang", "n_tokens", "doc_id", budget = 5000L, seed = 7)),
     // DSIR gate (hashed-n-gram importance resampling, ml.Dsir): plant a
     // distinctive "wiki" suffix on even doc_ids, target = pure wiki
     // vocab; the resample must pull >= 80% even ids (deterministic:
@@ -1423,6 +1431,27 @@ object SparkEntry {
       val batch = e.filter(col("vec_id") < 10)
         .select((col("vec_id") + 5000).as("vec_id"), col("embedding"))
       graft.streaming.Streams.ivfAppendBatch(path, "vec_id", "embedding")(batch, 0L)
+      Ann.ivfKnn(Ann.readIvfIndex(s, path), e.filter(col("vec_id") < 10),
+          "vec_id", "embedding", Ann.readIvfCentroids(s, path),
+          k = 5, nProbe = 32, excludeSelf = false)
+        .select(col("query_id"), col("neighbour_id"), col("rank"))
+    }),
+    // compaction invariance: persist, append (one extra file per
+    // touched list), COMPACT to one file per list, then cold-search at
+    // full probe — the row set must still be exact top-5 over
+    // (corpus ∪ appended), bit-identical to q_ann_append's oracle. A
+    // compactor that drops/duplicates a row or loses a sidecar breaks
+    // this row set loudly.
+    "q_ann_compact" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val path = s"${freshTmp("anncompact")}/ivf"
+      val centroids = Ann.trainCentroids(e, "embedding", nList = 32)
+      Ann.writeIvfIndex(
+        Ann.buildIvfIndex(e, "vec_id", "embedding", centroids), path, centroids)
+      val batch = e.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 5000).as("vec_id"), col("embedding"))
+      graft.streaming.Streams.ivfAppendBatch(path, "vec_id", "embedding")(batch, 0L)
+      Ann.compactIvfIndex(s, path)
       Ann.ivfKnn(Ann.readIvfIndex(s, path), e.filter(col("vec_id") < 10),
           "vec_id", "embedding", Ann.readIvfCentroids(s, path),
           k = 5, nProbe = 32, excludeSelf = false)
@@ -2352,6 +2381,17 @@ object SparkEntry {
            row_number() OVER (ORDER BY md5(doc_id::VARCHAR || '_5'), doc_id) - 1
              AS shuffle_rank
          FROM documents""",
+    // q_token_budget: same md5 order, same pack-style "tokens before
+    // the doc" cumsum, same integer threshold
+    "q_token_budget" ->
+      """SELECT doc_id, lang, n_tokens FROM (
+           SELECT doc_id, lang, n_tokens,
+             coalesce(sum(n_tokens) OVER (PARTITION BY lang
+               ORDER BY md5(doc_id::VARCHAR || '_7'), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tb
+           FROM (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+                 FROM documents))
+         WHERE tb < 5000""",
     "q_dsir_gate" ->
       "SELECT true AS dsir_ok",
     // q_dsir_inline: kernel-vs-join parity + planted pull; boolean
@@ -2934,6 +2974,21 @@ object SparkEntry {
     // self-exclusion — exact cosine top-5 over the union is the truth
     // the stored-quantizer append must reproduce
     "q_ann_append" ->
+      """WITH u AS (SELECT vec_id, embedding FROM embeddings
+                    UNION ALL
+                    SELECT vec_id + 5000 AS vec_id, embedding
+                    FROM embeddings WHERE vec_id < 10),
+         q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+         s AS (SELECT q.vec_id AS query_id, u.vec_id AS neighbour_id,
+               list_cosine_similarity(q.embedding, u.embedding) AS c
+               FROM q, u)
+         SELECT query_id, neighbour_id, rank FROM (
+           SELECT query_id, neighbour_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbour_id) AS rank
+           FROM s) WHERE rank <= 5""",
+    // q_ann_compact: compaction changes file layout, never rows —
+    // q_ann_append's oracle verbatim
+    "q_ann_compact" ->
       """WITH u AS (SELECT vec_id, embedding FROM embeddings
                     UNION ALL
                     SELECT vec_id + 5000 AS vec_id, embedding

@@ -509,6 +509,36 @@ object Ann {
     buildSqIndex(corpus, idCol, vecCol, p).write.mode("append").parquet(path)
   }
 
+  /** Compact a continuously-appended list-partitioned index (IVF,
+    * IVFSQ, or IVFADC) in place: every [[appendToIvfIndex]]-family
+    * batch adds one file per touched list, so after many micro-batches
+    * a probe opens dozens of tiny files per list. This rewrites each
+    * list to ONE file (hash-repartition on `list` — each list lands
+    * wholly in one task) and swaps the rewrite in, carrying every
+    * sidecar (`_centroids`/`_sqparams`/`_codebooks`/`_rotation`)
+    * across untouched. Row contents are identical, so search results
+    * are bit-identical before/after (oracled: q_ann_compact). The
+    * final delete+rename swap is NOT atomic — run compaction offline
+    * or during an ingestion pause, like any filesystem-level compactor
+    * without a manifest layer.
+    */
+  def compactIvfIndex(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact")
+    // write the rewrite NEXT TO the index (reading and overwriting the
+    // same path would delete the input mid-scan), then swap
+    spark.read.parquet(path).repartition(col("list"))
+      .write.mode("overwrite").partitionBy("list").parquet(tmp.toString)
+    Seq("_centroids", "_sqparams", "_codebooks", "_rotation").foreach { side =>
+      val sp = new org.apache.hadoop.fs.Path(p, side)
+      if (fs.exists(sp)) fs.rename(sp, new org.apache.hadoop.fs.Path(tmp, side))
+    }
+    fs.delete(p, true)
+    require(fs.rename(tmp, p), s"compactIvfIndex: rename $tmp -> $p failed")
+  }
+
   /** The IVFSQ twin of [[appendToSqIndex]]: assign with the stored
     * coarse quantizer AND encode with the stored grid, append to the
     * list-partitioned files.

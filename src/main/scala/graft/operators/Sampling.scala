@@ -111,6 +111,34 @@ object Sampling {
       .filter(col("rank") <= n)
   }
 
+  /** Token-budget cap per group — the token-weighted cousin of
+    * [[capPerGroup]] and the "give me ~N tokens per domain" mixing
+    * primitive: keep docs in deterministic md5-shuffled order within
+    * each group until the running token total reaches `budget`. The
+    * keep rule is "tokens BEFORE the doc < budget" (the
+    * [[packSequences]] cumsum convention): the doc that crosses the
+    * budget is KEPT, so a group with ≥ budget tokens yields at least
+    * `budget`; a smaller group is kept whole. Exact integer math — any
+    * engine re-derives the identical set (the [[exactSample]] md5
+    * portability rule).
+    *
+    * Scale shape: ONE hash-partitioned window (cumulative sum over the
+    * md5 order), skew surface = rows per group — the [[capPerGroup]]
+    * plan with a running sum instead of row_number.
+    */
+  def capTokensPerGroup(
+      df: DataFrame, groupCol: String, tokenCol: String, idCol: String,
+      budget: Long, seed: Int = 0): DataFrame = {
+    require(budget > 0, s"budget: $budget")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(saltedMd5Key(idCol, seed).asc_nulls_last, col(idCol).asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__tok_before",
+        coalesce(sum(col(tokenCol).cast("long")).over(w), lit(0L)))
+      .filter(col("__tok_before") < budget)
+      .drop("__tok_before")
+  }
+
   /** Exact-size deterministic sample: the `n` rows whose salted md5 of
     * `idCol` sorts lowest. Unlike fraction sampling this yields exactly
     * `n` rows; unlike `limit(n)` the choice is uniform-ish over the

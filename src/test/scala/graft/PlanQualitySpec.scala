@@ -361,6 +361,29 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("phash batch-vs-corpus probe: batch side broadcasts, corpus never pre-shuffles") {
+    import spark.implicits._
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val mk = (n: Int, off: Long) => graft.ml.Multimodal.asMediaTable(
+      (0 until n).map(i => (i + off, s"payload-$i")).toDF("id", "data")
+        .withColumn("bin", $"data".cast("binary")),
+      "id", "bin", "image")
+    val corpusHashes = graft.ml.Multimodal.perceptualHashes(mk(500, 0L))
+    val p = plan(graft.ml.Dedup.hamming64JoinPairs(
+      org.apache.spark.sql.functions.broadcast(
+        graft.ml.Multimodal.perceptualHashes(mk(3, 9000L))),
+      corpusHashes, "media_id", "phash"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // the only exchange is the pair-level distinct, never the corpus scan
+    // feeding the band join (BroadcastHashJoin's streamed side is the
+    // corpus quad projection directly)
+    val joinIdx = p.indexOf("BroadcastHashJoin")
+    val preJoin = p.substring(joinIdx)
+    assert(!preJoin.contains("Exchange hashpartitioning"),
+      "corpus side shuffles before the band join:\n" + p.take(3000))
+  }
+
   test("keyed rolling is one hash-partitioned window, no global sort") {
     import spark.implicits._
     val df = Seq.tabulate(100)(i => (i.toLong, s"g${i % 4}", i.toDouble))

@@ -298,6 +298,47 @@ class DedupCorpusSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("compactIvfIndex: one file per list, sidecars carried, search bit-identical") {
+    val vecs = (0 until 120).map { i =>
+      val rnd = new scala.util.Random(i * 101 + 17)
+      (i.toLong, Array.fill(8)(rnd.nextFloat() - 0.5f))
+    }.toDF("vec_id", "embedding")
+    val centroids = Ann.trainCentroids(vecs, "embedding", nList = 4, sampleN = 120)
+    val root = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val dir = s"$root/ivf"
+    try {
+      Ann.writeIvfIndex(Ann.buildIvfIndex(vecs, "vec_id", "embedding", centroids),
+        dir, centroids)
+      // three append batches — each adds a file per touched list
+      (0 until 3).foreach { b =>
+        val more = (200 + b * 10 until 210 + b * 10).map { i =>
+          val rnd = new scala.util.Random(i * 101 + 17)
+          (i.toLong, Array.fill(8)(rnd.nextFloat() - 0.5f))
+        }.toDF("vec_id", "embedding")
+        Ann.appendToIvfIndex(spark, dir, more, "vec_id", "embedding")
+      }
+      def filesPerList: Map[String, Int] =
+        new java.io.File(dir).listFiles().filter(_.getName.startsWith("list="))
+          .map(d => d.getName ->
+            d.listFiles().count(f => f.getName.endsWith(".parquet"))).toMap
+      assert(filesPerList.values.exists(_ > 1), filesPerList)
+      val q = vecs.filter($"vec_id" % 29 === 0)
+      val before = Ann.ivfKnn(Ann.readIvfIndex(spark, dir), q, "vec_id", "embedding",
+        Ann.readIvfCentroids(spark, dir), k = 3, nProbe = 4)
+        .select("query_id", "neighbour_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+      Ann.compactIvfIndex(spark, dir)
+      assert(filesPerList.nonEmpty && filesPerList.values.forall(_ === 1), filesPerList)
+      // both the rows and the sidecar survive the swap
+      val after = Ann.ivfKnn(Ann.readIvfIndex(spark, dir), q, "vec_id", "embedding",
+        Ann.readIvfCentroids(spark, dir), k = 3, nProbe = 4)
+        .select("query_id", "neighbour_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+      assert(after === before)
+      assert(Ann.readIvfIndex(spark, dir).count() === 150)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("embeddingPairs salt path matches the uncapped pair set") {
     val vecs = (0 until 30).map { i =>
       // two tight clusters → big LSH buckets

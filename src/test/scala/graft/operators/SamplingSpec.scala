@@ -55,6 +55,39 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("capTokensPerGroup: budget-crossing doc kept, small groups whole, deterministic") {
+    val out = Sampling.capTokensPerGroup(docs, "lang", "n_tokens", "id",
+      budget = 500L, seed = 3)
+      .select("lang", "id", "n_tokens").as[(String, Long, Long)].collect()
+    // local oracle: replay the md5 order + "tokens before < budget" rule
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map(b => f"${b & 0xff}%02x").mkString
+    }
+    val local = docs.as[(Long, String, Long)].collect().toSeq
+    val expect = local.groupBy(_._2).flatMap { case (_, rows) =>
+      val ordered = rows.sortBy { case (id, _, _) => (md5hex(s"${id}_3"), id) }
+      val cum = ordered.scanLeft(0L)(_ + _._3)
+      ordered.zip(cum).takeWhile(_._2 < 500L).map(_._1._1).toSeq
+    }.toSet
+    assert(out.map(_._2).toSet === expect)
+    out.groupBy(_._1).foreach { case (lang, rs) =>
+      val tot = rs.map(_._3).sum
+      // the crossing doc is kept → total reaches the budget (every
+      // group here has plenty of tokens)
+      assert(tot >= 500L, s"$lang: $tot")
+    }
+    // a group whose whole token mass is under budget survives intact
+    val tiny = Seq((1L, "xx", 30L), (2L, "xx", 40L)).toDF("id", "lang", "n_tokens")
+    assert(Sampling.capTokensPerGroup(tiny, "lang", "n_tokens", "id", 500L)
+      .count() === 2L)
+    // partition-invariant
+    val re = Sampling.capTokensPerGroup(docs.repartition(13), "lang", "n_tokens", "id",
+      budget = 500L, seed = 3).select("id").as[Long].collect().toSet
+    assert(re === out.map(_._2).toSet)
+  }
+
   test("exactSample: exactly n rows, reproducible, disjoint-ish across seeds") {
     val s1 = Sampling.exactSample(docs, "id", 100, seed = 1).select("id").as[Long].collect()
     val s2 = Sampling.exactSample(docs, "id", 100, seed = 1).select("id").as[Long].collect()
