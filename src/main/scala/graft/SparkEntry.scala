@@ -400,6 +400,19 @@ object SparkEntry {
           (col("s_suppkey") * 3000.0 + 4500.0).as("hi")),
         "o_totalprice", "lo", "hi", bandWidth = 3000L)
         .select(col("o_orderkey"), col("s_suppkey"))),
+    // interval×interval overlap join, banded exactly-once (pairs emit
+    // only from the band owning the overlap start — no distinct pass);
+    // banding changes cost, never rows ⇒ the oracle is the theta join
+    "q_join_interval" -> ((s, dir) =>
+      Joins.intervalJoin(
+        t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_totalprice").as("alo"),
+          (col("o_totalprice") + 2000.0).as("ahi")),
+        t(s, dir, "supplier").select(col("s_suppkey"),
+          (col("s_suppkey") * 3000.0).as("blo"),
+          (col("s_suppkey") * 3000.0 + 4500.0).as("bhi")),
+        "alo", "ahi", "blo", "bhi", bandWidth = 3000L)
+        .select(col("o_orderkey"), col("s_suppkey"))),
     // layout op: z-order-cluster lineitem on (l_partkey, l_suppkey), read
     // back through a 2-D range filter — layout changes file pruning, never
     // rows (oracle = plain SQL over the unclustered table)
@@ -1876,6 +1889,12 @@ object SparkEntry {
       """SELECT o.o_orderkey, s.s_suppkey FROM orders o JOIN supplier s
          ON o.o_totalprice BETWEEN s.s_suppkey * 3000.0
                                AND s.s_suppkey * 3000.0 + 4500.0""",
+    // q_join_interval: closed-interval overlap — banding + the
+    // ownership predicate change cost, never the row set
+    "q_join_interval" ->
+      """SELECT o.o_orderkey, s.s_suppkey FROM orders o JOIN supplier s
+         ON o.o_totalprice <= s.s_suppkey * 3000.0 + 4500.0
+        AND s.s_suppkey * 3000.0 <= o.o_totalprice + 2000.0""",
     "q_rolling" ->
       """SELECT o_orderkey, o_orderpriority,
            CAST(floor(o_totalprice) AS DOUBLE) AS o_total_i,

@@ -295,10 +295,27 @@ final case class Tab(df: DataFrame) {
     Tab(Joins.rangeJoin(df, intervals.df, pointCol, loCol, hiCol, bandWidth,
       pointKeys, intervalKeys))
 
+  /** Interval-overlap join (operators.Joins.intervalJoin): rows of THIS
+    * table whose [leftLo, leftHi] interval overlaps an interval of
+    * `other` — banded, each pair exactly once.
+    */
+  def intervalJoin(other: Tab, leftLo: String, leftHi: String,
+      rightLo: String, rightHi: String, bandWidth: Long,
+      leftKeys: Seq[String] = Nil, rightKeys: Seq[String] = Nil): Tab =
+    Tab(Joins.intervalJoin(df, other.df, leftLo, leftHi, rightLo, rightHi,
+      bandWidth, leftKeys, rightKeys))
+
   /** Rolling aggregates over the last `n` rows (operators.Rolling). */
   def rolling(valueCols: Seq[String], orderCol: String, n: Int,
       partitionCols: Seq[String] = Nil, tieBreak: Seq[String] = Nil): Tab =
     Tab(Rolling.rolling(df, valueCols, orderCol, n, partitionCols, tieBreak))
+
+  /** ~`budget` tokens per group in deterministic shuffled order
+    * (operators.Sampling.capTokensPerGroup).
+    */
+  def capTokensPerGroup(groupCol: String, tokenCol: String, idCol: String,
+      budget: Long, seed: Int = 0): Tab =
+    Tab(Sampling.capTokensPerGroup(df, groupCol, tokenCol, idCol, budget, seed))
 
   /** Top-k rows by BM25 relevance to `terms` (ml.Retrieval). */
   def bm25TopK(idCol: String, textCol: String, terms: Seq[String], k: Int): Tab =

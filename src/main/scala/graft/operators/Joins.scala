@@ -284,6 +284,74 @@ object Joins {
     p.join(r, cond, "inner").drop("__band").drop(bandR)
   }
 
+  /** Interval-overlap join — the interval×interval other half of
+    * [[rangeJoin]]: every (left, right) pair whose CLOSED intervals
+    * overlap (`lLo <= rHi && rLo <= lHi`), plus optional extra
+    * equi-keys (SQL `=` — null keys match nothing).
+    *
+    * Banded exactly-once: BOTH sides explode to the fixed-width bands
+    * they overlap, pairs hash-join on (band [, keys]) with the exact
+    * overlap residual — and since an overlapping pair now shares EVERY
+    * band its intersection covers, a pair is emitted only from the band
+    * that OWNS the overlap start (`band == floor(max(lLo, rLo) /
+    * bandWidth)`). That predicate is free map-side arithmetic and makes
+    * each qualifying pair appear exactly once with NO distinct pass —
+    * a distinct would shuffle the full pair output. Same numeric
+    * requirement, null/inverted-interval drop semantics,
+    * `maxBandsPerInterval` loud-failure guard, and `_1` rename rule as
+    * [[rangeJoin]].
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftLo: String,
+      leftHi: String,
+      rightLo: String,
+      rightHi: String,
+      bandWidth: Long,
+      leftKeys: Seq[String] = Nil,
+      rightKeys: Seq[String] = Nil,
+      maxBandsPerInterval: Int = 1 << 16): DataFrame = {
+    require(bandWidth > 0, s"bandWidth: $bandWidth")
+    require(leftKeys.length == rightKeys.length, "key arity mismatch")
+    require(!left.columns.contains("__band") && !right.columns.contains("__band"),
+      "'__band' is intervalJoin's internal band column; rename the input column")
+    Seq(left.schema(leftLo), left.schema(leftHi),
+        right.schema(rightLo), right.schema(rightHi))
+      .foreach(f => require(
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"intervalJoin: '${f.name}' is ${f.dataType.simpleString}, need numeric " +
+          "(cast timestamps to long/double first)"))
+    val w = lit(bandWidth.toDouble)
+    def banded(df: DataFrame, lo: String, hi: String): DataFrame = {
+      val loB = floor(col(lo) / w).cast("long")
+      val hiB = floor(col(hi) / w).cast("long")
+      df.filter(col(lo).isNotNull && col(hi).isNotNull && col(lo) <= col(hi))
+        .withColumn("__band", explode(sequence(loB,
+          when(hiB - loB < lit(maxBandsPerInterval.toLong), hiB)
+            .otherwise(raise_error(concat(
+              lit(s"intervalJoin: an interval spans over $maxBandsPerInterval bands " +
+                s"at bandWidth=$bandWidth — widen bandWidth or split the interval (span "),
+              col(hi) - col(lo), lit(")")))))))
+    }
+    val l = banded(left, leftLo, leftHi)
+    val renames = dedupRight(l.columns.toSeq, banded(right, rightLo, rightHi).columns.toSeq)
+    val r = renames.foldLeft(banded(right, rightLo, rightHi)) { case (df, (from, to)) =>
+      if (from == to) df else df.withColumnRenamed(from, to)
+    }
+    val ren = renames.toMap
+    val (bandR, loR, hiR) =
+      (ren("__band"), ren.getOrElse(rightLo, rightLo), ren.getOrElse(rightHi, rightHi))
+    val keyCond = leftKeys.zip(rightKeys.map(k => ren.getOrElse(k, k)))
+      .map { case (a, b) => col(a) === col(b) }
+    val cond = (Seq(col("__band") === col(bandR),
+      col(leftLo) <= col(hiR), col(loR) <= col(leftHi),
+      // exactly-once ownership: only the band holding the overlap start emits
+      col("__band") === floor(greatest(col(leftLo), col(loR)) / w).cast("long")) ++
+      keyCond).reduce(_ && _)
+    l.join(r, cond, "inner").drop("__band").drop(bandR)
+  }
+
   /** As-of join (no reference analogue; the natural generalization of
     * `lookup` with a time criterion, and table stakes for event data).
     * For each left row: the right row with the greatest `rightTime` <=

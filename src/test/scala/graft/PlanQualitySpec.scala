@@ -351,6 +351,22 @@ class PlanQualitySpec extends SparkSpec {
       p.contains("ShuffledHashJoin"), p)
   }
 
+  test("intervalJoin is a banded hash equi-join, never a nested-loop cartesian") {
+    import spark.implicits._
+    val as = spark.range(2000).select(col("id").as("aid"),
+      (col("id") % 997).cast("double").as("alo"),
+      ((col("id") % 997) + 20).cast("double").as("ahi"))
+    val bs = spark.range(100).select(col("id").as("bid"),
+      (col("id") * 9).cast("double").as("blo"),
+      (col("id") * 9 + 25).cast("double").as("bhi"))
+    val p = plan(graft.operators.Joins.intervalJoin(as, bs,
+      "alo", "ahi", "blo", "bhi", bandWidth = 16L))
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
   test("bm25: idf side broadcasts; no cartesian; corpus text scans once per stat pass") {
     import spark.implicits._
     val docs = Seq.tabulate(50)(i => (i.toLong, s"spark join row $i"))

@@ -152,6 +152,38 @@ class JoinsSpec extends SparkSpec {
     assert(pairs === Set((1L, 10L), (2L, 11L)))
   }
 
+  test("intervalJoin equals the naive theta overlap join, each pair exactly once") {
+    val rnd = new scala.util.Random(41)
+    val as = (0 until 120).map { i =>
+      val lo = rnd.nextInt(500).toDouble; (i.toLong, lo, lo + rnd.nextInt(90))
+    }.toDF("aid", "alo", "ahi")
+    val bs = (0 until 80).map { i =>
+      val lo = rnd.nextInt(500).toDouble; (i.toLong, lo, lo + rnd.nextInt(90))
+    }.toDF("bid", "blo", "bhi")
+    val got = Joins.intervalJoin(as, bs, "alo", "ahi", "blo", "bhi", bandWidth = 32L)
+      .select(col("aid"), col("bid")).as[(Long, Long)].collect()
+    // exactly once: no pair may appear twice despite multi-band overlap
+    assert(got.length === got.toSet.size, "duplicate pairs emitted")
+    val want = as.join(bs, col("alo") <= col("bhi") && col("blo") <= col("ahi"))
+      .select(col("aid"), col("bid")).as[(Long, Long)].collect().toSet
+    assert(got.toSet === want)
+  }
+
+  test("intervalJoin: nulls and inverted intervals drop; keys restrict; collisions rename") {
+    val as = Seq((1L, "x", 0.0, 10.0), (2L, "y", 0.0, 10.0),
+        (3L, "x", 20.0, 15.0), (4L, "x", Double.NaN, 5.0))
+      .toDF("pid", "g", "lo", "hi")
+      .withColumn("lo", when(col("pid") === 4, lit(null)).otherwise(col("lo")))
+    val bs = Seq((10L, "x", 5.0, 25.0), (11L, "y", 50.0, 60.0))
+      .toDF("pid", "g", "lo", "hi") // all four names collide
+    val out = Joins.intervalJoin(as, bs, "lo", "hi", "lo", "hi", bandWidth = 8L,
+      leftKeys = Seq("g"), rightKeys = Seq("g"))
+    assert(out.columns.count(_ == "pid") === 1 && out.columns.contains("pid_1"))
+    val pairs = out.select(col("pid"), col("pid_1")).as[(Long, Long)].collect().toSet
+    // 2/11 same key but no overlap; 3 inverted; 4 null lo; only (1,10) joins
+    assert(pairs === Set((1L, 10L)))
+  }
+
   test("rangeJoin null equi-keys match nothing (SQL '=' semantics)") {
     val pts = Seq((1L, Option.empty[String], 5.0), (2L, Option("b"), 5.0))
       .toDF("pid", "g", "x")
