@@ -1115,6 +1115,29 @@ object SparkEntry {
     // ---- dedup / similarity -----------------------------------------
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents"), "doc_id", "text")),
+    // corpus-level Jaccard triage (KMV sketch, k=4096, se≈0.016): the
+    // estimate must land within ±0.05 of the EXACT distinct-shingle
+    // Jaccard (computed independently via set ops — 3σ), and the
+    // self-similarity of a corpus must be exactly 1. Gate verdict (the
+    // q_ann_gate pattern — the exact value is corpus-dependent).
+    "q_corpus_jaccard" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      // 1/10 subsets: the verdict needs EXACT ground truth (a distinct
+      // + intersect over all shingles — the expensive part); the KMV
+      // math being gated is scale-independent, so a bounded corpus pair
+      // keeps the gate's bench cost flat while proving the same thing
+      val a = docs.filter(col("doc_id") % 10 === 0)
+      val b = docs.filter(col("doc_id") % 10 === 1)
+      val est = Dedup.corpusJaccard(a, b, "text", shingleN = 3, k = 4096)
+      def sh(d: org.apache.spark.sql.DataFrame) = d.select(
+        explode(graft.plans.Kernels.wordShingles(col("text"), 3)).as("s")).distinct()
+      val na = sh(a).count(); val nb = sh(b).count()
+      val ni = sh(a).intersect(sh(b)).count()
+      val exact = ni.toDouble / (na + nb - ni)
+      val self = Dedup.corpusJaccard(a, a, "text", shingleN = 3, k = 4096)
+      Seq(math.abs(est - exact) <= 0.05 && self == 1.0).toDF("kmv_ok")
+    }),
     // planted EXACT copies + threshold 1.0 make banding recall provably
     // 1.0 (identical shingle sets → identical minhash signatures → every
     // band collides), so the pair set is deterministic and oracle-able;
@@ -2413,6 +2436,10 @@ object SparkEntry {
          WHERE tb < 5000""",
     "q_dsir_gate" ->
       "SELECT true AS dsir_ok",
+    // q_corpus_jaccard: KMV estimate vs the independently-computed
+    // exact Jaccard — boolean verdict (the q_ann_gate pattern)
+    "q_corpus_jaccard" ->
+      "SELECT true AS kmv_ok",
     // q_dsir_inline: kernel-vs-join parity + planted pull; boolean
     // verdict (the q_dsir_gate / q_ann_gate pattern)
     "q_dsir_inline" ->

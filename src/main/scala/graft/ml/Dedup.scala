@@ -766,4 +766,59 @@ object Dedup {
     val centroids = Ann.trainCentroids(emb, vecCol, nList)
     dedupedCorpus(emb, idCol, semanticPairs(emb, idCol, vecCol, centroids, threshold))
   }
+
+  /** A K-Minimum-Values corpus sketch: the `k` smallest distinct
+    * shingle hashes PLUS the `k` it was built with — fewer than `k`
+    * values means the sketch holds the corpus's ENTIRE distinct-hash
+    * set (`covers`), which is what lets [[kmvJaccard]] go exact.
+    */
+  final case class KmvSketch(values: Array[Long], k: Int) {
+    def covers: Boolean = values.length < k
+  }
+
+  /** The `k` smallest DISTINCT 64-bit shingle hashes of a corpus
+    * (Beyer et al. 2007, "On synopses for distinct-value estimation";
+    * Broder's minhash family). One distinct-aggregate +
+    * TakeOrderedAndProject per corpus; ≤ k longs to the driver,
+    * whatever the corpus size.
+    */
+  def kmvSketch(docs: DataFrame, textCol: String,
+      shingleN: Int = 3, k: Int = 4096): KmvSketch = {
+    require(shingleN >= 1 && k >= 1, s"shingleN/k: $shingleN/$k")
+    KmvSketch(
+      docs.select(explode(Kernels.wordShingles(col(textCol), shingleN)).as("s"))
+        .select(xxhash64(col("s")).as("h")).distinct()
+        .orderBy(col("h").asc).limit(k)
+        .collect().map(_.getLong(0)),
+      k)
+  }
+
+  /** Corpus-level Jaccard similarity from two [[kmvSketch]]es — the
+    * "are these two crawls worth cross-deduping" triage at sketch cost
+    * instead of a cross-corpus join. When BOTH sketches cover their
+    * corpora the sets are complete and the result is the EXACT Jaccard.
+    * Otherwise, with kk = min usable size and M = the kk smallest
+    * hashes of the merged sketches, Ĵ = |{h ∈ M present in both}| / kk
+    * (standard error ≈ 1/√kk ≈ 0.016 at the default k = 4096; every
+    * m ∈ M is ≤ both sketch maxima, so membership is decidable).
+    */
+  def kmvJaccard(a: KmvSketch, b: KmvSketch): Double = {
+    require(a.values.nonEmpty && b.values.nonEmpty, "empty KMV sketch")
+    val sa = a.values.toSet
+    val sb = b.values.toSet
+    if (a.covers && b.covers) {
+      sa.intersect(sb).size.toDouble / sa.union(sb).size
+    } else {
+      val kk = math.min(a.values.length, b.values.length)
+      val m = (a.values ++ b.values).distinct.sorted.take(kk)
+      m.count(h => sa.contains(h) && sb.contains(h)).toDouble / m.length
+    }
+  }
+
+  /** One-call corpus similarity: sketch both corpora, estimate Jaccard
+    * of their shingle sets.
+    */
+  def corpusJaccard(a: DataFrame, b: DataFrame, textCol: String,
+      shingleN: Int = 3, k: Int = 4096): Double =
+    kmvJaccard(kmvSketch(a, textCol, shingleN, k), kmvSketch(b, textCol, shingleN, k))
 }

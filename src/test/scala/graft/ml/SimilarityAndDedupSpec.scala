@@ -384,6 +384,29 @@ class SimilarityAndDedupSpec extends SparkSpec {
     assert(pairs.contains((42L, 999L)), pairs.mkString(","))
   }
 
+  test("KMV corpus Jaccard: exact when sketches cover the corpora, tolerant when truncated") {
+    def corpus(lo: Int, hi: Int) = (lo until hi).map(i => (i.toLong, s"w$i token"))
+      .toDF("doc_id", "text")
+    val a = corpus(0, 100)    // unigram vocab {w0..w99, token}
+    val b = corpus(50, 150)   // {w50..w149, token} → J = 51/151
+    // k covers both vocabularies → the sketch IS the set → exact
+    val exact = Dedup.corpusJaccard(a, b, "text", shingleN = 1, k = 1024)
+    assert(math.abs(exact - 51.0 / 151.0) < 1e-12, exact)
+    assert(Dedup.corpusJaccard(a, a, "text", shingleN = 1, k = 1024) === 1.0)
+    assert(Dedup.corpusJaccard(corpus(0, 50), corpus(500, 550)
+      .select(col("doc_id"), regexp_replace(col("text"), "token", "other").as("text")),
+      "text", shingleN = 1, k = 1024) === 0.0)
+    // truncated sketch: estimate within a few standard errors (1/√32 ≈ 0.18)
+    val est = Dedup.corpusJaccard(a, b, "text", shingleN = 1, k = 32)
+    assert(math.abs(est - 51.0 / 151.0) <= 0.3, est)
+    // self-similarity is exactly 1 on BOTH paths (covered and truncated)
+    assert(Dedup.corpusJaccard(a, a, "text", shingleN = 1, k = 32) === 1.0)
+    // mixed coverage (one sketch covers, one truncated) stays sane
+    val mixed = Dedup.kmvJaccard(
+      Dedup.kmvSketch(a, "text", 1, 64), Dedup.kmvSketch(b, "text", 1, 1024))
+    assert(mixed >= 0.0 && mixed <= 1.0)
+  }
+
   test("perceptual hashes: known-vector aHash/dHash under an injected gray decoder") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     val media = Multimodal.asMediaTable(
