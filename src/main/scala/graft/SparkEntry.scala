@@ -40,6 +40,8 @@ object SparkEntry {
     p
   }
   private val tmpSeq = new java.util.concurrent.atomic.AtomicLong()
+  private val rollStreamTables =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
   private def freshTmp(name: String): String =
     java.nio.file.Files.createDirectories(
       tmpRoot.resolve(s"${name}_${tmpSeq.incrementAndGet()}")).toString
@@ -1421,6 +1423,13 @@ object SparkEntry {
           r.getLong(1), r.getDouble(2)))
       val in = MemoryStream[graft.streaming.Streams.RollEvent]
       val name = s"roll_stream_${tmpSeq.incrementAndGet()}"
+      // each invocation's memory sink holds its full result — drop the
+      // previous rep's table so repeated bench reps don't accumulate
+      // result copies for the process lifetime
+      rollStreamTables.getAndSet(name) match {
+        case null => ()
+        case prev => s.catalog.dropTempView(prev); ()
+      }
       val q = graft.streaming.Streams.streamingRolling(in.toDS(), n = 5)
         .writeStream.outputMode("append").format("memory").queryName(name).start()
       try

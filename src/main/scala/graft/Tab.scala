@@ -321,6 +321,13 @@ final case class Tab(df: DataFrame) {
   def bm25TopK(idCol: String, textCol: String, terms: Seq[String], k: Int): Tab =
     Tab(graft.ml.Retrieval.bm25TopK(df, idCol, textCol, terms, k))
 
+  /** Corpus-level Jaccard similarity to `other` via KMV sketches
+    * (ml.Dedup.corpusJaccard) — the cross-dedup triage number.
+    */
+  def corpusJaccard(other: Tab, textCol: String,
+      shingleN: Int = 3, k: Int = 4096): Double =
+    graft.ml.Dedup.corpusJaccard(df, other.df, textCol, shingleN, k)
+
   def save(path: String): Unit = Writers.save(df, path)
   def toCsv(path: String): Unit = Writers.toCsv(df, path)
   def toTsv(path: String): Unit = Writers.toTsv(df, path)

@@ -93,6 +93,40 @@ class RobustnessSpec extends SparkSpec {
     assert(results(0) === results(1))
   }
 
+  test("intervalJoin guards: non-numeric bounds and the reserved band column rejected") {
+    val ok = Seq((1L, 0.0, 5.0)).toDF("id", "lo", "hi")
+    val str = Seq((1L, "a", "b")).toDF("id", "lo", "hi")
+    val e1 = intercept[IllegalArgumentException](
+      Joins.intervalJoin(ok, str, "lo", "hi", "lo", "hi", bandWidth = 2L))
+    assert(e1.getMessage.contains("numeric"), e1.getMessage)
+    val band = ok.withColumn("__band", lit(1))
+    val e2 = intercept[IllegalArgumentException](
+      Joins.intervalJoin(band, ok, "lo", "hi", "lo", "hi", bandWidth = 2L))
+    assert(e2.getMessage.contains("__band"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](
+      Joins.intervalJoin(ok, ok, "lo", "hi", "lo", "hi", bandWidth = 0L))
+    assert(e3.getMessage.contains("bandWidth"), e3.getMessage)
+  }
+
+  test("capTokensPerGroup and KMV guards fail loudly on bad arguments") {
+    val docs = Seq((1L, "en", 10L)).toDF("id", "lang", "n")
+    val e1 = intercept[IllegalArgumentException](
+      Sampling.capTokensPerGroup(docs, "lang", "n", "id", budget = 0L))
+    assert(e1.getMessage.contains("budget"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      graft.ml.Dedup.kmvSketch(docs.select(col("id"),
+        lit("x").as("text")), "text", shingleN = 0))
+    assert(e2.getMessage.contains("shingleN"), e2.getMessage)
+    // an empty corpus yields an empty sketch; similarity to it is loud,
+    // never a silent 0/NaN
+    val empty = graft.ml.Dedup.kmvSketch(
+      docs.filter(col("id") < 0).select(lit("x").as("text")), "text")
+    assert(empty.values.isEmpty)
+    val full = graft.ml.Dedup.kmvSketch(docs.select(lit("some words here").as("text")), "text", 1)
+    val e3 = intercept[IllegalArgumentException](graft.ml.Dedup.kmvJaccard(empty, full))
+    assert(e3.getMessage.contains("empty"), e3.getMessage)
+  }
+
   test("minhash pair detection is deterministic across partitioning") {
     val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
     val results = Seq(1, 7).map { parts =>
