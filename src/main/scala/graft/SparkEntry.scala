@@ -587,6 +587,13 @@ object SparkEntry {
         t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")),
         Seq("l_extendedprice" -> true, "l_orderkey" -> false, "l_linenumber" -> false))
         .limit(100)),
+    // per-group top-k through the bounded-heap aggregate (shuffle caps
+    // at k rows per group per map task), not the full-shuffle window
+    "q_topk_group" -> ((s, dir) =>
+      GroupBy.topKPerGroup(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice")),
+        Seq("o_orderpriority"), "o_totalprice", "o_orderkey", k = 5)),
     "q_slice" -> ((s, dir) =>
       Slicing.slice(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
         Seq("o_orderkey"), 100, 200)),
@@ -1047,6 +1054,38 @@ object SparkEntry {
         .agg(min("lossless"), min("ge_words"), avg("nb"), avg("nc")).collect()(0)
       Seq(agg.getLong(0) == 1L && agg.getLong(1) == 1L &&
         agg.getDouble(2) < agg.getDouble(3)).toDF("bpe_ok")
+    }),
+    // WordPiece tokenizer gate (q_bpe's construction for the THIRD
+    // tokenizer family — Schuster & Nakajima 2012 likelihood-scored
+    // vocabulary, BERT greedy longest-match encoding): train on the
+    // corpus's word dictionary, then require
+    //  (1) losslessness — every doc's pieces (## stripped) reassemble
+    //      its normalized words exactly (the base vocabulary covers the
+    //      charset, so [UNK] never fires on wordShingles output),
+    //  (2) the subword bound — at least one piece per word, and
+    //  (3) compression — merges make total pieces strictly below total
+    //      characters, and
+    //  (4) ids are dense in [0, |pieces|) with no OOV on the corpus.
+    "q_wordpiece" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val m = graft.ml.WordPiece.train(docs, "text", numMerges = 200)
+      val toks = graft.ml.WordPiece.tokens(col("text"), m)
+      val words = graft.plans.Kernels.wordShingles(col("text"), 1)
+      val agg = docs.select(
+          (regexp_replace(array_join(toks, ""), "##", "") ===
+            array_join(words, "")).cast("long").as("lossless"),
+          (size(toks) >= size(words)).cast("long").as("ge_words"),
+          size(toks).cast("double").as("np"),
+          length(array_join(words, "")).cast("double").as("nc"),
+          coalesce(array_min(graft.ml.WordPiece.tokenIds(col("text"), m)), lit(0)).as("idlo"),
+          coalesce(array_max(graft.ml.WordPiece.tokenIds(col("text"), m)), lit(0)).as("idhi"))
+        .agg(min("lossless"), min("ge_words"), sum("np"), sum("nc"),
+          min("idlo"), max("idhi")).collect()(0)
+      Seq(agg.getLong(0) == 1L && agg.getLong(1) == 1L &&
+        agg.getDouble(2) < agg.getDouble(3) &&
+        agg.getInt(4) >= 0 && agg.getInt(5) < m.pieces.length)
+        .toDF("wordpiece_ok")
     }),
     // fixed-stride token chunking (40-token windows, stride 30)
     "q_chunk" -> ((s, dir) =>
@@ -2008,6 +2047,12 @@ object SparkEntry {
     "q_sort_topk" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
          ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""",
+    "q_topk_group" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice FROM (
+           SELECT o_orderkey, o_orderpriority, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) WHERE rn <= 5""",
     "q_slice" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          ORDER BY o_orderkey LIMIT 100 OFFSET 100""",
@@ -2473,6 +2518,11 @@ object SparkEntry {
     // ids under the unigram-LM tokenizer; the oracle is the verdict
     "q_unigram" ->
       "SELECT true AS unigram_ok",
+    // q_wordpiece: losslessness + subword bound + compression + dense
+    // ids under the likelihood-scored vocabulary; the oracle is the
+    // verdict
+    "q_wordpiece" ->
+      "SELECT true AS wordpiece_ok",
     "q_chunk" ->
       """WITH c AS (
            SELECT doc_id, string_split(text, ' ') AS toks,

@@ -106,6 +106,12 @@ final case class Tab(df: DataFrame) {
   def transpose(): Tab = Tab(Pivots.transpose(df))
   def statistics(column: String): Tab = Tab(GroupBy.statistics(df, column))
   def profile(exact: Boolean = false): Tab = Tab(GroupBy.profile(df, exact))
+  /** Exact per-group top-k rows via the bounded-heap aggregate
+    * (GroupBy.topKPerGroup) — shuffle caps at k rows/group/map task.
+    */
+  def topKPerGroup(groupCols: Seq[String], orderCol: String, tieCol: String,
+      k: Int, descending: Boolean = true): Tab =
+    Tab(GroupBy.topKPerGroup(df, groupCols, orderCol, tieCol, k, descending))
   def histogram(column: String): Tab = Tab(GroupBy.histogram(df, column))
   def unique(column: String): Tab = Tab(GroupBy.unique(df, column))
   def countValue(column: String, value: Any): Long = GroupBy.countValue(df, column, value)
@@ -280,6 +286,15 @@ final case class Tab(df: DataFrame) {
     * (ml.UnigramLm) — [[withBpeTokenCount]]'s counterpart for the
     * SentencePiece-unigram tokenizer family.
     */
+  /** Token counts under a learned WordPiece vocabulary
+    * (ml.WordPiece) — the third tokenizer family's counterpart of
+    * [[withBpeTokenCount]].
+    */
+  def withWordPieceTokenCount(textCol: String, model: graft.ml.WordPiece.Model,
+      as: String = "n_wordpiece_tokens"): Tab =
+    Tab(df.withColumn(as, graft.ml.WordPiece.tokenCount(
+      org.apache.spark.sql.functions.col(textCol), model)))
+
   def withUnigramTokenCount(textCol: String, model: graft.ml.UnigramLm.Model,
       as: String = "n_unigram_tokens"): Tab =
     Tab(df.withColumn(as, graft.ml.UnigramLm.tokenCount(

@@ -217,4 +217,45 @@ object GroupBy {
     }.toSeq.toDF("column", "dtype", "n_rows", "n_nulls", "n_distinct",
       "min_value", "max_value")
   }
+
+  /** Exact per-group top-k rows — the bounded-shuffle alternative to
+    * `row_number() OVER (PARTITION BY g ORDER BY v DESC, tie ASC)`
+    * then `rn <= k`. The window route shuffles EVERY row to its
+    * group's reducer and sorts the whole group; this one aggregates a
+    * k-bounded heap ([[graft.plans.TopKRows]]) with map-side combine,
+    * so the exchange carries at most k rows per group per map task —
+    * the per-group cousin of global `orderBy.limit`'s
+    * TakeOrderedAndProject. Result set is identical to the window
+    * route (spec-pinned) when `tieCol` is unique within each group;
+    * rows with a NULL order or tie value are excluded, like the
+    * window oracle under `WHERE v IS NOT NULL`.
+    *
+    * `orderCol` must be numeric (cast to double for ordering — exact
+    * for integrals < 2^53 and all float/decimal test data);
+    * `tieCol` must be integral. Output schema = input schema; rows
+    * within a group come back best-first.
+    */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String], orderCol: String,
+      tieCol: String, k: Int, descending: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.types._
+    require(k > 0, s"topKPerGroup: k must be > 0, got $k")
+    require(groupCols.nonEmpty, "topKPerGroup: no group columns")
+    def field(n: String) = df.schema.fields.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(
+        s"topKPerGroup: no column '$n' in ${df.columns.mkString(", ")}"))
+    require(field(orderCol).dataType.isInstanceOf[NumericType],
+      s"topKPerGroup: order column '$orderCol' must be numeric, " +
+        s"got ${field(orderCol).dataType.simpleString}")
+    require(Seq(ByteType, ShortType, IntegerType, LongType)
+        .contains(field(tieCol).dataType),
+      s"topKPerGroup: tie column '$tieCol' must be integral, " +
+        s"got ${field(tieCol).dataType.simpleString}")
+    val payload = struct(df.columns.map(col).toIndexedSeq: _*)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(graft.plans.TopKRows.topKRows(
+        col(orderCol).cast(DoubleType), col(tieCol).cast(LongType),
+        payload, k, descending).as("__topk"))
+      .select(explode(col("__topk")).as("__r"))
+      .select(col("__r.*"))
+  }
 }

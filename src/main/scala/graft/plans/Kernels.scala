@@ -2054,6 +2054,105 @@ object Kernels {
       copy(child = c)
   }
 
+  /** Greedy longest-match-first WordPiece encode of ONE word — the
+    * published BERT tokenizer application algorithm (Devlin et al.
+    * 2019 §A; vocabulary pieces at word start are plain, word-internal
+    * pieces carry the `##` continuation prefix; Schuster & Nakajima
+    * 2012 for the vocabulary-learning criterion). At each position
+    * take the LONGEST matching vocabulary piece (payload bounded by
+    * `maxLen` chars); a position with NO matching piece makes the
+    * whole word the single `unk` token — all-or-nothing, per the
+    * public algorithm.
+    */
+  private def wordpieceEncodeWord(word: String,
+      vocab: java.util.HashSet[String], maxLen: Int, unk: String): Array[String] = {
+    val n = word.length
+    val out = new java.util.ArrayList[String]()
+    var pos = 0
+    while (pos < n) {
+      val lim = math.min(n, pos + maxLen)
+      var e = lim
+      var found: String = null
+      while (e > pos && found == null) {
+        val sub = word.substring(pos, e)
+        val cand = if (pos == 0) sub else "##" + sub
+        if (vocab.contains(cand)) found = cand else e -= 1
+      }
+      if (found == null) return Array(unk)
+      out.add(found)
+      pos = e
+    }
+    out.toArray(new Array[String](out.size))
+  }
+
+  /** WordPiece tokens of a whole document: engine-wide word rule
+    * ([[wordShinglesEval]] order 1), then greedy longest-match encode
+    * of each word. Per-call word memo, like [[bpeTokensEval]].
+    */
+  def wordpieceTokensEval(input: UTF8String,
+      vocab: java.util.HashSet[String], maxLen: Int, unk: String): ArrayData = {
+    val words = wordShinglesEval(input, 1)
+    val n = words.numElements()
+    val memo = new java.util.HashMap[String, Array[String]]()
+    val out = new java.util.ArrayList[Any]()
+    var i = 0
+    while (i < n) {
+      val w = words.getUTF8String(i).toString
+      var toks = memo.get(w)
+      if (toks == null) { toks = wordpieceEncodeWord(w, vocab, maxLen, unk); memo.put(w, toks) }
+      var j = 0
+      while (j < toks.length) { out.add(UTF8String.fromString(toks(j))); j += 1 }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  case class WordPieceTokensExpr(child: Expression,
+      vocab: java.util.HashSet[String], maxLen: Int, unk: String)
+      extends UnaryExpression {
+    require(maxLen > 0, s"maxLen: $maxLen")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      wordpieceTokensEval(input.asInstanceOf[UTF8String], vocab, maxLen, unk)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val v = ctx.addReferenceObj("wpVocab", vocab, "java.util.HashSet")
+      val u = ctx.addReferenceObj("wpUnk", unk, "java.lang.String")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.plans.Kernels.wordpieceTokensEval($c, $v, $maxLen, $u);")
+    }
+    override protected def withNewChildInternal(c: Expression): WordPieceTokensExpr =
+      copy(child = c)
+  }
+
+  def wordpieceTokenIdsEval(input: UTF8String,
+      vocab: java.util.HashSet[String], maxLen: Int, unk: String,
+      ids: java.util.HashMap[String, Integer]): ArrayData =
+    // encoding only ever emits vocabulary members or `unk`, and the id
+    // table carries all of them — `missing` null never fires
+    tokenIdsEval(wordpieceTokensEval(input, vocab, maxLen, unk), ids, null)
+
+  /** [[BpeTokenIdsExpr]]'s WordPiece sibling: tokenize + id-emit in ONE
+    * kernel call, O(1) HashMap probe per token.
+    */
+  case class WordPieceTokenIdsExpr(child: Expression,
+      vocab: java.util.HashSet[String], maxLen: Int, unk: String,
+      ids: java.util.HashMap[String, Integer])
+      extends UnaryExpression {
+    require(maxLen > 0, s"maxLen: $maxLen")
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = true)
+    override def nullSafeEval(input: Any): Any =
+      wordpieceTokenIdsEval(input.asInstanceOf[UTF8String], vocab, maxLen, unk, ids)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val v = ctx.addReferenceObj("wpVocab", vocab, "java.util.HashSet")
+      val u = ctx.addReferenceObj("wpUnk", unk, "java.lang.String")
+      val t = ctx.addReferenceObj("wpIds", ids, "java.util.HashMap")
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.plans.Kernels.wordpieceTokenIdsEval($c, $v, $maxLen, $u, $t);")
+    }
+    override protected def withNewChildInternal(c: Expression): WordPieceTokenIdsExpr =
+      copy(child = c)
+  }
+
   /** Single-pass logistic-regression quality probability under a DENSE
     * hashed-n-gram weight vector riding as a reference object (the
     * fastText-supervised / CCNet-linear-classifier shape): tokenize
@@ -2207,6 +2306,14 @@ object Kernels {
       ids: java.util.HashMap[String, Integer]): Column =
     ExpressionUtils.column(
       UnigramTokenIdsExpr(ExpressionUtils.expression(text), logp, maxLen, ids))
+  def wordpieceTokens(text: Column, vocab: java.util.HashSet[String],
+      maxLen: Int, unk: String): Column =
+    ExpressionUtils.column(
+      WordPieceTokensExpr(ExpressionUtils.expression(text), vocab, maxLen, unk))
+  def wordpieceTokenIds(text: Column, vocab: java.util.HashSet[String],
+      maxLen: Int, unk: String, ids: java.util.HashMap[String, Integer]): Column =
+    ExpressionUtils.column(
+      WordPieceTokenIdsExpr(ExpressionUtils.expression(text), vocab, maxLen, unk, ids))
   def hashedGrams(text: Column, buckets: Long, seed: Int, maxOrder: Int): Column =
     ExpressionUtils.column(HashedGramsExpr(ExpressionUtils.expression(text),
       buckets, seed, maxOrder))

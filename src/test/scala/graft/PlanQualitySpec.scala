@@ -411,6 +411,21 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("topKPerGroup is partial+final bounded aggregation, not a window sort") {
+    import spark.implicits._
+    val df = Seq.tabulate(200)(i => (s"g${i % 5}", i.toDouble, i.toLong))
+      .toDF("g", "v", "id").repartition(4)
+    val p = plan(graft.operators.GroupBy.topKPerGroup(df, Seq("g"), "v", "id", 3))
+    // k-bounded heap combines map-side: two ObjectHashAggregate stages
+    // (partial + final) around one exchange, and NO window/sort of the
+    // full input
+    assert("ObjectHashAggregate".r.findAllIn(p).size === 2, p)
+    // one hash exchange between them (the RoundRobin one is the test's
+    // own .repartition)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1, p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("bucketed tables join with ZERO exchanges (pre-shuffled at write time)") {
     import spark.implicits._
     val a = Seq.tabulate(200)(i => (i.toLong, s"a$i")).toDF("k", "va")
