@@ -1244,6 +1244,17 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(SetOps.concat(docs, truncated), "doc_id", "text",
         threshold = 0.4)
     }),
+    // EXACT directional containment join (Broder 1997): each truncated
+    // doc is near-fully contained in its source even where Jaccard is
+    // low; ordered pairs, exact verify, zero false negatives — oracled
+    // against the full O(n²) containment in DuckDB
+    "q_containment" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val truncated = docs.select((col("doc_id") + 1000000).as("doc_id"),
+        substring(col("text"), 1, 200).as("text"))
+      Dedup.containmentPairs(SetOps.concat(docs, truncated), "doc_id", "text",
+        threshold = 0.8)
+    }),
     // EXACT ssjoin (prefix filter): finds ALL 417 pairs at t=0.5 where the
     // minhash banding path finds 400 — recall 1.0 by construction, oracled
     "q_ssjoin_exact" -> ((s, dir) => {
@@ -2670,6 +2681,29 @@ object SparkEntry {
     // q_ssjoin_exact: prefix filtering is exact by construction — the
     // oracle is the same brute force at t=0.5 (417 pairs; banding minhash
     // stops at 400, which is why THAT one stays rows-only)
+    // q_containment: the full quadratic directional containment — the
+    // prefix-filtered path must reproduce it exactly
+    "q_containment" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, substring(text, 1, 200) AS text FROM documents
+         ),
+         grams AS (
+           SELECT doc_id, list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                         FOR i IN range(1, len(tk)-1)]) AS g
+           FROM (SELECT doc_id,
+                   list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+                               x -> x <> '') AS tk
+                 FROM corpus)
+         )
+         SELECT id_a, id_b, containment FROM (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.g, b.g))::DOUBLE / len(a.g)::DOUBLE AS containment
+           FROM grams a JOIN grams b
+             ON a.doc_id <> b.doc_id
+            AND len(a.g) > 0 AND len(b.g) > 0
+         ) WHERE containment >= 0.8""",
     "q_ssjoin_exact" ->
       """WITH corpus AS (
            SELECT doc_id, text FROM documents

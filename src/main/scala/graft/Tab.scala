@@ -336,6 +336,14 @@ final case class Tab(df: DataFrame) {
   def bm25TopK(idCol: String, textCol: String, terms: Seq[String], k: Int): Tab =
     Tab(graft.ml.Retrieval.bm25TopK(df, idCol, textCol, terms, k))
 
+  /** Exact directional containment pairs (ml.Dedup.containmentPairs) —
+    * the asymmetric dedup face: truncations/excerpts contained in
+    * their sources even at low Jaccard.
+    */
+  def containmentPairs(idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.8): Tab =
+    Tab(graft.ml.Dedup.containmentPairs(df, idCol, textCol, shingleN, threshold))
+
   /** Corpus-level Jaccard similarity to `other` via KMV sketches
     * (ml.Dedup.corpusJaccard) — the cross-dedup triage number.
     */

@@ -497,6 +497,87 @@ object Dedup {
       .filter(col("jaccard") >= threshold))
   }
 
+  /** EXACT directional containment join (Broder 1997, "On the
+    * resemblance and containment of documents": containment
+    * c(A, B) = |S(A) ∩ S(B)| / |S(A)|) — the ASYMMETRIC dedup face:
+    * a truncated, excerpted, or quoted document is near-fully
+    * contained in its source even when Jaccard is far below any
+    * useful threshold (|A| ≪ |B| caps J at |A|/|B|). Emits one row
+    * per ORDERED pair `(id_a, id_b, containment)` with
+    * c(a → b) >= `threshold` and a ≠ b; a symmetric duplicate shows
+    * up in both directions.
+    *
+    * Candidate generation adapts [[jaccardJoinExact]]'s prefix filter
+    * to the one-sided measure — zero false negatives by construction:
+    *  - only the CONTAINED side carries a prefix: if a pair shares
+    *    none of A's `|A| - ceil(t·|A|) + 1` rarest shingles, the
+    *    overlap is at most `ceil(t·|A|) - 1 < t·|A|`;
+    *  - the container side posts ALL its shingles (a containment join
+    *    has no size upper bound on B — that is the point);
+    *  - lossless cuts while a pair is still ints: the one-sided size
+    *    bound `|B| >= t·|A|` and the positional filter
+    *    `1 + min(|A|-ra, |B|-rb) >= t·|A|` (ranks in the shared
+    *    global rarest-first order, valid for the first common
+    *    shingle), both loosened by 1e-9 so float rounding only ever
+    *    ADMITS candidates.
+    * The exact verify computes the containment on the literal shingle
+    * sets. Skew shape: a frequent shingle posts on every container
+    * but enters prefixes only of docs where everything else is rarer
+    * still, so per-shingle join buckets stay `small × large`, not
+    * `large × large`; AQE skew-join splits the residue.
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"containment threshold: $threshold")
+    require(shingleN >= 1, s"shingleN: $shingleN")
+    val scope = new CacheScope
+    val sh = scope.persist(docs.select(col(idCol).as("id"),
+      array_distinct(Kernels.wordShingles(col(textCol), shingleN)).as("sh"))
+      .withColumn("sz", size(col("sh")))
+      .filter(col("sz") > 0))
+    val hashShingles = docs.sparkSession.conf
+      .getOption("graft.ssjoin.hashShingles").forall(_.toBoolean)
+    val posting0 = sh.select(col("id"), col("sz"), explode(col("sh")).as("s0"))
+    val posting =
+      if (hashShingles)
+        posting0.select(col("id"), col("sz"), xxhash64(col("s0")).as("shingle"))
+      else posting0.withColumnRenamed("s0", "shingle")
+    val dfTab = posting.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df"), col("shingle"))
+    // ranks in the global rarest-first order are shared by both sides:
+    // persist once, derive the prefix and the full posting from it
+    val ranked = scope.persist(posting.join(dfTab, Seq("shingle"))
+      .withColumn("rn", row_number().over(w))
+      .select(col("id"), col("sz"), col("rn"), col("shingle")))
+    val prefixA = ranked
+      .filter(col("rn") <=
+        col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)).cast("int") + 1)
+      .select(col("id").as("id_a"), col("sz").as("sz_a"),
+        col("rn").as("rn_a"), col("shingle"))
+    val fullB = ranked.select(col("id").as("id_b"), col("sz").as("sz_b"),
+      col("rn").as("rn_b"), col("shingle"))
+    val cand = prefixA.join(fullB, Seq("shingle"))
+      .filter(col("id_a") =!= col("id_b") &&
+        col("sz_b") >= lit(threshold) * col("sz_a") - lit(1e-9) &&
+        lit(1) + least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b"))
+          >= lit(threshold) * col("sz_a") - lit(1e-9))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    scope.releaseAfter(cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a"),
+        col("sz").as("sz_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          col("sz_a").cast("double")).as("containment"))
+      .filter(col("containment") >= threshold))
+  }
+
   /** Connected components over near-dup pairs by iterative min-label
     * propagation (the standard Spark CC shape: labels converge in
     * O(diameter) join+agg rounds; dup clusters are tiny, so a small

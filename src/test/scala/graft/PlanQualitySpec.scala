@@ -411,6 +411,15 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), p)
   }
 
+  test("containmentPairs candidate join is a hash equi-join on shingle hashes, no nested loop") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    val p = plan(graft.ml.Dedup.containmentPairs(docs, "doc_id", "text", threshold = 0.8))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the candidate pipeline carries 8-byte xxhash64 shingle identities,
+    // not the literal n-gram strings
+    assert(p.contains("xxhash64"), p)
+  }
+
   test("topKPerGroup is partial+final bounded aggregation, not a window sort") {
     import spark.implicits._
     val df = Seq.tabulate(200)(i => (s"g${i % 5}", i.toDouble, i.toLong))

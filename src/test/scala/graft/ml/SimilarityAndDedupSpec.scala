@@ -187,6 +187,67 @@ class SimilarityAndDedupSpec extends SparkSpec {
     }
   }
 
+  test("containmentPairs equals brute force on adversarial random corpora") {
+    // same at-the-threshold word soup as the Jaccard parity test — the
+    // directional measure has its own prefix/size/positional bounds to
+    // break, so sweep thresholds incl. one low enough for wide prefixes
+    val vocab = Array("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val rng = new scala.util.Random(11)
+    val docs = (0 until 60).map { i =>
+      val n = 5 + rng.nextInt(12)
+      (i.toLong, (0 until n).map(_ => vocab(rng.nextInt(vocab.length))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    def grams(s: String): Set[String] = {
+      val tk = s.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (tk.length < 2) Set.empty else tk.sliding(2).map(_.mkString(" ")).toSet
+    }
+    for (t <- Seq(0.5, 0.8, 1.0)) {
+      val got = Dedup.containmentPairs(df, "doc_id", "text", shingleN = 2, threshold = t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val want = (for {
+        (ia, ta) <- docs; (ib, tb) <- docs if ia != ib
+        ga = grams(ta); gb = grams(tb)
+        if ga.nonEmpty && gb.nonEmpty
+        c = (ga & gb).size.toDouble / ga.size.toDouble
+        if c >= t
+      } yield (ia, ib)).toSet
+      assert(got === want, s"threshold $t: got ${got.size}, want ${want.size}")
+    }
+  }
+
+  test("containmentPairs is directional: a truncation is contained in its source, not vice versa") {
+    val full = "the quick brown fox jumps over the lazy dog again and again and then rests"
+    val docs = Seq(
+      (1L, full),
+      (2L, "the quick brown fox jumps over the lazy dog"), // prefix of 1
+      (3L, "completely unrelated text about winter weather patterns")).toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docs, "doc_id", "text",
+      shingleN = 3, threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((2L, 1L)), s"truncation not detected: $pairs")
+    assert(!pairs.contains((1L, 2L)), s"direction reversed: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"false positive: $pairs")
+  }
+
+  test("containmentPairs: partition invariance and guards") {
+    val docs = Seq.tabulate(30)(i =>
+      (i.toLong, s"shared core phrase tok${i % 5} with some extra words tok${i % 7}"))
+      .toDF("doc_id", "text")
+    val results = Seq(1, 7).map { parts =>
+      Dedup.containmentPairs(docs.repartition(parts), "doc_id", "text", threshold = 0.6)
+        .collect().map(_.toString).sorted.toSeq
+    }
+    assert(results(0) === results(1))
+    assert(intercept[IllegalArgumentException](
+      Dedup.containmentPairs(docs, "doc_id", "text", threshold = 0.0))
+      .getMessage.contains("threshold"))
+    assert(intercept[IllegalArgumentException](
+      Dedup.containmentPairs(docs, "doc_id", "text", shingleN = 0))
+      .getMessage.contains("shingleN"))
+  }
+
   test("salted bucket self-join preserves recall on oversized buckets") {
     // 12 near-identical docs land in one band/quadrant bucket; with
     // maxBucket=3 the old guard dropped the bucket (0 pairs) — the salted
