@@ -674,6 +674,29 @@ object SparkEntry {
     "q_fingerprint" -> ((s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
         TextFunctions.fingerprint(col("text")).as("fp"))),
+    // DEFLATE compression-ratio quality signal (boolean-verdict oracle —
+    // DuckDB has no deflate): over the whole corpus require
+    //  (1) 5× self-repetition compresses strictly better per byte than
+    //      the original on EVERY doc with ≥ 20 chars,
+    //  (2) every ratio is positive and ≤ 1.5 (sanity bounds), and
+    //  (3) ratios are deterministic: two independent kernel evaluations
+    //      agree exactly (thread-local Deflater reuse leaks no state).
+    "q_compress_ratio" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .filter(length(col("text")) >= 20)
+      val agg = docs.select(
+          TextFunctions.compressionRatio(col("text")).as("r1"),
+          TextFunctions.compressionRatio(concat(col("text"), lit(" "), col("text"),
+            lit(" "), col("text"), lit(" "), col("text"), lit(" "), col("text"))).as("r5"),
+          TextFunctions.compressionRatio(col("text")).as("r1b"))
+        .agg(min((col("r5") < col("r1")).cast("long")),
+          min(col("r1")), max(col("r1")),
+          max(abs(col("r1") - col("r1b")))).collect()(0)
+      Seq(agg.getLong(0) == 1L && agg.getDouble(1) > 0.0 &&
+        agg.getDouble(2) <= 1.5 && agg.getDouble(3) == 0.0)
+        .toDF("compress_ok")
+    }),
     // unicode repair (ftfy/C4 step): plant mojibake-adjacent damage —
     // control chars, CR, a combining accent — and normalize it away
     "q_normalize_text" -> ((s, dir) =>
@@ -2158,6 +2181,10 @@ object SparkEntry {
     "q_fingerprint" ->
       """SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text),
          '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp FROM documents""",
+    // q_compress_ratio: repetition-compresses + bounds + determinism
+    // verdict (DuckDB has no deflate); the oracle is the verdict
+    "q_compress_ratio" ->
+      "SELECT true AS compress_ok",
     // q_quality_score: the full logistic recomputed in SQL over the same
     // feature formulas the bit-exact q_quality oracle already pins
     "q_quality_score" ->

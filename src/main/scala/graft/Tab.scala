@@ -150,6 +150,13 @@ final case class Tab(df: DataFrame) {
   def qualityScore(textCol: String, weights: Array[Double], outCol: String = "quality"): Tab =
     Tab(df.withColumn(outCol,
       graft.functions.TextFunctions.qualityScore(org.apache.spark.sql.functions.col(textCol), weights)))
+  /** DEFLATE compression ratio appended as `outCol` (see
+    * [[graft.functions.TextFunctions.compressionRatio]]) — threshold
+    * low ratios to drop machine-generated/boilerplate junk.
+    */
+  def compressionRatio(textCol: String, outCol: String = "compress_ratio"): Tab =
+    Tab(df.withColumn(outCol, graft.functions.TextFunctions.compressionRatio(
+      org.apache.spark.sql.functions.col(textCol))))
   /** Cross-doc boilerplate line removal (C4/RefinedWeb). Unlike the raw
     * [[graft.ml.Dedup.dedupLines]] (which narrows to (id, text)), the
     * facade keeps every other column by joining the cleaned text back on

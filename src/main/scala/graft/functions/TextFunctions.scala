@@ -32,6 +32,16 @@ object TextFunctions {
     */
   def normalizeText(text: Column): Column = graft.plans.Kernels.normalizeText(text)
 
+  /** DEFLATE compression ratio (`compressed_bytes / raw_bytes`, level 6)
+    * — the classic cheap redundancy signal (used by RefinedWeb-style
+    * quality pipelines): machine-generated boilerplate and template
+    * spam compress far below natural prose, so a low-ratio floor is a
+    * one-pass junk filter. Codegen kernel, one thread-local Deflater —
+    * see `Kernels.deflateRatioEval`. Empty text → 1.0; null → null.
+    */
+  def compressionRatio(text: Column): Column =
+    graft.plans.Kernels.deflateRatio(text)
+
   /** Document fingerprint: md5 of the normalized text (hex). The rolling
     * n-gram variant for partial-overlap detection is `Similarity.shingles`
     * + minhash.

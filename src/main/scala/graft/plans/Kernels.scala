@@ -1097,6 +1097,45 @@ object Kernels {
       copy(child = c)
   }
 
+  /** DEFLATE compression ratio of a document's UTF-8 bytes —
+    * `compressed/raw`, the classic cheap redundancy signal a quality
+    * pipeline thresholds on (machine-generated boilerplate and
+    * template spam compress far below natural prose). Level 6, raw
+    * deflate (no zlib header), one thread-local `Deflater` reused
+    * across rows — zero per-row allocation beyond the output buffer.
+    * Empty text → 1.0 (nothing to compress, nothing saved). The
+    * ratio can exceed 1 on short/incompressible text (deflate block
+    * overhead) — that is honest signal, not clamped away.
+    */
+  private val deflaters = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(6, true)
+  }
+
+  def deflateRatioEval(input: UTF8String): Double = {
+    val bytes = input.getBytes
+    if (bytes.length == 0) return 1.0
+    val d = deflaters.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    var total = 0L
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) total += d.deflate(buf)
+    total.toDouble / bytes.length
+  }
+
+  case class DeflateRatioExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(input: Any): Any =
+      deflateRatioEval(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = graft.plans.Kernels.deflateRatioEval($c);")
+    override protected def withNewChildInternal(c: Expression): DeflateRatioExpr =
+      copy(child = c)
+  }
+
   /** Rolling window hashes (see [[tokenWindowHashesEval]]); index in the
     * output array IS the window's token start position.
     */
@@ -2228,6 +2267,8 @@ object Kernels {
       LearnedProbesExpr(ExpressionUtils.expression(vec), planes, offsets, nProbes))
   def tokenWindowHashes(text: Column, winLen: Int): Column =
     ExpressionUtils.column(TokenWindowHashesExpr(ExpressionUtils.expression(text), winLen))
+  def deflateRatio(text: Column): Column =
+    ExpressionUtils.column(DeflateRatioExpr(ExpressionUtils.expression(text)))
   def normalizeText(text: Column): Column =
     ExpressionUtils.column(NormalizeTextExpr(ExpressionUtils.expression(text)))
   def collationKey(text: Column): Column =

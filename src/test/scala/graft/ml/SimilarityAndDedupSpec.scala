@@ -306,6 +306,35 @@ class SimilarityAndDedupSpec extends SparkSpec {
     assert(avgGood > 0.8 && avgBad < 0.2, s"good=$avgGood bad=$avgBad")
   }
 
+  test("compressionRatio: repetition compresses, randomness doesn't; empty=1, null=null") {
+    import graft.functions.TextFunctions
+    val rng = new scala.util.Random(5)
+    val docs = Seq(
+      (1L, Some("a" * 2000)),                                     // degenerate repetition
+      (2L, Some(Seq.fill(50)("the quick brown fox").mkString(" "))), // template spam
+      (3L, Some((0 until 400).map(_ => rng.nextPrintableChar()).mkString)), // ~incompressible
+      (4L, Some("")),
+      (5L, None)).toDF("id", "text")
+    val got = docs.select(col("id"),
+      TextFunctions.compressionRatio(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got(1L).get < 0.02, s"run-of-a ratio ${got(1L)}")
+    assert(got(2L).get < 0.15, s"template ratio ${got(2L)}")
+    assert(got(3L).get > 0.5, s"random ratio ${got(3L)}")
+    assert(got(1L).get < got(2L).get && got(2L).get < got(3L).get)
+    assert(got(4L) === Some(1.0))
+    assert(got(5L) === None)
+    // deterministic and partition-invariant (thread-local Deflater reuse
+    // must not leak state between rows)
+    val many = Seq.tabulate(200)(i => (i.toLong, s"doc $i " * (5 + i % 7))).toDF("id", "text")
+    val results = Seq(1, 7).map { parts =>
+      many.repartition(parts).select(col("id"),
+        TextFunctions.compressionRatio(col("text")).as("r"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sorted.toSeq
+    }
+    assert(results(0) === results(1))
+  }
+
   test("normalizeText: NFC folds combining marks; control chars stripped") {
     val rows = Seq(
       (1L, "abcd"),        // controls + DEL stripped
