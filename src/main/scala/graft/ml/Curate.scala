@@ -40,6 +40,11 @@ object Curate {
       // opt-in stage 0: unicode repair (NFC + control strip) before any
       // feature is computed — [[TextFunctions.normalizeText]]
       normalize: Boolean = false,
+      // opt-in DEFLATE compression-ratio floor
+      // ([[TextFunctions.compressionRatio]]): machine-generated
+      // boilerplate compresses far below natural prose — drop docs
+      // whose ratio falls under the floor. Stateless kernel; streams.
+      minCompressRatio: Option[Double] = None,
       // opt-in quality-classifier filter after the cheap filters:
       // logistic over quality features with shipped coefficients
       qualityWeights: Option[Array[Double]] = None,
@@ -87,8 +92,10 @@ object Curate {
       .filter(col("n_tokens").between(cfg.minTokens, cfg.maxTokens))
       .filter(col("__rep.dup_line_frac") <= cfg.maxDupLineFrac &&
         col("__rep.top_ngram_char_share") <= cfg.maxTopNgramCharShare)
-    val staged1h = cfg.qualityWeights.fold(staged0)(w =>
-      staged0.filter(TextFunctions.qualityScore(text, w) >= cfg.minQuality))
+    val staged0c = cfg.minCompressRatio.fold(staged0)(floor =>
+      staged0.filter(TextFunctions.compressionRatio(text) >= floor))
+    val staged1h = cfg.qualityWeights.fold(staged0c)(w =>
+      staged0c.filter(TextFunctions.qualityScore(text, w) >= cfg.minQuality))
     val staged1 = cfg.clfModel.fold(staged1h)(m =>
       staged1h.filter(QualityClassifier.prob(text, m) >= cfg.minClfProb))
     val staged2 = cfg.gopherStopwords.fold(staged1)(sw =>

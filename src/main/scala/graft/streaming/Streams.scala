@@ -68,6 +68,7 @@ object Streams {
       langs: Set[String],
       minTokens: Long = 1L,
       normalize: Boolean = false,
+      minCompressRatio: Option[Double] = None,
       qualityWeights: Option[Array[Double]] = None,
       minQuality: Double = 0.5,
       clfModel: Option[graft.ml.QualityClassifier.Model] = None,
@@ -91,8 +92,12 @@ object Streams {
       .withColumn("pred_lang", TextFunctions.langId(text))
       .withColumn("n_tokens", TextFunctions.tokenCount(text))
       .filter(col("pred_lang").isin(langs.toSeq: _*) && col("n_tokens") >= minTokens)
-    val scoredH = qualityWeights.fold(flt)(w =>
-      flt.filter(TextFunctions.qualityScore(text, w) >= minQuality))
+    // compression-ratio floor: stateless deflate kernel, batch ≡
+    // streaming by construction
+    val fltC = minCompressRatio.fold(flt)(floor =>
+      flt.filter(TextFunctions.compressionRatio(text) >= floor))
+    val scoredH = qualityWeights.fold(fltC)(w =>
+      fltC.filter(TextFunctions.qualityScore(text, w) >= minQuality))
     // learned-classifier gate: σ(bias + w·tf) from the stateless kernel
     // (dense weights ride as a reference object) — batch ≡ streaming by
     // construction, same as the perplexity/DSIR gates below

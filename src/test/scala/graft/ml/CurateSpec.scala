@@ -52,6 +52,21 @@ class CurateSpec extends SparkSpec {
     assert(!out(1L).contains("") && !out(1L).contains("\r"))
   }
 
+  test("curate opt-in compression-ratio floor drops boilerplate, keeps prose") {
+    // en-stopword soup repeated 50× deflates to a few percent of raw;
+    // the natural sentence stays well above any sane floor
+    val boiler = Seq.fill(50)("the and is of to in that it was").mkString(" ")
+    val docs = Seq((1L, good), (2L, boiler)).toDF("doc_id", "text")
+    val base = Curate.Config(langs = Set("en"), minTokens = 5L)
+    val without = Curate.curate(docs, "doc_id", "text", base)
+      .select("doc_id").as[Long].collect().toSet
+    val withFloor = Curate.curate(docs, "doc_id", "text",
+      base.copy(minCompressRatio = Some(0.3)))
+      .select("doc_id").as[Long].collect().toSet
+    assert(without === Set(1L, 2L))
+    assert(withFloor === Set(1L))
+  }
+
   test("curate opt-in Gopher gate drops rule-violating docs") {
     // langId-detectable as English ("it is to" hit the en profile) but
     // contains none of the gate's required stopwords; all other Gopher

@@ -123,6 +123,35 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming curation with the compression-ratio floor ≡ the batch gate") {
+    val dir = Files.createTempDirectory("graftcurate_cr").toString + "/in"
+    val en = "the cat and the dog ran to the park and it was a fine day for all of us"
+    val boiler = Seq.fill(50)("the and is of to in that it was").mkString(" ")
+    Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, en),
+      (java.sql.Timestamp.valueOf("2024-01-01 10:00:01"), 2L, boiler)
+    ).toDF("ts", "doc_id", "text").coalesce(1).write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = Streams.readParquetStream(spark, dir, schema)
+    val curated = Streams.streamingCurate(stream, "ts", "1 hour", "text",
+      langs = Set("en"), minTokens = 5L, minCompressRatio = Some(0.3))
+    val q = curated.writeStream.outputMode("append")
+      .format("memory").queryName("curate_cr_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id FROM curate_cr_out")
+        .collect().map(_.getLong(0)).toSet
+      // ≡ the batch gate on the same docs
+      val batch = graft.ml.Curate.curate(
+        Seq((1L, en), (2L, boiler)).toDF("doc_id", "text"), "doc_id", "text",
+        graft.ml.Curate.Config(langs = Set("en"), minTokens = 5L,
+          minCompressRatio = Some(0.3)))
+        .select("doc_id").as[Long].collect().toSet
+      assert(got === Set(1L))
+      assert(got === batch)
+    } finally q.stop()
+  }
+
   test("streaming curation with the perplexity gate (stateless kernel, no extra state)") {
     val dir = Files.createTempDirectory("graftcurate3").toString + "/in"
     val en = "the cat and the dog ran to the park and it was a fine day for all of us"
