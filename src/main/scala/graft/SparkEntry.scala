@@ -1278,6 +1278,17 @@ object SparkEntry {
       Dedup.containmentPairs(SetOps.concat(docs, truncated), "doc_id", "text",
         threshold = 0.8)
     }),
+    // cross-frame containment probe (broadcast probe, corpus never
+    // shuffles): every truncated doc against the full corpus — the
+    // decontamination-triage shape, oracled against the quadratic
+    // cross-frame containment in DuckDB
+    "q_containment_join" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val probe = docs.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          substring(col("text"), 1, 200).as("text"))
+      Dedup.containmentJoinPairs(probe, docs, "doc_id", "text", threshold = 0.8)
+    }),
     // EXACT ssjoin (prefix filter): finds ALL 417 pairs at t=0.5 where the
     // minhash banding path finds 400 — recall 1.0 by construction, oracled
     "q_ssjoin_exact" -> ((s, dir) => {
@@ -2708,6 +2719,34 @@ object SparkEntry {
     // q_ssjoin_exact: prefix filtering is exact by construction — the
     // oracle is the same brute force at t=0.5 (417 pairs; banding minhash
     // stops at 400, which is why THAT one stays rows-only)
+    // q_containment_join: the quadratic cross-frame containment — the
+    // broadcast-probe path must reproduce it exactly
+    "q_containment_join" ->
+      """WITH probe AS (
+           SELECT doc_id + 1000000 AS doc_id, substring(text, 1, 200) AS text
+           FROM documents WHERE doc_id % 20 = 0
+         ),
+         pg AS (
+           SELECT doc_id, list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                         FOR i IN range(1, len(tk)-1)]) AS g
+           FROM (SELECT doc_id,
+                   list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+                               x -> x <> '') AS tk
+                 FROM probe)
+         ),
+         cg AS (
+           SELECT doc_id, list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                         FOR i IN range(1, len(tk)-1)]) AS g
+           FROM (SELECT doc_id,
+                   list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+                               x -> x <> '') AS tk
+                 FROM documents)
+         )
+         SELECT id_a, id_b, containment FROM (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.g, b.g))::DOUBLE / len(a.g)::DOUBLE AS containment
+           FROM pg a JOIN cg b ON len(a.g) > 0 AND len(b.g) > 0
+         ) WHERE containment >= 0.8""",
     // q_containment: the full quadratic directional containment — the
     // prefix-filtered path must reproduce it exactly
     "q_containment" ->

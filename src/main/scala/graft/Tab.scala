@@ -351,6 +351,15 @@ final case class Tab(df: DataFrame) {
       shingleN: Int = 3, threshold: Double = 0.8): Tab =
     Tab(graft.ml.Dedup.containmentPairs(df, idCol, textCol, shingleN, threshold))
 
+  /** Cross-frame containment probe against `corpus`
+    * (ml.Dedup.containmentJoinPairs): this Tab is the small broadcast
+    * probe side; the corpus never shuffles.
+    */
+  def containmentAgainst(corpus: Tab, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.8): Tab =
+    Tab(graft.ml.Dedup.containmentJoinPairs(df, corpus.df, idCol, textCol,
+      shingleN, threshold))
+
   /** Corpus-level Jaccard similarity to `other` via KMV sketches
     * (ml.Dedup.corpusJaccard) — the cross-dedup triage number.
     */

@@ -578,6 +578,52 @@ object Dedup {
       .filter(col("containment") >= threshold))
   }
 
+  /** EXACT cross-frame containment probe: for every probe doc A and
+    * corpus doc B, emit `(id_a, id_b, containment)` where
+    * c(A → B) = |S(A) ∩ S(B)| / |S(A)| >= `threshold` — "is this
+    * (benchmark question / incoming batch) document contained in some
+    * corpus document?", the decontamination-triage and streaming-dedup
+    * face of [[containmentPairs]].
+    *
+    * Scale shape — the probe side is SMALL (a benchmark, a micro-batch)
+    * and the corpus is NOT: the probe's distinct-shingle posting
+    * BROADCASTS into a hash join against the corpus posting, so corpus
+    * text tokenizes map-side and NEVER shuffles; the only exchange is
+    * the pair-level overlap count (three 8-byte columns). No prefix
+    * filter is needed — the shared-shingle join IS the exact overlap
+    * computation: overlap counts come from the grouped join output and
+    * the division is by the probe's own set size. Zero false negatives
+    * and zero false positives by construction.
+    */
+  def containmentJoinPairs(
+      probe: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"containment threshold: $threshold")
+    require(shingleN >= 1, s"shingleN: $shingleN")
+    // literal shingle strings, not hashes: with the probe side broadcast
+    // the shingle never crosses an exchange (the pair-level count
+    // partial-aggregates before its shuffle), so literals cost nothing
+    // and keep the overlap collision-free
+    def posting(df: DataFrame, id: String, sz: String) = df
+      .select(col(idCol).as(id),
+        array_distinct(Kernels.wordShingles(col(textCol), shingleN)).as("__sh"))
+      .withColumn(sz, size(col("__sh")))
+      .filter(col(sz) > 0)
+      .select(col(id), col(sz), explode(col("__sh")).as("shingle"))
+    val probePost = posting(probe, "id_a", "sz_a")
+    val corpusPost = posting(corpus, "id_b", "sz_b")
+    probePost.hint("broadcast").join(corpusPost, Seq("shingle"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(first(col("sz_a")).as("sz_a"), count(lit(1)).as("__ov"))
+      .select(col("id_a"), col("id_b"),
+        (col("__ov").cast("double") / col("sz_a").cast("double")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Connected components over near-dup pairs by iterative min-label
     * propagation (the standard Spark CC shape: labels converge in
     * O(diameter) join+agg rounds; dup clusters are tiny, so a small

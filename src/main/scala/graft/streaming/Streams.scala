@@ -250,6 +250,28 @@ object Streams {
       batch.join(dupIds, batch("media_id") === col("__dup_id"), "left_anti")
     }
 
+  /** Containment dedup against a static corpus — the asymmetric cousin
+    * of [[dedupAgainstCorpusBatch]]: drop incoming docs that are
+    * near-fully CONTAINED in some corpus document
+    * ([[graft.ml.Dedup.containmentJoinPairs]]) even when Jaccard is
+    * far below any banding threshold (truncations, excerpts, quoted
+    * reposts). The micro-batch is the broadcast probe side; the
+    * corpus frame — typically persisted by the caller — tokenizes
+    * map-side and never shuffles per batch.
+    */
+  def containmentDedupBatch(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.8): DataFrame => DataFrame =
+    (batch: DataFrame) => {
+      val dupIds = graft.ml.Dedup.containmentJoinPairs(
+        batch, corpus, idCol, textCol, shingleN, threshold)
+        .select(col("id_a").as("__dup_id")).distinct()
+      batch.join(dupIds, batch(idCol) === col("__dup_id"), "left_anti")
+    }
+
   /** Stream ANN enrichment: tag each micro-batch row with its top-`k`
     * nearest corpus neighbours from a static IVF index (id, cosine
     * pairs) — "which training docs is this incoming doc closest to",

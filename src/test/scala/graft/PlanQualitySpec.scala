@@ -420,6 +420,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(p.contains("xxhash64"), p)
   }
 
+  test("containmentJoinPairs: probe broadcasts, corpus never shuffles before the join") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    val probe = docs.filter(col("doc_id") < 5)
+    val q = graft.ml.Dedup.containmentJoinPairs(probe, docs, "doc_id", "text")
+    val p = plan(q)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    // the only shuffle is the pair-level overlap count (map-side partial
+    // agg first) — corpus postings reach the join shuffle-free
+    assert("Exchange hashpartitioning\\(id_a".r.findAllIn(p).size === 1, p)
+    assert("Exchange".r.findAllIn(p).size === 2, p) // that one + the broadcast
+  }
+
   test("topKPerGroup is partial+final bounded aggregation, not a window sort") {
     import spark.implicits._
     val df = Seq.tabulate(200)(i => (s"g${i % 5}", i.toDouble, i.toLong))

@@ -231,6 +231,47 @@ class SimilarityAndDedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"false positive: $pairs")
   }
 
+  test("containmentJoinPairs equals brute force cross-frame; batch dedup drops contained docs") {
+    val vocab = Array("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val rng = new scala.util.Random(13)
+    def mk(n: Int, off: Long) = (0 until n).map { i =>
+      val len = 5 + rng.nextInt(12)
+      (off + i, (0 until len).map(_ => vocab(rng.nextInt(vocab.length))).mkString(" "))
+    }
+    val probeDocs = mk(15, 1000)
+    val corpusDocs = mk(40, 0)
+    val probe = probeDocs.toDF("doc_id", "text")
+    val corpus = corpusDocs.toDF("doc_id", "text")
+    def grams(s: String): Set[String] = {
+      val tk = s.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (tk.length < 2) Set.empty else tk.sliding(2).map(_.mkString(" ")).toSet
+    }
+    for (t <- Seq(0.5, 0.8)) {
+      val got = Dedup.containmentJoinPairs(probe, corpus, "doc_id", "text",
+        shingleN = 2, threshold = t)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val want = (for {
+        (ia, ta) <- probeDocs; (ib, tb) <- corpusDocs
+        ga = grams(ta); gb = grams(tb)
+        if ga.nonEmpty && gb.nonEmpty
+        c = (ga & gb).size.toDouble / ga.size.toDouble
+        if c >= t
+      } yield (ia, ib)).toSet
+      assert(got === want, s"threshold $t: got ${got.size}, want ${want.size}")
+    }
+    // the foreachBatch face: a truncation of a corpus doc is dropped,
+    // novel docs pass through untouched
+    val full = "the quick brown fox jumps over the lazy dog again and again and then rests"
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "entirely novel content about mountain hiking trails")).toDF("doc_id", "text")
+    val kept = graft.streaming.Streams.containmentDedupBatch(
+      Seq((1L, full)).toDF("doc_id", "text"), "doc_id", "text", threshold = 0.9)(batch)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(101L))
+  }
+
   test("containmentPairs: partition invariance and guards") {
     val docs = Seq.tabulate(30)(i =>
       (i.toLong, s"shared core phrase tok${i % 5} with some extra words tok${i % 7}"))
