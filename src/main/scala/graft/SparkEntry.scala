@@ -390,6 +390,21 @@ object SparkEntry {
         case None => s.conf.unset("graft.rowIndex.localThresholdBytes")
       }
     }),
+    // 1-D nearest join (symmetric as-of): each even-keyed order aligns
+    // to the odd-keyed order of the same customer with the closest
+    // total price — one union + one window partition, never a join
+    // explosion; deterministic tie rules mirror the oracle's ORDER BY
+    "q_join_nearest" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      Joins.nearestJoin(
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+        orders.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey").as("r_orderkey"), col("o_custkey"),
+            col("o_totalprice").as("r_totalprice")),
+        Seq("o_custkey"), Seq("o_custkey"), "o_totalprice", "r_totalprice",
+        Seq("r_orderkey", "r_totalprice"), rightTie = "r_orderkey")
+    }),
     // point-in-interval join through the BANDED equi-join scale path
     // (explode intervals to fixed-width bands, hash-join on the band,
     // exact residual BETWEEN) — banding changes cost, never rows, so
@@ -2001,6 +2016,25 @@ object SparkEntry {
     "q_join_salted" ->
       """SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, o.o_totalprice
          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""",
+    // q_join_nearest: quadratic nearest-by-|Δprice| per customer with
+    // the operator's exact tie ladder in the ORDER BY
+    "q_join_nearest" ->
+      """WITH l AS (SELECT o_orderkey, o_custkey, o_totalprice
+                    FROM orders WHERE o_orderkey % 2 = 0),
+           r AS (SELECT o_orderkey AS r_orderkey, o_custkey,
+                        o_totalprice AS r_totalprice
+                 FROM orders WHERE o_orderkey % 2 = 1)
+         SELECT o_orderkey, o_custkey, o_totalprice, r_orderkey, r_totalprice
+         FROM (
+           SELECT l.o_orderkey, l.o_custkey, l.o_totalprice,
+             r.r_orderkey, r.r_totalprice,
+             row_number() OVER (PARTITION BY l.o_orderkey ORDER BY
+               abs(r.r_totalprice - l.o_totalprice),
+               r.r_totalprice,
+               CASE WHEN r.r_totalprice <= l.o_totalprice
+                    THEN -r.r_orderkey ELSE r.r_orderkey END) AS rn
+           FROM l LEFT JOIN r USING (o_custkey))
+         WHERE rn = 1""",
     "q_join_range" ->
       """SELECT o.o_orderkey, s.s_suppkey FROM orders o JOIN supplier s
          ON o.o_totalprice BETWEEN s.s_suppkey * 3000.0

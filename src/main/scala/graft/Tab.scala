@@ -92,6 +92,14 @@ final case class Tab(df: DataFrame) {
       direction: String = "backward"): Tab =
     Tab(Joins.asofJoin(df, other.df, leftKeys, rightKeys, leftTime, rightTime,
       rightValues, direction))
+  /** 1-D nearest-neighbour alignment on a numeric/timestamp axis —
+    * the symmetric completion of [[asofJoin]] (Joins.nearestJoin).
+    */
+  def nearestJoin(other: Tab, leftKeys: Seq[String], rightKeys: Seq[String],
+      leftTime: String, rightTime: String, rightValues: Seq[String],
+      rightTie: String): Tab =
+    Tab(Joins.nearestJoin(df, other.df, leftKeys, rightKeys, leftTime, rightTime,
+      rightValues, rightTie))
 
   // ---- aggregation / reshape ---------------------------------------
   def groupby(keys: Seq[String], functions: Seq[(String, String)],

@@ -419,6 +419,93 @@ object Joins {
       .drop(keyAliases :+ "__t" :+ "__side": _*)
   }
 
+  /** Nearest join — 1-D nearest-neighbour alignment on a numeric (or
+    * timestamp) axis: each left row gets the right row whose time is
+    * CLOSEST in absolute distance within the same keys, whichever side
+    * it lies on. The "align each reading to the closest calibration
+    * sample" operator; the symmetric completion of [[asofJoin]]'s
+    * backward/forward pair.
+    *
+    * Deterministic match rule (oracle-mirrorable):
+    *  1. smallest `|right.time − left.time|` wins;
+    *  2. equal distance → the BACKWARD candidate (earlier right time)
+    *     wins — an exactly-at-time right row is a distance-0 backward
+    *     match;
+    *  3. equal right times within a direction → the backward side
+    *     takes the LARGEST `rightTie`, the forward side the SMALLEST
+    *     (each direction keeps its as-of "latest ≤ t" / "earliest ≥ t"
+    *     reading). `rightTie` must be unique per (keys, time) for a
+    *     fully deterministic result.
+    *
+    * Scale shape: ONE union + ONE hash-partitioned window exchange;
+    * the backward and forward carries are two incremental
+    * `(unboundedPreceding, currentRow)` frames over the same
+    * partitioning (the forward one on the exactly-reversed sort — the
+    * [[asofJoin]] O(g) trick), never a per-row tail re-scan and never
+    * a join explosion. Left rows with no right row in the group get
+    * nulls.
+    */
+  def nearestJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[String],
+      rightKeys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightValues: Seq[String],
+      rightTie: String): DataFrame = {
+    require(leftKeys.length == rightKeys.length, "key arity mismatch")
+    require(rightValues.nonEmpty, "nearestJoin: no right values requested")
+    val lCols = left.columns.toSeq
+    val rTypes = right.schema.fields.map(f => f.name -> f.dataType).toMap
+    val lTypes = left.schema.fields.map(f => f.name -> f.dataType).toMap
+    val outNames = dedupRight(lCols, rightValues)
+
+    val keyAliases = leftKeys.indices.map(i => s"__k_$i")
+    val l2 = left.select(
+      lCols.map(col) ++
+        leftKeys.zip(keyAliases).map { case (k, a) => col(k).as(a) } ++
+        Seq(col(leftTime).as("__t"), lit(1).as("__side"),
+          lit(null).cast(rTypes(rightTime)).as("__rt"),
+          lit(null).cast(rTypes(rightTie)).as("__tie")) ++
+        outNames.map { case (rv, out) => lit(null).cast(rTypes(rv)).as(out) }: _*)
+    val r2 = right.select(
+      lCols.map(c => lit(null).cast(lTypes(c)).as(c)) ++
+        rightKeys.zip(keyAliases).map { case (k, a) => col(k).as(a) } ++
+        Seq(col(rightTime).as("__t"), lit(0).as("__side"),
+          col(rightTime).as("__rt"), col(rightTie).as("__tie")) ++
+        outNames.map { case (rv, out) => col(rv).as(out) }: _*)
+
+    // backward: at equal times the right row (__side 0) precedes the
+    // left row (inclusive), equal right times resolve to the LAST in
+    // tie order = largest tie
+    val wB = Window.partitionBy(keyAliases.map(col): _*)
+      .orderBy(col("__t").asc, col("__side").asc, col("__tie").asc)
+    // forward: the exact reversal (see asofJoin) — the carry stays an
+    // incremental head frame; at equal times the right row still
+    // precedes; equal right times resolve to the smallest tie
+    val wF = Window.partitionBy(keyAliases.map(col): _*)
+      .orderBy(col("__t").desc, col("__side").asc, col("__tie").desc)
+    def carryB(c: Column) = last(c, ignoreNulls = true)
+      .over(wB.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    def carryF(c: Column) = last(c, ignoreNulls = true)
+      .over(wF.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
+    val carryCols = outNames.map(_._2) :+ "__rt"
+    val carried = carryCols.foldLeft(l2.unionByName(r2)) { case (df, c) =>
+      df.withColumn(s"__b_$c", carryB(col(c))).withColumn(s"__f_$c", carryF(col(c)))
+    }
+    val lt = col("__t").cast("double")
+    val bt = col("__b___rt").cast("double")
+    val ft = col("__f___rt").cast("double")
+    val useBwd = ft.isNull || (bt.isNotNull && (lt - bt <= ft - lt))
+    val chosen = outNames.foldLeft(carried.filter(col("__side") === 1)) {
+      case (df, (_, out)) =>
+        df.withColumn(out, when(useBwd, col(s"__b_$out")).otherwise(col(s"__f_$out")))
+    }
+    chosen.select(lCols.map(col) ++ outNames.map(o => col(o._2)): _*)
+  }
+
   /** `match` — multi-key ==-only join keeping ONLY matching left rows,
     * appending the FIRST matching right row's columns (match.py:6-102).
     *

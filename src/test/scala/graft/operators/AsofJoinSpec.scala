@@ -112,4 +112,68 @@ class AsofJoinSpec extends SparkSpec {
     val empty = AsofJoinPlan.asofJoin(l.limit(0), r, Seq("sym"), Seq("sym"), "t", "t", Seq("px"))
     assert(empty.count() === 0)
   }
+
+  test("nearestJoin: closest wins either side; distance ties go backward; no-match is null") {
+    val l = Seq(("A", 10L, "t1"), ("A", 14L, "t2"), ("A", 30L, "t3"), ("C", 1L, "t4"))
+      .toDF("sym", "t", "tag")
+    val r = Seq(("A", 8L, 100L, 1.0), ("A", 18L, 101L, 2.0), ("A", 29L, 102L, 3.0),
+      ("B", 5L, 103L, 9.0)).toDF("sym", "t", "rid", "px")
+    val out = Joins.nearestJoin(l, r, Seq("sym"), Seq("sym"), "t", "t",
+      Seq("rid", "px"), rightTie = "rid")
+      .collect().map(row => row.getAs[String]("tag") ->
+        Option(row.getAs[Any]("rid"))).toMap
+    assert(out === Map(
+      "t1" -> Some(100L), // |10-8|=2 < |10-18|=8
+      "t2" -> Some(101L), // wait: |14-8|=6, |14-18|=4 → forward 101
+      "t3" -> Some(102L), // |30-29|=1
+      "t4" -> None))      // no C rows
+  }
+
+  test("nearestJoin: equal distance prefers backward; equal right times break by tie per direction") {
+    val l = Seq(("A", 10L, "x")).toDF("sym", "t", "tag")
+    // backward at 8 and forward at 12: both distance 2 → backward
+    val r1 = Seq(("A", 8L, 1L, 1.0), ("A", 12L, 2L, 2.0)).toDF("sym", "t", "rid", "px")
+    val got1 = Joins.nearestJoin(l, r1, Seq("sym"), Seq("sym"), "t", "t",
+      Seq("px"), rightTie = "rid").collect()(0).getAs[Double]("px")
+    assert(got1 === 1.0)
+    // exactly-at-time rows: distance 0 backward; duplicate right times →
+    // backward takes the LARGEST tie
+    val r2 = Seq(("A", 10L, 1L, 1.0), ("A", 10L, 2L, 2.0)).toDF("sym", "t", "rid", "px")
+    val got2 = Joins.nearestJoin(l, r2, Seq("sym"), Seq("sym"), "t", "t",
+      Seq("px"), rightTie = "rid").collect()(0).getAs[Double]("px")
+    assert(got2 === 2.0)
+    // strictly-forward duplicates → the SMALLEST tie (earliest ≥ t reading)
+    val r3 = Seq(("A", 13L, 1L, 1.0), ("A", 13L, 2L, 2.0)).toDF("sym", "t", "rid", "px")
+    val got3 = Joins.nearestJoin(l, r3, Seq("sym"), Seq("sym"), "t", "t",
+      Seq("px"), rightTie = "rid").collect()(0).getAs[Double]("px")
+    assert(got3 === 1.0)
+  }
+
+  test("nearestJoin equals brute force on random data and is partition-invariant") {
+    val rng = new scala.util.Random(17)
+    val lRows = (0 until 120).map(i =>
+      (s"k${rng.nextInt(6)}", rng.nextInt(100).toLong, i.toLong))
+    val rRows = (0 until 80).map(i =>
+      (s"k${rng.nextInt(8)}", rng.nextInt(100).toLong, i.toLong, rng.nextDouble()))
+    val l = lRows.toDF("sym", "t", "lid")
+    val r = rRows.toDF("sym", "t", "rid", "px")
+    def brute: Map[Long, Option[Long]] = lRows.map { case (k, t, lid) =>
+      val cands = rRows.filter(_._1 == k)
+      lid -> (if (cands.isEmpty) None else {
+        val best = cands.minBy { case (_, rt, rid, _) =>
+          (math.abs(rt - t).toDouble, rt.toDouble,
+            if (rt <= t) -rid.toDouble else rid.toDouble)
+        }
+        Some(best._3)
+      })
+    }.toMap
+    val results = Seq(1, 7).map { parts =>
+      Joins.nearestJoin(l.repartition(parts), r.repartition(parts),
+        Seq("sym"), Seq("sym"), "t", "t", Seq("rid"), rightTie = "rid")
+        .collect().map(row => row.getAs[Long]("lid") ->
+          Option(row.getAs[Any]("rid")).map(_.asInstanceOf[Long])).toMap
+    }
+    assert(results(0) === brute)
+    assert(results(0) === results(1))
+  }
 }
