@@ -1304,6 +1304,17 @@ object SparkEntry {
           substring(col("text"), 1, 200).as("text"))
       Dedup.containmentJoinPairs(probe, docs, "doc_id", "text", threshold = 0.8)
     }),
+    // containment dedup: the truncated copies are contained in their
+    // larger sources and drop; survivors oracled against the quadratic
+    // containment + drop rule in DuckDB
+    "q_containment_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val truncated = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          substring(col("text"), 1, 250).as("text"))
+      Dedup.containmentDedup(SetOps.concat(docs, truncated), "doc_id", "text",
+        threshold = 0.8).select(col("doc_id"))
+    }),
     // EXACT ssjoin (prefix filter): finds ALL 417 pairs at t=0.5 where the
     // minhash banding path finds 400 — recall 1.0 by construction, oracled
     "q_ssjoin_exact" -> ((s, dir) => {
@@ -2781,6 +2792,34 @@ object SparkEntry {
              len(list_intersect(a.g, b.g))::DOUBLE / len(a.g)::DOUBLE AS containment
            FROM pg a JOIN cg b ON len(a.g) > 0 AND len(b.g) > 0
          ) WHERE containment >= 0.8""",
+    // q_containment_dedup: quadratic containment + the drop rule
+    // (contained in a strictly larger set, or equal sets with a larger
+    // id) — survivors must match exactly
+    "q_containment_dedup" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, substring(text, 1, 250) AS text
+           FROM documents WHERE doc_id % 10 = 0
+         ),
+         grams AS (
+           SELECT doc_id, list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                         FOR i IN range(1, len(tk)-1)]) AS g
+           FROM (SELECT doc_id,
+                   list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+                               x -> x <> '') AS tk
+                 FROM corpus)
+         ),
+         drops AS (
+           SELECT DISTINCT a.doc_id AS did
+           FROM grams a JOIN grams b ON a.doc_id <> b.doc_id
+           WHERE len(a.g) > 0 AND len(b.g) > 0
+             AND len(list_intersect(a.g, b.g))::DOUBLE / len(a.g)::DOUBLE >= 0.8
+             AND (len(a.g) < len(b.g)
+                  OR (len(a.g) = len(b.g) AND a.doc_id > b.doc_id))
+         )
+         SELECT doc_id FROM corpus
+         WHERE doc_id NOT IN (SELECT did FROM drops)""",
     // q_containment: the full quadratic directional containment — the
     // prefix-filtered path must reproduce it exactly
     "q_containment" ->

@@ -359,6 +359,14 @@ final case class Tab(df: DataFrame) {
       shingleN: Int = 3, threshold: Double = 0.8): Tab =
     Tab(graft.ml.Dedup.containmentPairs(df, idCol, textCol, shingleN, threshold))
 
+  /** Drop documents near-fully contained in a larger document
+    * (ml.Dedup.containmentDedup); smallest id survives mutual
+    * containment.
+    */
+  def containmentDedup(idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.9): Tab =
+    Tab(graft.ml.Dedup.containmentDedup(df, idCol, textCol, shingleN, threshold))
+
   /** Cross-frame containment probe against `corpus`
     * (ml.Dedup.containmentJoinPairs): this Tab is the small broadcast
     * probe side; the corpus never shuffles.

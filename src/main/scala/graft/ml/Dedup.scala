@@ -578,6 +578,33 @@ object Dedup {
       .filter(col("containment") >= threshold))
   }
 
+  /** Containment dedup of one corpus: drop every document near-fully
+    * CONTAINED (c >= `threshold`, [[containmentPairs]]) in a document
+    * with a strictly larger shingle set; on equal set sizes (mutual
+    * containment) the smallest id survives. Semantics are "drop all
+    * contained docs", not winner-per-cluster: in a chain a ⊂ b ⊂ c
+    * both a and b drop — every surviving doc's content remains
+    * represented by a surviving container. Docs with an empty shingle
+    * set are never dropped (nothing to compare).
+    */
+  def containmentDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      threshold: Double = 0.9): DataFrame = {
+    val pairs = containmentPairs(docs, idCol, textCol, shingleN, threshold)
+    val sizes = docs.select(col(idCol).as("__id"),
+      size(array_distinct(Kernels.wordShingles(col(textCol), shingleN))).as("__sz"))
+    val drops = pairs
+      .join(sizes.select(col("__id").as("id_a"), col("__sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col("__id").as("id_b"), col("__sz").as("sz_b")), Seq("id_b"))
+      .filter(col("sz_a") < col("sz_b") ||
+        (col("sz_a") === col("sz_b") && col("id_a") > col("id_b")))
+      .select(col("id_a").as("__drop")).distinct()
+    docs.join(drops, docs(idCol) === col("__drop"), "left_anti")
+  }
+
   /** EXACT cross-frame containment probe: for every probe doc A and
     * corpus doc B, emit `(id_a, id_b, containment)` where
     * c(A → B) = |S(A) ∩ S(B)| / |S(A)| >= `threshold` — "is this

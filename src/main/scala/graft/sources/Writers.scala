@@ -79,6 +79,22 @@ object Writers {
   def toOrc(df: DataFrame, path: String): Unit =
     fanOut(df).write.mode(SaveMode.Overwrite).orc(path)
 
+  /** Hive-style partitioned parquet layout: one directory per distinct
+    * value tuple of `cols`. The 100 TB pruning tool for
+    * LOW-cardinality selective columns (date, lang, source): a filter
+    * on a partition column prunes whole directories at PLANNING time
+    * (`PartitionFilters` in the scan, no file even opened), where
+    * row-group statistics can only skip within files already listed.
+    * Complements [[saveBucketed]] (join locality) and
+    * [[Layout.saveZOrdered]] (multi-column range locality).
+    */
+  def savePartitioned(df: DataFrame, path: String, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "savePartitioned: no partition columns")
+    require(cols.forall(df.columns.contains),
+      s"savePartitioned: missing ${cols.filterNot(df.columns.contains).mkString(", ")}")
+    df.write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(path)
+  }
+
   /** Bucketed persisted table: pre-shuffles once at write time so every
     * later equi-join/aggregation on `keys` runs shuffle-free (both sides
     * bucketed with the same count → zero Exchange in the join plan).

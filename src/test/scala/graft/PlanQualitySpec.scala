@@ -448,6 +448,23 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("savePartitioned: a partition-column filter prunes directories at planning time") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_part_plan").toString + "/t"
+    val df = Seq.tabulate(300)(i => (i.toLong, s"lang${i % 5}", s"payload $i"))
+      .toDF("id", "lang", "text")
+    graft.sources.Writers.savePartitioned(df, tmp, Seq("lang"))
+    val q = spark.read.parquet(tmp).filter(col("lang") === "lang3")
+    val p = plan(q)
+    // the filter lands in PartitionFilters (directory pruning), and the
+    // scan lists exactly one of the five lang partitions
+    assert(p.contains("PartitionFilters") && p.contains("isnotnull(lang"), p)
+    assert(q.queryExecution.executedPlan.toString.contains("lang3"), p)
+    assert(q.count() === 60)
+    // round-trips: partition column values survive the directory encoding
+    assert(spark.read.parquet(tmp).select("lang").distinct().count() === 5)
+  }
+
   test("bucketed tables join with ZERO exchanges (pre-shuffled at write time)") {
     import spark.implicits._
     val a = Seq.tabulate(200)(i => (i.toLong, s"a$i")).toDF("k", "va")

@@ -1,0 +1,14 @@
+package graft
+object TimeQ {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val spark = GraftSession.builder("local[16]")
+      .config("spark.sql.shuffle.partitions", "16").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    args.drop(1).foreach { name =>
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+      println(f"[timeq] $name ${(System.nanoTime()-t0)/1e9}%.2f s")
+    }
+  }
+}

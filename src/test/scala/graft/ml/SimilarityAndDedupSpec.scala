@@ -272,6 +272,19 @@ class SimilarityAndDedupSpec extends SparkSpec {
     assert(kept === Set(101L))
   }
 
+  test("containmentDedup drops contained docs, keeps containers; min id survives mutual dup") {
+    val full = "the quick brown fox jumps over the lazy dog again and again and then rests"
+    val docs = Seq(
+      (1L, full),
+      (2L, "the quick brown fox jumps over the lazy dog"), // contained in 1 → drop
+      (3L, full),                                          // mutual with 1 → larger id drops
+      (4L, "entirely different content about mountain hiking trails and maps"),
+      (5L, "xy")).toDF("doc_id", "text")                   // empty shingle set → survives
+    val kept = Dedup.containmentDedup(docs, "doc_id", "text", threshold = 0.9)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 4L, 5L))
+  }
+
   test("containmentPairs: partition invariance and guards") {
     val docs = Seq.tabulate(30)(i =>
       (i.toLong, s"shared core phrase tok${i % 5} with some extra words tok${i % 7}"))

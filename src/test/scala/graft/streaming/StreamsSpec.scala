@@ -377,6 +377,30 @@ class StreamsSpec extends SparkSpec {
     assert(ex.getMessage.contains("neighbours"))
   }
 
+  test("topKRows aggregate streams: per-group leaderboard in complete mode ≡ batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(String, Double, Long)]
+    val agg = in.toDF().toDF("g", "v", "id")
+      .groupBy("g")
+      .agg(graft.plans.TopKRows.topKRows(col("v").cast("double"),
+        col("id").cast("long"), struct(col("v"), col("id")), k = 2, desc = true)
+        .as("top"))
+      .select(col("g"), col("top"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("topk_stream_out").start()
+    try {
+      in.addData(("a", 1.0, 1L), ("a", 5.0, 2L), ("b", 2.0, 3L))
+      q.processAllAvailable()
+      in.addData(("a", 3.0, 4L), ("b", 9.0, 5L)) // state merges across batches
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT g, transform(top, x -> x.id) AS ids FROM topk_stream_out")
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+      assert(got === Map("a" -> List(2L, 4L), "b" -> List(5L, 3L)))
+    } finally q.stop()
+  }
+
   test("streamingPack: bins continue across micro-batches, per-group running totals") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val s: org.apache.spark.sql.SparkSession = spark
