@@ -1275,6 +1275,30 @@ object SparkEntry {
       scope.releaseAfter(Dedup.incrementalMinhashPairs(SetOps.concat(copies, fresh), idx,
         "doc_id", "text", threshold = 1.0))
     }),
+    // index append (continuous-ingestion durability for dedup): build
+    // the index on PART of the corpus, persist, append a later batch
+    // through the stored params, then probe the read-back index with
+    // exact copies of docs from BOTH generations (+2000000) plus fresh
+    // md5 noise (+3000000). Oracle = quadratic exact jaccard of probe ×
+    // (corpus ∪ batch) at t=1.0 — green only if the appended rows are
+    // as discoverable as the originals
+    "q_minhash_append" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val path = s"${freshTmp("mhappend")}/idx"
+      val idx = Dedup.minhashIndex(docs.filter(col("doc_id") % 4 < 2), "doc_id", "text")
+      Dedup.writeMinhashIndex(idx, path)
+      idx.release()
+      Dedup.appendToMinhashIndex(s, path,
+        docs.filter(col("doc_id") % 4 === 2), "doc_id", "text")
+      val copies = docs.filter(col("doc_id") % 8 === 1 || col("doc_id") % 8 === 2)
+        .select((col("doc_id") + 2000000).as("doc_id"), col("text"))
+      val fresh = docs.filter(col("doc_id") % 8 === 3)
+        .select((col("doc_id") + 3000000).as("doc_id"),
+          concat_ws(" ", (0 until 8).map(i =>
+            md5(concat(col("doc_id").cast("string"), lit(s"-$i")))): _*).as("text"))
+      Dedup.incrementalMinhashPairs(SetOps.concat(copies, fresh),
+        Dedup.readMinhashIndex(s, path), "doc_id", "text", threshold = 1.0)
+    }),
     "q_ngram_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val truncated = docs.select((col("doc_id") + 1000000).as("doc_id"),
@@ -2933,6 +2957,47 @@ object SparkEntry {
                    list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
                                x -> x <> '') AS tk
                  FROM documents)
+         )
+         SELECT id_a, id_b, jaccard FROM (
+           SELECT i.doc_id AS id_a, c.doc_id AS id_b,
+             len(list_intersect(i.g, c.g))::DOUBLE
+               / len(list_distinct(list_concat(i.g, c.g)))::DOUBLE AS jaccard
+           FROM gi i JOIN gc c ON len(i.g) = len(c.g) AND len(i.g) > 0
+         ) WHERE jaccard >= 1.0""",
+    // q_minhash_append: the searchable set is corpus (doc_id%4<2) ∪
+    // appended batch (doc_id%4=2) — i.e. doc_id%4<3 — probed by exact
+    // copies of %8∈{1,2} (one id from each generation) + md5 noise
+    "q_minhash_append" ->
+      """WITH probe AS (
+           SELECT doc_id + 2000000 AS doc_id, text FROM documents
+           WHERE doc_id % 8 IN (1, 2)
+           UNION ALL
+           SELECT doc_id + 3000000 AS doc_id,
+             md5(CAST(doc_id AS VARCHAR) || '-0') || ' ' ||
+             md5(CAST(doc_id AS VARCHAR) || '-1') || ' ' ||
+             md5(CAST(doc_id AS VARCHAR) || '-2') || ' ' ||
+             md5(CAST(doc_id AS VARCHAR) || '-3') || ' ' ||
+             md5(CAST(doc_id AS VARCHAR) || '-4') || ' ' ||
+             md5(CAST(doc_id AS VARCHAR) || '-5') || ' ' ||
+             md5(CAST(doc_id AS VARCHAR) || '-6') || ' ' ||
+             md5(CAST(doc_id AS VARCHAR) || '-7') AS text
+           FROM documents WHERE doc_id % 8 = 3
+         ),
+         gi AS (
+           SELECT doc_id, list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                         FOR i IN range(1, len(tk)-1)]) AS g
+           FROM (SELECT doc_id,
+                   list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+                               x -> x <> '') AS tk
+                 FROM probe)
+         ),
+         gc AS (
+           SELECT doc_id, list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                                         FOR i IN range(1, len(tk)-1)]) AS g
+           FROM (SELECT doc_id,
+                   list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+                               x -> x <> '') AS tk
+                 FROM documents WHERE doc_id % 4 < 3)
          )
          SELECT id_a, id_b, jaccard FROM (
            SELECT i.doc_id AS id_a, c.doc_id AS id_b,

@@ -206,6 +206,44 @@ object Dedup {
       intOf("k"), intOf("bands"), intOf("shingleN"))
   }
 
+  /** Append a batch to a PERSISTED minhash index without touching the
+    * corpus — the dedup cousin of `Ann.ivfAppendBatch`: once an ingest
+    * batch has been admitted (deduped via [[incrementalMinhashPairs]]),
+    * this makes it part of the index so the NEXT batch dedups against
+    * it too. Work is O(batch): shingle + sign the new docs under the
+    * STORED banding params (a drifted k/bands/shingleN would silently
+    * produce zero candidates, so they are read from the sidecar, never
+    * passed in) and parquet-append the two frames. The corpus is never
+    * re-shingled. Ids must be new to the index — same contract as
+    * [[incrementalMinhashPairs]]. Crash-safety: shingles append first;
+    * a torn append degrades to missed recall for THIS batch (re-append
+    * repairs it), never to corrupt pairs — band hits without a shingle
+    * row drop in the inner verify join, orphan shingles are never
+    * candidates. No compaction step is needed (unlike the IVF index's
+    * per-list layout): both frames are flat parquet, and small appended
+    * files fold into normal scan coalescing.
+    */
+  def appendToMinhashIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String): Unit = {
+    val idx = readMinhashIndex(spark, path)
+    val sh = batch.select(col(idCol).as("id"),
+      Kernels.wordShingles(col(textCol), idx.shingleN).as("sh"))
+      .withColumn("sz", size(array_distinct(col("sh"))))
+      .filter(col("sz") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      sh.write.mode("append").parquet(s"$path/shingles")
+      sh.select(col("id"), explode(Similarity.lshBands(
+        Kernels.minhashSig(col("sh"), idx.k), idx.nBands, idx.k / idx.nBands))
+        .as("bandkey"))
+        .write.mode("append").parquet(s"$path/bands")
+    } finally { sh.unpersist(blocking = false); () }
+  }
+
   def minhashIndex(
       corpus: DataFrame,
       idCol: String,

@@ -272,6 +272,30 @@ class SimilarityAndDedupSpec extends SparkSpec {
     assert(kept === Set(101L))
   }
 
+  test("appendToMinhashIndex: appended batch is discoverable by the NEXT increment") {
+    val corpus = Seq((1L, docA), (2L, docC)).toDF("doc_id", "text")
+    val fresh = "tomorrow the orchestra rehearses seven entirely new movements before dawn breaks"
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhappend").toString
+    try {
+      val idx = Dedup.minhashIndex(corpus, "doc_id", "text")
+      Dedup.writeMinhashIndex(idx, dir); idx.release()
+      // probe copies one corpus doc and one future-batch doc
+      val probe = Seq((30L, fresh), (31L, docA)).toDF("doc_id", "text")
+      def pairs(): Set[(Long, Long)] =
+        Dedup.incrementalMinhashPairs(probe, Dedup.readMinhashIndex(spark, dir),
+          "doc_id", "text", threshold = 0.9)
+          .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(pairs() === Set((31L, 1L))) // batch not yet in the index
+      Dedup.appendToMinhashIndex(spark, dir,
+        Seq((20L, fresh)).toDF("doc_id", "text"), "doc_id", "text")
+      assert(pairs() === Set((31L, 1L), (30L, 20L))) // now it is
+      // append is additive: params sidecar untouched, corpus rows intact
+      val back = Dedup.readMinhashIndex(spark, dir)
+      assert((back.k, back.nBands, back.shingleN) === (64, 16, 3))
+      assert(back.shingles.select("id").as[Long].collect().toSet === Set(1L, 2L, 20L))
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("containmentDedup drops contained docs, keeps containers; min id survives mutual dup") {
     val full = "the quick brown fox jumps over the lazy dog again and again and then rests"
     val docs = Seq(
