@@ -105,6 +105,19 @@ object SparkEntry {
       s"$tmp/z"
     })
 
+  /** Hive-partitioned (by lang) copy of documents, written once per
+    * (process, sf-dir) under the shared scratch root — the timed query
+    * measures the directory-PRUNED read (what the layout buys), not the
+    * write.
+    */
+  private val partDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def partitionedDocsDir(s: SparkSession, dir: String): String =
+    partDirs.computeIfAbsent(dir, _ => {
+      val out = s"${freshTmp("partdocs")}/docs"
+      graft.sources.Writers.savePartitioned(t(s, dir, "documents"), out, Seq("lang"))
+      out
+    })
+
   /** JSONL copy of documents, written once per (process, sf-dir) and
     * deleted at JVM exit — the roundtrip query reads it LAZILY (a
     * distributed json scan, unlike readHdf5's driver-side materialize),
@@ -441,6 +454,15 @@ object SparkEntry {
       s.read.parquet(zorderDir(s, dir))
         .filter(col("l_partkey").between(100, 300) && col("l_suppkey").between(10, 60))
     }),
+    // layout op: Hive-partitioned export (Writers.savePartitioned) read
+    // back through a partition-column filter — directories for the other
+    // three langs are pruned at PLANNING time (pinned in PlanQualitySpec);
+    // oracle = plain SQL over the unpartitioned table
+    "q_partitioned_prune" -> ((s, dir) =>
+      s.read.parquet(partitionedDocsDir(s, dir))
+        .filter(col("lang").isin("en", "zh"))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))),
     "q_semi" -> ((s, dir) =>
       t(s, dir, "customer").join(
         t(s, dir, "orders").filter(col("o_totalprice") > 450000),
@@ -2106,6 +2128,9 @@ object SparkEntry {
     "q_zorder" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM lineitem
          WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 60""",
+    "q_partitioned_prune" ->
+      """SELECT doc_id, text, lang, source, n_chars FROM documents
+         WHERE lang IN ('en', 'zh')""",
     "q_semi" ->
       """SELECT c_custkey, c_name FROM customer WHERE EXISTS
          (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 450000)""",
