@@ -118,6 +118,20 @@ object SparkEntry {
       out
     })
 
+  /** 8-way deterministic shard export of documents (Writers.saveShards),
+    * written once per (process, sf-dir); the query reads the assignment
+    * back from the directory layout.
+    */
+  private val shardDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def shardDocsDir(s: SparkSession, dir: String): String =
+    shardDirs.computeIfAbsent(dir, _ => {
+      val out = s"${freshTmp("sharddocs")}/docs"
+      graft.sources.Writers.saveShards(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        out, "doc_id", numShards = 8, seed = 3)
+      out
+    })
+
   /** JSONL copy of documents, written once per (process, sf-dir) and
     * deleted at JVM exit — the roundtrip query reads it LAZILY (a
     * distributed json scan, unlike readHdf5's driver-side materialize),
@@ -454,6 +468,12 @@ object SparkEntry {
       s.read.parquet(zorderDir(s, dir))
         .filter(col("l_partkey").between(100, 300) && col("l_suppkey").between(10, 60))
     }),
+    // training-shard export: 8-way deterministic round-robin split over
+    // the md5 order, read back from the shard=i directory layout; DuckDB
+    // re-derives every assignment from (doc_id, seed) alone
+    "q_shard_export" -> ((s, dir) =>
+      s.read.parquet(shardDocsDir(s, dir))
+        .select(col("doc_id"), col("lang"), col("shard").cast("long").as("shard"))),
     // layout op: Hive-partitioned export (Writers.savePartitioned) read
     // back through a partition-column filter — directories for the other
     // three langs are pruned at PLANNING time (pinned in PlanQualitySpec);
@@ -2128,6 +2148,12 @@ object SparkEntry {
     "q_zorder" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM lineitem
          WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 60""",
+    // q_shard_export: same md5 order as q_shuffle, shard = rank % 8
+    "q_shard_export" ->
+      """SELECT doc_id, lang,
+           (row_number() OVER (ORDER BY md5(doc_id::VARCHAR || '_3'), doc_id) - 1) % 8
+             AS shard
+         FROM documents""",
     "q_partitioned_prune" ->
       """SELECT doc_id, text, lang, source, n_chars FROM documents
          WHERE lang IN ('en', 'zh')""",

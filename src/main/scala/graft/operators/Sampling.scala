@@ -252,6 +252,25 @@ object Sampling {
       "shuffle_rank").drop("__sk")
   }
 
+  /** Deterministic exactly-balanced `numShards`-way split: round-robin
+    * over the [[shuffleDeterministic]] md5 order, so shard sizes differ
+    * by at most 1 AND each shard is itself a deterministic uniform
+    * sample (hash-mod on raw ids would inherit any id-space structure
+    * and skew ±O(√(n/shards)); the rank route is exact). The training
+    * export primitive: N epochs-worth of workers each read their own
+    * shard with no coordination, and any engine re-derives the
+    * assignment from (id, seed) alone. Scale shape: cost is the
+    * [[Sorts.withRowIndex]] range-partitioned sort — no global window
+    * above the local threshold, no SinglePartition.
+    */
+  def shardDeterministic(df: DataFrame, idCol: String, numShards: Int,
+      seed: Int = 0): DataFrame = {
+    require(numShards > 0, s"shardDeterministic: numShards=$numShards")
+    shuffleDeterministic(df, idCol, seed)
+      .withColumn("shard", pmod(col("shuffle_rank"), lit(numShards.toLong)))
+      .drop("shuffle_rank")
+  }
+
   /** Token-budget sequence packing: assign docs to training bins of at
     * most ~`budget` tokens, preserving `orderCol` order within each
     * `partitionCols` group (e.g. pack per language). The bin id is

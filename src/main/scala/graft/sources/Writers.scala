@@ -95,6 +95,21 @@ object Writers {
     df.write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(path)
   }
 
+  /** Training-shard export: deterministic exactly-balanced round-robin
+    * split ([[graft.operators.Sampling.shardDeterministic]]) written as
+    * one directory per shard. Each shard is a reproducible uniform
+    * sample of the corpus, so data-parallel training workers read
+    * `shard=i` with no coordination and identical results on any rerun.
+    * The repartition puts each shard's rows in one task → one file per
+    * shard directory (plus hash-collision cotenants), the shape a
+    * training loader wants.
+    */
+  def saveShards(df: DataFrame, path: String, idCol: String, numShards: Int,
+      seed: Int = 0): Unit =
+    graft.operators.Sampling.shardDeterministic(df, idCol, numShards, seed)
+      .repartition(numShards, org.apache.spark.sql.functions.col("shard"))
+      .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(path)
+
   /** Bucketed persisted table: pre-shuffles once at write time so every
     * later equi-join/aggregation on `keys` runs shuffle-free (both sides
     * bucketed with the same count → zero Exchange in the join plan).

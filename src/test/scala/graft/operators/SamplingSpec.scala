@@ -166,6 +166,43 @@ class SamplingSpec extends SparkSpec {
     } finally spark.conf.unset("graft.rowIndex.localThresholdBytes")
   }
 
+  test("shardDeterministic: exactly balanced, reproducible, shard = shuffle rank % n") {
+    val n = 7 // 1000 % 7 != 0 → sizes must split ceil/floor
+    val shards = Sampling.shardDeterministic(docs, "id", n, seed = 1)
+      .select("id", "shard").as[(Long, Long)].collect()
+    val sizes = shards.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(sizes.keySet === (0L until n.toLong).toSet)
+    assert(sizes.values.max - sizes.values.min <= 1) // exactly balanced
+    assert(sizes.values.sum === 1000)
+    // the assignment IS the md5-shuffle rank mod n
+    val ranks = Sampling.shuffleDeterministic(docs, "id", seed = 1)
+      .select("id", "shuffle_rank").as[(Long, Long)].collect().toMap
+    assert(shards.forall { case (id, s) => s === ranks(id) % n })
+    val again = Sampling.shardDeterministic(docs, "id", n, seed = 1)
+      .select("id", "shard").as[(Long, Long)].collect()
+    assert(again.toMap === shards.toMap) // bit-identical rerun
+  }
+
+  test("saveShards writes one directory per shard; read-back reassembles the frame") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString + "/s"
+    graft.sources.Writers.saveShards(docs, dir, "id", numShards = 4, seed = 2)
+    val back = spark.read.parquet(dir)
+    assert(back.select("shard").distinct().count() === 4)
+    assert(back.count() === 1000)
+    // every shard dir holds exactly one parquet file (training-loader shape)
+    (0 until 4).foreach { sId =>
+      val files = new java.io.File(s"$dir/shard=$sId")
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1, s"shard=$sId has ${files.length} files")
+    }
+    // read-back assignment matches the in-memory one
+    val mem = Sampling.shardDeterministic(docs, "id", 4, seed = 2)
+      .select("id", "shard").as[(Long, Long)].collect().toMap
+    val disk = back.select(col("id"), col("shard").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(disk === mem)
+  }
+
   test("packSequences: bins are contiguous in order and hold ~budget tokens") {
     val packed = Sampling.packSequences(docs, "n_tokens", "id", budget = 500,
       partitionCols = Seq("lang"))
