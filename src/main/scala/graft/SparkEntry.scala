@@ -1341,6 +1341,19 @@ object SparkEntry {
       Dedup.incrementalMinhashPairs(SetOps.concat(copies, fresh),
         Dedup.readMinhashIndex(s, path), "doc_id", "text", threshold = 1.0)
     }),
+    // exact edit-distance pairs (FastSS deletion-neighborhood blocking):
+    // 12-char md5 titles + planted first-char substitutions; oracle =
+    // the full quadratic levenshtein in DuckDB — zero false negatives
+    // by the FastSS pigeonhole, false candidates die at the exact verify
+    "q_edit_pairs" -> ((s, dir) => {
+      val titles = t(s, dir, "documents").select(col("doc_id"),
+        substring(md5(col("doc_id").cast("string")), 1, 12).as("title"))
+      val typos = titles.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(lit("z"), substring(col("title"), 2, 11)).as("title"))
+      Dedup.editDistancePairs(SetOps.concat(titles, typos), "doc_id", "title",
+        maxDistance = 1)
+    }),
     "q_ngram_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val truncated = docs.select((col("doc_id") + 1000000).as("doc_id"),
@@ -3015,6 +3028,20 @@ object SparkEntry {
                / len(list_distinct(list_concat(i.g, c.g)))::DOUBLE AS jaccard
            FROM gi i JOIN gc c ON len(i.g) = len(c.g) AND len(i.g) > 0
          ) WHERE jaccard >= 1.0""",
+    // q_edit_pairs: quadratic levenshtein truth over titles ∪ typos
+    "q_edit_pairs" ->
+      """WITH c AS (
+           SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS title
+           FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id,
+             'z' || substring(md5(CAST(doc_id AS VARCHAR)), 2, 11) AS title
+           FROM documents WHERE doc_id % 3 = 0
+         )
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           levenshtein(a.title, b.title) AS dist
+         FROM c a JOIN c b ON a.doc_id < b.doc_id
+         WHERE levenshtein(a.title, b.title) <= 1""",
     // q_minhash_append: the searchable set is corpus (doc_id%4<2) ∪
     // appended batch (doc_id%4=2) — i.e. doc_id%4<3 — probed by exact
     // copies of %8∈{1,2} (one id from each generation) + md5 noise

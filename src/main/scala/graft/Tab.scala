@@ -359,6 +359,14 @@ final case class Tab(df: DataFrame) {
       shingleN: Int = 3, threshold: Double = 0.8): Tab =
     Tab(graft.ml.Dedup.containmentPairs(df, idCol, textCol, shingleN, threshold))
 
+  /** Exact edit-distance pairs over a short-string column
+    * (ml.Dedup.editDistancePairs, FastSS blocking): typo-level dupes in
+    * titles/names the shingle families can't see.
+    */
+  def editDistancePairs(idCol: String, strCol: String,
+      maxDistance: Int = 1): Tab =
+    Tab(graft.ml.Dedup.editDistancePairs(df, idCol, strCol, maxDistance))
+
   /** Drop documents near-fully contained in a larger document
     * (ml.Dedup.containmentDedup); smallest id survives mutual
     * containment.

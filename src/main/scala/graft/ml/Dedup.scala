@@ -3,7 +3,7 @@ package graft.ml
 import graft.functions.{Similarity, TextFunctions}
 import graft.operators.CacheScope
 import graft.plans.Kernels
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication pipelines for training-data curation. All variants share
@@ -307,6 +307,75 @@ object Dedup {
         lit(threshold) * col("sz_a") - lit(1e-9) <= col("sz_b"))
       .select(col("id_a"), col("id_b"), Kernels.jaccardSim(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold))
+  }
+
+  /** All strings reachable from `s` by deleting AT MOST `k` characters
+    * (depth-0 self included), as a Column of array<string>. Pure
+    * Catalyst higher-order functions — stays inside whole-stage codegen.
+    * `sequence(a, b)` with a > b generates DESCENDING, so short strings
+    * are masked to empty explicitly.
+    */
+  private def deletionNeighborhood(s: Column, k: Int): Column = {
+    val n = length(s)
+    val none = typedlit(Seq.empty[String])
+    val d1 = when(n >= 1, transform(sequence(lit(1), n), i =>
+      concat(s.substr(lit(1), i - 1), s.substr(i + 1, n)))).otherwise(none)
+    k match {
+      case 1 => concat(array(s), d1)
+      case 2 =>
+        val d2 = when(n >= 2, flatten(transform(sequence(lit(1), n - 1), i =>
+          transform(sequence(i + 1, n), j =>
+            concat(s.substr(lit(1), i - 1),
+              s.substr(i + 1, j - i - 1),
+              s.substr(j + 1, n)))))).otherwise(none)
+        concat(array(s), d1, d2)
+    }
+  }
+
+  /** EXACT edit-distance pairs (ed ≤ `maxDistance`) over a short-string
+    * column — the typo-dedup face (titles, names, URLs) the set-overlap
+    * families can't see (one char edit barely moves Jaccard on 3-gram
+    * sets of a 12-char string). FastSS deletion-neighborhood blocking
+    * (Bocek et al. 2007): if ed(a,b) ≤ k, deleting the ≤ k chars each
+    * side contributes to the optimal alignment leaves a COMMON string,
+    * so a and b share a depth-≤ k deletion variant — zero false
+    * negatives; false candidates die at the exact `levenshtein` verify.
+    * Returns ordered `(id_a < id_b, dist)`.
+    *
+    * Scale shape: each row emits O(len^k) 8-byte variant HASHES (the
+    * strings themselves never ride the candidate shuffle; the verify
+    * join pulls them back by id), the self-join runs through
+    * [[bucketSelfJoin]]'s salted/capped machinery, and `maxLen` bounds
+    * the per-row fanout — this is a SHORT-string operator by
+    * construction (a 64-char cap at k=2 is ~2k variants/row; documents
+    * belong in the shingle families above).
+    */
+  def editDistancePairs(
+      docs: DataFrame,
+      idCol: String,
+      strCol: String,
+      maxDistance: Int = 1,
+      maxLen: Int = 64,
+      maxBucket: Int = 2000,
+      hardCap: Int = 100000): DataFrame = {
+    require(maxDistance == 1 || maxDistance == 2,
+      s"editDistancePairs: maxDistance=$maxDistance (FastSS depth 1 or 2)")
+    val scope = new CacheScope
+    val base = scope.persist(docs
+      .select(col(idCol).as("id"), col(strCol).as("s"))
+      .filter(col("s").isNotNull && length(col("s")) <= maxLen))
+    val keys = base.select(col("id"), explode(array_distinct(
+      deletionNeighborhood(col("s"), maxDistance))).as("v"))
+      .select(col("id"), xxhash64(col("v")).as("bk"))
+    val cand = bucketSelfJoin(keys, "bk", Seq("id"), maxBucket, hardCap, scope)
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    scope.releaseAfter(cand
+      .join(base.select(col("id").as("id_a"), col("s").as("s_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("s").as("s_b")), Seq("id_b"))
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
+      .filter(col("dist") <= maxDistance)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist")))
   }
 
   /** SimHash near-dup pairs: 64-bit signature, bucket by the signature's

@@ -296,6 +296,49 @@ class SimilarityAndDedupSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("editDistancePairs k=1: finds insert/delete/substitute, misses distance 2") {
+    val rows = Seq(
+      (1L, "kitten"), (2L, "kittens"), // insert → 1
+      (3L, "kiten"),                   // delete → 1 (vs kitten)
+      (4L, "mitten"),                  // substitute → 1 (vs kitten)
+      (5L, "sitting"),                 // ed(kitten, sitting) = 3
+      (6L, "kitten"),                  // exact dup → 0
+      (7L, "")).toDF("id", "s")        // ed("", x) = len(x); pairs with nothing here
+    val got = Dedup.editDistancePairs(rows, "id", "s", maxDistance = 1)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Long)].collect().toSet
+    // brute-force truth over the same rows
+    val all = Seq(1L -> "kitten", 2L -> "kittens", 3L -> "kiten", 4L -> "mitten",
+      5L -> "sitting", 6L -> "kitten", 7L -> "")
+    val want = (for {
+      (ia, sa) <- all; (ib, sb) <- all if ia < ib
+      d = levenshteinRef(sa, sb) if d <= 1
+    } yield (ia, ib, d.toLong)).toSet
+    assert(got === want)
+    assert(got.contains((1L, 6L, 0L)) && got.contains((1L, 2L, 1L)))
+    assert(!got.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("editDistancePairs k=2 equals brute force on a transposition-rich set") {
+    val strs = Seq("abcdef", "abcdfe", "abdcef", "xbcdef", "abefcd", "zzzzzz", "ab")
+    val rows = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+    val got = Dedup.editDistancePairs(rows, "id", "s", maxDistance = 2)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Long)].collect().toSet
+    val want = (for {
+      (sa, ia) <- strs.zipWithIndex; (sb, ib) <- strs.zipWithIndex if ia < ib
+      d = levenshteinRef(sa, sb) if d <= 2
+    } yield (ia.toLong, ib.toLong, d.toLong)).toSet
+    assert(got === want)
+    assert(want.exists(_._3 == 2L)) // the set genuinely exercises distance 2
+  }
+
+  private def levenshteinRef(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
   test("containmentDedup drops contained docs, keeps containers; min id survives mutual dup") {
     val full = "the quick brown fox jumps over the lazy dog again and again and then rests"
     val docs = Seq(
