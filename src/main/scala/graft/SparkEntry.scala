@@ -1172,6 +1172,15 @@ object SparkEntry {
       Chunking.chunkByTokens(
         t(s, dir, "documents").select(col("doc_id"), col("text")),
         "doc_id", "text", maxTokens = 40, stride = 30)),
+    // sentence-aware chunking (5-sentence windows, stride 3): sentence
+    // boundaries planted with a LITERAL replace (' merge ' → '. ') so
+    // both engines derive identical sentences; the split regex is
+    // lookaround-free on purpose (Java regex ≡ RE2)
+    "q_chunk_sentences" -> ((s, dir) =>
+      Chunking.chunkBySentences(
+        t(s, dir, "documents").select(col("doc_id"),
+          replace(col("text"), lit(" merge "), lit(". ")).as("text")),
+        "doc_id", "text", maxSentences = 5, stride = 3)),
     // token-budget sequence packing: one window pass per lang group
     "q_pack" -> ((s, dir) =>
       Sampling.packSequences(
@@ -2718,6 +2727,27 @@ object SparkEntry {
          SELECT doc_id, i AS chunk_id,
            array_to_string(toks[CAST(i*30+1 AS BIGINT):CAST(i*30+40 AS BIGINT)], ' ') AS chunk_text,
            CAST(len(toks[CAST(i*30+1 AS BIGINT):CAST(i*30+40 AS BIGINT)]) AS BIGINT) AS n_tokens
+         FROM d, UNNEST(generate_series(0, nc - 1)) AS u(i)""",
+    // q_chunk_sentences: same sentence rule — lookaround-free regex,
+    // literal '. ' boundary plant — then the q_chunk window construction
+    // over sentence lists
+    "q_chunk_sentences" ->
+      """WITH s AS (
+           SELECT doc_id,
+             list_filter(
+               list_transform(
+                 regexp_extract_all(replace(text, ' merge ', '. '), '[^.!?]+[.!?]*'),
+                 x -> trim(x)),
+               x -> x <> '') AS sents
+           FROM documents),
+         d AS (
+           SELECT doc_id, sents,
+             CASE WHEN len(sents) <= 5 THEN 1
+                  ELSE CAST(ceil((len(sents) - 5) / 3.0) AS BIGINT) + 1 END AS nc
+           FROM s)
+         SELECT doc_id, i AS chunk_id,
+           array_to_string(sents[CAST(i*3+1 AS BIGINT):CAST(i*3+5 AS BIGINT)], ' ') AS chunk_text,
+           CAST(len(sents[CAST(i*3+1 AS BIGINT):CAST(i*3+5 AS BIGINT)]) AS BIGINT) AS n_sentences
          FROM d, UNNEST(generate_series(0, nc - 1)) AS u(i)""",
     "q_pack" ->
       """SELECT doc_id, lang, n_tokens,

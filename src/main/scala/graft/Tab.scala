@@ -233,6 +233,14 @@ final case class Tab(df: DataFrame) {
   /** Fixed-stride token chunking (one row per context window; metadata
     * columns ride along — [[graft.operators.Chunking.chunkByTokens]]).
     */
+  /** Sentence-aware chunk windows (operators.Chunking.chunkBySentences):
+    * at most `maxSentences` whole sentences per chunk, never cutting one.
+    */
+  def chunkBySentences(idCol: String, textCol: String, maxSentences: Int,
+      stride: Int): Tab =
+    Tab(graft.operators.Chunking.chunkBySentences(df, idCol, textCol,
+      maxSentences, stride))
+
   def chunkByTokens(idCol: String, textCol: String, maxTokens: Int, stride: Int): Tab =
     Tab(graft.operators.Chunking.chunkByTokens(df, idCol, textCol, maxTokens, stride))
   /** Keep only docs passing the Gopher document rules

@@ -56,4 +56,43 @@ object Chunking {
         array_join(chunk, " ").as("chunk_text") :+
         size(chunk).cast("long").as("n_tokens")): _*)
   }
+
+  /** Sentence-aware chunking: windows of at most `maxSentences` whole
+    * sentences advancing by `stride` — the RAG/embedding prep shape
+    * where a chunk must never cut a sentence mid-way. Sentences are
+    * maximal runs of non-terminator characters plus their trailing
+    * `[.!?]` run (a lookaround-free regex on purpose: Java regex and
+    * RE2 — DuckDB, Go — agree on it, so the rule is portable to any
+    * oracle engine), trimmed, empties dropped. Same scale shape as
+    * [[chunkByTokens]]: narrow map + generator, no shuffle, no UDF;
+    * empty/null docs yield one empty chunk so no input row vanishes.
+    */
+  def chunkBySentences(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxSentences: Int,
+      stride: Int): DataFrame = {
+    require(maxSentences > 0, s"maxSentences: $maxSentences")
+    require(stride > 0 && stride <= maxSentences,
+      s"stride: $stride (need 0 < stride <= maxSentences)")
+    require(df.columns.contains(idCol), s"missing id column: $idCol")
+    val sents: Column = filter(
+      transform(
+        regexp_extract_all(coalesce(col(textCol), lit("")),
+          lit("[^.!?]+[.!?]*"), lit(0)),
+        s => trim(s)),
+      s => s =!= "")
+    val n: Column = size(sents)
+    val numChunks: Column = when(n <= maxSentences, lit(1L))
+      .otherwise(ceil((n - maxSentences).cast("double") / lit(stride.toDouble)).cast("long") + 1L)
+    val keep = df.columns.filter(_ != textCol).map(col).toSeq
+    val chunk: Column =
+      slice(col("__sents"), col("chunk_id").cast("int") * stride + 1, lit(maxSentences))
+    df.select((keep :+ sents.as("__sents") :+
+        explode(sequence(lit(0L), numChunks - 1L)).as("chunk_id")): _*)
+      .select((keep :+ col("chunk_id") :+
+        array_join(chunk, " ").as("chunk_text") :+
+        size(chunk).cast("long").as("n_sentences")): _*)
+  }
 }

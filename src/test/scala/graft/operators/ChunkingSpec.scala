@@ -54,6 +54,33 @@ class ChunkingSpec extends SparkSpec {
     assert(p.contains("Generate"), p)
   }
 
+  test("chunkBySentences: whole sentences only, windows overlap by stride") {
+    val text = "One two. Three four! Five? Six seven. Eight... Nine"
+    // sentences: "One two.", "Three four!", "Five?", "Six seven.", "Eight...", "Nine"
+    val out = Chunking.chunkBySentences(Seq((1L, text)).toDF("id", "text"),
+      "id", "text", maxSentences = 3, stride = 2)
+      .as[(Long, Long, String, Long)].collect().sortBy(_._2)
+    assert(out.map(_._2).toSeq === Seq(0L, 1L, 2L)) // 1 + ceil((6-3)/2) = 3
+    assert(out.map(_._3).toSeq === Seq(
+      "One two. Three four! Five?",
+      "Five? Six seven. Eight...",
+      "Eight... Nine"))
+    assert(out.map(_._4).toSeq === Seq(3L, 3L, 2L))
+  }
+
+  test("chunkBySentences: oversized docs window correctly; empty/null keep one row") {
+    val six = (1 to 6).map(i => s"Sentence number $i.").mkString(" ")
+    val df = Seq((1L, six), (2L, ""), (3L, null.asInstanceOf[String]),
+      (4L, "No terminator here")).toDF("id", "text")
+    val out = Chunking.chunkBySentences(df, "id", "text", maxSentences = 5, stride = 3)
+      .as[(Long, Long, String, Long)].collect().sortBy(r => (r._1, r._2))
+    // 6 sentences → 1 + ceil((6-5)/3) = 2 chunks
+    assert(out.filter(_._1 == 1L).map(_._4).toSeq === Seq(5L, 3L))
+    assert(out.filter(_._1 == 2L) === Array((2L, 0L, "", 0L)))
+    assert(out.filter(_._1 == 3L) === Array((3L, 0L, "", 0L)))
+    assert(out.filter(_._1 == 4L) === Array((4L, 0L, "No terminator here", 1L)))
+  }
+
   test("gopherFlags: each rule trips on its planted pathology") {
     val good = ((1 to 60).map(i => "the word" + i) :+ "with").mkString(" ") // 121 words, alpha, 2 stops
     val short = "the a b" // word count below min
