@@ -105,6 +105,20 @@ object SparkEntry {
       s"$tmp/z"
     })
 
+  /** Planted component graph for q_components / q_components_dist:
+    * chain edges (id → id+1 for id ≡ 0,1,2 mod 10) bridged by id ≡ 1
+    * mod 20 → id+10, giving 8-node components DuckDB can close
+    * transitively with a recursive CTE.
+    */
+  private def componentEdges(s: SparkSession, dir: String): DataFrame = {
+    val ids = t(s, dir, "documents").select(col("doc_id"))
+    graft.operators.SetOps.concat(
+      ids.filter(col("doc_id") % 10 < 3)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b")),
+      ids.filter(col("doc_id") % 20 === 1)
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 10).as("id_b")))
+  }
+
   /** Hive-partitioned (by lang) copy of documents, written once per
     * (process, sf-dir) under the shared scratch root — the timed query
     * measures the directory-PRUNED read (what the layout buys), not the
@@ -1443,6 +1457,16 @@ object SparkEntry {
       val pairs = Dedup.minhashPairs(corpus, "doc_id", "text", threshold = 1.0)
       Dedup.dedupedCorpus(corpus, "doc_id", pairs).select(col("doc_id"))
     }),
+
+    // connected components directly against a DuckDB recursive-CTE
+    // transitive closure: mod-10 chains bridged by mod-20 edges form
+    // 8-node components; label = min id of the component. Two rows, one
+    // per execution path: the driver union-find (default) and the
+    // distributed min-label propagation loop (driverThreshold = 0)
+    "q_components" -> ((s, dir) =>
+      Dedup.connectedComponents(componentEdges(s, dir))),
+    "q_components_dist" -> ((s, dir) =>
+      Dedup.connectedComponents(componentEdges(s, dir), driverThreshold = 0)),
 
     // line-level boilerplate dedup: every doc gets a shared footer line
     // (df = all docs) plus a unique marker line (df = 1); the footer is
@@ -3330,6 +3354,40 @@ object SparkEntry {
     // q_dedup_corpus: components are exactly {d, d+1M} → survivors = originals
     "q_dedup_corpus" ->
       "SELECT doc_id FROM documents",
+    // q_components / q_components_dist: recursive-CTE transitive closure;
+    // label = min id reachable. Same truth for both execution paths.
+    "q_components" ->
+      """WITH RECURSIVE
+         e0 AS (
+           SELECT doc_id AS src, doc_id + 1 AS dst FROM documents
+           WHERE doc_id % 10 < 3
+           UNION ALL
+           SELECT doc_id AS src, doc_id + 10 AS dst FROM documents
+           WHERE doc_id % 20 = 1
+         ),
+         edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         reach(id, label) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+         )
+         SELECT id, min(label) AS label FROM reach GROUP BY id""",
+    "q_components_dist" ->
+      """WITH RECURSIVE
+         e0 AS (
+           SELECT doc_id AS src, doc_id + 1 AS dst FROM documents
+           WHERE doc_id % 10 < 3
+           UNION ALL
+           SELECT doc_id AS src, doc_id + 10 AS dst FROM documents
+           WHERE doc_id % 20 = 1
+         ),
+         edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         reach(id, label) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+         )
+         SELECT id, min(label) AS label FROM reach GROUP BY id""",
     // q_multimodal: n_bytes/md5 over the utf-8 payload are engine-neutral
     "q_multimodal" ->
       """SELECT doc_id AS media_id, 'text' AS kind,
