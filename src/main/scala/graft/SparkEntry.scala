@@ -682,6 +682,21 @@ object SparkEntry {
         t(s, dir, "customer").select(col("c_custkey").as("key"), col("c_name").as("name"),
           col("c_acctbal").as("acctbal")),
         t(s, dir, "supplier").select(col("s_suppkey").as("key"), col("s_name").as("name")))),
+    // latest-wins upsert: updates revise every 5th doc (version 1 beats
+    // 0) and insert brand-new keys; survivors re-derived in DuckDB by
+    // the same row_number rule
+    "q_upsert" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), lit(0L).as("version"))
+      val updates = SetOps.concat(
+        t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), concat(col("lang"), lit("-v2")).as("lang"),
+            lit(1L).as("version")),
+        t(s, dir, "documents").filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), lit("new").as("lang"),
+            lit(1L).as("version")))
+      SetOps.upsert(base, updates, Seq("doc_id"), "version")
+    }),
     "q_except" -> ((s, dir) =>
       SetOps.exceptTables(
         t(s, dir, "customer").select(col("c_custkey")),
@@ -2279,6 +2294,24 @@ object SparkEntry {
       """SELECT c_custkey AS key, c_name AS name, c_acctbal AS acctbal FROM customer
          UNION ALL
          SELECT s_suppkey, s_name, CAST(NULL AS DOUBLE) FROM supplier""",
+    // q_upsert: highest version wins, updates beat base on ties
+    "q_upsert" ->
+      """WITH all_rows AS (
+           SELECT doc_id, lang, CAST(0 AS BIGINT) AS version, 0 AS src
+           FROM documents
+           UNION ALL
+           SELECT doc_id, lang || '-v2', CAST(1 AS BIGINT), 1
+           FROM documents WHERE doc_id % 5 = 0
+           UNION ALL
+           SELECT doc_id + 1000000, 'new', CAST(1 AS BIGINT), 1
+           FROM documents WHERE doc_id % 7 = 0
+         )
+         SELECT doc_id, lang, version FROM (
+           SELECT doc_id, lang, version,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY version DESC, src DESC, lang ASC) AS rn
+           FROM all_rows)
+         WHERE rn = 1""",
     "q_except" ->
       """SELECT c_custkey FROM customer
          EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 300000""",

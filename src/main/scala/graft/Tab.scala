@@ -143,6 +143,9 @@ final case class Tab(df: DataFrame) {
   }
   def mergeWhere(criteria: Column, left: String, right: String, out: String): Tab =
     Tab(SetOps.mergeWhere(df, criteria, left, right, out))
+  /** Latest-wins merge of `updates` into this table (SetOps.upsert). */
+  def upsert(updates: Tab, keyCols: Seq[String], versionCol: String): Tab =
+    Tab(SetOps.upsert(df, updates.df, keyCols, versionCol))
   def diff(other: Tab): Tab = Tab(SetOps.diff(df, other.df))
   /** Exact difflib-parity ordered diff (driver-side, capped). */
   def diffOrdered(other: Tab): Tab = Tab(SetOps.diffOrdered(df, other.df))

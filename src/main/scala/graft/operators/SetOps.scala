@@ -143,4 +143,39 @@ object SetOps {
   /** Extensions absent from the reference but free in Spark. */
   def intersectTables(a: DataFrame, b: DataFrame): DataFrame = a.intersect(b)
   def exceptTables(a: DataFrame, b: DataFrame): DataFrame = a.`except`(b)
+
+  /** Latest-wins upsert (merge): one survivor per `keyCols` tuple from
+    * `base` ∪ `updates` — highest `versionCol` wins, `updates` beats
+    * `base` on a version tie, and remaining ties (same key+version
+    * WITHIN one side) are broken deterministically by the smallest
+    * remaining-column tuple so reruns are bit-identical. The
+    * batch-native CDC/merge-on-read shape: re-deliveries are idempotent
+    * (same row → same survivor) and an update batch can both revise
+    * existing keys and insert new ones. Schemas must match by name
+    * (same `concat` contract as the other set ops).
+    *
+    * Scale shape: one hash exchange on the key + one window pass — and
+    * `row_number() = 1` is rewritten by InferWindowGroupLimit to a
+    * partial/final WindowGroupLimit pair, so each map task forwards ONE
+    * candidate row per key it sees, not the whole history (the
+    * top-k-per-group machinery; pinned in PlanQualitySpec).
+    */
+  def upsert(base: DataFrame, updates: DataFrame, keyCols: Seq[String],
+      versionCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "upsert: no key columns")
+    (keyCols :+ versionCol).foreach { c =>
+      require(base.columns.contains(c) && updates.columns.contains(c),
+        s"upsert: column $c missing from ${if (base.columns.contains(c)) "updates" else "base"}")
+    }
+    val unioned = concat(base.withColumn("__src", lit(0)),
+      updates.withColumn("__src", lit(1)))
+    val rest = base.columns.filterNot(c => keyCols.contains(c) || c == versionCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).desc_nulls_last +: col("__src").desc +:
+        rest.map(c => col(c).asc_nulls_last): _*)
+    unioned.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__src")
+  }
 }

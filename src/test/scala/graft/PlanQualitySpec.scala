@@ -176,6 +176,16 @@ class PlanQualitySpec extends SparkSpec {
       asof.queryExecution.executedPlan.toString)
   }
 
+  test("upsert forwards one candidate per key per map task (WindowGroupLimit)") {
+    import spark.implicits._
+    val base = (1 to 2000).map(i => (i.toLong % 50, s"v$i", i.toLong)).toDF("k", "v", "ver")
+    val upd = (1 to 100).map(i => (i.toLong % 50, s"u$i", 9999L)).toDF("k", "v", "ver")
+    val out = graft.operators.SetOps.upsert(base, upd, Seq("k"), "ver")
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(out.count() === 50L)
+  }
+
   test("capPerGroup runs a partial WindowGroupLimit before the exchange") {
     import spark.implicits._
     val df = (1 to 2000).map(i => (s"g${i % 20}", i.toLong, i.toLong)).toDF("g", "id", "score")

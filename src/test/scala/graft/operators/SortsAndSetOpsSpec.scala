@@ -165,6 +165,31 @@ class SortsAndSetOpsSpec extends SparkSpec {
     assert(!SetOps.tablesEqual(a, c))
   }
 
+  test("upsert: latest version wins, updates beat base on ties, inserts pass through") {
+    val base = Seq((1L, "a", 3L), (2L, "b", 1L), (3L, "c", 1L)).toDF("k", "v", "ver")
+    val upd = Seq(
+      (1L, "a2", 2L),  // stale: base has ver 3 → base row survives
+      (2L, "b2", 1L),  // tie: update wins
+      (4L, "d", 1L)    // new key: inserted
+    ).toDF("k", "v", "ver")
+    val out = SetOps.upsert(base, upd, Seq("k"), "ver")
+      .orderBy("k").as[(Long, String, Long)].collect().toSeq
+    assert(out === Seq((1L, "a", 3L), (2L, "b2", 1L), (3L, "c", 1L), (4L, "d", 1L)))
+    // idempotent re-delivery: upserting the SAME updates again changes nothing
+    val twice = SetOps.upsert(SetOps.upsert(base, upd, Seq("k"), "ver"), upd, Seq("k"), "ver")
+    assert(SetOps.tablesEqual(twice, SetOps.upsert(base, upd, Seq("k"), "ver")))
+    // within-side version tie breaks on the smallest remaining tuple —
+    // deterministic across reruns
+    val dup = Seq((9L, "zz", 1L), (9L, "aa", 1L)).toDF("k", "v", "ver")
+    val pick = SetOps.upsert(base, dup, Seq("k"), "ver")
+      .filter($"k" === 9L).select("v").as[String].collect()
+    assert(pick === Array("aa"))
+    // missing version column fails loudly
+    val ex = intercept[IllegalArgumentException](
+      SetOps.upsert(base, upd.drop("ver"), Seq("k"), "ver"))
+    assert(ex.getMessage.contains("ver"))
+  }
+
   test("mergeWhere coalesces by criterion") {
     val d = Seq((1, "L", "R"), (2, "l", "r")).toDF("id", "a", "b")
     val out = SetOps.mergeWhere(d, col("id") === 1, "a", "b", "m")
