@@ -42,6 +42,8 @@ object SparkEntry {
   private val tmpSeq = new java.util.concurrent.atomic.AtomicLong()
   private val rollStreamTables =
     new java.util.concurrent.atomic.AtomicReference[String](null)
+  private val upsertStreamTables =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
   private def freshTmp(name: String): String =
     java.nio.file.Files.createDirectories(
       tmpRoot.resolve(s"${name}_${tmpSeq.incrementAndGet()}")).toString
@@ -1679,6 +1681,37 @@ object SparkEntry {
         col("v"), col("roll_sum"), col("roll_avg"),
         col("roll_min"), col("roll_max"))
     }),
+    // streaming latest-wins upsert: three REAL micro-batches (full load,
+    // v1 revisions + inserts, v2 revisions) through the k=1 TopKRows
+    // aggregate in complete mode; final view ≡ the batch row_number rule
+    "q_upsert_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val b0 = docs.map { case (id, l) => (id, l, 0L, id) }
+      val b1 = docs.filter(_._1 % 5 == 0)
+        .map { case (id, l) => (id, l + "-v2", 1L, id) } ++
+        docs.filter(_._1 % 7 == 0)
+          .map { case (id, _) => (id + 1000000L, "new", 1L, id) }
+      val b2 = docs.filter(_._1 % 10 == 0)
+        .map { case (id, l) => (id, l + "-v3", 2L, id) }
+      val in = MemoryStream[(Long, String, Long, Long)]
+      val name = s"upsert_stream_${tmpSeq.incrementAndGet()}"
+      upsertStreamTables.getAndSet(name) match {
+        case null => ()
+        case prev => s.catalog.dropTempView(prev); ()
+      }
+      val q = graft.streaming.Streams.upsertStream(
+        in.toDF().toDF("doc_id", "lang", "version", "seq"),
+        Seq("doc_id"), "version", "seq")
+        .writeStream.outputMode("complete").format("memory").queryName(name).start()
+      try
+        Seq(b0, b1, b2).foreach { b => in.addData(b.toSeq: _*); q.processAllAvailable() }
+      finally q.stop()
+      s.table(name).select(col("doc_id"), col("lang"), col("version"))
+    }),
     // ANN enrichment batch core at full probe: every incoming row tagged
     // with exact top-k corpus neighbours, cross id space (no self
     // exclusion — the planted identical vector must rank 1)
@@ -2294,6 +2327,26 @@ object SparkEntry {
       """SELECT c_custkey AS key, c_name AS name, c_acctbal AS acctbal FROM customer
          UNION ALL
          SELECT s_suppkey, s_name, CAST(NULL AS DOUBLE) FROM supplier""",
+    // q_upsert_stream: no version ties per key by construction, so the
+    // streaming view is the plain version-desc pick over all batches
+    "q_upsert_stream" ->
+      """WITH all_rows AS (
+           SELECT doc_id, lang, CAST(0 AS BIGINT) AS version FROM documents
+           UNION ALL
+           SELECT doc_id, lang || '-v2', CAST(1 AS BIGINT)
+           FROM documents WHERE doc_id % 5 = 0
+           UNION ALL
+           SELECT doc_id + 1000000, 'new', CAST(1 AS BIGINT)
+           FROM documents WHERE doc_id % 7 = 0
+           UNION ALL
+           SELECT doc_id, lang || '-v3', CAST(2 AS BIGINT)
+           FROM documents WHERE doc_id % 10 = 0
+         )
+         SELECT doc_id, lang, version FROM (
+           SELECT doc_id, lang, version,
+             row_number() OVER (PARTITION BY doc_id ORDER BY version DESC) AS rn
+           FROM all_rows)
+         WHERE rn = 1""",
     // q_upsert: highest version wins, updates beat base on ties
     "q_upsert" ->
       """WITH all_rows AS (

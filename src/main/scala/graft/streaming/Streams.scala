@@ -272,6 +272,28 @@ object Streams {
       batch.join(dupIds, batch(idCol) === col("__dup_id"), "left_anti")
     }
 
+  /** Streaming latest-wins upsert VIEW: the running "current row per
+    * key" across micro-batches — the streaming face of
+    * [[graft.operators.SetOps.upsert]]. One k=1
+    * [[graft.plans.TopKRows]] aggregate: highest `versionCol` wins
+    * (cast to double for the heap key — exact up to 2^53), version
+    * ties break by the SMALLEST `tieCol` (pass a negated arrival
+    * sequence for latest-arrival-wins). Run in complete or update
+    * output mode; state is ONE heap entry per key — bounded by key
+    * cardinality, never by stream length, and the partial aggregate
+    * compacts each micro-batch map-side before the state store sees it.
+    */
+  def upsertStream(stream: DataFrame, keyCols: Seq[String], versionCol: String,
+      tieCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "upsertStream: no key columns")
+    val cols = stream.columns
+    val payload = struct(cols.map(col): _*)
+    stream.groupBy(keyCols.map(col): _*)
+      .agg(graft.plans.TopKRows.topKRows(col(versionCol).cast("double"),
+        col(tieCol).cast("long"), payload, k = 1, desc = true).as("__top"))
+      .select(cols.map(c => col("__top")(0).getField(c).as(c)): _*)
+  }
+
   /** Stream ANN enrichment: tag each micro-batch row with its top-`k`
     * nearest corpus neighbours from a static IVF index (id, cosine
     * pairs) — "which training docs is this incoming doc closest to",

@@ -401,6 +401,26 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("upsertStream: running latest-wins view across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String, Long, Long)]
+    val view = Streams.upsertStream(in.toDF().toDF("k", "v", "ver", "seq"),
+      Seq("k"), "ver", "seq")
+    val q = view.writeStream.outputMode("complete")
+      .format("memory").queryName("upsert_stream_out").start()
+    try {
+      in.addData((1L, "a", 1L, 1L), (2L, "b", 1L, 2L))
+      q.processAllAvailable()
+      in.addData((1L, "a2", 2L, 3L), (3L, "c", 1L, 4L), (2L, "stale", 0L, 5L))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT k, v, ver FROM upsert_stream_out")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      // k=1 revised to ver 2; k=2's stale ver-0 redelivery ignored; k=3 inserted
+      assert(got === Set((1L, "a2", 2L), (2L, "b", 1L), (3L, "c", 1L)))
+    } finally q.stop()
+  }
+
   test("streamingPack: bins continue across micro-batches, per-group running totals") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val s: org.apache.spark.sql.SparkSession = spark
