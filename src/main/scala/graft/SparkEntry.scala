@@ -121,6 +121,21 @@ object SparkEntry {
         .select(col("doc_id").as("id_a"), (col("doc_id") + 10).as("id_b")))
   }
 
+  /** Range-clustered copy of documents with a file-level skipping index
+    * (Layout.writeSkippingIndex), written once per (process, sf-dir);
+    * the query reads only the files the sidecar admits.
+    */
+  private val skipDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def skippingDocsDir(s: SparkSession, dir: String): String =
+    skipDirs.computeIfAbsent(dir, _ => {
+      val out = s"${freshTmp("skipdocs")}/docs"
+      t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+        .repartitionByRange(10, col("doc_id"))
+        .write.parquet(out)
+      graft.sources.Layout.writeSkippingIndex(s, out, Seq("doc_id"))
+      out
+    })
+
   /** Hive-partitioned (by lang) copy of documents, written once per
     * (process, sf-dir) under the shared scratch root — the timed query
     * measures the directory-PRUNED read (what the layout buys), not the
@@ -483,6 +498,14 @@ object SparkEntry {
       // not a 6-second parquet write that masks plan regressions
       s.read.parquet(zorderDir(s, dir))
         .filter(col("l_partkey").between(100, 300) && col("l_suppkey").between(10, 60))
+    }),
+    // layout op: file-level skipping index — read ONLY the files whose
+    // sidecar min/max admit the id range, then the residual filter;
+    // pruning changes files touched, never rows (oracle = plain SQL)
+    "q_skipping_read" -> ((s, dir) => {
+      val path = skippingDocsDir(s, dir)
+      val files = graft.sources.Layout.prunedFiles(s, path, "doc_id", 100L, 199L)
+      s.read.parquet(files: _*).filter(col("doc_id").between(100, 199))
     }),
     // training-shard export: 8-way deterministic round-robin split over
     // the md5 order, read back from the shard=i directory layout; DuckDB
@@ -903,6 +926,15 @@ object SparkEntry {
       Sampling.shuffleDeterministic(
         t(s, dir, "documents").select(col("doc_id"), col("lang")),
         "doc_id", seed = 5)),
+    // weighted exact-n per-group sample (ES per group): 30 docs per
+    // lang, length-weighted; DuckDB re-derives the identical ln(u)/w
+    // ranking from the shared LCG constants
+    "q_sample_per_group" -> ((s, dir) =>
+      Sampling.exactSamplePerGroup(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"), col("source"),
+          (col("n_chars") + 1).cast("double").as("w")),
+        "lang", "doc_id", n = 30, weightCol = "w", seed = 11)
+        .select(col("doc_id"), col("lang"), col("source"), col("rank"))),
     // token-budget mixing: ~5000 tokens per language in deterministic
     // md5-shuffled order — the keep rule (tokens BEFORE the doc <
     // budget) is exact integer math, so DuckDB re-derives the set
@@ -2242,6 +2274,9 @@ object SparkEntry {
     "q_zorder" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM lineitem
          WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 60""",
+    "q_skipping_read" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE doc_id BETWEEN 100 AND 199""",
     // q_shard_export: same md5 order as q_shuffle, shard = rank % 8
     "q_shard_export" ->
       """SELECT doc_id, lang,
@@ -2778,6 +2813,17 @@ object SparkEntry {
            row_number() OVER (ORDER BY md5(doc_id::VARCHAR || '_5'), doc_id) - 1
              AS shuffle_rank
          FROM documents""",
+    // q_sample_per_group: same LCG constants as q_resample, ranked
+    // within each lang
+    "q_sample_per_group" ->
+      """SELECT doc_id, lang, source, rank FROM (
+           SELECT doc_id, lang, source,
+             row_number() OVER (PARTITION BY lang ORDER BY
+               ln(((doc_id * 1103515245 + 12345 + 11) % 2147483648 + 1)
+                 / 2147483649.0) / CAST(n_chars + 1 AS DOUBLE) DESC,
+               doc_id) AS rank
+           FROM documents)
+         WHERE rank <= 30""",
     // q_token_budget: same md5 order, same pack-style "tokens before
     // the doc" cumsum, same integer threshold
     "q_token_budget" ->

@@ -139,6 +139,34 @@ object Sampling {
       .drop("__tok_before")
   }
 
+  /** Weighted exact-`n` per-group sample (Efraimidis–Spirakis 2006 per
+    * group) — the weighted cousin of [[capPerGroup]] and the "best n
+    * docs per domain, quality-weighted" mixing primitive: within each
+    * group keep the `n` rows with the best `ln(u)/w` key (u the
+    * deterministic per-id [[lcgUniform]] draw, w = `weightCol`), which
+    * is a without-replacement sample where P(row drawn next) ∝ w. Rows
+    * with null or non-positive weight are excluded (they can never
+    * win). Integer LCG + one ln + one division — any engine re-derives
+    * the identical draw, so the pick is oracle-able; emits the 1-based
+    * in-group `rank`.
+    *
+    * Scale shape: the [[capPerGroup]] plan — one hash-partitioned
+    * window whose `row_number() <= n` rewrites to a partial/final
+    * WindowGroupLimit pair, so only n rows per group per map task reach
+    * the exchange.
+    */
+  def exactSamplePerGroup(
+      df: DataFrame, groupCol: String, idCol: String, n: Int,
+      weightCol: String, seed: Int = 0): DataFrame = {
+    require(n > 0, s"n: $n")
+    val w = Window.partitionBy(col(groupCol)).orderBy(
+      (log(lcgUniform(col(idCol), seed)) / col(weightCol).cast("double")).desc,
+      col(idCol).asc_nulls_last)
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= n)
+  }
+
   /** Exact-size deterministic sample: the `n` rows whose salted md5 of
     * `idCol` sorts lowest. Unlike fraction sampling this yields exactly
     * `n` rows; unlike `limit(n)` the choice is uniform-ish over the

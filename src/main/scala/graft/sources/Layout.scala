@@ -49,4 +49,47 @@ object Layout {
       .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** File-level skipping index: one sidecar row per data file with the
+    * min/max of each requested column, built in ONE distributed pass
+    * (`input_file_name()` group). Parquet row-group stats already skip
+    * WITHIN a file once it is opened; at 100 TB the cost that remains
+    * is opening millions of footers at all — this sidecar answers
+    * "which files can possibly match" from one tiny frame instead.
+    * Works for any file count (the sidecar is a DataFrame, never
+    * collected here); [[prunedFiles]] collects only the SURVIVING file
+    * names, which a selective predicate keeps small. Sidecar lives at
+    * `<path>/_skipping` (underscore-prefixed: Spark's parquet reader
+    * ignores it as metadata, so plain reads of `path` are unaffected).
+    */
+  def writeSkippingIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "writeSkippingIndex: no columns")
+    val df = spark.read.parquet(path)
+    cols.foreach(c => require(df.columns.contains(c),
+      s"writeSkippingIndex: missing column $c"))
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max")))
+    df.groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$path/_skipping")
+  }
+
+  /** Data files under `path` that can possibly satisfy
+    * `lo <= colName <= hi`, from the [[writeSkippingIndex]] sidecar —
+    * the file-pruning half of a skipping read:
+    * `spark.read.parquet(prunedFiles(...): _*)`. A file whose min/max
+    * are null (all-null column) cannot match a range and is skipped.
+    * Only surviving file names are collected.
+    */
+  def prunedFiles(spark: org.apache.spark.sql.SparkSession, path: String,
+      colName: String, lo: Any, hi: Any): Seq[String] = {
+    val idx = spark.read.parquet(s"$path/_skipping")
+    require(idx.columns.contains(s"${colName}__min"),
+      s"prunedFiles: $colName not in the skipping index at $path/_skipping")
+    idx.filter(col(s"${colName}__max") >= lit(lo) &&
+        col(s"${colName}__min") <= lit(hi))
+      .select("file").collect().map(_.getString(0)).toSeq
+  }
 }

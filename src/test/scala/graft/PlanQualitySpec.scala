@@ -458,6 +458,30 @@ class PlanQualitySpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
+  test("parquet aggregate pushdown: count/min/max answered from footer statistics") {
+    // V2 parquet scans can answer whole-table COUNT/MIN/MAX from row-group
+    // footers — at 100 TB the difference between touching metadata and
+    // scanning the corpus. Off by default; pin that our file layout
+    // supports it so profile-style queries can opt in.
+    val conf = spark.conf
+    val prevV1 = conf.get("spark.sql.sources.useV1SourceList")
+    conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    conf.set("spark.sql.sources.useV1SourceList", "")
+    try {
+      val q = spark.read.parquet(s"$dir/lineitem.parquet")
+        .agg(count(lit(1)).as("cnt"), min("l_orderkey").as("lo"),
+          max("l_orderkey").as("hi"))
+      val p = plan(q)
+      assert(p.contains("PushedAggregation"), p)
+      assert(p.contains("COUNT(*)") && p.contains("MIN(l_orderkey)"), p)
+      val r = q.collect().head
+      assert(r.getLong(0) === spark.read.parquet(s"$dir/lineitem.parquet").count())
+    } finally {
+      conf.set("spark.sql.parquet.aggregatePushdown", "false")
+      conf.set("spark.sql.sources.useV1SourceList", prevV1)
+    }
+  }
+
   test("savePartitioned: a partition-column filter prunes directories at planning time") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_part_plan").toString + "/t"
@@ -473,6 +497,27 @@ class PlanQualitySpec extends SparkSpec {
     assert(q.count() === 60)
     // round-trips: partition column values survive the directory encoding
     assert(spark.read.parquet(tmp).select("lang").distinct().count() === 5)
+  }
+
+  test("skipping index prunes files before the scan; pruned read ≡ plain filter") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_skip").toString + "/t"
+    Seq.tabulate(1000)(i => (i.toLong, s"p$i")).toDF("id", "payload")
+      .repartitionByRange(10, col("id"))
+      .write.parquet(tmp)
+    graft.sources.Layout.writeSkippingIndex(spark, tmp, Seq("id"))
+    // the sidecar is metadata: a plain read of the dir still sees 1000 rows
+    assert(spark.read.parquet(tmp).count() === 1000)
+    val files = graft.sources.Layout.prunedFiles(spark, tmp, "id", 100L, 199L)
+    val total = spark.read.parquet(tmp).inputFiles.length
+    assert(files.nonEmpty && files.length < total, s"${files.length} of $total")
+    val pruned = spark.read.parquet(files: _*)
+      .filter(col("id").between(100, 199)).select("id", "payload")
+    val plain = spark.read.parquet(tmp)
+      .filter(col("id").between(100, 199)).select("id", "payload")
+    assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty)
+    // a range outside every file's min/max prunes everything
+    assert(graft.sources.Layout.prunedFiles(spark, tmp, "id", 5000L, 6000L).isEmpty)
   }
 
   test("bucketed tables join with ZERO exchanges (pre-shuffled at write time)") {

@@ -166,6 +166,28 @@ class SamplingSpec extends SparkSpec {
     } finally spark.conf.unset("graft.rowIndex.localThresholdBytes")
   }
 
+  test("exactSamplePerGroup: n per group, weight-tilted, deterministic, null/zero weights excluded") {
+    val weighted = docs.withColumn("w",
+      when($"id" % 100 === 0, lit(null).cast("double"))       // excluded
+        .when($"id" % 100 === 1, lit(0.0))                     // excluded
+        .when($"id" < 500, lit(100.0)).otherwise(lit(0.01)))   // heavy tilt to low ids
+    val out = Sampling.exactSamplePerGroup(weighted, "lang", "id", n = 20,
+      weightCol = "w", seed = 4)
+    val byLang = out.select("lang", "id", "rank").as[(String, Long, Long)]
+      .collect().groupBy(_._1)
+    assert(byLang.keySet === Set("en", "de", "fr"))
+    byLang.values.foreach { rows =>
+      assert(rows.length === 20)
+      assert(rows.map(_._3).sorted.toSeq === (1L to 20L)) // dense in-group ranks
+      assert(!rows.exists(r => r._2 % 100 == 0 || r._2 % 100 == 1))
+      // the 10000x weight tilt must dominate the draw
+      assert(rows.count(_._2 < 500) >= 18, rows.sortBy(_._3).mkString(","))
+    }
+    val again = Sampling.exactSamplePerGroup(weighted, "lang", "id", n = 20,
+      weightCol = "w", seed = 4).select("lang", "id").as[(String, Long)].collect().toSet
+    assert(again === byLang.values.flatten.map(r => (r._1, r._2)).toSet)
+  }
+
   test("shardDeterministic: exactly balanced, reproducible, shard = shuffle rank % n") {
     val n = 7 // 1000 % 7 != 0 → sizes must split ceil/floor
     val shards = Sampling.shardDeterministic(docs, "id", n, seed = 1)
