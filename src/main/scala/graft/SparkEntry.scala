@@ -332,6 +332,12 @@ object SparkEntry {
         .withColumn("stdev", round(col("stdev"), 6))),
     "q_histogram" -> ((s, dir) =>
       GroupBy.histogram(t(s, dir, "lineitem"), "l_quantity")),
+    // equi-width binned histogram (ext): width = 15000 exactly, so the
+    // edges are exact doubles any engine re-derives; out-of-range
+    // totalprices clamp into the edge bins, empty bins emit count 0
+    "q_histogram_binned" -> ((s, dir) =>
+      GroupBy.binnedHistogram(t(s, dir, "orders"), "o_totalprice",
+        lo = 10000.0, hi = 400000.0, nBins = 26)),
     "q_unique" -> ((s, dir) =>
       GroupBy.unique(t(s, dir, "customer"), "c_mktsegment")),
     "q_distinct_keys" -> ((s, dir) =>
@@ -2128,6 +2134,19 @@ object SparkEntry {
          count(*) AS summary_length FROM part""",
     "q_histogram" ->
       "SELECT l_quantity, count(*) AS count FROM lineitem GROUP BY 1",
+    // q_histogram_binned: same clamp + exact-width edge math
+    "q_histogram_binned" ->
+      """WITH b AS (
+           SELECT least(greatest(
+             CAST(floor((o_totalprice - 10000.0) / 15000.0) AS BIGINT), 0), 25) AS bin
+           FROM orders WHERE o_totalprice IS NOT NULL),
+         c AS (SELECT bin, count(*) AS count FROM b GROUP BY 1)
+         SELECT s.bin,
+           10000.0 + s.bin * 15000.0 AS bin_lo,
+           10000.0 + (s.bin + 1) * 15000.0 AS bin_hi,
+           coalesce(c.count, 0) AS count
+         FROM (SELECT unnest(range(0, 26)) AS bin) s
+         LEFT JOIN c USING (bin)""",
     "q_unique" ->
       "SELECT DISTINCT c_mktsegment FROM customer",
     "q_distinct_keys" ->

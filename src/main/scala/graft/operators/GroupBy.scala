@@ -139,6 +139,34 @@ object GroupBy {
   def histogram(df: DataFrame, c: String): DataFrame =
     df.groupBy(col(c)).agg(count(lit(1)).as("count"))
 
+  /** Equi-width binned histogram over [lo, hi) — the numeric companion
+    * of the reference's value-count [[histogram]] (ext; values outside
+    * the range clamp into the edge bins so every non-null row is
+    * counted, the numpy/pandas `clip` convention). Bin assignment is
+    * exact integer-after-floor math any engine re-derives; empty bins
+    * are emitted with count 0 (a broadcast bin spine outer-joins the
+    * counts), so downstream plotting never has to infer gaps. One
+    * partial-agg exchange on ≤ `nBins` keys.
+    */
+  def binnedHistogram(df: DataFrame, c: String, lo: Double, hi: Double,
+      nBins: Int): DataFrame = {
+    require(nBins > 0, s"nBins: $nBins")
+    require(lo < hi, s"binnedHistogram: lo=$lo >= hi=$hi")
+    val width = (hi - lo) / nBins
+    val bin = least(greatest(
+      floor((col(c).cast("double") - lo) / width).cast("long"), lit(0L)),
+      lit(nBins - 1L))
+    val counts = df.filter(col(c).isNotNull)
+      .groupBy(bin.as("bin")).agg(count(lit(1)).as("count"))
+    val spark = df.sparkSession
+    val spine = spark.range(nBins).select(col("id").as("bin"))
+    broadcast(spine).join(counts, Seq("bin"), "left_outer")
+      .select(col("bin"),
+        (lit(lo) + col("bin") * width).as("bin_lo"),
+        (lit(lo) + (col("bin") + 1) * width).as("bin_hi"),
+        coalesce(col("count"), lit(0L)).as("count"))
+  }
+
   /** Column.unique() (base.py:956-979). */
   def unique(df: DataFrame, c: String): DataFrame =
     df.select(col(c)).distinct()

@@ -85,6 +85,22 @@ class GroupBySpec extends SparkSpec {
     assert(h(None) === 1L)
   }
 
+  test("binnedHistogram: exact edges, clamped overflow, zero-count bins, nulls dropped") {
+    import spark.implicits._
+    val data = Seq[java.lang.Double](-5.0, 0.0, 9.9, 10.0, 25.0, 25.0, 95.0, 200.0, null)
+      .toDF("x")
+    val h = GroupBy.binnedHistogram(data, "x", lo = 0.0, hi = 100.0, nBins = 10)
+      .orderBy("bin").as[(Long, Double, Double, Long)].collect()
+    assert(h.length === 10)
+    assert(h.map(_._1).toSeq === (0L until 10L))
+    assert(h.head === ((0L, 0.0, 10.0, 3L)))   // -5 clamps in; 0.0, 9.9
+    assert(h(1) === ((1L, 10.0, 20.0, 1L)))    // 10.0 lands in [10,20)
+    assert(h(2)._4 === 2L)                     // the two 25s
+    assert(h(9) === ((9L, 90.0, 100.0, 2L)))   // 95 + 200-clamped
+    assert(h.map(_._4).sum === 8L)             // null never counted
+    assert(h(5)._4 === 0L)                     // empty bin emitted as 0
+  }
+
   test("statisticsRef reproduces the reference summary EXACTLY (test_api_basics.py:662-681)") {
     val t = Seq(1, 2, 3).toDF("a")
     val st = GroupBy.statisticsRef(t, "a").collect().head
