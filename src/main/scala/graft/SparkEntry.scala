@@ -2023,6 +2023,15 @@ object SparkEntry {
         .groupBy(window(col("ts"), "1 day"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
         .select(col("window.start").as("day"), col("event_type"), col("n"), col("total"))),
+    // regular-grid resample with gap fill: hourly buckets per event
+    // type, FIRST→LAST active bucket per group, gaps at n=0/total=0;
+    // bucket = floor(ms/step) exact integer math, totals rounded 2dp
+    // (the q_events_window float-sum convention)
+    "q_resample_ts" -> ((s, dir) =>
+      graft.operators.TimeSeries.resample(t(s, dir, "events"), "ts",
+        "event_type", stepMs = 3600000L, valueCol = "value")
+        .select(col("event_type"), col("bucket"), col("n"),
+          round(col("total"), 2).as("total"))),
     "q_sessionize" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
       t(s, dir, "events")
@@ -3013,6 +3022,20 @@ object SparkEntry {
     "q_events_window" ->
       """SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n,
          round(sum(value), 2) AS total FROM events GROUP BY 1, 2""",
+    // q_resample_ts: same bucket math + spine fill in SQL
+    "q_resample_ts" ->
+      """WITH a AS (
+           SELECT event_type,
+             CAST(floor(epoch_ms(ts) / 3600000) AS BIGINT) AS bucket,
+             count(*) AS n, sum(value) AS total
+           FROM events GROUP BY 1, 2),
+         s AS (
+           SELECT event_type, unnest(range(lo, hi + 1)) AS bucket
+           FROM (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+                 FROM a GROUP BY 1))
+         SELECT s.event_type, s.bucket, coalesce(a.n, 0) AS n,
+           round(coalesce(a.total, 0.0), 2) AS total
+         FROM s LEFT JOIN a USING (event_type, bucket)""",
     "q_knn" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
          s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbour_id,
