@@ -136,6 +136,20 @@ object SparkEntry {
       out
     })
 
+  /** Fragmented (32-file) copy of documents compacted in place by
+    * Writers.compactDir, written once per (process, sf-dir); the query
+    * reads the post-swap directory.
+    */
+  private val compactDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def compactedDocsDir(s: SparkSession, dir: String): String =
+    compactDirs.computeIfAbsent(dir, _ => {
+      val out = s"${freshTmp("compactdocs")}/docs"
+      t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars"))
+        .repartition(32).write.parquet(out)
+      graft.sources.Writers.compactDir(s, out, targetBytes = 1L << 30)
+      out
+    })
+
   /** Hive-partitioned (by lang) copy of documents, written once per
     * (process, sf-dir) under the shared scratch root — the timed query
     * measures the directory-PRUNED read (what the layout buys), not the
@@ -505,6 +519,11 @@ object SparkEntry {
       s.read.parquet(zorderDir(s, dir))
         .filter(col("l_partkey").between(100, 300) && col("l_suppkey").between(10, 60))
     }),
+    // maintenance op: 32-file fragmented dir compacted in place (temp
+    // sibling + count-validated swap); compaction changes file layout,
+    // never rows (oracle = plain SQL over the table)
+    "q_compact_read" -> ((s, dir) =>
+      s.read.parquet(compactedDocsDir(s, dir))),
     // layout op: file-level skipping index — read ONLY the files whose
     // sidecar min/max admit the id range, then the residual filter;
     // pruning changes files touched, never rows (oracle = plain SQL)
@@ -2302,6 +2321,8 @@ object SparkEntry {
     "q_zorder" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM lineitem
          WHERE l_partkey BETWEEN 100 AND 300 AND l_suppkey BETWEEN 10 AND 60""",
+    "q_compact_read" ->
+      "SELECT doc_id, lang, n_chars FROM documents",
     "q_skipping_read" ->
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE doc_id BETWEEN 100 AND 199""",

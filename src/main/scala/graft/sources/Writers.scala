@@ -95,6 +95,60 @@ object Writers {
     df.write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(path)
   }
 
+  /** Compact a small-file parquet directory in place: continuous
+    * ingestion (`Streams.ingest` sinks, `appendToMinhashIndex`, plain
+    * `mode("append")` writers) leaves one file per (micro-batch × task);
+    * thousands of KB-files make every later scan pay per-file open cost
+    * and starve FilePartition packing. Rewrites the directory to
+    * `ceil(bytes / targetBytes)` files (coalesce — no shuffle; row order
+    * within surviving partitions is preserved, only file boundaries
+    * move) via a temp sibling + atomic-ish swap: the new copy is fully
+    * written and validated by ROW COUNT before the old directory is
+    * replaced, so a crash mid-compaction leaves either the old or the
+    * new complete directory, never a torn one. A
+    * [[Layout.writeSkippingIndex]] sidecar, whose rows name the OLD
+    * files, is rebuilt from its own schema after the swap (a crash in
+    * the tiny window between swap and rebuild leaves no sidecar rather
+    * than a stale one). NOT for directories with concurrent writers —
+    * pause ingestion around the swap (same contract as
+    * `Ann.compactIvfIndex`).
+    */
+  def compactDir(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetBytes: Long = 128L << 20): Unit = {
+    require(targetBytes > 0, s"compactDir: targetBytes=$targetBytes")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src = new org.apache.hadoop.fs.Path(path)
+    require(fs.exists(src), s"compactDir: $path does not exist")
+    val df = spark.read.parquet(path)
+    val before = df.count()
+    val bytes = fs.getContentSummary(src).getLength
+    val nFiles = math.max(1, ((bytes + targetBytes - 1) / targetBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__compact_tmp")
+    fs.delete(tmp, true)
+    df.coalesce(nFiles).write.parquet(tmp.toString)
+    val after = spark.read.parquet(tmp.toString).count()
+    require(after == before,
+      s"compactDir: rewrite row count $after != source $before — aborting, source untouched")
+    // a skipping sidecar names the old files — note its columns for the
+    // post-swap rebuild instead of carrying it stale
+    val skip = new org.apache.hadoop.fs.Path(src, "_skipping")
+    val skipCols: Seq[String] =
+      if (fs.exists(skip))
+        spark.read.parquet(skip.toString).columns
+          .filter(_.endsWith("__min")).map(_.stripSuffix("__min")).toSeq
+      else Nil
+    val trash = new org.apache.hadoop.fs.Path(path + "__compact_old")
+    fs.delete(trash, true)
+    require(fs.rename(src, trash), s"compactDir: could not move $path aside")
+    if (!fs.rename(tmp, src)) {
+      fs.rename(trash, src) // restore — leave the world as it was
+      throw new IllegalStateException(s"compactDir: swap failed for $path; source restored")
+    }
+    fs.delete(trash, true)
+    if (skipCols.nonEmpty) Layout.writeSkippingIndex(spark, path, skipCols)
+  }
+
   /** Training-shard export: deterministic exactly-balanced round-robin
     * split ([[graft.operators.Sampling.shardDeterministic]]) written as
     * one directory per shard. Each shard is a reproducible uniform

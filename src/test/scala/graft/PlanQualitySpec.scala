@@ -520,6 +520,29 @@ class PlanQualitySpec extends SparkSpec {
     assert(graft.sources.Layout.prunedFiles(spark, tmp, "id", 5000L, 6000L).isEmpty)
   }
 
+  test("compactDir: small-file dir rewritten to few files, content identical, sidecar carried") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    val df = Seq.tabulate(500)(i => (i.toLong, s"p$i")).toDF("id", "payload")
+    df.repartition(40).write.parquet(tmp)
+    graft.sources.Layout.writeSkippingIndex(spark, tmp, Seq("id"))
+    val filesBefore = spark.read.parquet(tmp).inputFiles.length
+    assert(filesBefore >= 30, s"setup: $filesBefore files")
+    graft.sources.Writers.compactDir(spark, tmp, targetBytes = 1L << 30)
+    val back = spark.read.parquet(tmp)
+    assert(back.inputFiles.length <= 2, back.inputFiles.length.toString)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+    // the skipping sidecar was REBUILT over the new files — in-range
+    // pruning returns live file names, out-of-range prunes everything
+    assert(new java.io.File(s"$tmp/_skipping").exists())
+    val live = graft.sources.Layout.prunedFiles(spark, tmp, "id", 100L, 199L)
+    assert(live.nonEmpty && live.forall(back.inputFiles.contains), live.mkString(","))
+    assert(graft.sources.Layout.prunedFiles(spark, tmp, "id", 5000L, 6000L).isEmpty)
+    // no tmp/trash residue
+    assert(!new java.io.File(tmp + "__compact_tmp").exists())
+    assert(!new java.io.File(tmp + "__compact_old").exists())
+  }
+
   test("bucketed tables join with ZERO exchanges (pre-shuffled at write time)") {
     import spark.implicits._
     val a = Seq.tabulate(200)(i => (i.toLong, s"a$i")).toDF("k", "va")

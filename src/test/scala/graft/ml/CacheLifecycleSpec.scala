@@ -106,17 +106,18 @@ class CacheLifecycleSpec extends SparkSpec {
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
     var labels = Dedup.connectedComponents(pairs, driverThreshold = 0)
     assert(labels.count() === 6L)
-    // every iterative intermediate (edges, per-round label frames) drains;
-    // exactly the localCheckpoint result blocks may remain — they are what
-    // lets a SECOND action re-read instead of replaying the loop
-    assertCacheDrains("connectedComponents intermediates", base, allow = 1)
-    // inspect in a helper frame so this test holds no strong reference to
-    // the checkpointed RDD (that would block the GC assertion below)
+    // the explicit persists (edges) drain; what remains are ONLY
+    // localCheckpoint blocks — the per-round lineage truncations (each a
+    // tiny label frame, count bounded by iterations, freed on GC below)
+    // plus the result blocks that let a SECOND action re-read instead of
+    // replaying the loop. Inspect via a helper so this test holds no
+    // strong reference to retired frames.
     def leftoverDescs: List[String] = spark.sparkContext.getPersistentRDDs
       .filter(kv => !base.contains(kv._1)).values.map(_.toString).toList
     assert(leftoverDescs.forall(_.contains("localCheckpoint")), leftoverDescs.mkString("; "))
     assert(labels.count() === 6L) // second action: blocks re-read, still correct
-    // dropping the last reference lets the ContextCleaner free the blocks
+    // dropping the last reference lets the ContextCleaner free EVERY
+    // round's blocks, not just the result's
     labels = null
     val deadline = System.currentTimeMillis + 20000
     def leaked = spark.sparkContext.getPersistentRDDs.filter(kv => !base.contains(kv._1))
