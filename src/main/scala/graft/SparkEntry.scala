@@ -346,6 +346,23 @@ object SparkEntry {
         .withColumn("stdev", round(col("stdev"), 6))),
     "q_histogram" -> ((s, dir) =>
       GroupBy.histogram(t(s, dir, "lineitem"), "l_quantity")),
+    // per-group feature scaling: min-max exact to 6dp, z-score rounded
+    // (the float-sum convention); constant groups emit null by contract
+    "q_normalize" -> ((s, dir) =>
+      graft.operators.Normalize.zscore(
+        graft.operators.Normalize.minMax(
+          t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"),
+            col("o_totalprice")),
+          "o_totalprice", Seq("o_orderpriority"), out = "mm"),
+        "o_totalprice", Seq("o_orderpriority"), out = "z")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(col("mm"), 6).as("mm"), round(col("z"), 6).as("z"))),
+    // one-hot lang encoding: deterministic sorted column order, nulls
+    // all-zero; oracle spells the five categories out
+    "q_onehot" -> ((s, dir) =>
+      graft.operators.Normalize.oneHot(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")), "lang")
+        .drop("lang")),
     // equi-width binned histogram (ext): width = 15000 exactly, so the
     // edges are exact doubles any engine re-derives; out-of-range
     // totalprices clamp into the edge bins, empty bins emit count 0
@@ -2162,6 +2179,28 @@ object SparkEntry {
          count(*) AS summary_length FROM part""",
     "q_histogram" ->
       "SELECT l_quantity, count(*) AS count FROM lineitem GROUP BY 1",
+    // q_normalize: same window math; constant-group null contract has no
+    // effect here (every priority group varies)
+    "q_normalize" ->
+      """SELECT o_orderkey, o_orderpriority,
+           round(CASE WHEN mx = mn THEN NULL
+                 ELSE (o_totalprice - mn) / (mx - mn) END, 6) AS mm,
+           round(CASE WHEN sd IS NULL OR sd = 0 THEN NULL
+                 ELSE (o_totalprice - av) / sd END, 6) AS z
+         FROM (
+           SELECT o_orderkey, o_orderpriority, o_totalprice,
+             min(o_totalprice) OVER w AS mn, max(o_totalprice) OVER w AS mx,
+             avg(o_totalprice) OVER w AS av, stddev_samp(o_totalprice) OVER w AS sd
+           FROM orders
+           WINDOW w AS (PARTITION BY o_orderpriority))""",
+    "q_onehot" ->
+      """SELECT doc_id,
+           coalesce(CAST(lang = 'de' AS BIGINT), 0) AS lang_de,
+           coalesce(CAST(lang = 'en' AS BIGINT), 0) AS lang_en,
+           coalesce(CAST(lang = 'es' AS BIGINT), 0) AS lang_es,
+           coalesce(CAST(lang = 'fr' AS BIGINT), 0) AS lang_fr,
+           coalesce(CAST(lang = 'zh' AS BIGINT), 0) AS lang_zh
+         FROM documents""",
     // q_histogram_binned: same clamp + exact-width edge math
     "q_histogram_binned" ->
       """WITH b AS (

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Feature-scaling / encoding ops (ext — the ML-prep tail of the
+  * pipeline: normalize quality scores per source, one-hot a language
+  * column before a linear probe).
+  */
+object Normalize {
+
+  private def grouped(groupCols: Seq[String]) =
+    if (groupCols.isEmpty) Window.partitionBy()
+    else Window.partitionBy(groupCols.map(col): _*)
+
+  /** Min-max scaling of `valueCol` into [0, 1], per `groupCols` group
+    * (global when empty): (x − min) / (max − min). A constant group
+    * (max = min) scales to null — there is no information to scale, and
+    * a silent 0 or 0.5 would be an invented value. Nulls pass through
+    * as null. One hash exchange (the unordered group window computes
+    * min/max in a single frame pass); the unkeyed variant is a
+    * SinglePartition window — fine for the agg-only frame, but prefer
+    * grouped use at scale.
+    */
+  def minMax(df: DataFrame, valueCol: String, groupCols: Seq[String] = Nil,
+      out: String = "scaled"): DataFrame = {
+    val w = grouped(groupCols)
+    val x = col(valueCol).cast("double")
+    val mn = min(x).over(w)
+    val mx = max(x).over(w)
+    df.withColumn(out, when(mx === mn, lit(null).cast("double"))
+      .otherwise((x - mn) / (mx - mn)))
+  }
+
+  /** Z-score standardization of `valueCol` per group: (x − mean) /
+    * stddev (sample). A constant group (stddev 0 or a single row) emits
+    * null. Same one-exchange window shape as [[minMax]].
+    */
+  def zscore(df: DataFrame, valueCol: String, groupCols: Seq[String] = Nil,
+      out: String = "zscore"): DataFrame = {
+    val w = grouped(groupCols)
+    val x = col(valueCol).cast("double")
+    val av = avg(x).over(w)
+    val sd = stddev_samp(x).over(w)
+    df.withColumn(out, when(sd.isNull || sd === 0.0, lit(null).cast("double"))
+      .otherwise((x - av) / sd))
+  }
+
+  /** One-hot encode a LOW-cardinality string column: one 0/1 long column
+    * per distinct value, named `<col>_<value>` (value sanitized to
+    * [A-Za-z0-9_]), in sorted value order so the output schema is
+    * deterministic. Nulls encode as all zeros. The distinct values are
+    * collected to the driver — guarded by `maxCategories`, which fails
+    * loudly instead of exploding the schema of a high-cardinality
+    * column (one-hot a 1M-value column is a modeling bug, not a job for
+    * wider rows). Encoding itself is a narrow codegen'd map stage.
+    */
+  def oneHot(df: DataFrame, c: String, maxCategories: Int = 100): DataFrame = {
+    require(df.columns.contains(c), s"oneHot: missing column $c")
+    val values = df.select(col(c)).filter(col(c).isNotNull).distinct()
+      .limit(maxCategories + 1).collect().map(_.get(0).toString).sorted
+    require(values.length <= maxCategories,
+      s"oneHot: $c has > $maxCategories distinct values; one-hot is for " +
+        "low-cardinality columns (hash or target-encode instead)")
+    values.foldLeft(df) { (acc, v) =>
+      val name = s"${c}_${v.replaceAll("[^A-Za-z0-9_]", "_")}"
+      acc.withColumn(name, when(col(c) === v, 1L).otherwise(0L))
+    }
+  }
+}

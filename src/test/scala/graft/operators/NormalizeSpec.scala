@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class NormalizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("minMax: [0,1] per group, constant group → null, nulls pass through") {
+    val df = Seq(("a", 0.0), ("a", 5.0), ("a", 10.0),
+      ("b", 7.0), ("b", 7.0)).toDF("g", "x")
+      .unionByName(Seq(("a", null.asInstanceOf[java.lang.Double]))
+        .toDF("g", "x"))
+    val out = Normalize.minMax(df, "x", Seq("g"), "s")
+      .select("g", "x", "s").collect()
+      .map(r => (r.getString(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    assert(out === Set(
+      ("a", Some(0.0), Some(0.0)), ("a", Some(5.0), Some(0.5)),
+      ("a", Some(10.0), Some(1.0)),
+      ("b", Some(7.0), None), ("b", Some(7.0), None), // constant group
+      ("a", None, None)))
+  }
+
+  test("zscore: hand-computed per group; single-row group → null") {
+    // group a: [2, 4, 6] → mean 4, stddev_samp 2 → z = [-1, 0, 1]
+    val df = Seq(("a", 2.0), ("a", 4.0), ("a", 6.0), ("b", 9.0)).toDF("g", "x")
+    val out = Normalize.zscore(df, "x", Seq("g"), "z")
+      .select("g", "x", "z").collect()
+      .map(r => (r.getString(0), r.getDouble(1), Option(r.get(2)))).toSet
+    assert(out === Set(("a", 2.0, Some(-1.0)), ("a", 4.0, Some(0.0)),
+      ("a", 6.0, Some(1.0)), ("b", 9.0, None)))
+  }
+
+  test("oneHot: sorted deterministic columns, null row all zeros, cardinality guard") {
+    val df = Seq((1L, "en"), (2L, "de"), (3L, null.asInstanceOf[String]),
+      (4L, "en")).toDF("id", "lang")
+    val out = Normalize.oneHot(df, "lang")
+    assert(out.columns.toSeq === Seq("id", "lang", "lang_de", "lang_en"))
+    val rows = out.orderBy("id").select("lang_de", "lang_en")
+      .as[(Long, Long)].collect().toSeq
+    assert(rows === Seq((0L, 1L), (1L, 0L), (0L, 0L), (0L, 1L)))
+    val wide = (1 to 200).map(i => (i.toLong, s"v$i")).toDF("id", "lang")
+    val ex = intercept[IllegalArgumentException](Normalize.oneHot(wide, "lang"))
+    assert(ex.getMessage.contains("low-cardinality"))
+  }
+}
