@@ -346,6 +346,24 @@ object SparkEntry {
         .withColumn("stdev", round(col("stdev"), 6))),
     "q_histogram" -> ((s, dir) =>
       GroupBy.histogram(t(s, dir, "lineitem"), "l_quantity")),
+    // data-contract report over a deliberately corrupted snapshot:
+    // planted nulls, duplicate keys, negative lengths, a rogue source;
+    // DuckDB recomputes every violation count
+    "q_quality_checks" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val corrupt = SetOps.concat(
+        docs
+          .withColumn("lang", when(col("doc_id") % 10 === 0, lit(null)).otherwise(col("lang")))
+          .withColumn("n_chars", when(col("doc_id") % 7 === 0, lit(-5L)).otherwise(col("n_chars")))
+          .withColumn("source", when(col("doc_id") % 13 === 0, lit("rogue")).otherwise(col("source"))),
+        docs.filter(col("doc_id") % 25 === 0)) // duplicate keys
+      graft.operators.Checks.report(corrupt, Seq(
+        graft.operators.Checks.NotNull("lang"),
+        graft.operators.Checks.Unique(Seq("doc_id")),
+        graft.operators.Checks.InRange("n_chars", 0, 1e9),
+        graft.operators.Checks.Accepted("source", (0 until 20).map(i => s"src$i"))))
+    }),
     // per-group feature scaling: min-max exact to 6dp, z-score rounded
     // (the float-sum convention); constant groups emit null by contract
     "q_normalize" -> ((s, dir) =>
@@ -2179,6 +2197,40 @@ object SparkEntry {
          count(*) AS summary_length FROM part""",
     "q_histogram" ->
       "SELECT l_quantity, count(*) AS count FROM lineitem GROUP BY 1",
+    // q_quality_checks: every violation count recomputed over the same
+    // corrupted CTE
+    "q_quality_checks" ->
+      """WITH corrupt AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN NULL ELSE lang END AS lang,
+             CASE WHEN doc_id % 13 = 0 THEN 'rogue' ELSE source END AS source,
+             CASE WHEN doc_id % 7 = 0 THEN -5 ELSE n_chars END AS n_chars
+           FROM documents
+           UNION ALL
+           SELECT doc_id, lang, source, n_chars FROM documents
+           WHERE doc_id % 25 = 0
+         )
+         SELECT "check", target, violations, violations = 0 AS pass FROM (
+           SELECT 'not_null' AS "check", 'lang' AS target,
+             CAST(count(CASE WHEN lang IS NULL THEN 1 END) AS BIGINT) AS violations
+           FROM corrupt
+           UNION ALL
+           SELECT 'in_range', 'n_chars',
+             count(CASE WHEN n_chars IS NOT NULL
+                        AND (n_chars < 0 OR n_chars > 1000000000.0) THEN 1 END)
+           FROM corrupt
+           UNION ALL
+           SELECT 'accepted', 'source',
+             count(CASE WHEN source IS NOT NULL AND source NOT IN
+               ('src0','src1','src2','src3','src4','src5','src6','src7','src8',
+                'src9','src10','src11','src12','src13','src14','src15','src16',
+                'src17','src18','src19') THEN 1 END)
+           FROM corrupt
+           UNION ALL
+           SELECT 'unique', 'doc_id',
+             (SELECT CAST(coalesce(sum(n - 1), 0) AS BIGINT)
+              FROM (SELECT count(*) AS n FROM corrupt GROUP BY doc_id))
+         ) ORDER BY "check", target""",
     // q_normalize: same window math; constant-group null contract has no
     // effect here (every priority group varies)
     "q_normalize" ->
