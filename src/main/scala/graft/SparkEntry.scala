@@ -375,6 +375,15 @@ object SparkEntry {
         "o_totalprice", Seq("o_orderpriority"), out = "z")
         .select(col("o_orderkey"), col("o_orderpriority"),
           round(col("mm"), 6).as("mm"), round(col("z"), 6).as("z"))),
+    // smoothed target encoding of lang by n_chars (shrinkage toward the
+    // global mean at pseudo-count 10); 6dp rounding absorbs float-sum
+    // order
+    "q_target_encode" -> ((s, dir) =>
+      graft.operators.Normalize.targetEncode(
+        t(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+        "lang", "n_chars", smoothing = 10.0)
+        .select(col("doc_id"), col("lang"),
+          round(col("target_enc"), 6).as("target_enc"))),
     // one-hot lang encoding: deterministic sorted column order, nulls
     // all-zero; oracle spells the five categories out
     "q_onehot" -> ((s, dir) =>
@@ -2245,6 +2254,15 @@ object SparkEntry {
              avg(o_totalprice) OVER w AS av, stddev_samp(o_totalprice) OVER w AS sd
            FROM orders
            WINDOW w AS (PARTITION BY o_orderpriority))""",
+    // q_target_encode: same shrinkage formula over the same group stats
+    "q_target_encode" ->
+      """WITH g AS (SELECT avg(n_chars) AS gm FROM documents),
+         s AS (SELECT lang, count(*) AS n, avg(n_chars) AS m
+               FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+               GROUP BY 1)
+         SELECT d.doc_id, d.lang,
+           round((s.n * s.m + 10.0 * g.gm) / (s.n + 10.0), 6) AS target_enc
+         FROM documents d JOIN s USING (lang), g""",
     "q_onehot" ->
       """SELECT doc_id,
            coalesce(CAST(lang = 'de' AS BIGINT), 0) AS lang_de,

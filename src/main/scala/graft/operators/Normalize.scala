@@ -47,6 +47,36 @@ object Normalize {
       .otherwise((x - av) / sd))
   }
 
+  /** Smoothed target (mean) encoding of a categorical column:
+    * enc = (n·catMean + smoothing·globalMean) / (n + smoothing) — the
+    * standard shrinkage that pulls rare categories toward the global
+    * mean instead of memorizing noise (smoothing = the pseudo-count at
+    * which a category's own mean and the prior weigh equally). Null
+    * categories and null targets contribute nothing to the means; null
+    * categories encode to the global mean (the unknown-category
+    * convention). Scale shape: one groupBy over the category column
+    * (bounded by its cardinality), the stats frame BROADCASTS back —
+    * the main frame never shuffles.
+    */
+  def targetEncode(df: DataFrame, catCol: String, targetCol: String,
+      smoothing: Double = 10.0, out: String = "target_enc"): DataFrame = {
+    require(df.columns.contains(catCol) && df.columns.contains(targetCol),
+      s"targetEncode: missing $catCol or $targetCol")
+    require(smoothing >= 0, s"targetEncode: smoothing=$smoothing")
+    val t = col(targetCol).cast("double")
+    val gRow = df.agg(avg(t)).collect()(0)
+    val g = if (gRow.isNullAt(0)) 0.0 else gRow.getDouble(0)
+    val stats = df.filter(col(catCol).isNotNull && t.isNotNull)
+      .groupBy(col(catCol))
+      .agg(count(lit(1)).as("__n"), avg(t).as("__m"))
+      .withColumn("__enc",
+        (col("__n") * col("__m") + lit(smoothing) * g) / (col("__n") + smoothing))
+      .select(col(catCol), col("__enc"))
+    df.join(broadcast(stats), Seq(catCol), "left_outer")
+      .withColumn(out, coalesce(col("__enc"), lit(g)))
+      .drop("__enc")
+  }
+
   /** One-hot encode a LOW-cardinality string column: one 0/1 long column
     * per distinct value, named `<col>_<value>` (value sanitized to
     * [A-Za-z0-9_]), in sorted value order so the output schema is

@@ -31,6 +31,23 @@ class NormalizeSpec extends SparkSpec {
       ("a", 6.0, Some(1.0)), ("b", 9.0, None)))
   }
 
+  test("targetEncode: shrinkage toward global mean, null category → global") {
+    // cats: a → targets [0, 10] (n=2, mean 5); b → [20] (n=1, mean 20)
+    // global mean = 10; smoothing 2:
+    //   a: (2*5 + 2*10)/4 = 7.5     b: (1*20 + 2*10)/3 = 40/3
+    val df = Seq(("a", 0.0), ("a", 10.0), ("b", 20.0)).toDF("c", "t")
+      .unionByName(Seq((null.asInstanceOf[String], 10.0)).toDF("c", "t"))
+    val out = Normalize.targetEncode(df, "c", "t", smoothing = 2.0)
+      .select("c", "target_enc").collect()
+      .map(r => (Option(r.getString(0)), r.getDouble(1))).toSet
+    assert(out === Set(
+      (Some("a"), 7.5), (Some("b"), 40.0 / 3), (None, 10.0)))
+    // rare categories shrink MORE: with huge smoothing everything ≈ global
+    val flat = Normalize.targetEncode(df, "c", "t", smoothing = 1e9)
+      .select("target_enc").as[Double].collect()
+    assert(flat.forall(v => math.abs(v - 10.0) < 1e-6))
+  }
+
   test("oneHot: sorted deterministic columns, null row all zeros, cardinality guard") {
     val df = Seq((1L, "en"), (2L, "de"), (3L, null.asInstanceOf[String]),
       (4L, "en")).toDF("id", "lang")
