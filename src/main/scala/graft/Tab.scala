@@ -121,6 +121,46 @@ final case class Tab(df: DataFrame) {
       k: Int, descending: Boolean = true): Tab =
     Tab(GroupBy.topKPerGroup(df, groupCols, orderCol, tieCol, k, descending))
   def histogram(column: String): Tab = Tab(GroupBy.histogram(df, column))
+  /** Equi-width binned histogram with clamped overflow and zero-count
+    * bins (GroupBy.binnedHistogram).
+    */
+  def binnedHistogram(column: String, lo: Double, hi: Double, nBins: Int): Tab =
+    Tab(GroupBy.binnedHistogram(df, column, lo, hi, nBins))
+  /** Data-contract report: one (check, target, violations, pass) row per
+    * expectation (operators.Checks.report).
+    */
+  def checks(cs: Seq[graft.operators.Checks.Check]): Tab =
+    Tab(graft.operators.Checks.report(df, cs))
+  /** Per-group min-max scaling into [0,1] (operators.Normalize.minMax). */
+  def normalizeMinMax(valueCol: String, groupCols: Seq[String] = Nil,
+      out: String = "scaled"): Tab =
+    Tab(graft.operators.Normalize.minMax(df, valueCol, groupCols, out))
+  /** Per-group z-score standardization (operators.Normalize.zscore). */
+  def normalizeZscore(valueCol: String, groupCols: Seq[String] = Nil,
+      out: String = "zscore"): Tab =
+    Tab(graft.operators.Normalize.zscore(df, valueCol, groupCols, out))
+  /** One-hot encode a low-cardinality column (operators.Normalize.oneHot). */
+  def oneHot(column: String, maxCategories: Int = 100): Tab =
+    Tab(graft.operators.Normalize.oneHot(df, column, maxCategories))
+  /** Smoothed target encoding (operators.Normalize.targetEncode). */
+  def targetEncode(catCol: String, targetCol: String, smoothing: Double = 10.0,
+      out: String = "target_enc"): Tab =
+    Tab(graft.operators.Normalize.targetEncode(df, catCol, targetCol, smoothing, out))
+  /** Deterministic exactly-balanced shard assignment
+    * (operators.Sampling.shardDeterministic).
+    */
+  def shardDeterministic(idCol: String, numShards: Int, seed: Int = 0): Tab =
+    Tab(Sampling.shardDeterministic(df, idCol, numShards, seed))
+  /** Weighted exact-n per-group sample (operators.Sampling.exactSamplePerGroup). */
+  def exactSamplePerGroup(groupCol: String, idCol: String, n: Int,
+      weightCol: String, seed: Int = 0): Tab =
+    Tab(Sampling.exactSamplePerGroup(df, groupCol, idCol, n, weightCol, seed))
+  /** Regular-grid time-series resample with zero-filled gaps
+    * (operators.TimeSeries.resample).
+    */
+  def resampleTimeSeries(tsCol: String, groupCol: String, stepMs: Long,
+      valueCol: String): Tab =
+    Tab(graft.operators.TimeSeries.resample(df, tsCol, groupCol, stepMs, valueCol))
   def unique(column: String): Tab = Tab(GroupBy.unique(df, column))
   def countValue(column: String, value: Any): Long = GroupBy.countValue(df, column, value)
 

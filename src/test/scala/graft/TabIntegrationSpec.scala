@@ -164,4 +164,40 @@ class TabIntegrationSpec extends SparkSpec {
       assert(back.df.orderBy("n").collect().map(_.getString(1)).toSeq === Seq("a", "b"))
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("round-10 Tab bridges: scaling, encoding, checks, shards, resample, histogram") {
+    import spark.implicits._
+    val docs = Tab(Seq(
+      (1L, "en", 10L), (2L, "en", 30L), (3L, "de", 20L), (4L, "de", 40L))
+      .toDF("doc_id", "lang", "n_chars"))
+    // scaling + encodings compose through Tab
+    val scaled = docs.normalizeMinMax("n_chars", Seq("lang"))
+      .normalizeZscore("n_chars", Seq("lang"))
+      .targetEncode("lang", "n_chars", smoothing = 0.0)
+      .oneHot("lang")
+    assert(scaled.columns.toSeq.containsSlice(Seq("scaled", "zscore", "target_enc")))
+    assert(scaled.df.filter(col("lang") === "en").select("target_enc")
+      .as[Double].collect().forall(_ == 20.0)) // smoothing 0 = plain group mean
+    // checks gate
+    val rep = docs.checks(Seq(graft.operators.Checks.Unique(Seq("doc_id")),
+      graft.operators.Checks.NotNull("lang")))
+    assert(rep.df.select("pass").as[Boolean].collect().forall(identity))
+    // shards + weighted per-group sample
+    assert(docs.shardDeterministic("doc_id", 2).df
+      .select("shard").distinct().count() === 2)
+    assert(docs.exactSamplePerGroup("lang", "doc_id", 1, "n_chars").df.count() === 2)
+    // binned histogram counts every row once
+    assert(docs.binnedHistogram("n_chars", 0, 50, 5).df
+      .agg(sum("count")).as[Long].collect().head === 4L)
+    // sentence chunks + upsert + edit pairs + containment dedup round out
+    val txt = Tab(Seq((1L, "One. Two. Three."), (2L, "Solo")).toDF("id", "text"))
+    assert(txt.chunkBySentences("id", "text", 2, 2).df.count() === 3) // 2 + 1
+    val upd = Tab(Seq((2L, "Solo v2")).toDF("id", "text"))
+    assert(Tab(txt.df.withColumn("v", lit(0L)))
+      .upsert(Tab(upd.df.withColumn("v", lit(1L))), Seq("id"), "v")
+      .df.filter(col("id") === 2L).select("text").as[String].collect() === Array("Solo v2"))
+    val ev = Tab(Seq(("a", new java.sql.Timestamp(0L), 1.0),
+      ("a", new java.sql.Timestamp(7200000L), 2.0)).toDF("g", "ts", "v"))
+    assert(ev.resampleTimeSeries("ts", "g", 3600000L, "v").df.count() === 3) // gap filled
+  }
 }
