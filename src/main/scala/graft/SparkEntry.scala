@@ -390,6 +390,18 @@ object SparkEntry {
       graft.operators.Normalize.oneHot(
         t(s, dir, "documents").select(col("doc_id"), col("lang")), "lang")
         .drop("lang")),
+    // exact per-group quantiles (quantile_cont interpolation both
+    // engines; 6dp absorbs the a+(b-a)f vs (1-f)a+fb ulp)
+    "q_group_quantiles" -> ((s, dir) =>
+      GroupBy.groupQuantiles(t(s, dir, "orders"), Seq("o_orderpriority"),
+        "o_totalprice", Seq(0.25, 0.5, 0.9, 0.99))
+        .select(col("o_orderpriority"), col("p"),
+          round(col("value"), 6).as("value"))),
+    // pairwise Pearson correlation in one pass (sample corr both engines)
+    "q_corr" -> ((s, dir) =>
+      GroupBy.correlation(t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .select(col("col_a"), col("col_b"), round(col("corr"), 6).as("corr"))),
     // equi-width binned histogram (ext): width = 15000 exactly, so the
     // edges are exact doubles any engine re-derives; out-of-range
     // totalprices clamp into the edge bins, empty bins emit count 0
@@ -2271,6 +2283,24 @@ object SparkEntry {
            coalesce(CAST(lang = 'fr' AS BIGINT), 0) AS lang_fr,
            coalesce(CAST(lang = 'zh' AS BIGINT), 0) AS lang_zh
          FROM documents""",
+    // q_group_quantiles: parallel unnest zips ps with quantile_cont list
+    "q_group_quantiles" ->
+      """SELECT o_orderpriority,
+           unnest([0.25, 0.5, 0.9, 0.99]) AS p,
+           round(unnest(qs), 6) AS value
+         FROM (
+           SELECT o_orderpriority,
+             quantile_cont(o_totalprice, [0.25, 0.5, 0.9, 0.99]) AS qs
+           FROM orders GROUP BY 1)""",
+    "q_corr" ->
+      """SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr FROM lineitem
+         UNION ALL
+         SELECT 'l_quantity', 'l_discount',
+           round(corr(l_quantity, l_discount), 6) FROM lineitem
+         UNION ALL
+         SELECT 'l_extendedprice', 'l_discount',
+           round(corr(l_extendedprice, l_discount), 6) FROM lineitem""",
     // q_histogram_binned: same clamp + exact-width edge math
     "q_histogram_binned" ->
       """WITH b AS (

@@ -60,12 +60,15 @@ object Checks {
     val scalarFrame =
       if (scalar.isEmpty) None
       else {
+        // ONE aggregation pass, its single row collected (the bounded
+        // 1-row pattern) — a union of per-check selects over the agg
+        // frame would re-run the pass once per check
         val aggs = scalar.zipWithIndex.map { case ((_, _, e), i) => e.as(s"v$i") }
-        val row = df.agg(aggs.head, aggs.tail: _*)
+        val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+        import spark.implicits._
         Some(scalar.zipWithIndex.map { case ((name, target, _), i) =>
-          row.select(lit(name).as("check"), lit(target).as("target"),
-            col(s"v$i").cast("long").as("violations"))
-        }.reduce(_ unionByName _))
+          (name, target, row.getLong(i))
+        }.toDF("check", "target", "violations"))
       }
     val uniques = checks.collect { case Unique(cs) =>
       df.groupBy(cs.map(col): _*).agg(count(lit(1)).as("__n"))

@@ -167,6 +167,49 @@ object GroupBy {
         coalesce(col("count"), lit(0L)).as("count"))
   }
 
+  /** Exact per-group quantiles (ext): one row per (group, p) with the
+    * linearly-interpolated quantile — `quantile_cont` semantics, shared
+    * by Spark's exact `percentile` and every SQL engine, so the result
+    * is oracle-able where a t-digest sketch is not. EXACT means each
+    * group's values sort in one aggregation buffer: the per-group
+    * scale bound is group size, same as the reference-median
+    * accumulators; use approx sketches when single groups exceed
+    * executor memory.
+    */
+  def groupQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1),
+      s"groupQuantiles: bad percentiles ${ps.mkString(",")}")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(percentile(col(valueCol).cast("double"), typedlit(ps)).as("__qs"))
+      .select(groupCols.map(col) :+ posexplode(col("__qs")).as(Seq("__i", "value")): _*)
+      .withColumn("p", element_at(typedlit(ps), col("__i").cast("int") + 1))
+      .select(groupCols.map(col) :+ col("p") :+ col("value"): _*)
+  }
+
+  /** Pairwise Pearson correlation matrix (ext) over numeric columns:
+    * the upper triangle as (col_a, col_b, corr), all pairs computed in
+    * ONE aggregation pass and the single result row collected (bounded:
+    * one double per pair).
+    */
+  def correlation(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.length >= 2, s"correlation: need >= 2 columns, got ${cols.length}")
+    cols.foreach(c => require(df.columns.contains(c), s"correlation: missing $c"))
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.length
+    } yield (cols(i), cols(j))
+    val aggs = pairs.zipWithIndex.map { case ((a, b), i) =>
+      corr(col(a).cast("double"), col(b).cast("double")).as(s"c$i")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    pairs.zipWithIndex.map { case ((a, b), i) =>
+      (a, b, if (row.isNullAt(i)) null.asInstanceOf[java.lang.Double]
+             else java.lang.Double.valueOf(row.getDouble(i)))
+    }.toDF("col_a", "col_b", "corr")
+  }
+
   /** Column.unique() (base.py:956-979). */
   def unique(df: DataFrame, c: String): DataFrame =
     df.select(col(c)).distinct()

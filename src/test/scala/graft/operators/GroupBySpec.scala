@@ -85,6 +85,27 @@ class GroupBySpec extends SparkSpec {
     assert(h(None) === 1L)
   }
 
+  test("groupQuantiles: hand-computed interpolated quantiles per group") {
+    import spark.implicits._
+    // group a: [10,20,30,40] → p=.5: pos 1.5 → 25; p=.25: pos .75 → 17.5
+    val df2 = Seq(("a", 10.0), ("a", 20.0), ("a", 30.0), ("a", 40.0), ("b", 7.0))
+      .toDF("g", "x")
+    val out = GroupBy.groupQuantiles(df2, Seq("g"), "x", Seq(0.25, 0.5, 1.0))
+      .as[(String, Double, Double)].collect().toSet
+    assert(out === Set(("a", 0.25, 17.5), ("a", 0.5, 25.0), ("a", 1.0, 40.0),
+      ("b", 0.25, 7.0), ("b", 0.5, 7.0), ("b", 1.0, 7.0)))
+  }
+
+  test("correlation: perfect +/- correlations and the upper triangle only") {
+    import spark.implicits._
+    val df2 = Seq((1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, -3.0))
+      .toDF("x", "y", "z")
+    val out = GroupBy.correlation(df2, Seq("x", "y", "z"))
+      .as[(String, String, Double)].collect().toSet
+    assert(out.map(r => (r._1, r._2, math.round(r._3 * 1e9) / 1e9)) === Set(
+      ("x", "y", 1.0), ("x", "z", -1.0), ("y", "z", -1.0)))
+  }
+
   test("binnedHistogram: exact edges, clamped overflow, zero-count bins, nulls dropped") {
     import spark.implicits._
     val data = Seq[java.lang.Double](-5.0, 0.0, 9.9, 10.0, 25.0, 25.0, 95.0, 200.0, null)
