@@ -397,6 +397,23 @@ object SparkEntry {
         "o_totalprice", Seq(0.25, 0.5, 0.9, 0.99))
         .select(col("o_orderpriority"), col("p"),
           round(col("value"), 6).as("value"))),
+    // approx-quantile honesty gate (q_dsir_gate pattern: the oracle is
+    // the boolean verdict): percentile_approx at accuracy 10000 must
+    // land within 0.5% TRUE rank of each target — the sketch value
+    // varies with merge order, its rank-error bound must not
+    "q_approx_quantile_gate" -> ((s, dir) => {
+      val df = t(s, dir, "orders")
+      val ps = Seq(0.25, 0.5, 0.9, 0.99)
+      val qs = df.agg(percentile_approx(col("o_totalprice"), typedlit(ps),
+        lit(10000)).as("qs")).collect()(0).getSeq[Double](0)
+      val n = df.count().toDouble
+      val rows = ps.zip(qs).map { case (p, v) =>
+        val rank = df.filter(col("o_totalprice") <= v).count() / n
+        (p, math.abs(rank - p) <= 0.005)
+      }
+      import s.implicits._
+      rows.toDF("p", "ok")
+    }),
     // pairwise Pearson correlation in one pass (sample corr both engines)
     "q_corr" -> ((s, dir) =>
       GroupBy.correlation(t(s, dir, "lineitem"),
@@ -2292,6 +2309,10 @@ object SparkEntry {
            SELECT o_orderpriority,
              quantile_cont(o_totalprice, [0.25, 0.5, 0.9, 0.99]) AS qs
            FROM orders GROUP BY 1)""",
+    // q_approx_quantile_gate: the verdict, not the sketch values
+    "q_approx_quantile_gate" ->
+      """SELECT 0.25 AS p, true AS ok UNION ALL SELECT 0.5, true
+         UNION ALL SELECT 0.9, true UNION ALL SELECT 0.99, true""",
     "q_corr" ->
       """SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
            round(corr(l_quantity, l_extendedprice), 6) AS corr FROM lineitem

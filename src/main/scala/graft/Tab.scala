@@ -126,6 +126,12 @@ final case class Tab(df: DataFrame) {
     */
   def binnedHistogram(column: String, lo: Double, hi: Double, nBins: Int): Tab =
     Tab(GroupBy.binnedHistogram(df, column, lo, hi, nBins))
+  /** Exact per-group interpolated quantiles (GroupBy.groupQuantiles). */
+  def groupQuantiles(groupCols: Seq[String], valueCol: String,
+      ps: Seq[Double]): Tab =
+    Tab(GroupBy.groupQuantiles(df, groupCols, valueCol, ps))
+  /** Pairwise Pearson correlations in one pass (GroupBy.correlation). */
+  def correlation(cols: Seq[String]): Tab = Tab(GroupBy.correlation(df, cols))
   /** Data-contract report: one (check, target, violations, pass) row per
     * expectation (operators.Checks.report).
     */
