@@ -141,4 +141,31 @@ class RobustnessSpec extends SparkSpec {
     }
     assert(results(0) === results(1))
   }
+
+  test("round-10 ops degrade gracefully on empty input, never throw") {
+    import spark.implicits._
+    val emptyDocs = Seq.empty[(Long, String)].toDF("id", "s")
+    assert(graft.ml.Dedup.editDistancePairs(emptyDocs, "id", "s").count() === 0)
+    assert(graft.ml.Dedup.containmentDedup(emptyDocs, "id", "s").count() === 0)
+    assert(Chunking.chunkBySentences(emptyDocs, "id", "s", 3, 2).count() === 0)
+    val emptyKv = Seq.empty[(Long, String, Long)].toDF("k", "v", "ver")
+    // empty updates: base unchanged; empty base: updates pass through
+    val base = Seq((1L, "a", 1L)).toDF("k", "v", "ver")
+    assert(SetOps.upsert(base, emptyKv, Seq("k"), "ver").count() === 1)
+    assert(SetOps.upsert(emptyKv, base, Seq("k"), "ver").count() === 1)
+    val emptyNum = Seq.empty[(String, java.lang.Double)].toDF("g", "x")
+    // binned histogram still emits the full zero-count spine
+    assert(GroupBy.binnedHistogram(emptyNum, "x", 0, 10, 5).count() === 5)
+    assert(GroupBy.groupQuantiles(emptyNum, Seq("g"), "x", Seq(0.5)).count() === 0)
+    assert(Normalize.minMax(emptyNum, "x", Seq("g")).count() === 0)
+    assert(Normalize.targetEncode(emptyNum, "g", "x").count() === 0)
+    assert(Normalize.oneHot(emptyNum, "g").columns.toSeq === Seq("g", "x"))
+    assert(Sampling.shardDeterministic(emptyDocs, "id", 4).count() === 0)
+    assert(Sampling.exactSamplePerGroup(emptyNum, "g", "x", 3, "x").count() === 0)
+    val emptyTs = Seq.empty[(String, java.sql.Timestamp, Double)].toDF("g", "ts", "v")
+    assert(TimeSeries.resample(emptyTs, "ts", "g", 1000L, "v").count() === 0)
+    val rep = Checks.report(emptyNum, Seq(Checks.NotNull("g"), Checks.Unique(Seq("g"))))
+      .select("violations", "pass").as[(Long, Boolean)].collect()
+    assert(rep.forall(r => r._1 == 0L && r._2)) // an empty frame passes contracts
+  }
 }
