@@ -397,6 +397,12 @@ object SparkEntry {
         "o_totalprice", Seq(0.25, 0.5, 0.9, 0.99))
         .select(col("o_orderpriority"), col("p"),
           round(col("value"), 6).as("value"))),
+    // equi-depth binning: deciles of o_totalprice; DuckDB re-derives the
+    // same cut points (quantile_cont) and the same strictly-above count
+    "q_quantile_bin" -> ((s, dir) =>
+      graft.operators.Normalize.quantileBin(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+        "o_totalprice", nBins = 10)),
     // approx-quantile honesty gate (q_dsir_gate pattern: the oracle is
     // the boolean verdict): percentile_approx at accuracy 10000 must
     // land within 0.5% TRUE rank of each target — the sketch value
@@ -2309,6 +2315,16 @@ object SparkEntry {
            SELECT o_orderpriority,
              quantile_cont(o_totalprice, [0.25, 0.5, 0.9, 0.99]) AS qs
            FROM orders GROUP BY 1)""",
+    // q_quantile_bin: same interior cut points, same strictly-above rule
+    "q_quantile_bin" ->
+      """WITH cuts AS (
+           SELECT unnest(quantile_cont(o_totalprice,
+             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])) AS c
+           FROM orders)
+         SELECT o.o_orderkey, o.o_totalprice,
+           (SELECT CAST(count(CASE WHEN o.o_totalprice > c THEN 1 END) AS BIGINT)
+            FROM cuts) AS bin
+         FROM orders o""",
     // q_approx_quantile_gate: the verdict, not the sketch values
     "q_approx_quantile_gate" ->
       """SELECT 0.25 AS p, true AS ok UNION ALL SELECT 0.5, true

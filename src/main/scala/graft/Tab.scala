@@ -148,6 +148,9 @@ final case class Tab(df: DataFrame) {
   /** One-hot encode a low-cardinality column (operators.Normalize.oneHot). */
   def oneHot(column: String, maxCategories: Int = 100): Tab =
     Tab(graft.operators.Normalize.oneHot(df, column, maxCategories))
+  /** Equi-depth quantile binning (operators.Normalize.quantileBin). */
+  def quantileBin(valueCol: String, nBins: Int, out: String = "bin"): Tab =
+    Tab(graft.operators.Normalize.quantileBin(df, valueCol, nBins, out))
   /** Smoothed target encoding (operators.Normalize.targetEncode). */
   def targetEncode(catCol: String, targetCol: String, smoothing: Double = 10.0,
       out: String = "target_enc"): Tab =

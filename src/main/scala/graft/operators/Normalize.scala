@@ -47,6 +47,33 @@ object Normalize {
       .otherwise((x - av) / sd))
   }
 
+  /** Equi-depth (quantile) binning: assign each row the bucket of its
+    * value among `nBins` quantile intervals — the discretization
+    * sibling of `GroupBy.binnedHistogram`'s equi-width bins. NOT an
+    * `ntile` window (that is a SinglePartition sort at scale): the
+    * n−1 interior cut points come from ONE exact-percentile
+    * aggregation, broadcast into a narrow comparison map — bin =
+    * #cuts strictly below x (ties sit in the lower bin, the
+    * `quantile_cont` boundary convention any engine re-derives).
+    * Nulls bin to null. Duplicate cut points (heavily repeated
+    * values) simply leave some bins empty — assignment stays total
+    * and deterministic.
+    */
+  def quantileBin(df: DataFrame, valueCol: String, nBins: Int,
+      out: String = "bin"): DataFrame = {
+    require(nBins > 1, s"quantileBin: nBins=$nBins")
+    val x = col(valueCol).cast("double")
+    val ps = (1 until nBins).map(_.toDouble / nBins)
+    val row = df.filter(x.isNotNull)
+      .agg(percentile(x, typedlit(ps)).as("qs")).collect()(0)
+    val cuts: Seq[Double] =
+      if (row.isNullAt(0)) Nil else row.getSeq[Double](0)
+    val bin = cuts.foldLeft(lit(0L)) { (acc, c) =>
+      acc + when(x > c, 1L).otherwise(0L)
+    }
+    df.withColumn(out, when(x.isNull, lit(null).cast("long")).otherwise(bin))
+  }
+
   /** Smoothed target (mean) encoding of a categorical column:
     * enc = (n·catMean + smoothing·globalMean) / (n + smoothing) — the
     * standard shrinkage that pulls rare categories toward the global

@@ -31,6 +31,24 @@ class NormalizeSpec extends SparkSpec {
       ("a", 6.0, Some(1.0)), ("b", 9.0, None)))
   }
 
+  test("quantileBin: equi-depth buckets, ties to the lower bin, nulls stay null") {
+    // 1..8, 4 bins → cuts at p .25/.5/.75 of sorted values = 2.75/4.5/6.25
+    val df = (1 to 8).map(_.toDouble).toDF("x")
+      .unionByName(Seq(null.asInstanceOf[java.lang.Double]).toDF("x"))
+    val out = Normalize.quantileBin(df, "x", nBins = 4)
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)))).toSet
+    assert(out === Set(
+      (Some(1.0), Some(0L)), (Some(2.0), Some(0L)),
+      (Some(3.0), Some(1L)), (Some(4.0), Some(1L)),
+      (Some(5.0), Some(2L)), (Some(6.0), Some(2L)),
+      (Some(7.0), Some(3L)), (Some(8.0), Some(3L)),
+      (None, None)))
+    // a constant column degenerates to one bin, never throws
+    val const = Seq(5.0, 5.0, 5.0).toDF("x")
+    assert(Normalize.quantileBin(const, "x", 4).select("bin")
+      .as[Long].collect().toSet === Set(0L))
+  }
+
   test("targetEncode: shrinkage toward global mean, null category → global") {
     // cats: a → targets [0, 10] (n=2, mean 5); b → [20] (n=1, mean 20)
     // global mean = 10; smoothing 2:
