@@ -397,6 +397,11 @@ object SparkEntry {
         "o_totalprice", Seq(0.25, 0.5, 0.9, 0.99))
         .select(col("o_orderpriority"), col("p"),
           round(col("value"), 6).as("value"))),
+    // exact heavy-hitters skew report: top-10 (returnflag, linestatus)
+    // tuples with deterministic tie order; frac re-derived in SQL
+    "q_heavy_hitters" -> ((s, dir) =>
+      GroupBy.heavyHitters(t(s, dir, "lineitem"),
+        Seq("l_returnflag", "l_linestatus"), k = 10)),
     // equi-depth binning: deciles of o_totalprice; DuckDB re-derives the
     // same cut points (quantile_cont) and the same strictly-above count
     "q_quantile_bin" -> ((s, dir) =>
@@ -2315,6 +2320,15 @@ object SparkEntry {
            SELECT o_orderpriority,
              quantile_cont(o_totalprice, [0.25, 0.5, 0.9, 0.99]) AS qs
            FROM orders GROUP BY 1)""",
+    "q_heavy_hitters" ->
+      """SELECT l_returnflag, l_linestatus, count,
+           count / (SELECT CAST(count(*) AS DOUBLE) FROM lineitem) AS frac
+         FROM (
+           SELECT l_returnflag, l_linestatus,
+             CAST(count(*) AS BIGINT) AS count
+           FROM lineitem GROUP BY 1, 2
+           ORDER BY count DESC, l_returnflag, l_linestatus
+           LIMIT 10)""",
     // q_quantile_bin: same interior cut points, same strictly-above rule
     "q_quantile_bin" ->
       """WITH cuts AS (

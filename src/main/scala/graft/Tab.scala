@@ -132,6 +132,9 @@ final case class Tab(df: DataFrame) {
     Tab(GroupBy.groupQuantiles(df, groupCols, valueCol, ps))
   /** Pairwise Pearson correlations in one pass (GroupBy.correlation). */
   def correlation(cols: Seq[String]): Tab = Tab(GroupBy.correlation(df, cols))
+  /** Exact top-k heavy hitters of a key tuple (GroupBy.heavyHitters). */
+  def heavyHitters(cols: Seq[String], k: Int): Tab =
+    Tab(GroupBy.heavyHitters(df, cols, k))
   /** Data-contract report: one (check, target, violations, pass) row per
     * expectation (operators.Checks.report).
     */

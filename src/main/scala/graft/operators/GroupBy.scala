@@ -187,6 +187,26 @@ object GroupBy {
       .select(groupCols.map(col) :+ col("p") :+ col("value"): _*)
   }
 
+  /** Exact top-`k` heavy hitters of a key tuple (ext): (keys…, count,
+    * frac) — the skew-diagnosis surface (is this join key salted-join
+    * material?). One partial-agg exchange on the key, then
+    * TakeOrderedAndProject (per-partition heaps, no global sort); frac
+    * uses one count job. For a first pass over an unknown 100 TB key
+    * space use the SpaceSaving sketch (`plans/ApproxTopK`); this is the
+    * exact follow-up. Ties on count break by the key tuple ascending so
+    * the cut is deterministic.
+    */
+  def heavyHitters(df: DataFrame, cols: Seq[String], k: Int): DataFrame = {
+    require(cols.nonEmpty && cols.forall(df.columns.contains),
+      s"heavyHitters: missing ${cols.filterNot(df.columns.contains).mkString(",")}")
+    require(k > 0, s"heavyHitters: k=$k")
+    val total = df.count().toDouble
+    df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("count"))
+      .orderBy(col("count").desc +: cols.map(c => col(c).asc_nulls_last): _*)
+      .limit(k)
+      .withColumn("frac", col("count") / total)
+  }
+
   /** Pairwise Pearson correlation matrix (ext) over numeric columns:
     * the upper triangle as (col_a, col_b, corr), all pairs computed in
     * ONE aggregation pass and the single result row collected (bounded:

@@ -96,6 +96,15 @@ class GroupBySpec extends SparkSpec {
       ("b", 0.25, 7.0), ("b", 0.5, 7.0), ("b", 1.0, 7.0)))
   }
 
+  test("heavyHitters: exact top-k by count, deterministic tie order, fracs sum right") {
+    import spark.implicits._
+    val df2 = (Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq.fill(3)("c") ++ Seq("d"))
+      .toDF("k")
+    val out = GroupBy.heavyHitters(df2, Seq("k"), k = 3)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(out === Seq(("a", 5L, 5.0 / 12), ("b", 3L, 3.0 / 12), ("c", 3L, 3.0 / 12)))
+  }
+
   test("correlation: perfect +/- correlations and the upper triangle only") {
     import spark.implicits._
     val df2 = Seq((1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, -3.0))
