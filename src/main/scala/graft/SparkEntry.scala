@@ -1535,6 +1535,18 @@ object SparkEntry {
       Dedup.editDistancePairs(SetOps.concat(titles, typos), "doc_id", "title",
         maxDistance = 1)
     }),
+    // cross-frame edit-distance probe (broadcast probe keys, corpus
+    // strings never shuffle): typo'd titles of every 5th doc against
+    // the full title corpus, oracled against the quadratic levenshtein
+    "q_edit_join" -> ((s, dir) => {
+      val titles = t(s, dir, "documents").select(col("doc_id"),
+        substring(md5(col("doc_id").cast("string")), 1, 12).as("title"))
+      val probe = titles.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(lit("z"), substring(col("title"), 2, 11)).as("title"))
+      Dedup.editDistanceJoinPairs(probe, titles, "doc_id", "title",
+        maxDistance = 1)
+    }),
     "q_ngram_pairs" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val truncated = docs.select((col("doc_id") + 1000000).as("doc_id"),
@@ -3481,6 +3493,21 @@ object SparkEntry {
            levenshtein(a.title, b.title) AS dist
          FROM c a JOIN c b ON a.doc_id < b.doc_id
          WHERE levenshtein(a.title, b.title) <= 1""",
+    // q_edit_join: quadratic probe × corpus levenshtein truth
+    "q_edit_join" ->
+      """WITH c AS (
+           SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS title
+           FROM documents
+         ),
+         p AS (
+           SELECT doc_id + 1000000 AS doc_id,
+             'z' || substring(md5(CAST(doc_id AS VARCHAR)), 2, 11) AS title
+           FROM documents WHERE doc_id % 5 = 0
+         )
+         SELECT p.doc_id AS id_a, c.doc_id AS id_b,
+           levenshtein(p.title, c.title) AS dist
+         FROM p, c
+         WHERE levenshtein(p.title, c.title) <= 1""",
     // q_minhash_append: the searchable set is corpus (doc_id%4<2) ∪
     // appended batch (doc_id%4=2) — i.e. doc_id%4<3 — probed by exact
     // copies of %8∈{1,2} (one id from each generation) + md5 noise

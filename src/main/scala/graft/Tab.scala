@@ -430,6 +430,15 @@ final case class Tab(df: DataFrame) {
       maxDistance: Int = 1): Tab =
     Tab(graft.ml.Dedup.editDistancePairs(df, idCol, strCol, maxDistance))
 
+  /** Cross-frame edit-distance probe against `corpus`
+    * (ml.Dedup.editDistanceJoinPairs): this Tab is the broadcast probe
+    * side; the corpus never shuffles its strings.
+    */
+  def editDistanceJoinPairs(corpus: Tab, idCol: String, strCol: String,
+      maxDistance: Int = 1): Tab =
+    Tab(graft.ml.Dedup.editDistanceJoinPairs(df, corpus.df, idCol, strCol,
+      maxDistance))
+
   /** Drop documents near-fully contained in a larger document
     * (ml.Dedup.containmentDedup); smallest id survives mutual
     * containment.

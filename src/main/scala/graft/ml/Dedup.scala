@@ -378,6 +378,45 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist")))
   }
 
+  /** EXACT cross-frame edit-distance probe: every (probe A, corpus B)
+    * pair with ed(A,B) ≤ `maxDistance` as `(id_a, id_b, dist)` — the
+    * typo cousin of [[containmentJoinPairs]] ("is this incoming title a
+    * near-miss of something we already hold?"). Same FastSS blocking as
+    * [[editDistancePairs]], but bipartite: the PROBE side's variant
+    * keys broadcast, the corpus generates its keys map-side and never
+    * shuffles its strings — only candidate (id_a, id_b) pairs and the
+    * few candidate corpus rows cross an exchange. Ids must be distinct
+    * across the frames.
+    */
+  def editDistanceJoinPairs(
+      probe: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      strCol: String,
+      maxDistance: Int = 1,
+      maxLen: Int = 64): DataFrame = {
+    require(maxDistance == 1 || maxDistance == 2,
+      s"editDistanceJoinPairs: maxDistance=$maxDistance (FastSS depth 1 or 2)")
+    def keyed(df: DataFrame, idAs: String) = df
+      .select(col(idCol).as(idAs), col(strCol).as(s"s$idAs"))
+      .filter(col(s"s$idAs").isNotNull && length(col(s"s$idAs")) <= maxLen)
+    val p = keyed(probe, "id_a")
+    val c = keyed(corpus, "id_b")
+    def keys(df: DataFrame, idAs: String) = df
+      .select(col(idAs), explode(array_distinct(
+        deletionNeighborhood(col(s"s$idAs"), maxDistance))).as("v"))
+      .select(col(idAs), xxhash64(col("v")).as("bk"))
+    val cand = keys(c, "id_b")
+      .join(broadcast(keys(p, "id_a").distinct()), Seq("bk"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(broadcast(p), Seq("id_a"))
+      .join(c, Seq("id_b"))
+      .withColumn("dist", levenshtein(col("sid_a"), col("sid_b")))
+      .filter(col("dist") <= maxDistance)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+  }
+
   /** SimHash near-dup pairs: 64-bit signature, bucket by the signature's
     * 4 16-bit quadrants (any pair within hamming distance 3 shares at
     * least one exact quadrant), verify hamming ≤ maxHamming.

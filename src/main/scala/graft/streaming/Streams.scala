@@ -272,6 +272,49 @@ object Streams {
       batch.join(dupIds, batch(idCol) === col("__dup_id"), "left_anti")
     }
 
+  /** Typo dedup against a static corpus — the edit-distance cousin of
+    * [[dedupAgainstCorpusBatch]]: drop incoming rows whose short string
+    * (title, name, URL) sits within `maxDistance` edits of any corpus
+    * string ([[graft.ml.Dedup.editDistanceJoinPairs]]; the micro-batch
+    * is the broadcast probe side, the corpus never shuffles its
+    * strings). `foreachBatch` shape like the others.
+    */
+  def editDedupBatch(
+      corpus: DataFrame,
+      idCol: String,
+      strCol: String,
+      maxDistance: Int = 1): DataFrame => DataFrame =
+    (batch: DataFrame) => {
+      val dupIds = graft.ml.Dedup.editDistanceJoinPairs(
+        batch, corpus, idCol, strCol, maxDistance)
+        .select(col("id_a").as("__dup_id")).distinct()
+      batch.join(dupIds, batch(idCol) === col("__dup_id"), "left_anti")
+    }
+
+  /** Per-micro-batch data-contract gate
+    * ([[graft.operators.Checks.report]] lifted onto a stream): batches
+    * where every expectation passes flow through unchanged; a failing
+    * batch is QUARANTINED — `onFail(batch, report)` is invoked (write
+    * to a dead-letter path, alert) and the empty frame flows on, so bad
+    * data never reaches the sink and good batches never wait on it.
+    * `foreachBatch` shape like [[asofEnrichBatch]]:
+    * `stream.writeStream.foreachBatch { (b, _) => sink(gate(b)) }`.
+    * The report is bounded (one row per check); the all-pass probe is
+    * one tiny collect per batch.
+    */
+  def checksGateBatch(
+      checks: Seq[graft.operators.Checks.Check],
+      onFail: (DataFrame, DataFrame) => Unit = (_, _) => ()): DataFrame => DataFrame =
+    (batch: DataFrame) => {
+      val rep = graft.operators.Checks.report(batch, checks)
+      val bad = rep.filter(!col("pass"))
+      if (bad.isEmpty) batch
+      else {
+        onFail(batch, rep)
+        batch.limit(0)
+      }
+    }
+
   /** Streaming latest-wins upsert VIEW: the running "current row per
     * key" across micro-batches — the streaming face of
     * [[graft.operators.SetOps.upsert]]. One k=1

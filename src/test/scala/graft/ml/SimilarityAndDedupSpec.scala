@@ -331,6 +331,25 @@ class SimilarityAndDedupSpec extends SparkSpec {
     assert(want.exists(_._3 == 2L)) // the set genuinely exercises distance 2
   }
 
+  test("editDistanceJoinPairs: bipartite brute-force parity, probe side broadcast") {
+    val corpus = Seq(1L -> "kitten", 2L -> "sitting", 3L -> "mitten", 4L -> "abc")
+    val probe = Seq(10L -> "kitte", 11L -> "abcd", 12L -> "zzzzz")
+    val got = Dedup.editDistanceJoinPairs(
+      probe.toDF("id", "s"), corpus.toDF("id", "s"), "id", "s", maxDistance = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    val want = (for {
+      (ia, sa) <- probe; (ib, sb) <- corpus
+      d = levenshteinRef(sa, sb) if d <= 1
+    } yield (ia, ib, d.toLong)).toSet
+    assert(got === want && want.nonEmpty)
+    assert(!got.exists(_._1 == 12L)) // no corpus string within one edit
+    // the streaming face: batch rows with a corpus typo-match drop
+    val gated = graft.streaming.Streams.editDedupBatch(
+      corpus.toDF("id", "s"), "id", "s")(probe.toDF("id", "s"))
+      .select("id").as[Long].collect().toSet
+    assert(gated === Set(12L))
+  }
+
   private def levenshteinRef(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
     for (i <- 1 to a.length; j <- 1 to b.length)

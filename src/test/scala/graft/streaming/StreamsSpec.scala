@@ -401,6 +401,31 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("checksGateBatch: clean batches flow, a violating batch quarantines whole") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val quarantined = new java.util.concurrent.atomic.AtomicReference[Seq[Long]](Nil)
+    val gate = Streams.checksGateBatch(
+      Seq(graft.operators.Checks.NotNull("v"), graft.operators.Checks.Unique(Seq("k"))),
+      onFail = (b, rep) => {
+        assert(rep.filter(!col("pass")).count() >= 1)
+        quarantined.set(b.select("k").collect().map(_.getLong(0)).toSeq.sorted)
+      })
+    val sink = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = in.toDF().toDF("k", "v").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        sink.synchronized { sink ++= gate(b).select("k").collect().map(_.getLong(0)) }; ()
+      }.start()
+    try {
+      in.addData((1L, "a"), (2L, "b")); q.processAllAvailable()
+      in.addData((3L, null.asInstanceOf[String]), (4L, "d")); q.processAllAvailable()
+      in.addData((5L, "e")); q.processAllAvailable()
+      assert(sink.sorted === Seq(1L, 2L, 5L))          // bad batch never reached the sink
+      assert(quarantined.get === Seq(3L, 4L))          // ... and was handed to onFail whole
+    } finally q.stop()
+  }
+
   test("upsertStream: running latest-wins view across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
