@@ -222,18 +222,27 @@ object SparkEntry {
     */
   private val pplModels =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def pplModel(s: SparkSession, dir: String): DataFrame =
+  private def pplModel(s: SparkSession, dir: String): DataFrame = {
     // keyed by (session, dir), NOT dir alone: the model is a persisted,
     // session-bound DataFrame — a later call with a fresh session must
     // retrain rather than join a dead-session frame (the collected
-    // LocalModel below stays keyed by dir; it is session-independent)
-    pplModels.computeIfAbsent((s, dir), _ => {
-      val m = graft.ml.Perplexity.train(
-        t(s, dir, "documents").select(col("doc_id"), col("text")), "text",
-        buckets = 1 << 14, seed = 11, smoothing = "kn").persist()
-      m.count()
-      m
-    })
+    // LocalModel below stays keyed by dir; it is session-independent).
+    // Entries for OTHER sessions on the same dir are evicted on insert:
+    // without it, repeated session create/stop cycles retain every dead
+    // SparkSession + its persisted frame for the process lifetime.
+    val hit = pplModels.get((s, dir))
+    if (hit != null) hit
+    else {
+      pplModels.keySet.removeIf(k => k._2 == dir && (k._1 ne s))
+      pplModels.computeIfAbsent((s, dir), _ => {
+        val m = graft.ml.Perplexity.train(
+          t(s, dir, "documents").select(col("doc_id"), col("text")), "text",
+          buckets = 1 << 14, seed = 11, smoothing = "kn").persist()
+        m.count()
+        m
+      })
+    }
+  }
 
   /** The collected (driver-local) form of [[pplModel]], memoized too —
     * both gates read it every rep and the model is bounded.
@@ -611,11 +620,11 @@ object SparkEntry {
     // layout op: file-level skipping index — read ONLY the files whose
     // sidecar min/max admit the id range, then the residual filter;
     // pruning changes files touched, never rows (oracle = plain SQL)
-    "q_skipping_read" -> ((s, dir) => {
-      val path = skippingDocsDir(s, dir)
-      val files = graft.sources.Layout.prunedFiles(s, path, "doc_id", 100L, 199L)
-      s.read.parquet(files: _*).filter(col("doc_id").between(100, 199))
-    }),
+    "q_skipping_read" -> ((s, dir) =>
+      // prunedRead also covers the fully-pruned contract: an empty
+      // survivor list yields an empty frame, not a zero-path read error
+      graft.sources.Layout.prunedRead(s, skippingDocsDir(s, dir),
+        "doc_id", 100L, 199L)),
     // training-shard export: 8-way deterministic round-robin split over
     // the md5 order, read back from the shard=i directory layout; DuckDB
     // re-derives every assignment from (doc_id, seed) alone
@@ -720,6 +729,12 @@ object SparkEntry {
     }),
     "q_expression" -> ((s, dir) =>
       Tab(t(s, dir, "lineitem")).expression("l_quantity < 5 AND l_returnflag = 'A'").df),
+    // tablite's OWN expression grammar (python syntax: all(()) tuple,
+    // chained comparison, ==) through ExpressionInterpreter — the
+    // pass side of the (pass, fail) twin
+    "q_expression_tablite" -> ((s, dir) =>
+      Tab(t(s, dir, "lineitem"))
+        .filter("all((l_quantity<5, l_returnflag=='A', 0<l_linenumber<4))")._1.df),
 
     // ---- grouping-set extensions ------------------------------------
     "q_cube" -> ((s, dir) =>
@@ -2122,6 +2137,56 @@ object SparkEntry {
       }
     }),
 
+    // write→read identity through the .tpz container (npy pages +
+    // manifest) — the DISTRIBUTED read path; any page/manifest/stripe
+    // corruption breaks the hash against the source table
+    "q_tpz_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      withTempFile(s"graft_q_tpz_${ProcessHandle.current.pid}.tpz") { p =>
+        graft.sources.Tpz.writeTpz(docs, p)
+        // distributed read materializes lazily — collect inside the
+        // temp-file scope, then rebuild a local frame for the dump
+        val rows = graft.sources.Tpz.readTpzDistributed(s, p, guessDatatypes = false)
+          .select(col("doc_id").cast("long"), col("text"), col("lang"),
+            col("n_chars").cast("long")).collect()
+        s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq, 4),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("text",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("lang",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("n_chars",
+              org.apache.spark.sql.types.LongType))))
+      }
+    }),
+    // write→read identity through the clean-room xlsx codec (zip/XML,
+    // sharedStrings, typed cells); strings-mode read + explicit casts =
+    // identity modulo the cell text itself
+    "q_xlsx_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      withTempFile(s"graft_q_xlsx_${ProcessHandle.current.pid}.xlsx") { p =>
+        graft.sources.Xlsx.writeXlsx(docs, p)
+        graft.sources.Xlsx.readXlsx(s, p, guessDatatypes = false)
+          .select(col("doc_id").cast("long"), col("text"), col("lang"),
+            col("n_chars").cast("long"))
+      }
+    }),
+    // write→read identity through the ODS codec (content.xml typed cells)
+    "q_ods_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      withTempFile(s"graft_q_ods_${ProcessHandle.current.pid}.ods") { p =>
+        graft.sources.Ods.writeOds(docs, p)
+        graft.sources.Ods.readOds(s, p, guessDatatypes = false)
+          .select(col("doc_id").cast("long"), col("text"), col("lang"),
+            col("n_chars").cast("long"))
+      }
+    }),
+
     // ---- multimodal plumbing ----------------------------------------
     "q_multimodal" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -2408,6 +2473,10 @@ object SparkEntry {
          FROM orders""",
     "q_expression" ->
       "SELECT * FROM lineitem WHERE l_quantity < 5 AND l_returnflag = 'A'",
+    "q_expression_tablite" ->
+      """SELECT * FROM lineitem
+         WHERE l_quantity < 5 AND l_returnflag = 'A'
+           AND 0 < l_linenumber AND l_linenumber < 4""",
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS cnt
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
@@ -3821,6 +3890,14 @@ object SparkEntry {
     // q_orc_roundtrip: write→read through the native ORC source/sink is
     // an identity map, so the oracle is the source table itself
     "q_orc_roundtrip" ->
+      "SELECT doc_id, text, lang, n_chars FROM documents",
+    // q_tpz/q_xlsx/q_ods_roundtrip: write→read through each compat codec
+    // is an identity map over the documents table
+    "q_tpz_roundtrip" ->
+      "SELECT doc_id, text, lang, n_chars FROM documents",
+    "q_xlsx_roundtrip" ->
+      "SELECT doc_id, text, lang, n_chars FROM documents",
+    "q_ods_roundtrip" ->
       "SELECT doc_id, text, lang, n_chars FROM documents",
     // q_ann_lsh / q_ann_ivf at FULL probe scan the whole corpus with
     // exact distances, so exact top-k IS their oracle (same shape as

@@ -62,6 +62,21 @@ final case class Tab(df: DataFrame) {
     * Python expression compiler (core.py:330-341, utils.py:55-83).
     */
   def expression(sqlExpr: String): Tab = Tab(df.filter(org.apache.spark.sql.functions.expr(sqlExpr)))
+  /** tablite expression-STRING filter with the reference's own Python
+    * grammar (`"all((A==B, C!=4, 200<D))"`, `"a>=3 and b<=20"`,
+    * chained comparisons, `in`, `is None` — utils.py:55-83,
+    * redux.py:12-32), compiled to one Catalyst predicate by
+    * [[graft.functions.ExpressionInterpreter]]. Returns (pass, fail)
+    * twins like `t.filter(expression)`; rows where the predicate is
+    * NULL land in fail (the reference would raise on None operands —
+    * documented divergence: we keep the row, on the fail side).
+    */
+  def filter(expression: String): (Tab, Tab) = {
+    val p = org.apache.spark.sql.functions.coalesce(
+      graft.functions.ExpressionInterpreter.compile(expression, df.columns.toSeq),
+      org.apache.spark.sql.functions.lit(false))
+    (Tab(df.filter(p)), Tab(df.filter(!p)))
+  }
   def all(kwargs: Map[String, Any]): Tab = Tab(Filters.filterAll(df, kwargs))
   def any(kwargs: Map[String, Any]): Tab = Tab(Filters.filterAny(df, kwargs))
   def dropValues(values: Any*): Tab = Tab(Filters.dropRows(df, values))
@@ -492,15 +507,27 @@ object Tab {
       // reader ignores (reference dispatches both, import_utils.py:633-650)
       Tab(Xlsx.readXlsx(spark, path,
         firstRowHasHeaders = opts.firstRowHasHeaders, headerRowIndex = opts.headerRowIndex,
-        skipEmpty = opts.skipEmpty, guessDatatypes = opts.guessDatatypes))
+        skipEmpty = opts.skipEmpty, guessDatatypes = opts.guessDatatypes,
+        start = opts.start, limit = opts.limit, columns = opts.columns))
     else if (lower.endsWith(".xls")) Tab(Xls.readXls(spark, path,
       firstRowHasHeaders = opts.firstRowHasHeaders, headerRowIndex = opts.headerRowIndex,
-      skipEmpty = opts.skipEmpty, guessDatatypes = opts.guessDatatypes))
+      skipEmpty = opts.skipEmpty, guessDatatypes = opts.guessDatatypes,
+      start = opts.start, limit = opts.limit, columns = opts.columns))
     else if (lower.endsWith(".h5") || lower.endsWith(".hdf5"))
       Tab(Hdf5.readHdf5(spark, path, guessDatatypes = opts.guessDatatypes))
     else if (lower.endsWith(".ods")) Tab(Ods.readOds(spark, path,
       firstRowHasHeaders = opts.firstRowHasHeaders, headerRowIndex = opts.headerRowIndex,
-      skipEmpty = opts.skipEmpty, guessDatatypes = opts.guessDatatypes))
+      skipEmpty = opts.skipEmpty, guessDatatypes = opts.guessDatatypes,
+      start = opts.start, limit = opts.limit, columns = opts.columns))
+    // flat ODS: whole file is the content XML (reference dispatch,
+    // import_utils.py:633-650)
+    else if (lower.endsWith(".fods")) Tab(Ods.readFods(spark, path,
+      firstRowHasHeaders = opts.firstRowHasHeaders, headerRowIndex = opts.headerRowIndex,
+      skipEmpty = opts.skipEmpty, guessDatatypes = opts.guessDatatypes,
+      start = opts.start, limit = opts.limit, columns = opts.columns))
+    // first <table> scrape (reference readers dict dispatches .html)
+    else if (lower.endsWith(".html") || lower.endsWith(".htm"))
+      Tab(Readers.readHtml(spark, path, guessDatatypes = opts.guessDatatypes))
     // compressed JSON family: Spark's text/json sources decompress .gz
     // transparently, so only the DISPATCH needs to see through the
     // suffix. Every OTHER compression suffix errors clearly — the CSV

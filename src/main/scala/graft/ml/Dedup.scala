@@ -349,6 +349,16 @@ object Dedup {
     * the per-row fanout — this is a SHORT-string operator by
     * construction (a 64-char cap at k=2 is ~2k variants/row; documents
     * belong in the shingle families above).
+    *
+    * DROP SEMANTICS: "zero false negatives" holds only for pairs whose
+    * candidate buckets survive `hardCap` — [[bucketSelfJoin]] silently
+    * DROPS any variant bucket larger than `hardCap` rows (default
+    * 100000), exactly like [[minhashPairs]]'s saltCap. A corpus where
+    * >hardCap rows share an identical or near-identical short string
+    * loses those rows' pairs; such a bucket is all-pairs-quadratic by
+    * definition, so the cap is the scale guarantee. Set
+    * `hardCap = Int.MaxValue` to force exhaustiveness (and accept the
+    * quadratic bucket), or pre-dedup exact duplicates first.
     */
   def editDistancePairs(
       docs: DataFrame,

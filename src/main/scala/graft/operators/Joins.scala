@@ -412,11 +412,19 @@ object Joins {
       case other => throw new IllegalArgumentException(s"direction: $other")
     }
     val _ = ordered
-    val carried = outNames.foldLeft(l2.unionByName(r2)) { case (df, (_, out)) =>
-      df.withColumn(out, frame(col(out)))
-    }
+    // Carry ONE struct per matched right row, not each value column
+    // independently: a per-column last(ignoreNulls) would let a NULL in
+    // one value column fall back to an OLDER right row while the other
+    // columns come from the nearest — a composite row that never
+    // existed. The struct is null only on left rows, so the single
+    // last(ignoreNulls) carries the whole nearest right row atomically
+    // (NULL fields included).
+    val packed = l2.unionByName(r2).withColumn("__pack",
+      when(col("__side") === 0, struct(outNames.map(o => col(o._2)): _*)))
+    val carried = packed.withColumn("__pack", frame(col("__pack")))
     carried.filter(col("__side") === 1)
-      .drop(keyAliases :+ "__t" :+ "__side": _*)
+      .select(lCols.map(col) ++ outNames.map { case (_, out) =>
+        col("__pack").getField(out).as(out) }: _*)
   }
 
   /** Nearest join — 1-D nearest-neighbour alignment on a numeric (or
@@ -491,19 +499,25 @@ object Joins {
     def carryF(c: Column) = last(c, ignoreNulls = true)
       .over(wF.rowsBetween(Window.unboundedPreceding, Window.currentRow))
 
-    val carryCols = outNames.map(_._2) :+ "__rt"
-    val carried = carryCols.foldLeft(l2.unionByName(r2)) { case (df, c) =>
-      df.withColumn(s"__b_$c", carryB(col(c))).withColumn(s"__f_$c", carryF(col(c)))
-    }
+    // Atomic-row carry (same reasoning as asofJoin): pack (__rt, values)
+    // into ONE struct that is null only on left rows, carry it once per
+    // direction, and unpack AFTER choosing the direction — so the
+    // backward/forward distance decision and every output column come
+    // from the same right row, even when that row has NULL value columns.
+    val packed = l2.unionByName(r2).withColumn("__pack",
+      when(col("__side") === 0,
+        struct(col("__rt") +: outNames.map(o => col(o._2)): _*)))
+    val carried = packed
+      .withColumn("__bp", carryB(col("__pack")))
+      .withColumn("__fp", carryF(col("__pack")))
     val lt = col("__t").cast("double")
-    val bt = col("__b___rt").cast("double")
-    val ft = col("__f___rt").cast("double")
+    val bt = col("__bp").getField("__rt").cast("double")
+    val ft = col("__fp").getField("__rt").cast("double")
     val useBwd = ft.isNull || (bt.isNotNull && (lt - bt <= ft - lt))
-    val chosen = outNames.foldLeft(carried.filter(col("__side") === 1)) {
-      case (df, (_, out)) =>
-        df.withColumn(out, when(useBwd, col(s"__b_$out")).otherwise(col(s"__f_$out")))
-    }
-    chosen.select(lCols.map(col) ++ outNames.map(o => col(o._2)): _*)
+    carried.filter(col("__side") === 1)
+      .select(lCols.map(col) ++ outNames.map { case (_, out) =>
+        when(useBwd, col("__bp").getField(out))
+          .otherwise(col("__fp").getField(out)).as(out) }: _*)
   }
 
   /** `match` — multi-key ==-only join keeping ONLY matching left rows,

@@ -78,10 +78,14 @@ object Layout {
 
   /** Data files under `path` that can possibly satisfy
     * `lo <= colName <= hi`, from the [[writeSkippingIndex]] sidecar —
-    * the file-pruning half of a skipping read:
-    * `spark.read.parquet(prunedFiles(...): _*)`. A file whose min/max
+    * the file-pruning half of a skipping read. A file whose min/max
     * are null (all-null column) cannot match a range and is skipped.
     * Only surviving file names are collected.
+    *
+    * CONTRACT: the result is legitimately EMPTY when the range misses
+    * every file's [min, max] — and `spark.read.parquet()` with zero
+    * paths throws a schema-inference error rather than returning an
+    * empty frame. Read through [[prunedRead]], which handles that case.
     */
   def prunedFiles(spark: org.apache.spark.sql.SparkSession, path: String,
       colName: String, lo: Any, hi: Any): Seq[String] = {
@@ -91,5 +95,21 @@ object Layout {
     idx.filter(col(s"${colName}__max") >= lit(lo) &&
         col(s"${colName}__min") <= lit(hi))
       .select("file").collect().map(_.getString(0)).toSeq
+  }
+
+  /** Skipping read: scan only the [[prunedFiles]] survivors (the range
+    * predicate is re-applied row-level — min/max pruning is a superset
+    * filter). A fully-pruned range returns an EMPTY frame with the
+    * dataset's schema (from a zero-row read of `path`) instead of the
+    * zero-path schema-inference error raw `spark.read.parquet(files:_*)`
+    * would throw.
+    */
+  def prunedRead(spark: org.apache.spark.sql.SparkSession, path: String,
+      colName: String, lo: Any, hi: Any): org.apache.spark.sql.DataFrame = {
+    val files = prunedFiles(spark, path, colName, lo, hi)
+    val base =
+      if (files.isEmpty) spark.read.parquet(path).limit(0)
+      else spark.read.parquet(files: _*)
+    base.filter(col(colName) >= lit(lo) && col(colName) <= lit(hi))
   }
 }

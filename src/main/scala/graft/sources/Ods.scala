@@ -67,7 +67,14 @@ object Ods {
   private def readGrid(zip: ZipFile, sheet: Option[String]): Seq[Array[String]] = {
     val entry = Option(zip.getEntry("content.xml"))
       .getOrElse(throw new IllegalArgumentException("no content.xml — not an .ods?"))
-    val in = zip.getInputStream(entry)
+    gridFromStream(zip.getInputStream(entry), sheet)
+  }
+
+  /** The content-XML grid parser, shared by the zipped (.ods) and FLAT
+    * (.fods — the whole file is one content XML document) containers.
+    */
+  private def gridFromStream(in: java.io.InputStream,
+      sheet: Option[String]): Seq[Array[String]] = {
     val r = factory.createXMLStreamReader(in)
     val rows = scala.collection.mutable.ArrayBuffer.empty[Array[String]]
     try {
@@ -152,12 +159,37 @@ object Ods {
       firstRowHasHeaders: Boolean = true,
       headerRowIndex: Int = 0,
       skipEmpty: String = "NONE",
-      guessDatatypes: Boolean = true): DataFrame = {
+      guessDatatypes: Boolean = true,
+      start: Int = 0,
+      limit: Int = Int.MaxValue,
+      columns: Seq[String] = Nil): DataFrame = {
     val zip = new ZipFile(path)
     try {
       val grid = readGrid(zip, sheet)
-      Xlsx.gridToDf(spark, grid, firstRowHasHeaders, headerRowIndex, skipEmpty, guessDatatypes)
+      Xlsx.gridToDf(spark, grid, firstRowHasHeaders, headerRowIndex, skipEmpty, guessDatatypes,
+        start, limit, columns)
     } finally zip.close()
+  }
+
+  /** Flat OpenDocument spreadsheet (.fods): the reference's readers
+    * dict dispatches it to the same ods loader (import_utils.py:633-650)
+    * — the file is the content XML itself, no zip container.
+    */
+  def readFods(
+      spark: SparkSession,
+      path: String,
+      sheet: Option[String] = None,
+      firstRowHasHeaders: Boolean = true,
+      headerRowIndex: Int = 0,
+      skipEmpty: String = "NONE",
+      guessDatatypes: Boolean = true,
+      start: Int = 0,
+      limit: Int = Int.MaxValue,
+      columns: Seq[String] = Nil): DataFrame = {
+    val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path))
+    val grid = try gridFromStream(in, sheet) finally in.close()
+    Xlsx.gridToDf(spark, grid, firstRowHasHeaders, headerRowIndex, skipEmpty, guessDatatypes,
+      start, limit, columns)
   }
 
   private def xmlEscape(s: String): String =

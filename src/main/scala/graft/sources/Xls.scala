@@ -388,7 +388,10 @@ object Xls {
       firstRowHasHeaders: Boolean = true,
       headerRowIndex: Int = 0,
       skipEmpty: String = "NONE",
-      guessDatatypes: Boolean = true): DataFrame = {
+      guessDatatypes: Boolean = true,
+      start: Int = 0,
+      limit: Int = Int.MaxValue,
+      columns: Seq[String] = Nil): DataFrame = {
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
     val wb = new Cfb(bytes).stream(Seq("Workbook", "Book")).getOrElse(
       throw new IllegalArgumentException(s"no Workbook stream in $path"))
@@ -401,6 +404,7 @@ object Xls {
       case None => g.sheets.head._2
     }
     val grid = parseSheet(wb, bof, g)
-    Xlsx.gridToDf(spark, grid, firstRowHasHeaders, headerRowIndex, skipEmpty, guessDatatypes)
+    Xlsx.gridToDf(spark, grid, firstRowHasHeaders, headerRowIndex, skipEmpty, guessDatatypes,
+      start, limit, columns)
   }
 }

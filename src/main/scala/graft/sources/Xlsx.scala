@@ -246,7 +246,10 @@ object Xlsx {
       firstRowHasHeaders: Boolean = true,
       headerRowIndex: Int = 0,
       skipEmpty: String = "NONE",
-      guessDatatypes: Boolean = true): DataFrame = {
+      guessDatatypes: Boolean = true,
+      start: Int = 0,
+      limit: Int = Int.MaxValue,
+      columns: Seq[String] = Nil): DataFrame = {
     val zip = new ZipFile(path)
     try {
       val sheets = sheetTargets(zip)
@@ -258,13 +261,17 @@ object Xlsx {
         case None => sheets.head._2
       }
       val all = sheetRows(zip, target, sharedStrings(zip), dateStyles(zip))
-      gridToDf(spark, all, firstRowHasHeaders, headerRowIndex, skipEmpty, guessDatatypes)
+      gridToDf(spark, all, firstRowHasHeaders, headerRowIndex, skipEmpty, guessDatatypes,
+        start, limit, columns)
     } finally zip.close()
   }
 
   /** Shared grid-of-strings → typed DataFrame plumbing (header row,
     * padding, skip_empty, rank-based inference) — used by the xlsx and
     * ods readers so every spreadsheet format infers like the CSV path.
+    * `start`/`limit` window the DATA rows (post-header, pre-skip_empty —
+    * the reference's excel_reader start/limit, import_utils.py:180-368);
+    * `columns` subsets by resolved header name, reference order.
     */
   private[sources] def gridToDf(
       spark: SparkSession,
@@ -272,7 +279,10 @@ object Xlsx {
       firstRowHasHeaders: Boolean,
       headerRowIndex: Int,
       skipEmpty: String,
-      guessDatatypes: Boolean): DataFrame = {
+      guessDatatypes: Boolean,
+      start: Int = 0,
+      limit: Int = Int.MaxValue,
+      columns: Seq[String] = Nil): DataFrame = {
     val all = rows.drop(headerRowIndex)
     // width = the table's full extent, not the header row's (an empty
     // header row still yields the data's columns — reference behavior,
@@ -290,15 +300,26 @@ object Xlsx {
         }
         (h, all.tail)
       } else ((0 until width).map(i => s"_$i"), all)
-    val padded = data.map { r =>
-      Row.fromSeq((0 until width).map(i => if (i < r.length) r(i) else null))
+    val keepIdx: Seq[Int] =
+      if (columns.isEmpty) 0 until width
+      else columns.map { c =>
+        val i = headers.indexOf(c)
+        require(i >= 0, s"columns: '$c' not in headers ${headers.mkString(", ")}")
+        i
+      }
+    val outHeaders = keepIdx.map(headers)
+    val windowed = data.slice(start,
+      if (limit >= Int.MaxValue - start) Int.MaxValue else start + limit)
+    val padded = windowed.map { r =>
+      Row.fromSeq(keepIdx.map(i => if (i < r.length) r(i) else null))
     }
+    val w = keepIdx.length
     val filtered = skipEmpty.toUpperCase match {
-      case "ANY" => padded.filter(row => (0 until width).forall(i => row.get(i) != null))
-      case "ALL" => padded.filter(row => (0 until width).exists(i => row.get(i) != null))
+      case "ANY" => padded.filter(row => (0 until w).forall(i => row.get(i) != null))
+      case "ALL" => padded.filter(row => (0 until w).exists(i => row.get(i) != null))
       case _     => padded
     }
-    val schema = StructType(headers.map(h => StructField(h, StringType, nullable = true)))
+    val schema = StructType(outHeaders.map(h => StructField(h, StringType, nullable = true)))
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(filtered.toSeq, math.max(1, filtered.length / 10000 + 1)),
       schema)

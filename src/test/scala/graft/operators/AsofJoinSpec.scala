@@ -149,6 +149,34 @@ class AsofJoinSpec extends SparkSpec {
     assert(got3 === 1.0)
   }
 
+  test("asof: NULL value columns in the matched right row stay NULL (atomic-row carry)") {
+    // right rows (t=1, x=5), (t=2, x=NULL); left at t=2 must see x=NULL —
+    // a per-column carry would resurrect x=5 from the older row
+    val l = Seq(("A", 2L, "t1")).toDF("sym", "t", "tag")
+    val r = Seq(("A", 1L, Option(5.0), Option("a")),
+      ("A", 2L, None: Option[Double], Option("b"))).toDF("sym", "t", "x", "y")
+    val row = Joins.asofJoin(l, r, Seq("sym"), Seq("sym"), "t", "t",
+      Seq("x", "y")).collect()(0)
+    assert(Option(row.getAs[Any]("x")) === None)
+    assert(row.getAs[String]("y") === "b")
+    // native path agrees (it always carried the whole row)
+    val n = graft.plans.AsofJoinPlan.asofJoin(l, r, Seq("sym"), Seq("sym"),
+      "t", "t", Seq("x", "y")).collect()(0)
+    assert(Option(n.getAs[Any]("x")) === None)
+    assert(n.getAs[String]("y") === "b")
+  }
+
+  test("nearestJoin: NULL value columns in the nearest right row stay NULL, and the distance decision uses that same row") {
+    val l = Seq(("A", 2L, "t1")).toDF("sym", "t", "tag")
+    val r = Seq(("A", 1L, 10L, Option(5.0), Option("a")),
+      ("A", 2L, 11L, None: Option[Double], Option("b")))
+      .toDF("sym", "t", "rid", "x", "y")
+    val row = Joins.nearestJoin(l, r, Seq("sym"), Seq("sym"), "t", "t",
+      Seq("x", "y"), rightTie = "rid").collect()(0)
+    assert(Option(row.getAs[Any]("x")) === None) // nearest row's NULL, not t=1's 5.0
+    assert(row.getAs[String]("y") === "b")       // and y from the SAME row
+  }
+
   test("nearestJoin equals brute force on random data and is partition-invariant") {
     val rng = new scala.util.Random(17)
     val lRows = (0 until 120).map(i =>
