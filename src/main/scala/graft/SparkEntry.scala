@@ -478,6 +478,16 @@ object SparkEntry {
         Map("c_mktsegment" -> "BUILDING", "c_nationkey" -> 3))),
     "q_drop_rows" -> ((s, dir) =>
       Filters.dropRows(t(s, dir, "customer"), Seq("BUILDING"))),
+    // Column.remove_all analogue: one shrunk column, null-safe value match
+    "q_col_remove_all" -> ((s, dir) =>
+      Filters.columnRemoveAll(t(s, dir, "lineitem"), "l_returnflag", Seq("N"))),
+    // first-seen key-order groupby parity mode: values gate here (driver
+    // compare is order-insensitive); emission order is spec-pinned
+    "q_groupby_firstseen" -> ((s, dir) =>
+      GroupBy.groupby(t(s, dir, "orders"), Seq("o_orderpriority"),
+        Seq("o_totalprice" -> "Sum"), orderCol = "o_orderkey",
+        firstSeenOrder = true)
+        .withColumnRenamed("Sum(o_totalprice)", "sum_price")),
     "q_replace" -> ((s, dir) =>
       GroupBy.histogram(
         Filters.replace(t(s, dir, "lineitem"), Map("A" -> "X"), Seq("l_returnflag")),
@@ -2505,6 +2515,11 @@ object SparkEntry {
     "q_drop_rows" ->
       """SELECT * FROM customer WHERE NOT (coalesce(c_name = 'BUILDING', FALSE)
          OR coalesce(c_mktsegment = 'BUILDING', FALSE))""",
+    "q_col_remove_all" ->
+      "SELECT l_returnflag FROM lineitem WHERE l_returnflag IS DISTINCT FROM 'N'",
+    "q_groupby_firstseen" ->
+      """SELECT o_orderpriority, sum(o_totalprice) AS sum_price
+         FROM orders GROUP BY 1""",
     "q_replace" ->
       """SELECT CASE WHEN l_returnflag = 'A' THEN 'X' ELSE l_returnflag END AS l_returnflag,
          count(*) AS count FROM lineitem GROUP BY 1""",

@@ -80,6 +80,8 @@ final case class Tab(df: DataFrame) {
   def all(kwargs: Map[String, Any]): Tab = Tab(Filters.filterAll(df, kwargs))
   def any(kwargs: Map[String, Any]): Tab = Tab(Filters.filterAny(df, kwargs))
   def dropValues(values: Any*): Tab = Tab(Filters.dropRows(df, values))
+  def columnRemoveAll(column: String, values: Any*): Tab =
+    Tab(Filters.columnRemoveAll(df, column, values))
   def replace(mapping: Map[Any, Any], columns: Seq[String]): Tab =
     Tab(Filters.replace(df, mapping, columns))
   def dropDuplicates(cols: Seq[String], orderBy: Seq[String]): Tab =
@@ -118,8 +120,8 @@ final case class Tab(df: DataFrame) {
 
   // ---- aggregation / reshape ---------------------------------------
   def groupby(keys: Seq[String], functions: Seq[(String, String)],
-      orderCol: String = null): Tab =
-    Tab(GroupBy.groupby(df, keys, functions, orderCol))
+      orderCol: String = null, firstSeenOrder: Boolean = false): Tab =
+    Tab(GroupBy.groupby(df, keys, functions, orderCol, firstSeenOrder))
   def pivot(rows: Seq[String], columns: Seq[String], functions: Seq[(String, String)],
       valuesAsRows: Boolean = true, pivotValues: Seq[Any] = Nil): Tab =
     if (valuesAsRows) Tab(Pivots.pivotLong(df, rows, columns, functions))

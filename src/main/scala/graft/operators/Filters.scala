@@ -118,6 +118,23 @@ object Filters {
     if (checks.isEmpty) df else df.filter(!checks.reduce(_ || _))
   }
 
+  /** `Column.remove_all(*values)` (base.py:870-885): remove every cell
+    * equal to one of `values` from ONE column. The reference mutates the
+    * column in place, leaving it SHORTER than its table (ragged columns
+    * are a tablite storage feature with no DataFrame analogue) — here
+    * the shrunk column comes back as a single-column frame, the closest
+    * relational shape; callers who want whole-row semantics use
+    * [[dropRows]]. Null-safe (`null` in `values` removes nulls, like the
+    * reference's `None`). Projection + narrow filter: no shuffle, source
+    * row order survives.
+    */
+  def columnRemoveAll(df: DataFrame, c: String, values: Seq[Any]): DataFrame = {
+    require(df.columns.contains(c), s"columnRemoveAll: no column '$c'")
+    val one = df.select(col(c))
+    if (values.isEmpty) one
+    else one.filter(!values.map(v => col(c) <=> lit(v)).reduce(_ || _))
+  }
+
   /** Replace values old→new in the given columns (core.py:500-528). */
   def replace(df: DataFrame, mapping: Map[Any, Any], columns: Seq[String]): DataFrame =
     columns.foldLeft(df) { (acc, c) =>

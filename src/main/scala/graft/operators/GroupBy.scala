@@ -68,20 +68,42 @@ object GroupBy {
 
   /** `t.groupby(keys, functions)` — functions = Seq(column -> accumulatorName).
     * With no functions, returns the distinct key combinations
-    * (groupby.nim:608-620). First-seen key order is not reproduced
-    * (documented divergence — Spark results are unordered sets).
+    * (groupby.nim:608-620). By default first-seen key order is not
+    * reproduced (documented divergence — Spark results are unordered
+    * sets). `firstSeenOrder = true` opts into the reference's ordered-
+    * table emission (groupby.nim:588-689 iterates an insertion-ordered
+    * table): each group additionally aggregates `min(orderCol)` — its
+    * first appearance in the row order `orderCol` encodes — and the
+    * output sorts on it ascending. Requires `orderCol` (take one from
+    * [[Sorts.sortIndex]] when the frame has no natural row index); the
+    * sort is a range exchange over one long per group, so the parity
+    * mode stays scale-safe.
     */
   def groupby(
       df: DataFrame,
       keys: Seq[String],
       functions: Seq[(String, String)],
-      orderCol: String = null): DataFrame = {
+      orderCol: String = null,
+      firstSeenOrder: Boolean = false): DataFrame = {
     require(keys.nonEmpty || functions.nonEmpty, "groupby needs keys or functions")
-    if (functions.isEmpty) df.select(keys.map(col): _*).distinct()
-    else {
-      val aggs = functions.map { case (c, fn) => accumulator(fn, c, orderCol) }
-      if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
-      else df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    require(!firstSeenOrder || orderCol != null,
+      "groupby: firstSeenOrder requires an orderCol encoding row order " +
+        "(e.g. from sortIndex)")
+    if (functions.isEmpty) {
+      if (!firstSeenOrder) df.select(keys.map(col): _*).distinct()
+      else df.groupBy(keys.map(col): _*)
+        .agg(min(col(orderCol)).as("__first_seen"))
+        .orderBy(col("__first_seen"))
+        .drop("__first_seen")
+    } else {
+      val aggs0 = functions.map { case (c, fn) => accumulator(fn, c, orderCol) }
+      val aggs = if (firstSeenOrder) aggs0 :+ min(col(orderCol)).as("__first_seen")
+                 else aggs0
+      val out =
+        if (keys.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+        else df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      if (firstSeenOrder) out.orderBy(col("__first_seen")).drop("__first_seen")
+      else out
     }
   }
 

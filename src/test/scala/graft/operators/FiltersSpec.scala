@@ -65,6 +65,20 @@ class FiltersSpec extends SparkSpec {
     assert(Filters.dropRows(df, Seq(2)).count() === 3)
   }
 
+  test("columnRemoveAll shrinks one column, null-safe, order preserved (base.py:870-885)") {
+    val d = Seq(Some("a"), Some("b"), None, Some("a"), Some("c"))
+      .toDF("s")
+    val out = Filters.columnRemoveAll(d, "s", Seq("a"))
+    assert(out.columns.toSeq === Seq("s"))
+    assert(out.collect().map(r => Option(r.getString(0))).toSeq ===
+      Seq(Some("b"), None, Some("c")))
+    // null in values removes nulls, like the reference's None
+    assert(Filters.columnRemoveAll(d, "s", Seq(null, "c")).collect()
+      .map(_.getString(0)).toSeq === Seq("a", "b", "a"))
+    // empty values = plain column projection
+    assert(Filters.columnRemoveAll(d, "s", Nil).count() === 5)
+  }
+
   test("replace maps values incl. null-safe matching") {
     val out = Filters.replace(df, Map("a" -> "z"), Seq("s"))
     assert(out.filter($"s" === "z").count() === 2)

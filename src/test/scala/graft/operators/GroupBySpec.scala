@@ -48,6 +48,27 @@ class GroupBySpec extends SparkSpec {
     assert(GroupBy.groupby(df, Seq("g"), Nil).count() === 2)
   }
 
+  test("firstSeenOrder=true emits groups in first-appearance order (groupby.nim:588-689)") {
+    // keys first seen in order zz(1), aa(2), mm(4) — lexical order would be aa,mm,zz
+    val d = Seq(("zz", 1.0, 1), ("aa", 2.0, 2), ("zz", 3.0, 3), ("mm", 4.0, 4),
+      ("aa", 5.0, 5)).toDF("g", "v", "ord").repartition(4)
+    val agg = GroupBy.groupby(d, Seq("g"), Seq("v" -> "Sum"), orderCol = "ord",
+      firstSeenOrder = true)
+    assert(agg.columns.toSeq === Seq("g", "Sum(v)"))
+    assert(agg.collect().map(_.getString(0)).toSeq === Seq("zz", "aa", "mm"))
+    // no-functions form too
+    val keys = GroupBy.groupby(d, Seq("g"), Nil, orderCol = "ord",
+      firstSeenOrder = true)
+    assert(keys.collect().map(_.getString(0)).toSeq === Seq("zz", "aa", "mm"))
+  }
+
+  test("firstSeenOrder without orderCol fails loudly") {
+    val e = intercept[IllegalArgumentException] {
+      GroupBy.groupby(df, Seq("g"), Seq("v" -> "Sum"), firstSeenOrder = true)
+    }
+    assert(e.getMessage.contains("orderCol"))
+  }
+
   test("output naming is Function(column) (groupby.nim:677-679)") {
     val out = GroupBy.groupby(df, Seq("g"), Seq("v" -> "Sum", "v" -> "Average"))
     assert(out.columns.toSeq === Seq("g", "Sum(v)", "Average(v)"))
