@@ -609,12 +609,156 @@ object Kernels {
     repStatsCore(out.iterator())
   }
 
+  /** Exact two-level nearest-centroid index (triangle-inequality
+    * pruning, the Elkan 2003 k-means acceleration bound): centroids are
+    * deterministically grouped under G ≈ √nc super-centroids (strided
+    * seeds → one exact assignment pass → recentre on the group mean,
+    * no RNG, no iteration), and a lookup computes the G super-distances
+    * first, then scans only groups whose lower bound
+    * `d(v, s_g) − r_g` can still beat the current best. EXACT — the
+    * returned index is identical to the flat scan's (ties break to the
+    * smallest centroid index on both paths; the skip test is strict so
+    * an at-the-bound tie is still scanned) — but ~O(√nc) distance
+    * evaluations per row on clustered centroid sets. This is what turns
+    * the IVF-family coarse ASSIGNMENT from O(n·nList) = O(n^1.5) (with
+    * nList ∝ √n) into ~O(n·√nList): the sf1 scale rehearsal measured
+    * the flat assignment as the one super-linear build term
+    * (NOTES round-11). Shorter input vectors stay exact: projections
+    * only shrink distances, so the full-dimension radius still lower-
+    * bounds the projected member distance.
+    */
+  private final class CentroidHier(cs: Array[Array[Double]]) {
+    private val nc = cs.length
+    val g: Int = math.max(1, math.sqrt(nc.toDouble).toInt)
+    val members: Array[Array[Int]] = new Array(g)
+    val superCents: Array[Array[Double]] = new Array(g)
+    val radii: Array[Double] = new Array(g)
+    locally {
+      def d2(a: Array[Double], b: Array[Double]): Double = {
+        val m = math.min(a.length, b.length); var d = 0.0; var i = 0
+        while (i < m) { val t = a(i) - b(i); d += t * t; i += 1 }
+        d
+      }
+      // strided seeds, one exact assignment pass
+      val seeds = Array.tabulate(g)(j => cs((j.toLong * nc / g).toInt))
+      val assign = new Array[Int](nc)
+      var ci = 0
+      while (ci < nc) {
+        var best = Double.MaxValue; var bi = 0; var j = 0
+        while (j < g) {
+          val d = d2(cs(ci), seeds(j)); if (d < best) { best = d; bi = j }; j += 1
+        }
+        assign(ci) = bi; ci += 1
+      }
+      val buf = Array.fill(g)(new scala.collection.mutable.ArrayBuilder.ofInt)
+      ci = 0
+      while (ci < nc) { buf(assign(ci)) += ci; ci += 1 }
+      var j = 0
+      while (j < g) {
+        val mem = buf(j).result()
+        members(j) = mem
+        val dim = if (nc == 0) 0 else cs(0).length
+        val mean = new Array[Double](dim)
+        var k = 0
+        while (k < mem.length) {
+          val c = cs(mem(k)); var i = 0
+          while (i < math.min(dim, c.length)) { mean(i) += c(i); i += 1 }
+          k += 1
+        }
+        if (mem.length > 0) { var i = 0; while (i < dim) { mean(i) /= mem.length; i += 1 } }
+        superCents(j) = mean
+        var r = 0.0; k = 0
+        while (k < mem.length) { r = math.max(r, math.sqrt(d2(cs(mem(k)), mean))); k += 1 }
+        radii(j) = r
+        j += 1
+      }
+    }
+  }
+
+  /** Java arrays equal by reference, so a plain LinkedHashMap keyed on
+    * the centroids array IS an identity memo — one hierarchy per
+    * deserialized expression constant, 64-entry LRU (the quantizer-memo
+    * pattern).
+    */
+  private val hierMemo: java.util.Map[Array[Array[Double]], CentroidHier] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[Array[Array[Double]], CentroidHier](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[Array[Array[Double]], CentroidHier]): Boolean =
+          size() > 64
+      })
+  private def hierOf(cs: Array[Array[Double]]): CentroidHier = {
+    val got = hierMemo.get(cs)
+    if (got != null) got
+    else { val h = new CentroidHier(cs); hierMemo.put(cs, h); h }
+  }
+
+  /** Flat scan pays off below this many centroids; above it the
+    * two-level exact index wins.
+    */
+  private val HierThreshold = 192
+
+  private def vecCentDistSq(
+      a: ArrayData, len: Int, c: Array[Double], elemKind: Int): Double = {
+    val m = math.min(len, c.length)
+    var d = 0.0; var i = 0
+    while (i < m) {
+      val v = if (elemKind == 0) a.getFloat(i).toDouble else a.getDouble(i)
+      val diff = v - c(i)
+      d += diff * diff
+      i += 1
+    }
+    d
+  }
+
   /** Indices of the `n` nearest centroids (squared L2, ascending) for a
-    * numeric array. elemKind: 0 = float, 1 = double.
+    * numeric array. elemKind: 0 = float, 1 = double. The n == 1
+    * assignment case (the per-corpus-row hot path of every IVF-family
+    * build) routes through [[CentroidHier]] when the centroid set is
+    * large; n > 1 probing runs per QUERY row, where the flat scan is
+    * already cheap relative to the list scans it gates.
     */
   def nearestCentroidsEval(
       a: ArrayData, centroids: Array[Array[Double]], n: Int, elemKind: Int): ArrayData = {
     val nc = centroids.length
+    if (n == 1 && nc >= HierThreshold) {
+      val h = hierOf(centroids)
+      val len = a.numElements()
+      val g = h.g
+      val ds = new Array[Double](g)
+      val order = new Array[Integer](g)
+      var j = 0
+      while (j < g) {
+        ds(j) = math.sqrt(vecCentDistSq(a, len, h.superCents(j), elemKind))
+        order(j) = j
+        j += 1
+      }
+      java.util.Arrays.sort(order, new java.util.Comparator[Integer] {
+        override def compare(x: Integer, y: Integer): Int =
+          java.lang.Double.compare(ds(x), ds(y))
+      })
+      var best = Double.MaxValue
+      var bestI = Int.MaxValue
+      var oi = 0
+      while (oi < g) {
+        val gi = order(oi)
+        val lb = ds(gi) - h.radii(gi)
+        // strict skip: an at-the-bound tie must still be scanned so the
+        // smallest-index tie-break matches the flat scan exactly
+        if (!(lb > 0 && lb * lb > best)) {
+          val mem = h.members(gi)
+          var k = 0
+          while (k < mem.length) {
+            val ci = mem(k)
+            val d = vecCentDistSq(a, len, centroids(ci), elemKind)
+            if (d < best || (d == best && ci < bestI)) { best = d; bestI = ci }
+            k += 1
+          }
+        }
+        oi += 1
+      }
+      return new GenericArrayData(Array(bestI))
+    }
     val keep = math.min(n, nc)
     val bestD = Array.fill(keep)(Double.MaxValue)
     val bestI = new Array[Int](keep)

@@ -1,0 +1,84 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The exact two-level nearest-centroid path (triangle-inequality
+  * pruning) must return the IDENTICAL index to the flat scan for every
+  * vector — it is a pure acceleration of the IVF-family coarse
+  * assignment, never an approximation.
+  */
+class CentroidHierSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkCentroids(nc: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nc) { c =>
+      // clustered layout (what k-means training emits): 16 macro blobs
+      // with per-centroid jitter, deterministic
+      val blob = c % 16
+      Array.tabulate(dim)(j => blob * 3.0 + math.sin(c * 31 + j * 7) * 0.4)
+    }
+
+  private def flatArgmin(v: Array[Double], cs: Array[Array[Double]]): Int = {
+    var best = Double.MaxValue; var bi = 0
+    cs.indices.foreach { ci =>
+      val m = math.min(v.length, cs(ci).length)
+      var d = 0.0; var i = 0
+      while (i < m) { val t = v(i) - cs(ci)(i); d += t * t; i += 1 }
+      if (d < best) { best = d; bi = ci }
+    }
+    bi
+  }
+
+  test("hier assignment == flat argmin for 300 clustered centroids, double vecs") {
+    val cs = mkCentroids(300, 12) // ≥ HierThreshold → hier path
+    val vecs = Seq.tabulate(500)(i =>
+      (i.toLong, Array.tabulate(12)(j => (i % 16) * 3.0 + math.cos(i * 13 + j) * 1.5)))
+    val df = vecs.toDF("id", "v").repartition(4)
+    val got = df.select($"id", element_at(Kernels.nearestCentroids($"v", cs, 1), 1).as("list"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    vecs.foreach { case (id, v) =>
+      assert(got(id) === flatArgmin(v, cs), s"id $id")
+    }
+  }
+
+  test("hier assignment == flat argmin for float vecs and short (projected) vecs") {
+    val cs = mkCentroids(256, 8)
+    val fvecs = Seq.tabulate(200)(i =>
+      (i.toLong, Array.tabulate(8)(j => ((i % 16) * 3.0 + math.sin(i + j)).toFloat)))
+    val df = fvecs.toDF("id", "v")
+    val got = df.select($"id", element_at(Kernels.nearestCentroids($"v", cs, 1), 1).as("list"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    fvecs.foreach { case (id, v) =>
+      assert(got(id) === flatArgmin(v.map(_.toDouble), cs), s"id $id")
+    }
+    // shorter vector than centroid dim: distances project to the prefix,
+    // still exact (full-dim radius upper-bounds the projected one)
+    val svecs = Seq.tabulate(100)(i =>
+      (i.toLong, Array.tabulate(5)(j => (i % 16) * 3.0 + math.cos(i * 3 + j))))
+    val sgot = svecs.toDF("id", "v")
+      .select($"id", element_at(Kernels.nearestCentroids($"v", cs, 1), 1).as("list"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    svecs.foreach { case (id, v) =>
+      assert(sgot(id) === flatArgmin(v, cs), s"short id $id")
+    }
+  }
+
+  test("below the threshold the flat scan still answers (n=1 small, and n>1 probing)") {
+    val cs = mkCentroids(20, 6)
+    val vecs = Seq.tabulate(50)(i =>
+      (i.toLong, Array.tabulate(6)(j => (i % 16) * 3.0 + math.sin(i + j))))
+    val got = vecs.toDF("id", "v")
+      .select($"id", element_at(Kernels.nearestCentroids($"v", cs, 1), 1).as("list"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    vecs.foreach { case (id, v) => assert(got(id) === flatArgmin(v, cs)) }
+    // n > 1: ascending distance order, first element == argmin
+    val multi = vecs.toDF("id", "v")
+      .select($"id", Kernels.nearestCentroids($"v", cs, 3).as("probes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    vecs.foreach { case (id, v) =>
+      assert(multi(id).head === flatArgmin(v, cs))
+      assert(multi(id).length === 3)
+    }
+  }
+}
