@@ -1662,6 +1662,16 @@ object SparkEntry {
       Dedup.connectedComponents(componentEdges(s, dir))),
     "q_components_dist" -> ((s, dir) =>
       Dedup.connectedComponents(componentEdges(s, dir), driverThreshold = 0)),
+    // quality-aware canonical selection: same planted edge graph, keep
+    // the longest doc per cluster (tie → smallest id) + unpaired docs
+    "q_canonical" -> ((s, dir) =>
+      Dedup.canonicalPerCluster(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", componentEdges(s, dir))),
+    // corpus accounting: tokens/chars per (source, lang) in one pass
+    "q_corpus_report" -> ((s, dir) =>
+      graft.functions.TextFunctions.corpusReport(
+        t(s, dir, "documents"), Seq("source", "lang"), "text")),
 
     // line-level boilerplate dedup: every doc gets a shared footer line
     // (df = all docs) plus a unique marker line (df = 1); the footer is
@@ -3884,6 +3894,41 @@ object SparkEntry {
            SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
          )
          SELECT id, min(label) AS label FROM reach GROUP BY id""",
+    // q_canonical: recursive-CTE components, then argmax n_chars per
+    // cluster (tie min id) + every unpaired doc
+    "q_canonical" ->
+      """WITH RECURSIVE
+         e0 AS (
+           SELECT doc_id AS src, doc_id + 1 AS dst FROM documents
+           WHERE doc_id % 10 < 3
+           UNION ALL
+           SELECT doc_id AS src, doc_id + 10 AS dst FROM documents
+           WHERE doc_id % 20 = 1
+         ),
+         edges AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+         reach(id, label) AS (
+           SELECT src, src FROM edges
+           UNION
+           SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+         ),
+         labels AS (SELECT id, min(label) AS label FROM reach GROUP BY id),
+         ranked AS (
+           SELECT l.id, l.label,
+             row_number() OVER (PARTITION BY l.label
+               ORDER BY d.n_chars DESC, l.id ASC) AS rn
+           FROM labels l JOIN documents d ON d.doc_id = l.id
+         )
+         SELECT d.doc_id, d.n_chars FROM documents d
+         LEFT JOIN labels l ON l.id = d.doc_id
+         LEFT JOIN ranked r ON r.id = d.doc_id
+         WHERE l.id IS NULL OR r.rn = 1""",
+    "q_corpus_report" ->
+      """SELECT source, lang, count(*) AS n_docs,
+         CAST(sum(length(text)) AS BIGINT) AS total_chars,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+         sum(length(text)) / count(*) AS avg_chars,
+         min(length(text)) AS min_chars, max(length(text)) AS max_chars
+         FROM documents GROUP BY 1, 2""",
     // q_multimodal: n_bytes/md5 over the utf-8 payload are engine-neutral
     "q_multimodal" ->
       """SELECT doc_id AS media_id, 'text' AS kind,

@@ -480,6 +480,16 @@ final case class Tab(df: DataFrame) {
       shingleN: Int = 3, k: Int = 4096): Double =
     graft.ml.Dedup.corpusJaccard(df, other.df, textCol, shingleN, k)
 
+  /** Keep the highest-`scoreCol` member of each near-dup cluster
+    * (ml.Dedup.canonicalPerCluster); min-id rule = `dedupedCorpus`.
+    */
+  def canonicalPerCluster(idCol: String, scoreCol: String, pairs: Tab): Tab =
+    Tab(graft.ml.Dedup.canonicalPerCluster(df, idCol, scoreCol, pairs.df))
+
+  /** Per-group corpus accounting (functions.TextFunctions.corpusReport). */
+  def corpusReport(groupCols: Seq[String], textCol: String): Tab =
+    Tab(graft.functions.TextFunctions.corpusReport(df, groupCols, textCol))
+
   def save(path: String): Unit = Writers.save(df, path)
   def toCsv(path: String): Unit = Writers.toCsv(df, path)
   def toTsv(path: String): Unit = Writers.toTsv(df, path)

@@ -228,6 +228,28 @@ object TextFunctions {
   def langScore(text: Column, pattern: String): Column =
     size(regexp_extract_all(lower(text), lit(pattern), lit(0)))
 
+  /** Corpus accounting report: per group (source, language, shard …) —
+    * `(n_docs, total_chars, total_tokens, avg_chars, min_chars,
+    * max_chars)`. The first question asked of any training mix ("how
+    * many tokens per source?") as ONE partial-aggregated pass: every
+    * accumulator is map-side combining, the exchange carries one row
+    * per group, text never shuffles. Token counts use the whitespace
+    * [[tokenCount]] contract (engine-neutral, DuckDB re-derives it
+    * exactly); `avg_chars` is the IEEE division of two exact integers,
+    * identical in any engine.
+    */
+  def corpusReport(df: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    require(groupCols.nonEmpty, "corpusReport: no group columns")
+    df.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n_docs"),
+      sum(length(col(textCol)).cast("long")).as("total_chars"),
+      sum(tokenCount(col(textCol)).cast("long")).as("total_tokens"),
+      (sum(length(col(textCol)).cast("long")) / count(lit(1))).as("avg_chars"),
+      min(length(col(textCol))).as("min_chars"),
+      max(length(col(textCol))).as("max_chars"))
+  }
+
   /** Language-ID: argmax of stopword-profile scores with a fixed
     * first-wins tie-break in `langProfiles` order. Codegen'd CASE chain.
     */

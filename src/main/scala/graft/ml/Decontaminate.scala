@@ -112,4 +112,48 @@ object Decontaminate {
     val bad = contaminatedIds(docs, idCol, textCol, bench, benchTextCol, n, minHits)
     docs.join(bad, docs(idCol) === bad("id"), "left_anti")
   }
+
+  /** Prebuilt benchmark n-gram dictionary for repeated probes (the
+    * streaming `decontaminateBatch` and any hot decontamination loop):
+    * the hashed distinct gram frame stays persisted (8 bytes/gram —
+    * benchmark corpora are small relative to training corpora) and the
+    * bloom filter is built ONCE instead of per call. Caller-owned like
+    * `Dedup.MinhashIndex` — `release()` when done.
+    */
+  final case class BenchDict(
+      dict: DataFrame,
+      bloom: org.apache.spark.util.sketch.BloomFilter,
+      n: Int) {
+    def release(): Unit = dict.unpersist(blocking = false)
+  }
+
+  def buildBenchDict(bench: DataFrame, benchTextCol: String, n: Int = 13): BenchDict = {
+    val dict = bench
+      .select(explode(Kernels.wordShingles(col(benchTextCol), n)).as("g"))
+      .select(xxhash64(col("g")).as("h")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDict = math.max(dict.count(), 1L)
+    BenchDict(dict, dict.stat.bloomFilter("h", nDict, 0.01), n)
+  }
+
+  /** [[contaminatedIds]] against a prebuilt [[BenchDict]] — the shape
+    * every micro-batch of the streaming probe runs: bloom prune
+    * map-side, exact verify against the persisted dict, distinct
+    * (id, hash) so an in-doc repeat counts once.
+    */
+  def contaminatedIdsAgainst(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bd: BenchDict,
+      minHits: Int = 1): DataFrame =
+    docs
+      .select(col(idCol).as("id"), explode(Kernels.wordShingles(col(textCol), bd.n)).as("g"))
+      .select(col("id"), xxhash64(col("g")).as("h"))
+      .filter(Kernels.bloomMightContain(col("h"), bd.bloom))
+      .distinct()
+      .join(bd.dict, Seq("h"))
+      .groupBy("id").agg(count(lit(1)).as("hits"))
+      .filter(col("hits") >= minHits)
+      .select(col("id"))
 }

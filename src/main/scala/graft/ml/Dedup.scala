@@ -925,6 +925,36 @@ object Dedup {
       .drop("id", "label")
   }
 
+  /** Quality-aware canonical selection: keep ONE doc per near-dup
+    * cluster — the member with the HIGHEST `scoreCol` (ties → smallest
+    * id), plus every unpaired doc. [[dedupedCorpus]]'s min-id rule is
+    * the score-free special case; a production pipeline keeps the
+    * best-quality member (longest, highest LM score, freshest crawl …),
+    * not the numerically smallest id.
+    *
+    * Scale shape: components label only the PAIRED ids (the pair set is
+    * tiny vs the corpus); the per-cluster winner is one `max_by` partial
+    * aggregation on the label — the score rides the 16-byte (id, label)
+    * frame, corpus text never shuffles; survivors resolve with two
+    * joins against those small frames (Catalyst broadcasts them), the
+    * [[dedupedCorpus]] posture.
+    */
+  def canonicalPerCluster(
+      docs: DataFrame, idCol: String, scoreCol: String, pairs: DataFrame): DataFrame = {
+    require(docs.columns.contains(scoreCol),
+      s"canonicalPerCluster: no score column '$scoreCol'")
+    val labels = connectedComponents(pairs)
+    val winners = labels
+      .join(docs.select(col(idCol).as("__cid"),
+        col(scoreCol).cast("double").as("__cscore")), col("id") === col("__cid"))
+      .groupBy(col("label"))
+      .agg(max_by(col("id"), struct(col("__cscore"), -col("id"))).as("__keep_id"))
+    docs.join(labels, docs(idCol) === labels("id"), "left")
+      .join(winners, Seq("label"), "left")
+      .filter(col("label").isNull || col(idCol) === col("__keep_id"))
+      .drop("id", "label", "__keep_id")
+  }
+
   /** Line-level boilerplate dedup (C4/RefinedWeb-style): remove every
     * line whose TRIMMED text appears in more than `maxDocFreq` distinct
     * documents (navigation chrome, footers, cookie banners), keeping each

@@ -250,6 +250,27 @@ object Streams {
       batch.join(dupIds, batch("media_id") === col("__dup_id"), "left_anti")
     }
 
+  /** Streaming decontamination — the benchmark-leak cousin of
+    * [[dedupAgainstCorpusBatch]]: drop incoming docs sharing ≥
+    * `minHits` distinct word n-grams with a benchmark corpus, per
+    * micro-batch. The benchmark dictionary
+    * ([[graft.ml.Decontaminate.buildBenchDict]]) is built ONCE and
+    * caller-owned; each batch bloom-prunes map-side and exact-verifies
+    * against the persisted dict, so the per-batch cost is O(batch
+    * grams), never O(benchmark).
+    */
+  def decontaminateBatch(
+      bd: graft.ml.Decontaminate.BenchDict,
+      idCol: String,
+      textCol: String,
+      minHits: Int = 1): DataFrame => DataFrame =
+    (batch: DataFrame) => {
+      val bad = graft.ml.Decontaminate.contaminatedIdsAgainst(
+        batch, idCol, textCol, bd, minHits)
+        .select(col("id").as("__contaminated_id"))
+      batch.join(bad, batch(idCol) === col("__contaminated_id"), "left_anti")
+    }
+
   /** Containment dedup against a static corpus — the asymmetric cousin
     * of [[dedupAgainstCorpusBatch]]: drop incoming docs that are
     * near-fully CONTAINED in some corpus document

@@ -63,6 +63,23 @@ class DedupCorpusSpec extends SparkSpec {
     assert(kept === Array(1L, 5L))
   }
 
+  test("canonicalPerCluster keeps the highest-score member per cluster, " +
+      "smallest id on ties, all unpaired docs") {
+    val docs = Seq(
+      (1L, 10.0), (2L, 30.0), (3L, 20.0), // cluster {1,2,3} → 2 wins on score
+      (6L, 5.0), (7L, 5.0),               // cluster {6,7} → score tie → 6
+      (9L, 1.0)                           // unpaired → survives
+    ).toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (6L, 7L)).toDF("id_a", "id_b")
+    val kept = Dedup.canonicalPerCluster(docs, "doc_id", "score", pairs)
+    assert(kept.columns.toSeq === Seq("doc_id", "score"))
+    assert(kept.select("doc_id").as[Long].collect().sorted === Array(2L, 6L, 9L))
+    // score-free min-id rule stays dedupedCorpus's result
+    val minId = Dedup.dedupedCorpus(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().sorted
+    assert(minId === Array(1L, 6L, 9L))
+  }
+
   test("multi-probe LSH: probes distinct and base-first; full probe = exact") {
     val vecs = (0 until 80).map { i =>
       val rnd = new scala.util.Random(i * 313 + 11)
