@@ -22,6 +22,26 @@ class CorpusReportSpec extends SparkSpec {
     assert(m(("book", "en")) === ((1L, 7L, 4L, 7.0)))
   }
 
+  test("corpusReport streams in complete mode: running totals across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(String, String)]
+    val rep = TextFunctions.corpusReport(in.toDF().toDF("source", "text"),
+      Seq("source"), "text")
+    val q = rep.writeStream.outputMode("complete")
+      .format("memory").queryName("corpus_report_stream").start()
+    try {
+      in.addData(("web", "one two three"), ("web", "four five"))
+      q.processAllAvailable()
+      in.addData(("web", "six"), ("book", "a b"))
+      q.processAllAvailable()
+      val m = spark.sql("SELECT source, n_docs, total_tokens FROM corpus_report_stream")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(m("web") === ((3L, 6L)))
+      assert(m("book") === ((1L, 2L)))
+    } finally q.stop()
+  }
+
   test("corpusReport plan: one aggregation, no extra shuffle of text") {
     val docs = Seq(("a", "x y")).toDF("source", "text")
     val rep = TextFunctions.corpusReport(docs, Seq("source"), "text")
