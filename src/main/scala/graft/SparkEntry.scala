@@ -2086,6 +2086,33 @@ object SparkEntry {
     // Floors at roughly HALF the min observed across scales (the r5
     // rule): a collapse to near-random probing trips them; data-scale
     // wobble does not.
+    // document clustering purity gate (q_ann_gate pattern): 5 planted
+    // blobs (separation 10, jitter ±0.5) must be recovered 1:1 — every
+    // blob in one cluster, every cluster from one blob — and the size
+    // report must cover all k clusters
+    "q_kmeans" -> ((s, dir) => {
+      import s.implicits._
+      val blobs = t(s, dir, "documents").select(col("doc_id"))
+        .withColumn("blob", (col("doc_id") % 5).cast("int"))
+        .withColumn("embedding", array((0 until 8).map(j =>
+          (col("blob") * lit(10.0) +
+            sin(col("doc_id") * lit((31 + j).toDouble)) * lit(0.5)).cast("float")): _*))
+      val clustered = Ann.kmeansCluster(blobs, "embedding", k = 5, sampleN = 2000)
+        .persist()
+      try {
+        val blobSpread = clustered.groupBy("blob")
+          .agg(countDistinct(col("cluster")).as("nc"))
+          .agg(max(col("nc"))).first().getLong(0)
+        val clusterSpread = clustered.groupBy("cluster")
+          .agg(countDistinct(col("blob")).as("nb"))
+          .agg(max(col("nb"))).first().getLong(0)
+        val sizes = Ann.clusterSizes(clustered, k = 5)
+        val covered = sizes.count() == 5 &&
+          sizes.agg(min(col("n"))).first().getLong(0) > 0
+        Seq((blobSpread == 1L, clusterSpread == 1L, covered))
+          .toDF("blobs_intact", "clusters_pure", "all_clusters_used")
+      } finally { clustered.unpersist(blocking = false); () }
+    }),
     "q_ann_gate" -> ((s, dir) => {
       import s.implicits._
       val e = t(s, dir, "embeddings")
@@ -3939,6 +3966,10 @@ object SparkEntry {
     "q_ann_gate" ->
       """SELECT true AS lsh_ok, true AS itq_ok, true AS ivf_ok,
          true AS pq_ok, true AS opq_ok""",
+    // q_kmeans: planted-blob purity verdicts (seeded, memoized training)
+    "q_kmeans" ->
+      """SELECT true AS blobs_intact, true AS clusters_pure,
+         true AS all_clusters_used""",
     // q_hdf5_roundtrip: write→read through the clean-room HDF5 codec is
     // an identity map, so the oracle is the source table itself
     "q_hdf5_roundtrip" ->

@@ -490,6 +490,13 @@ final case class Tab(df: DataFrame) {
   def corpusReport(groupCols: Seq[String], textCol: String): Tab =
     Tab(graft.functions.TextFunctions.corpusReport(df, groupCols, textCol))
 
+  /** Document clustering over an embedding column (ml.Ann.kmeansCluster). */
+  def kmeansCluster(vecCol: String, k: Int, sampleN: Int = 20000): Tab =
+    Tab(graft.ml.Ann.kmeansCluster(df, vecCol, k, sampleN))
+
+  /** Cluster-balance report for kmeansCluster output (ml.Ann.clusterSizes). */
+  def clusterSizes(k: Int): Tab = Tab(graft.ml.Ann.clusterSizes(df, k))
+
   def save(path: String): Unit = Writers.save(df, path)
   def toCsv(path: String): Unit = Writers.toCsv(df, path)
   def toTsv(path: String): Unit = Writers.toTsv(df, path)

@@ -369,20 +369,60 @@ object Ann {
       nList: Int = 64,
       sampleN: Int = 20000,
       seed: Long = 42L,
-      maxIter: Int = 10): Array[Array[Double]] = {
+      maxIter: Int = 10,
+      initMode: String = "random"): Array[Array[Double]] = {
     val key = (corpus.queryExecution.analyzed.canonicalized,
-      s"$vecCol|$nList|$sampleN|$seed|$maxIter")
+      s"$vecCol|$nList|$sampleN|$seed|$maxIter|$initMode")
     memoized(centroidMemo, key) {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
       val sample = trainingSample(corpus, vecCol, sampleN, seed)
         .select(array_to_vector(col(vecCol)).as("features"))
-      // random init, not k-means||: the parallel init alone costs several
-      // passes, and a coarse quantizer (FAISS-style) doesn't need it
+      // default random init, not k-means||: the parallel init alone costs
+      // several passes, and a coarse quantizer (FAISS-style) doesn't need
+      // it — cell boundaries matter, cell identity doesn't. kmeansCluster
+      // overrides to k-means|| because for CLUSTERING a doubled/missed
+      // blob is a wrong answer, not a recall wobble.
       val model = new KMeans().setK(nList).setSeed(seed).setMaxIter(maxIter)
-        .setInitMode("random").setTol(1e-3).fit(sample)
+        .setInitMode(initMode).setTol(1e-3).fit(sample)
       model.clusterCenters.map(_.toArray)
     }
+  }
+
+  /** Document clustering over an embedding column — the user-facing
+    * face of the coarse quantizer (topic bucketing, cluster-balanced
+    * sampling, SemDeDup-style cluster-then-dedup): k-means centroids
+    * from a bounded deterministic sample ([[trainCentroids]] — seeded,
+    * memoized), then every vector assigned map-side through the exact
+    * two-level [[graft.plans.Kernels.nearestCentroids]] index — one
+    * narrow pass, no shuffle, ~O(n·√k) distance evals. Output = input
+    * columns + `cluster` (0-based centroid index).
+    */
+  def kmeansCluster(
+      corpus: DataFrame, vecCol: String, k: Int,
+      sampleN: Int = 20000, seed: Long = 42L, maxIter: Int = 10): DataFrame = {
+    require(k > 0, s"kmeansCluster: k=$k")
+    require(!corpus.columns.contains("cluster"),
+      "kmeansCluster: input already has a 'cluster' column — rename it first")
+    val cents = trainCentroids(corpus, vecCol, nList = k, sampleN = sampleN,
+      seed = seed, maxIter = maxIter, initMode = "k-means||")
+    corpus.withColumn("cluster",
+      element_at(Kernels.nearestCentroids(col(vecCol), cents, 1), 1))
+  }
+
+  /** Cluster-size report for [[kmeansCluster]] output: `(cluster, n,
+    * frac)`, every cluster present (zero-count clusters included via a
+    * broadcast spine) — the balance diagnostic before cluster-based
+    * sampling. One partial-agg exchange on ≤ k keys.
+    */
+  def clusterSizes(clustered: DataFrame, k: Int): DataFrame = {
+    val total = clustered.count().toDouble
+    val counts = clustered.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+    val spine = clustered.sparkSession.range(k)
+      .select(col("id").cast("int").as("cluster"))
+    broadcast(spine).join(counts, Seq("cluster"), "left_outer")
+      .select(col("cluster"), coalesce(col("n"), lit(0L)).as("n"),
+        (coalesce(col("n"), lit(0L)) / total).as("frac"))
   }
 
   /** Data-adaptive inverted-list count: target ~8 vectors per list in
