@@ -2259,6 +2259,16 @@ object SparkEntry {
         "event_type", stepMs = 3600000L, valueCol = "value")
         .select(col("event_type"), col("bucket"), col("n"),
           round(col("total"), 2).as("total"))),
+    // SCD-2 validity chain from the event log (ms epochs so the hash
+    // compare never meets a timestamp flavor)
+    "q_scd2" -> ((s, dir) =>
+      SetOps.scd2FromEvents(
+        t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts")),
+        Seq("user_id"), "ts", "event_id")
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("valid_from")).as("valid_from_ms"),
+          unix_millis(col("valid_to")).as("valid_to_ms"),
+          col("is_current"))),
     "q_sessionize" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
       t(s, dir, "events")
@@ -3389,6 +3399,13 @@ object SparkEntry {
            SELECT query_id, neighbour_id,
              row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbour_id) AS rank
            FROM s) WHERE rank <= 5""",
+    "q_scd2" ->
+      """SELECT user_id, event_id, epoch_ms(ts) AS valid_from_ms,
+         epoch_ms(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           AS valid_to_ms,
+         (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) IS NULL
+           AS is_current
+         FROM events""",
     "q_sessionize" ->
       """SELECT user_id, CAST(1 + sum(flag) AS BIGINT) AS n_sessions FROM (
            SELECT user_id, CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts))

@@ -497,6 +497,18 @@ final case class Tab(df: DataFrame) {
   /** Cluster-balance report for kmeansCluster output (ml.Ann.clusterSizes). */
   def clusterSizes(k: Int): Tab = Tab(graft.ml.Ann.clusterSizes(df, k))
 
+  /** SCD-2 validity-interval history from a change-event log
+    * (operators.SetOps.scd2FromEvents); [[upsert]] keeps only final
+    * state, this keeps the audit timeline.
+    */
+  def scd2FromEvents(keyCols: Seq[String], versionCol: String, tieCol: String): Tab =
+    Tab(SetOps.scd2FromEvents(df, keyCols, versionCol, tieCol))
+
+  /** Fold raw change events into this SCD-2 history (SetOps.scd2Apply). */
+  def scd2Apply(updates: Tab, keyCols: Seq[String], versionCol: String,
+      tieCol: String): Tab =
+    Tab(SetOps.scd2Apply(df, updates.df, keyCols, versionCol, tieCol))
+
   def save(path: String): Unit = Writers.save(df, path)
   def toCsv(path: String): Unit = Writers.toCsv(df, path)
   def toTsv(path: String): Unit = Writers.toTsv(df, path)

@@ -178,4 +178,59 @@ object SetOps {
       .filter(col("__rn") === 1)
       .drop("__rn", "__src")
   }
+
+  /** SCD-2 history from a change-event log: every event opens a validity
+    * interval `[valid_from, valid_to)` on its key, closed by the key's
+    * NEXT event; the last event per key stays open (`valid_to` null,
+    * `is_current` true) — the slowly-changing-dimension companion of
+    * [[upsert]] (which keeps only the final state, this keeps the full
+    * audit timeline). Ties on `versionCol` break by `tieCol` ascending
+    * so the chain is deterministic under duplicate timestamps.
+    *
+    * Scale shape: ONE hash exchange on the key + per-key sort for the
+    * `lead` window — state per key is its own event count, the same
+    * bound any history representation needs; no global window, no
+    * driver state.
+    */
+  def scd2FromEvents(events: DataFrame, keyCols: Seq[String],
+      versionCol: String, tieCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "scd2FromEvents: no key columns")
+    (keyCols :+ versionCol :+ tieCol).foreach { c =>
+      require(events.columns.contains(c), s"scd2FromEvents: no column '$c'")
+    }
+    Seq("valid_from", "valid_to", "is_current").foreach { c =>
+      require(!events.columns.contains(c),
+        s"scd2FromEvents: input already has '$c' — rename it first")
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(versionCol).asc_nulls_first, col(tieCol).asc_nulls_first)
+    events
+      .withColumn("valid_from", col(versionCol))
+      .withColumn("valid_to", lead(col(versionCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
+
+  /** Fold a batch of change events into an existing SCD-2 history
+    * ([[scd2FromEvents]] output shape): closed rows pass through
+    * untouched; each key's OPEN row re-chains with that key's new
+    * events (closing at the first newer event), keys without updates
+    * keep their open row, and never-seen keys insert their own chain.
+    * The window re-runs only over open rows + updates — O(touched
+    * keys' state), not O(history).
+    */
+  def scd2Apply(history: DataFrame, updates: DataFrame, keyCols: Seq[String],
+      versionCol: String, tieCol: String): DataFrame = {
+    Seq("valid_from", "valid_to", "is_current").foreach { c =>
+      require(history.columns.contains(c),
+        s"scd2Apply: history lacks '$c' — not an scd2FromEvents shape")
+      require(!updates.columns.contains(c),
+        s"scd2Apply: updates must be raw events, found '$c'")
+    }
+    val closed = history.filter(!col("is_current"))
+    val open = history.filter(col("is_current"))
+      .drop("valid_from", "valid_to", "is_current")
+    val rechained = scd2FromEvents(concat(open, updates), keyCols, versionCol, tieCol)
+    concat(closed, rechained)
+  }
 }

@@ -43,6 +43,33 @@ class KmeansClusterSpec extends SparkSpec {
     assert(sizes2(1) === 0L)
   }
 
+  test("cluster assignment is stateless: streams per micro-batch, " +
+      "identical to the batch assignment") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val d = blobs(200, 3)
+    val cents = Ann.trainCentroids(d, "embedding", nList = 3, sampleN = 200,
+      initMode = "k-means||")
+    val batchAssign = d.select($"id",
+      element_at(graft.plans.Kernels.nearestCentroids($"embedding", cents, 1), 1)
+        .as("cluster")).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val in = MemoryStream[(Long, Array[Float])]
+    val streamed = in.toDF().toDF("id", "embedding").select($"id",
+      element_at(graft.plans.Kernels.nearestCentroids($"embedding", cents, 1), 1)
+        .as("cluster"))
+    val q = streamed.writeStream.outputMode("append")
+      .format("memory").queryName("cluster_stream").start()
+    try {
+      val rows = d.select("id", "embedding")
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      in.addData(rows.take(100).toIndexedSeq); q.processAllAvailable()
+      in.addData(rows.drop(100).toIndexedSeq); q.processAllAvailable()
+      val got = spark.sql("SELECT id, cluster FROM cluster_stream")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got === batchAssign)
+    } finally q.stop()
+  }
+
   test("kmeansCluster refuses an existing 'cluster' column") {
     val d = blobs(20, 2).withColumn("cluster", lit(9))
     val e = intercept[IllegalArgumentException] {
