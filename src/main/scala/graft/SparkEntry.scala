@@ -900,6 +900,17 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"),
         TextFunctions.tokenCount(col("text")).as("n_tokens"),
         TextFunctions.tokenCountRegex(col("text")).as("n_subtokens"))),
+    // HTML boilerplate strip + URL host: both pure regexp chains the
+    // oracle re-derives verbatim on the same constructed inputs
+    "q_strip_html" -> ((s, dir) => {
+      val html = concat(lit("<div class=\"doc\"><p>"), col("text"),
+        lit("</p><script>var x = 1 &amp;&amp; 2;</script><!-- note --> &nbsp;tail</div>"))
+      val url = concat(lit("https://www.example"),
+        (col("doc_id") % 7).cast("string"), lit(".org/path?x=1#f"))
+      t(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.stripHtml(html).as("clean"),
+        TextFunctions.urlHost(url).as("host"))
+    }),
     "q_quality" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), TextFunctions.qualityFeatures(col("text")).as("q"))
@@ -2831,6 +2842,27 @@ object SparkEntry {
     "q_token_count" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
          len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subtokens
+         FROM documents""",
+    "q_strip_html" ->
+      """SELECT doc_id,
+         trim(regexp_replace(
+           replace(replace(replace(replace(replace(replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     '<div class="doc"><p>' || text ||
+                     '</p><script>var x = 1 &amp;&amp; 2;</script><!-- note --> &nbsp;tail</div>',
+                     '(?is)<script\b.*?</script>', ' ', 'g'),
+                   '(?is)<style\b.*?</style>', ' ', 'g'),
+                 '(?s)<!--.*?-->', ' ', 'g'),
+               '<[^>]*>', ' ', 'g'),
+             '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+             '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+           '\s+', ' ', 'g')) AS clean,
+         regexp_replace(lower(regexp_extract(
+           'https://www.example' || CAST(doc_id % 7 AS VARCHAR) || '.org/path?x=1#f',
+           '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)), '^www\.', '') AS host
          FROM documents""",
     "q_quality" ->
       """SELECT doc_id, length(text) AS n_chars,

@@ -26,6 +26,38 @@ object TextFunctions {
   def normalized(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
 
+  /** HTML → text for web-crawl ingest (the boilerplate-strip step every
+    * pretraining pipeline runs before quality/dedup): drop
+    * script/style/comment blocks, strip remaining tags, decode the
+    * common entities, collapse whitespace. Codegen'd regexp chain —
+    * deliberately RE2-compatible patterns (non-greedy block match, no
+    * lookaround) so a SQL engine re-derives it verbatim; a DOM parser
+    * it is not (malformed nesting degrades to extra whitespace, never
+    * to dropped text).
+    */
+  def stripHtml(html: Column): Column = {
+    val noBlocks = regexp_replace(regexp_replace(regexp_replace(html,
+      "(?is)<script\\b.*?</script>", " "),
+      "(?is)<style\\b.*?</style>", " "),
+      "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) => replace(c, lit(from), lit(to)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** Host of a URL (per-domain capping / source accounting): the
+    * authority up to the first `/`, `:`, `?` or `#`, lowercased,
+    * leading `www.` dropped; null when the string has no scheme.
+    * Plain regexp_extract — identical in any RE2/Java engine.
+    */
+  def urlHost(url: Column): Column = {
+    val host = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1))
+    when(host === "", lit(null))
+      .otherwise(regexp_replace(host, "^www\\.", ""))
+  }
+
   /** Unicode repair for ingest (the ftfy/C4 cleanup step): NFC
     * normalization plus control-character removal (tab/newline kept, CR
     * stripped). Codegen'd single pass — see `Kernels.normalizeTextEval`.

@@ -64,6 +64,28 @@ class CentroidHierSpec extends SparkSpec {
     }
   }
 
+  test("degenerate duplicate centroids: ties resolve to the smallest index, " +
+      "exactly like the flat scan") {
+    // 250 centroids where every 5th is an EXACT duplicate of centroid 0 —
+    // the argmin for vectors near centroid 0 is a many-way exact tie
+    val base = mkCentroids(250, 6)
+    val cs = base.zipWithIndex.map { case (c, i) => if (i % 5 == 0) base(0).clone() else c }
+    val vecs = Seq.tabulate(60)(i =>
+      (i.toLong, base(0).map(v => v + (i % 3) * 1e-7)))
+    val got = vecs.toDF("id", "v")
+      .select($"id", element_at(Kernels.nearestCentroids($"v", cs, 1), 1).as("list"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    vecs.foreach { case (id, v) =>
+      assert(got(id) === flatArgmin(v, cs), s"id $id")
+    }
+    // vectors exactly AT the duplicated centroid: every duplicate ties at
+    // distance 0; the winner must be index 0, the first
+    val exact = Seq((0L, base(0))).toDF("id", "v")
+      .select(element_at(Kernels.nearestCentroids($"v", cs, 1), 1))
+      .first().getInt(0)
+    assert(exact === 0)
+  }
+
   test("below the threshold the flat scan still answers (n=1 small, and n>1 probing)") {
     val cs = mkCentroids(20, 6)
     val vecs = Seq.tabulate(50)(i =>
