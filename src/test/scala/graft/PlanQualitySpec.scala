@@ -543,6 +543,37 @@ class PlanQualitySpec extends SparkSpec {
     assert(!new java.io.File(tmp + "__compact_old").exists())
   }
 
+  test("scd2FromEvents: ONE hash exchange on the key, no global window") {
+    import spark.implicits._
+    val events = Seq.tabulate(500)(i =>
+      (i % 50L, i.toLong, new java.sql.Timestamp(1700000000000L + i * 1000L)))
+      .toDF("k", "eid", "ts").repartition(4)
+    val p = plan(graft.operators.SetOps.scd2FromEvents(events, Seq("k"), "ts", "eid"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1, p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("canonicalPerCluster: winner/label frames broadcast, corpus never re-shuffles") {
+    import spark.implicits._
+    val docs = Seq.tabulate(2000)(i => (i.toLong, i * 1.0, s"text$i"))
+      .toDF("doc_id", "score", "text").repartition(4)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val p = plan(graft.ml.Dedup.canonicalPerCluster(docs, "doc_id", "score", pairs))
+    // both survivor joins broadcast the small cluster frames: the corpus
+    // side must not hash-exchange for them
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("corpusReport: partial+final aggregate, text never shuffles") {
+    import spark.implicits._
+    val docs = Seq.tabulate(500)(i => (s"src${i % 5}", s"some text $i"))
+      .toDF("source", "text").repartition(4)
+    val p = plan(graft.functions.TextFunctions.corpusReport(docs, Seq("source"), "text"))
+    // exactly one hash exchange (the fixture's own repartition is round-robin)
+    assert("Exchange hashpartitioning".r.findAllIn(p).length === 1, p)
+    assert(p.contains("partial"), p) // map-side combine before the exchange
+  }
+
   test("bucketed tables join with ZERO exchanges (pre-shuffled at write time)") {
     import spark.implicits._
     val a = Seq.tabulate(200)(i => (i.toLong, s"a$i")).toDF("k", "va")
