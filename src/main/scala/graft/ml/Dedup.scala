@@ -943,16 +943,20 @@ object Dedup {
       docs: DataFrame, idCol: String, scoreCol: String, pairs: DataFrame): DataFrame = {
     require(docs.columns.contains(scoreCol),
       s"canonicalPerCluster: no score column '$scoreCol'")
+    // internal frames use reserved names so a docs column called `id` or
+    // `label` (e.g. the embeddings table) can never alias into the join
     val labels = connectedComponents(pairs)
+      .select(col("id").as("__cc_id"), col("label").as("__cc_label"))
     val winners = labels
       .join(docs.select(col(idCol).as("__cid"),
-        col(scoreCol).cast("double").as("__cscore")), col("id") === col("__cid"))
-      .groupBy(col("label"))
-      .agg(max_by(col("id"), struct(col("__cscore"), -col("id"))).as("__keep_id"))
-    docs.join(labels, docs(idCol) === labels("id"), "left")
-      .join(winners, Seq("label"), "left")
-      .filter(col("label").isNull || col(idCol) === col("__keep_id"))
-      .drop("id", "label", "__keep_id")
+        col(scoreCol).cast("double").as("__cscore")), col("__cc_id") === col("__cid"))
+      .groupBy(col("__cc_label"))
+      .agg(max_by(col("__cc_id"), struct(col("__cscore"), -col("__cc_id")))
+        .as("__keep_id"))
+    docs.join(labels, docs(idCol) === labels("__cc_id"), "left")
+      .join(winners, Seq("__cc_label"), "left")
+      .filter(col("__cc_label").isNull || col(idCol) === col("__keep_id"))
+      .drop("__cc_id", "__cc_label", "__keep_id")
   }
 
   /** Line-level boilerplate dedup (C4/RefinedWeb-style): remove every

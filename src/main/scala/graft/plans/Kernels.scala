@@ -726,17 +726,23 @@ object Kernels {
       val len = a.numElements()
       val g = h.g
       val ds = new Array[Double](g)
-      val order = new Array[Integer](g)
+      val order = new Array[Int](g)
       var j = 0
       while (j < g) {
         ds(j) = math.sqrt(vecCentDistSq(a, len, h.superCents(j), elemKind))
         order(j) = j
         j += 1
       }
-      java.util.Arrays.sort(order, new java.util.Comparator[Integer] {
-        override def compare(x: Integer, y: Integer): Int =
-          java.lang.Double.compare(ds(x), ds(y))
-      })
+      // primitive insertion sort by ds — g ≈ √nList is small and this runs
+      // per ROW, so no boxed comparator allocation in the hot path
+      var si = 1
+      while (si < g) {
+        val oi0 = order(si); val d0 = ds(oi0)
+        var sj = si - 1
+        while (sj >= 0 && ds(order(sj)) > d0) { order(sj + 1) = order(sj); sj -= 1 }
+        order(sj + 1) = oi0
+        si += 1
+      }
       var best = Double.MaxValue
       var bestI = Int.MaxValue
       var oi = 0

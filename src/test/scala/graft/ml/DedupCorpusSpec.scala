@@ -80,6 +80,18 @@ class DedupCorpusSpec extends SparkSpec {
     assert(minId === Array(1L, 6L, 9L))
   }
 
+  test("canonicalPerCluster survives docs columns named 'id' and 'label' " +
+      "(the embeddings table shape)") {
+    val docs = Seq((1L, 5.0, 7, "x"), (2L, 9.0, 8, "y"), (3L, 1.0, 9, "z"))
+      .toDF("id", "score", "label", "payload")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val kept = Dedup.canonicalPerCluster(docs, "id", "score", pairs)
+    assert(kept.columns.toSeq === Seq("id", "score", "label", "payload"))
+    assert(kept.select("id").as[Long].collect().sorted === Array(2L, 3L))
+    // the user's own label column passes through untouched
+    assert(kept.filter($"id" === 2L).select("label").as[Int].head() === 8)
+  }
+
   test("multi-probe LSH: probes distinct and base-first; full probe = exact") {
     val vecs = (0 until 80).map { i =>
       val rnd = new scala.util.Random(i * 313 + 11)
