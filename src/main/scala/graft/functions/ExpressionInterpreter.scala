@@ -55,9 +55,19 @@ object ExpressionInterpreter {
         val end = if (j < 0) e.length else j
         out += Ident(e.substring(i, end)); i = end
       } else if (c.isDigit || (c == '.' && i + 1 < e.length && e(i + 1).isDigit)) {
-        val j = e.indexWhere(ch => !(ch.isDigit || ch == '.' || ch == 'e' ||
-          ch == 'E'), i)
-        val end = if (j < 0) e.length else j
+        // digits/dot mantissa, then an optional [eE][+-]?digits exponent —
+        // the sign must be consumed WITH the exponent or `1e-5` would
+        // tokenize as Num("1e") and fail to parse as a number
+        var end = i
+        while (end < e.length && (e(end).isDigit || e(end) == '.')) end += 1
+        if (end < e.length && (e(end) == 'e' || e(end) == 'E')) {
+          var k = end + 1
+          if (k < e.length && (e(k) == '+' || e(k) == '-')) k += 1
+          if (k < e.length && e(k).isDigit) {
+            while (k < e.length && e(k).isDigit) k += 1
+            end = k
+          }
+        }
         out += Num(e.substring(i, end)); i = end
       } else if (c == '\'' || c == '"') {
         val close = e.indexOf(c, i + 1)

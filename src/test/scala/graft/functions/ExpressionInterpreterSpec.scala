@@ -75,6 +75,15 @@ class ExpressionInterpreterSpec extends SparkSpec {
     assert(q.df.count() === 2)
   }
 
+  test("scientific notation with signed exponent tokenizes as one number") {
+    // 1e-5 must be Num("1e-5"), not Num("1e") followed by a stray '-'
+    val pred = ExpressionInterpreter.compile("a > 1e-5 and a < 1.5e+1", Seq("a"))
+    val d = spark.range(1, 20).selectExpr("id AS a")
+    assert(d.filter(pred).count() === 14) // 1..14 (a < 15)
+    val predCap = ExpressionInterpreter.compile("a < 1E2", Seq("a"))
+    assert(d.filter(predCap).count() === 19)
+  }
+
   test("unknown column and malformed input fail loudly") {
     intercept[IllegalArgumentException](t.filter("nope > 3"))
     intercept[IllegalArgumentException](t.filter("a >"))
