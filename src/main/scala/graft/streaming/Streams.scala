@@ -250,6 +250,53 @@ object Streams {
       batch.join(dupIds, batch("media_id") === col("__dup_id"), "left_anti")
     }
 
+  /** ONLINE dedup ingest — the full corpus-growing loop, per
+    * micro-batch: (1) drop rows near-duplicating the PERSISTED corpus
+    * index, (2) collapse within-batch near-dup groups to their min-id
+    * survivor, (3) append the survivors to the index so the NEXT batch
+    * dedups against them too. [[dedupAgainstCorpusBatch]] probes a
+    * static corpus; this one owns the corpus's growth — the
+    * streaming-native shape of a deduped ingest pipeline. Banding
+    * params always come from the index sidecar (drift is
+    * unrepresentable); per-batch work is O(batch) plus the band-pruned
+    * posting lookups. Exactly-once caveat: the append is not
+    * transactional with the sink — a replayed batch re-appends the same
+    * ids, which degrades to duplicate index rows (harmless for dedup
+    * semantics: candidates dedup through the pair `distinct`), never to
+    * lost drops.
+    */
+  def dedupIngestBatch(
+      indexPath: String,
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.7): DataFrame => DataFrame =
+    (batch: DataFrame) => {
+      val spark = batch.sparkSession
+      val idx = graft.ml.Dedup.readMinhashIndex(spark, indexPath)
+      val vsCorpus = graft.ml.Dedup.incrementalMinhashPairs(
+        batch, idx, idCol, textCol, threshold)
+        .select(col("id_a").as("__dup_id")).distinct()
+      val fresh = batch.join(vsCorpus, batch(idCol) === col("__dup_id"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val intra = graft.ml.Dedup.minhashPairs(fresh, idCol, textCol,
+          k = idx.k, bands = idx.nBands, shingleN = idx.shingleN,
+          threshold = threshold)
+        // the lineage MUST be cut before the append: writing to the
+        // index path makes Spark invalidate/recache every plan reading
+        // that path, and the survivor lineage reads the index (through
+        // vsCorpus) — a post-append action would recompute against the
+        // GROWN index and dedup the batch against itself (measured:
+        // empty survivors). The eager localCheckpoint pins the computed
+        // partitions, the connectedComponents pattern.
+        val survivors = graft.ml.Dedup.dedupedCorpus(fresh, idCol, intra)
+          .localCheckpoint(true)
+        graft.ml.Dedup.appendToMinhashIndex(spark, indexPath, survivors,
+          idCol, textCol)
+        survivors
+      } finally { fresh.unpersist(blocking = false); () }
+    }
+
   /** Streaming decontamination — the benchmark-leak cousin of
     * [[dedupAgainstCorpusBatch]]: drop incoming docs sharing ≥
     * `minHits` distinct word n-grams with a benchmark corpus, per

@@ -80,6 +80,44 @@ class DedupCorpusSpec extends SparkSpec {
     assert(minId === Array(1L, 6L, 9L))
   }
 
+  test("dedupIngestBatch: drops vs corpus, collapses within-batch, and GROWS " +
+      "the index so later batches dedup against earlier survivors") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_idx").toString
+    def doc(tag: Int) = s"the quick brown fox jumps over the lazy dog " +
+      s"while number $tag watches from paragraph $tag again and again"
+    // corpus: docs 1, 2
+    val corpus = Seq((1L, doc(1)), (2L, doc(2))).toDF("doc_id", "text")
+    Dedup.writeMinhashIndex(
+      Dedup.minhashIndex(corpus, "doc_id", "text"), dir)
+    val in = MemoryStream[(Long, String)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        out ++= graft.streaming.Streams.dedupIngestBatch(dir, "doc_id", "text")(batch)
+          .select("doc_id").collect().map(_.getLong(0))
+        ()
+      }.start()
+    try {
+      // batch 1: 10 dups corpus doc 1 (dropped); 11 and 12 are near-dups
+      // of EACH OTHER (min id 11 survives); 13 is fresh
+      in.addData((10L, doc(1)), (11L, doc(30)), (12L, doc(30) + " x"),
+                 (13L, doc(40)))
+      q.processAllAvailable()
+      // batch 2: 20 dups batch-1 SURVIVOR 11 → dropped only if the index
+      // grew; 21 dups batch-1 DROPPED 12's content → still dropped (11 is
+      // in the index); 22 fresh
+      in.addData((20L, doc(30)), (21L, doc(30) + " x"), (22L, doc(50)))
+      q.processAllAvailable()
+      assert(out.sorted.toSeq === Seq(11L, 13L, 22L))
+    } finally {
+      q.stop()
+      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      catch { case _: Throwable => () }
+    }
+  }
+
   test("canonicalPerCluster survives docs columns named 'id' and 'label' " +
       "(the embeddings table shape)") {
     val docs = Seq((1L, 5.0, 7, "x"), (2L, 9.0, 8, "y"), (3L, 1.0, 9, "z"))
