@@ -1817,6 +1817,41 @@ object SparkEntry {
         idx, "doc_id", "text", threshold = 1.0)
       scope.releaseAfter(dropDups(SetOps.concat(copies, fresh)).select(col("doc_id")))
     }),
+    // ONLINE dedup ingest, two sequential batches against a GROWING
+    // persisted index: batch-1 exact copies of the corpus drop, its md5
+    // fresh rows survive AND join the index; batch-2 exact copies of
+    // batch-1 SURVIVORS must then drop (the growth semantics), its own
+    // fresh rows survive. t=1.0 → banding recall provably 1 for exact
+    // copies; md5 texts are unique so no unintended intra pairs.
+    "q_dedup_ingest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      def mdText(idc: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        concat_ws(" ", (0 until 8).map(i =>
+          md5(concat(idc.cast("string"), lit(s"-$i")))): _*)
+      val idxDir = s"${freshTmp("ingestidx")}/idx"
+      val built = Dedup.minhashIndex(docs, "doc_id", "text")
+      Dedup.writeMinhashIndex(built, idxDir)
+      built.release()
+      val ingest = graft.streaming.Streams.dedupIngestBatch(
+        idxDir, "doc_id", "text", threshold = 1.0)
+      val batch1 = SetOps.concat(
+        docs.filter(col("doc_id") % 4 === 0)
+          .select((col("doc_id") + 2000000).as("doc_id"), col("text")),
+        docs.filter(col("doc_id") % 4 === 1)
+          .select((col("doc_id") + 3000000).as("doc_id"),
+            mdText(col("doc_id") + 3000000).as("text")))
+      val s1 = ingest(batch1)
+      val batch2 = SetOps.concat(
+        // exact copies of batch-1 survivors (same md5 text, new ids)
+        docs.filter(col("doc_id") % 4 === 1)
+          .select((col("doc_id") + 4000000).as("doc_id"),
+            mdText(col("doc_id") + 3000000).as("text")),
+        docs.filter(col("doc_id") % 4 === 2)
+          .select((col("doc_id") + 5000000).as("doc_id"),
+            mdText(col("doc_id") + 5000000).as("text")))
+      val s2 = ingest(batch2)
+      SetOps.concat(s1.select(col("doc_id")), s2.select(col("doc_id")))
+    }),
     // perceptual media dedup against a static corpus, batch core of the
     // stream face: planted exact-payload copies must drop (hamming 0 to
     // their corpus twin), fresh payloads must survive (pseudorandom
@@ -4055,6 +4090,13 @@ object SparkEntry {
     // corpus — the same brute-force pair truth as q_dedup_incremental,
     // anti-joined (short/shingle-less docs fall out identically on both
     // sides because the pair construction is shared)
+    // q_dedup_ingest: exact copies (of corpus in batch 1, of batch-1
+    // survivors in batch 2) drop with provable recall at t=1.0; the
+    // unique-md5 fresh rows of both batches survive
+    "q_dedup_ingest" ->
+      """SELECT doc_id + 3000000 AS doc_id FROM documents WHERE doc_id % 4 = 1
+         UNION ALL
+         SELECT doc_id + 5000000 AS doc_id FROM documents WHERE doc_id % 4 = 2""",
     "q_dedup_stream_batch" ->
       """WITH inc AS (
            SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 4 = 0
