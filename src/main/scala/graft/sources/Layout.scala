@@ -76,6 +76,48 @@ object Layout {
       .write.mode("overwrite").parquet(s"$path/_skipping")
   }
 
+  /** Append `batch` to an indexed dataset WITHOUT rebuilding the
+    * sidecar: new data files parquet-append, then ONE pass over only
+    * the NEW files (before/after listing diff) computes their min/max
+    * rows, which append to the sidecar. At 100 TB the full
+    * [[writeSkippingIndex]] rebuild re-scans the whole dataset per
+    * ingest batch; this is O(batch). Crash-safety: data files land
+    * before sidecar rows — a torn append leaves files the index does
+    * not know, which [[prunedFiles]] then NEVER returns, so reads
+    * through the index miss that batch (re-running the append repairs
+    * it) but are never wrong about what they scan; plain un-indexed
+    * reads of `path` see everything immediately.
+    */
+  def appendWithSkippingIndex(batch: DataFrame, path: String,
+      cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "appendWithSkippingIndex: no columns")
+    cols.foreach(c => require(batch.columns.contains(c),
+      s"appendWithSkippingIndex: missing column $c"))
+    val spark = batch.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/_skipping")),
+      s"appendWithSkippingIndex: no sidecar at $path/_skipping — " +
+        "run writeSkippingIndex first")
+    def dataFiles: Set[String] = {
+      fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        .filter(_.isFile).map(_.getPath.toString)
+        .filter(_.endsWith(".parquet")).toSet
+    }
+    val before = dataFiles
+    batch.write.mode("append").parquet(path)
+    val fresh = (dataFiles -- before).toSeq
+    if (fresh.nonEmpty) {
+      val aggs = cols.flatMap(c =>
+        Seq(min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max")))
+      spark.read.parquet(fresh: _*)
+        .groupBy(input_file_name().as("file"))
+        .agg(aggs.head, aggs.tail: _*)
+        .repartition(1)
+        .write.mode("append").parquet(s"$path/_skipping")
+    }
+  }
+
   /** Data files under `path` that can possibly satisfy
     * `lo <= colName <= hi`, from the [[writeSkippingIndex]] sidecar —
     * the file-pruning half of a skipping read. A file whose min/max

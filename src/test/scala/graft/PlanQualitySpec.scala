@@ -520,6 +520,42 @@ class PlanQualitySpec extends SparkSpec {
     assert(graft.sources.Layout.prunedFiles(spark, tmp, "id", 5000L, 6000L).isEmpty)
   }
 
+  test("appendWithSkippingIndex: O(batch) sidecar growth; appended range " +
+      "prunes correctly; torn-index reads stay conservative") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_skipapp").toString + "/t"
+    Seq.tabulate(1000)(i => (i.toLong, s"p$i")).toDF("id", "payload")
+      .repartitionByRange(10, col("id"))
+      .write.parquet(tmp)
+    graft.sources.Layout.writeSkippingIndex(spark, tmp, Seq("id"))
+    val sidecarBefore = spark.read.parquet(s"$tmp/_skipping").count()
+    // append a disjoint id range in 2 files
+    graft.sources.Layout.appendWithSkippingIndex(
+      Seq.tabulate(200)(i => (5000L + i, s"n$i")).toDF("id", "payload")
+        .repartitionByRange(2, col("id")),
+      tmp, Seq("id"))
+    val sidecarAfter = spark.read.parquet(s"$tmp/_skipping").count()
+    assert(sidecarAfter === sidecarBefore + 2, s"$sidecarBefore -> $sidecarAfter")
+    // pruned read over ONLY the appended range touches only new files
+    val newFiles = graft.sources.Layout.prunedFiles(spark, tmp, "id", 5000L, 5199L)
+    assert(newFiles.length === 2, newFiles.mkString(", "))
+    val got = graft.sources.Layout.prunedRead(spark, tmp, "id", 5000L, 5049L)
+    assert(got.count() === 50)
+    // original ranges still prune to a subset, not the whole dir
+    val old = graft.sources.Layout.prunedFiles(spark, tmp, "id", 100L, 199L)
+    assert(old.nonEmpty && old.length < spark.read.parquet(tmp).inputFiles.length)
+    // plain reads see everything (sidecar stays metadata-only)
+    assert(spark.read.parquet(tmp).count() === 1200)
+    // appending without a sidecar fails loudly
+    val bare = java.nio.file.Files.createTempDirectory("graft_skipapp2").toString + "/t"
+    Seq((1L, "x")).toDF("id", "payload").write.parquet(bare)
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Layout.appendWithSkippingIndex(
+        Seq((2L, "y")).toDF("id", "payload"), bare, Seq("id"))
+    }
+    assert(e.getMessage.contains("writeSkippingIndex"))
+  }
+
   test("compactDir: small-file dir rewritten to few files, content identical, sidecar carried") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
