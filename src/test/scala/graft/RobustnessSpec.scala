@@ -168,4 +168,42 @@ class RobustnessSpec extends SparkSpec {
       .select("violations", "pass").as[(Long, Boolean)].collect()
     assert(rep.forall(r => r._1 == 0L && r._2)) // an empty frame passes contracts
   }
+
+  test("round-11 ops degrade gracefully on empty/null input, never throw") {
+    import spark.implicits._
+    val emptyDocs = Seq.empty[(Long, String)].toDF("id", "s")
+    val emptyPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val someDocs = Seq((1L, "x"), (2L, "y")).toDF("id", "s")
+    // canonical selection: empty pairs → everything survives; empty docs → empty
+    assert(graft.ml.Dedup.canonicalPerCluster(
+      someDocs.withColumn("sc", lit(1.0)), "id", "sc", emptyPairs).count() === 2)
+    assert(graft.ml.Dedup.canonicalPerCluster(
+      emptyDocs.withColumn("sc", lit(1.0)), "id", "sc",
+      Seq((1L, 2L)).toDF("id_a", "id_b")).count() === 0)
+    // corpus report: empty input → zero group rows
+    assert(graft.functions.TextFunctions.corpusReport(
+      emptyDocs.withColumnRenamed("id", "src"), Seq("src"), "s").count() === 0)
+    // columnRemoveAll on empty and on all-null columns
+    assert(operators.Filters.columnRemoveAll(emptyDocs, "s", Seq("x")).count() === 0)
+    val nulls = Seq[Option[String]](None, None).toDF("s")
+    assert(operators.Filters.columnRemoveAll(nulls, "s", Seq(null)).count() === 0)
+    // firstSeenOrder groupby over empty input → empty, no error
+    assert(GroupBy.groupby(emptyDocs.withColumn("ord", lit(1L)), Seq("s"),
+      Seq("id" -> "Sum"), orderCol = "ord", firstSeenOrder = true).count() === 0)
+    // SCD-2 from an empty event log → empty history; apply(empty, empty) works
+    val emptyEv = Seq.empty[(Long, Long, java.sql.Timestamp)].toDF("k", "eid", "ts")
+    val h = SetOps.scd2FromEvents(emptyEv, Seq("k"), "ts", "eid")
+    assert(h.count() === 0)
+    assert(SetOps.scd2Apply(h, emptyEv, Seq("k"), "ts", "eid").count() === 0)
+    // stripHtml / urlHost: null in, null out
+    val nr = Seq[Option[String]](None).toDF("t")
+      .select(graft.functions.TextFunctions.stripHtml($"t").as("a"),
+        graft.functions.TextFunctions.urlHost($"t").as("b")).first()
+    assert(nr.isNullAt(0) && nr.isNullAt(1))
+    // clusterSizes on an empty clustered frame still emits the spine
+    val emptyClustered = Seq.empty[(Long, Int)].toDF("id", "cluster")
+    val sizes = graft.ml.Ann.clusterSizes(emptyClustered, 3)
+    assert(sizes.count() === 3)
+    assert(sizes.agg(sum($"n")).first().getLong(0) === 0L)
+  }
 }
