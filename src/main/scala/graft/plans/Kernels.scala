@@ -1044,8 +1044,11 @@ object Kernels {
   }
 
   /** Locale-separator normalization ONLY: strip whitespace/nbsp/apostrophe
-    * grouping, resolve the US/EU decimal-vs-thousands ambiguity, emit a
-    * plain "[+-]?digits[.digits][eN]" candidate string. No validation and
+    * grouping AND double-quote characters (the reference's numeric
+    * inference removes every `"` before parsing, datatypes.py:548,568 —
+    * so the doubly-quoted CSV cell `"3,333"` guesses to 3333), resolve
+    * the US/EU decimal-vs-thousands ambiguity, emit a plain
+    * "[+-]?digits[.digits][eN]" candidate string. No validation and
     * no numeric conversion — the full digit string survives, so callers
     * that need EXACT values beyond double precision (int64 edge, the
     * arbitrary-precision decimal(38,0) route) can cast the string
@@ -1057,7 +1060,7 @@ object Kernels {
     var i = 0
     while (i < raw.length) {
       val c = raw.charAt(i)
-      if (!Character.isWhitespace(c) && c != ' ' && c != '\'') sb.append(c)
+      if (!Character.isWhitespace(c) && c != ' ' && c != '\'' && c != '"') sb.append(c)
       i += 1
     }
     val s = sb.toString

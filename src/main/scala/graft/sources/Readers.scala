@@ -126,6 +126,11 @@ object Readers {
         .option("header", opts.firstRowHasHeaders)
         .option("sep", delimiter)
         .option("quote", opts.textQualifier)
+        // RFC-4180 / tablite escape a quote by DOUBLING it; Spark's csv
+        // default escape is backslash, which mis-splits """x,y""" at the
+        // comma (bad_empty.csv golden) — escape = the qualifier restores
+        // doubled-quote semantics
+        .option("escape", opts.textQualifier)
         .option("multiLine", true)
         .option("encoding", opts.encoding.getOrElse(sniffEncoding(spark, path)))
         .option("ignoreLeadingWhiteSpace", opts.stripWhitespace)
@@ -184,6 +189,7 @@ object Readers {
       .option("header", opts.firstRowHasHeaders)
       .option("sep", delimiter)
       .option("quote", opts.textQualifier)
+      .option("escape", opts.textQualifier) // doubled-quote escapes (RFC-4180)
       .option("ignoreLeadingWhiteSpace", opts.stripWhitespace)
       .option("ignoreTrailingWhiteSpace", opts.stripWhitespace)
       .csv(windowed)

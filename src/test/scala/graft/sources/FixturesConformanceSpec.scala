@@ -186,4 +186,87 @@ class FixturesConformanceSpec extends SparkSpec {
     assert(df.columns.length === 1)
     assert(df.count() === 2)
   }
+
+  private val refData = "/root/reference/tests/data"
+
+  test("book1.tsv / book1.txt: tab files, 45 rows, a int + b..f float " +
+      "(test_filereader_formats.py:201-224)") {
+    assume(new java.io.File(refData).isDirectory)
+    Seq(s"$refData/book1.tsv", s"$refData/book1.txt").foreach { p =>
+      val t = Readers.readCsv(spark, p, CsvOptions())
+      assert(t.columns.toSeq === Seq("a", "b", "c", "d", "e", "f"), p)
+      assert(t.count() === 45, p)
+      assert(t.schema("a").dataType.typeName === "long", p)
+      Seq("b", "c", "d", "e", "f").foreach(c =>
+        assert(t.schema(c).dataType.typeName === "double", s"$p $c"))
+    }
+  }
+
+  test("book1.txt start/limit chunks reassemble to the full table " +
+      "(test_filereader_formats.py:225-246)") {
+    assume(new java.io.File(refData).isDirectory)
+    val p = s"$refData/book1.txt"
+    val full = Readers.readCsv(spark, p, CsvOptions(guessDatatypes = false))
+    var start = 0
+    var chunks = Seq.empty[org.apache.spark.sql.DataFrame]
+    var n = -1L
+    while (n != 0) {
+      val c = Readers.readCsv(spark, p,
+        CsvOptions(guessDatatypes = false, start = start, limit = 5))
+      n = c.count()
+      if (n > 0) { chunks :+= c; start += n.toInt }
+    }
+    val stitched = chunks.reduce(graft.operators.SetOps.concat)
+    assert(stitched.count() === full.count())
+    assert(stitched.exceptAll(full).isEmpty && full.exceptAll(stitched).isEmpty)
+  }
+
+  test("utf8_test.csv: ; delimiter, unicode headers, reference types " +
+      "(test_filereader_formats.py:321-336)") {
+    assume(new java.io.File(refData).isDirectory)
+    val t = Readers.readCsv(spark, s"$refData/utf8_test.csv",
+      CsvOptions(delimiter = Some(";")))
+    assert(t.columns.toSeq ===
+      Seq("Item", "Materiál", "Objem", "Jednotka objemu", "Free Inv Pcs"))
+    val tp = t.schema.fields.map(f => f.name -> f.dataType.typeName).toMap
+    assert(tp("Item") === "long" && tp("Objem") === "double" &&
+      tp("Materiál") === "string" && tp("Jednotka objemu") === "string" &&
+      tp("Free Inv Pcs") === "long")
+    assert(t.count() > 0)
+  }
+
+  test("utf8sig.csv: BOM stripped from the header row " +
+      "(test_filereader_formats.py:374-381)") {
+    assume(new java.io.File(refData).isDirectory)
+    val t = Readers.readCsv(spark, s"$refData/utf8sig.csv", CsvOptions())
+    assert(t.columns.toSeq === Seq("432", "1"))
+    assert(t.count() === 2)
+  }
+
+  test("long_text_test.csv: quoted multi-line cells via the multiLine path " +
+      "(test_filereader_formats.py:667-712)") {
+    assume(new java.io.File(refData).isDirectory)
+    val t = Readers.readCsv(spark, s"$refData/long_text_test.csv",
+      CsvOptions(multiLine = true, guessDatatypes = false))
+    assert(t.count() === 47)
+    assert(t.columns.length === 31)
+    assert(t.columns.head === "sharepointid" && t.columns.contains("FULLTEXT"))
+  }
+
+  test("bad_empty.csv golden: doubly-quoted '3,333' guesses to 3333, empties " +
+      "to null (test_filereader_formats.py:83-103, datatypes.py:548)") {
+    assume(new java.io.File(refData).isDirectory)
+    val t = Readers.readCsv(spark, s"$refData/bad_empty.csv", CsvOptions())
+    assert(t.columns.toSeq === Seq("A", "B", "C"))
+    def colL(c: String): Seq[Option[Long]] =
+      t.select(c).collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq
+    // multiset compare (row order is partition-arbitrary); the reference
+    // asserts [None,3,1,None,None] / [None,3333,None,2,None] / [None,3,None,None,3]
+    assert(colL("A").sortBy(_.getOrElse(Long.MinValue)) ===
+      Seq(None, None, None, Some(1L), Some(3L)))
+    assert(colL("B").sortBy(_.getOrElse(Long.MinValue)) ===
+      Seq(None, None, None, Some(2L), Some(3333L)))
+    assert(colL("C").sortBy(_.getOrElse(Long.MinValue)) ===
+      Seq(None, None, None, Some(3L), Some(3L)))
+  }
 }
