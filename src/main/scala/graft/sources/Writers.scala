@@ -58,6 +58,10 @@ object Writers {
       .option("header", "true")
       .option("emptyValue", "")
       .option("nullValue", "")
+      // RFC-4180 doubled-quote escaping (Spark's default is backslash) —
+      // must agree with readCsv's escape or a quoted value containing a
+      // quote would not round-trip
+      .option("escape", "\"")
       .csv(path)
 
   def toCsv(df: DataFrame, path: String): Unit = writeDelimited(df, path, ",")

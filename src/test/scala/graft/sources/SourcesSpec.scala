@@ -62,6 +62,16 @@ class SourcesSpec extends SparkSpec {
     assert(back.orderBy("id").select("v").as[Double].collect() === Array(1.5, 2.5))
   }
 
+  test("csv roundtrip survives quotes, delimiters, and doubled quotes in values") {
+    val dir = Files.createTempDirectory("graftcsvq").toString + "/out"
+    val vals = Seq((1L, """say "hi", ok"""), (2L, """a""b"""), (3L, "plain"))
+    val df = vals.toDF("id", "s")
+    Writers.toCsv(df, dir)
+    val back = Readers.readCsv(spark, dir, Readers.CsvOptions(guessDatatypes = false))
+      .collect().map(r => r.getString(0).toLong -> r.getString(1)).toMap
+    vals.foreach { case (id, s) => assert(back(id) === s, s"id $id") }
+  }
+
   test("toSql emits CREATE + INSERT with escaping") {
     val sql = Writers.toSql(Seq((1, "o'brien")).toDF("id", "name"), "t")
     assert(sql.contains("CREATE TABLE t (id INTEGER, name TEXT);"))
