@@ -233,22 +233,33 @@ object Bench {
     catch { case _: Throwable => () }
 
     val failed = tasks.keys.filter(n => samples(n).isEmpty).toSeq
+    // locale-pinned 3-decimal formatter: f"%.3f" is locale-sensitive and a
+    // comma-decimal default locale would emit malformed JSON ("0,500")
+    def num3(d: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val qs = tasks.keys.map { n =>
-      val v = if (samples(n).nonEmpty) samples(n).min.toString else "null"
+      val v = if (samples(n).nonEmpty) num3(samples(n).min) else "null"
       "\"" + n + "\":" + v
     }.mkString("{", ",", "}")
-    // per-row spread (fraction of min, 3 decimals): lets the record and
-    // its readers separate window noise from real regressions per row
-    val spreads = tasks.keys.map { n =>
-      val v = if (samples(n).nonEmpty) f"${spreadOf(samples(n).toSeq)}%.3f" else "null"
-      "\"" + n + "\":" + v
+    // per-row spread (fraction of min): the variance guard that lets a hot
+    // rep self-identify. Emitted SPARSE (only rows over the 15% noise
+    // floor) so it can't crowd the per-query timings out of the driver's
+    // 2,000-char stdout-tail capture (the r11 record lost every timing to
+    // a dense spread map).
+    val spreads = tasks.keys.flatMap { n =>
+      val s = spreadOf(samples(n).toSeq)
+      if (samples(n).nonEmpty && s > 0.15) Some("\"" + n + "\":" + num3(s)) else None
     }.mkString("{", ",", "}")
     // headline total = successful tasks only: a query that failed fast in
     // every rep must not post a better total than a clean run
     val total = samples.valuesIterator.filter(_.nonEmpty).map(_.min).sum
     val loadAfter = loadavg
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spreads,"io_rows":$ioRows,"sf":"$sfDir","reps":$reps,"cpus":$cpus,"load_before":$loadBefore,"load_max":$loadMax,"load_after":$loadAfter,"failed":$failedJson}""")
+    // Key order matters: the driver records only the LAST 2,000 chars of
+    // stdout, so `queries` goes LAST (metadata and the sparse spread map
+    // first). Task order puts the io_* headlines at the end of `queries`,
+    // so the tail is guaranteed to hold them plus the preceding ~80 rows;
+    // the full line should be committed as BENCH_LOCAL_r{N}.json.
+    println(s"""{"metric":"total","value":${num3(total)},"unit":"sec","io_rows":$ioRows,"sf":"$sfDir","reps":$reps,"cpus":$cpus,"load_before":$loadBefore,"load_max":$loadMax,"load_after":$loadAfter,"failed":$failedJson,"spread":$spreads,"queries":$qs}""")
     spark.stop()
   }
 }

@@ -1825,11 +1825,14 @@ object SparkEntry {
     // batch-1 SURVIVORS must then drop (the growth semantics), its own
     // fresh rows survive. t=1.0 → banding recall provably 1 for exact
     // copies; md5 texts are unique so no unintended intra pairs.
-    // Bench character: ~16 s at sf0.1 = TWO complete ingest cycles
+    // Bench character: ~6 s at sf0.1 = TWO complete ingest cycles
     // (incremental probe + within-batch minhash dedup + components +
-    // checkpoint + index append each) ≈ 100 AQE jobs whose LARGEST
-    // single job is <0.5 s — driver scheduling overhead at toy scale,
-    // not a plan defect; at production batch sizes the same pipeline is
+    // checkpoint + index append each), ~60 jobs/cycle (ProfileIngest),
+    // largest single job <0.5 s — down from r11's ~17 s after the
+    // shingle-once refactor (batch signed once, reused by probe, intra
+    // pairing AND append), the bucketSelfJoin broadcast probe moving to
+    // AQE's size-based call, and connectedComponents' one-action
+    // limit-collect; at production batch sizes the same pipeline is
     // data-bound and the per-batch job count is unchanged.
     "q_dedup_ingest" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))

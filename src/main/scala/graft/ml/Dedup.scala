@@ -50,30 +50,31 @@ object Dedup {
     // buckets in one task and (worse) the r3 shape recomputed the upstream
     // signature plan once per branch. Instead: partial-agg count on the
     // narrow bucket key, keep only the SKEWED keys (> maxBucket) — few by
-    // definition at any data scale, so they broadcast — and persist the
-    // input once so both branches read cache, not the upstream pipeline.
-    // Both persists live in the caller's CacheScope: released after the
-    // caller's first action on the pipeline result.
+    // definition at any data scale — and persist the input once so both
+    // branches read cache, not the upstream pipeline. Both persists live
+    // in the caller's CacheScope: released after the caller's first
+    // action on the pipeline result.
     val cached = scope.persist(rows)
     val big = scope.persist(
       cached.groupBy(bk).agg(count(lit(1)).as("bsize"))
         .filter(col("bsize") > maxBucket))
-    // skewed keys are few on every realistic corpus, but "few" is an
-    // observation, not a bound — fall back to a shuffle join rather than
-    // force-broadcasting millions of slightly-over keys onto the driver
-    // (the count also materializes `cached` before the branches fan out)
-    val broadcastable = big.count() <= 500000L
-    def hint(df: DataFrame): DataFrame = if (broadcastable) broadcast(df) else df
-
+    // No broadcast hint and no eager size probe: skewed keys are few on
+    // every realistic corpus, but "few" is an observation, not a bound —
+    // AQE sees `big`'s ACTUAL post-agg size and picks broadcast exactly
+    // when it fits autoBroadcastJoinThreshold, falling back to a shuffle
+    // join when millions of slightly-over keys would OOM a forced
+    // broadcast. The r11 shape pre-counted big to make that call itself;
+    // the count was one full action per pairing call — pure driver
+    // overhead on micro-batches (q_dedup_ingest pays this per cycle).
     def side(df: DataFrame, suffix: String, extra: Seq[(String, String)]): DataFrame =
       df.select(col(bk) +: extra.map { case (c, n) => col(c).as(n) } ++:
         payloadCols.map(c => col(c).as(c + suffix)): _*)
 
-    val small = cached.join(hint(big), Seq(bk), "left_anti")
+    val small = cached.join(big, Seq(bk), "left_anti")
     val plain = side(small, "_a", Nil).join(side(small, "_b", Nil), Seq(bk))
 
     val medium = cached
-      .join(hint(big.filter(col("bsize") <= hardCap)), Seq(bk))
+      .join(big.filter(col("bsize") <= hardCap), Seq(bk))
       .withColumn("g", ceil(col("bsize") / lit(maxBucket)).cast("int"))
       .withColumn("c", pmod(xxhash64(col(payloadCols.head)), col("g")).cast("int"))
     val aSide = side(
@@ -122,24 +123,51 @@ object Dedup {
     // the shingle frame feeds the band explode AND both verify joins —
     // persist so the corpus is shingled once (scope-released after the
     // caller's first action; at petabyte scale write it out instead)
-    // distinct shingle count computed ONCE per doc: the scalar Jaccard
-    // size-bound (t*|B| <= |A| <= |B|/t) prunes candidate pairs before
-    // any array is compared
-    // sz=0 docs (under shingleN tokens) are dropped: they have no signal
-    // for NEAR-dup detection (exact dedup owns them) and would otherwise
-    // all share the empty-array minhash signature — one degenerate
-    // quadratic bucket per corpus
     val scope = new CacheScope
-    val sh = scope.persist(docs.select(col(idCol).as("id"),
+    val sh = scope.persist(shingleFrame(docs, idCol, textCol, shingleN))
+    minhashVerifiedPairs(sh, bandFrame(sh, k, bands), threshold, maxBucket, saltCap, scope)
+  }
+
+  /** `(id, sh, sz)` shingle signature frame — distinct shingle count
+    * computed ONCE per doc: the scalar Jaccard size-bound
+    * (t*|B| <= |A| <= |B|/t) prunes candidate pairs before any array is
+    * compared. sz=0 docs (under shingleN tokens) are dropped: they have
+    * no signal for NEAR-dup detection (exact dedup owns them) and would
+    * otherwise all share the empty-array minhash signature — one
+    * degenerate quadratic bucket per corpus.
+    */
+  private[graft] def shingleFrame(
+      docs: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
       Kernels.wordShingles(col(textCol), shingleN).as("sh"))
       .withColumn("sz", size(array_distinct(col("sh"))))
-      .filter(col("sz") > 0))
-    // only (id, bandkey) goes through the shuffle — never the shingle
-    // arrays; band buckets over maxBucket are salted (triangle sub-join),
-    // over saltCap dropped (boilerplate clusters exact dedup catches)
-    val bandRows = sh.select(col("id"), explode(Similarity.lshBands(
+      .filter(col("sz") > 0)
+
+  /** `(id, bandkey)` LSH band rows of a [[shingleFrame]] — only this
+    * narrow pair ever goes through the pairing shuffle, never the
+    * shingle arrays.
+    */
+  private[graft] def bandFrame(sh: DataFrame, k: Int, bands: Int): DataFrame =
+    sh.select(col("id"), explode(Similarity.lshBands(
       Kernels.minhashSig(col("sh"), k), bands, k / bands)).as("bandkey"))
-    // distinct candidate pairs FIRST; verify each pair's Jaccard once
+
+  /** Pairing tail of [[minhashPairs]] over PRE-COMPUTED signature frames
+    * (`sh` = [[shingleFrame]], `bandRows` = [[bandFrame]], both expected
+    * caller-persisted — each feeds multiple joins): band buckets over
+    * maxBucket are salted (triangle sub-join), over saltCap dropped
+    * (boilerplate clusters exact dedup catches); distinct candidate
+    * pairs FIRST, then each pair's Jaccard verified once. Lets an ingest
+    * loop shingle + minhash-sign its batch ONCE and reuse the frames
+    * across the corpus probe, the intra-batch pairing and the index
+    * append instead of recomputing them three times.
+    */
+  private[graft] def minhashVerifiedPairs(
+      sh: DataFrame,
+      bandRows: DataFrame,
+      threshold: Double,
+      maxBucket: Int,
+      saltCap: Int,
+      scope: CacheScope): DataFrame = {
     val cand = bucketSelfJoin(bandRows, "bandkey", Seq("id"), maxBucket, saltCap, scope)
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
@@ -230,18 +258,24 @@ object Dedup {
       idCol: String,
       textCol: String): Unit = {
     val idx = readMinhashIndex(spark, path)
-    val sh = batch.select(col(idCol).as("id"),
-      Kernels.wordShingles(col(textCol), idx.shingleN).as("sh"))
-      .withColumn("sz", size(array_distinct(col("sh"))))
-      .filter(col("sz") > 0)
+    val sh = shingleFrame(batch, idCol, textCol, idx.shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      sh.write.mode("append").parquet(s"$path/shingles")
-      sh.select(col("id"), explode(Similarity.lshBands(
-        Kernels.minhashSig(col("sh"), idx.k), idx.nBands, idx.k / idx.nBands))
-        .as("bandkey"))
-        .write.mode("append").parquet(s"$path/bands")
-    } finally { sh.unpersist(blocking = false); () }
+    try appendPreSignedToMinhashIndex(path, sh, bandFrame(sh, idx.k, idx.nBands))
+    finally { sh.unpersist(blocking = false); () }
+  }
+
+  /** Append tail of [[appendToMinhashIndex]] over PRE-COMPUTED signature
+    * frames — the frames MUST have been built under the index's stored
+    * banding params (callers get them from [[readMinhashIndex]]).
+    * Shingles land first: a torn append degrades to missed recall for
+    * this batch (re-append repairs it), never corrupt pairs.
+    */
+  private[graft] def appendPreSignedToMinhashIndex(
+      path: String, sh: DataFrame, bandRows: DataFrame): Unit = {
+    sh.select(col("id"), col("sh"), col("sz"))
+      .write.mode("append").parquet(s"$path/shingles")
+    bandRows.select(col("id"), col("bandkey"))
+      .write.mode("append").parquet(s"$path/bands")
   }
 
   def minhashIndex(
@@ -251,14 +285,9 @@ object Dedup {
       k: Int = 64,
       bands: Int = 16,
       shingleN: Int = 3): MinhashIndex = {
-    val sh = corpus.select(col(idCol).as("id"),
-      Kernels.wordShingles(col(textCol), shingleN).as("sh"))
-      .withColumn("sz", size(array_distinct(col("sh"))))
-      .filter(col("sz") > 0)
+    val sh = shingleFrame(corpus, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandRows = sh.select(col("id"), explode(Similarity.lshBands(
-      Kernels.minhashSig(col("sh"), k), bands, k / bands)).as("bandkey"))
-    MinhashIndex(bandRows, sh, k, bands, shingleN)
+    MinhashIndex(bandFrame(sh, k, bands), sh, k, bands, shingleN)
   }
 
   /** Dedup an increment AGAINST an existing corpus index — the
@@ -283,12 +312,23 @@ object Dedup {
       threshold: Double = 0.7,
       maxDf: Int = 20000): DataFrame = {
     val scope = new CacheScope
-    val shNew = scope.persist(increment.select(col(idCol).as("id"),
-      Kernels.wordShingles(col(textCol), index.shingleN).as("sh"))
-      .withColumn("sz", size(array_distinct(col("sh"))))
-      .filter(col("sz") > 0))
-    val newBands = shNew.select(col("id").as("id_a"), explode(Similarity.lshBands(
-      Kernels.minhashSig(col("sh"), index.k), index.nBands, index.k / index.nBands)).as("bandkey"))
+    val shNew = scope.persist(shingleFrame(increment, idCol, textCol, index.shingleN))
+    incrementalVerifiedPairs(
+      shNew, bandFrame(shNew, index.k, index.nBands), index, threshold, maxDf, scope)
+  }
+
+  /** Probe tail of [[incrementalMinhashPairs]] over PRE-COMPUTED batch
+    * signature frames (same contract as [[minhashVerifiedPairs]]): the
+    * ingest-loop building block that avoids re-shingling the batch.
+    */
+  private[graft] def incrementalVerifiedPairs(
+      shNew: DataFrame,
+      newBandRows: DataFrame,
+      index: MinhashIndex,
+      threshold: Double,
+      maxDf: Int,
+      scope: CacheScope): DataFrame = {
+    val newBands = newBandRows.select(col("id").as("id_a"), col("bandkey"))
     // corpus postings that an increment key actually touches (tiny vs
     // the corpus); computed once per batch — a fraction of index.bands.
     // Batch-scoped (unlike the index itself): released after this batch's
@@ -830,9 +870,15 @@ object Dedup {
     // near-dup pair sets are tiny relative to the corpus; below the
     // threshold a driver-side union-find beats dozens of iterative jobs.
     // Above it, fall through to the distributed label-propagation loop.
-    val pairCount = fwd.count()
-    if (pairCount <= driverThreshold) {
-      val edgesLocal = fwd.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // ONE action decides AND fetches: collect through a threshold+1
+    // limit — ≤ threshold rows back means we hold the complete edge set
+    // (the same rows a separate count+collect pair fetched in two
+    // actions); threshold+1 rows means "too big", fall through without
+    // ever materializing the overflow on the driver.
+    val probe = fwd.limit(
+      (driverThreshold min (Int.MaxValue - 1L)).toInt + 1).collect()
+    if (probe.length <= driverThreshold) {
+      val edgesLocal = probe.map(r => (r.getLong(0), r.getLong(1)))
       fwd.unpersist(blocking = false)
       val parent = scala.collection.mutable.Map[Long, Long]()
       def find(x: Long): Long = {

@@ -212,12 +212,27 @@ object SetOps {
   }
 
   /** Fold a batch of change events into an existing SCD-2 history
-    * ([[scd2FromEvents]] output shape): closed rows pass through
-    * untouched; each key's OPEN row re-chains with that key's new
-    * events (closing at the first newer event), keys without updates
-    * keep their open row, and never-seen keys insert their own chain.
-    * The window re-runs only over open rows + updates — O(touched
-    * keys' state), not O(history).
+    * ([[scd2FromEvents]] output shape), always equivalent to a full
+    * [[scd2FromEvents]] rebuild over (original events ∪ updates):
+    *
+    *   - keys whose updates are all at-or-after their open row's
+    *     `valid_from` re-chain only the OPEN row + the updates —
+    *     O(touched keys' state); closed rows pass through untouched;
+    *   - a LATE event (version strictly before its key's open-row
+    *     `valid_from`) would splice inside the already-closed chain, so
+    *     that key's FULL history re-chains (history rows carry their
+    *     original event columns, so the rebuild needs no event log) —
+    *     still O(that key's state), not O(history);
+    *   - never-seen keys insert their own chain; keys without updates
+    *     keep their rows byte-for-byte.
+    *
+    * Late-key detection is one aggregate over the (small) update batch
+    * broadcast-joined against open rows; when no key is late the extra
+    * semi/anti joins are broadcast passes that drop out to the previous
+    * single-scan plan shape. An update tying the open row's version
+    * re-chains in the fast path and stays rebuild-equivalent: both rows
+    * are in the re-chain set and the closed chain's last `valid_to`
+    * equals that version either way.
     */
   def scd2Apply(history: DataFrame, updates: DataFrame, keyCols: Seq[String],
       versionCol: String, tieCol: String): DataFrame = {
@@ -227,10 +242,25 @@ object SetOps {
       require(!updates.columns.contains(c),
         s"scd2Apply: updates must be raw events, found '$c'")
     }
-    val closed = history.filter(!col("is_current"))
-    val open = history.filter(col("is_current"))
-      .drop("valid_from", "valid_to", "is_current")
-    val rechained = scd2FromEvents(concat(open, updates), keyCols, versionCol, tieCol)
-    concat(closed, rechained)
+    val validityCols = Seq("valid_from", "valid_to", "is_current")
+    // keys with at least one update older than their open row: these
+    // must re-chain their whole history, not just the open row
+    val updMin = updates.groupBy(keyCols.map(col): _*)
+      .agg(min(col(versionCol)).as("__upd_min"))
+    val lateKeys = history.filter(col("is_current"))
+      .select(keyCols.map(col) :+ col("valid_from").as("__open_from"): _*)
+      .join(broadcast(updMin), keyCols)
+      .filter(col("__upd_min") < col("__open_from"))
+      .select(keyCols.map(col): _*)
+    val histNorm = history.join(broadcast(lateKeys), keyCols, "left_anti")
+    val histLate = history.join(broadcast(lateKeys), keyCols, "left_semi")
+    val updNorm = updates.join(broadcast(lateKeys), keyCols, "left_anti")
+    val updLate = updates.join(broadcast(lateKeys), keyCols, "left_semi")
+    val closed = histNorm.filter(!col("is_current"))
+    val open = histNorm.filter(col("is_current")).drop(validityCols: _*)
+    val rechained = scd2FromEvents(concat(open, updNorm), keyCols, versionCol, tieCol)
+    val rebuiltLate = scd2FromEvents(
+      concat(histLate.drop(validityCols: _*), updLate), keyCols, versionCol, tieCol)
+    concat(concat(closed, rechained), rebuiltLate)
   }
 }

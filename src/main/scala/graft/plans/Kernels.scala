@@ -743,15 +743,21 @@ object Kernels {
         order(sj + 1) = oi0
         si += 1
       }
+      // bestI starts at 0 (not a sentinel): on a corrupt vector (NaN/Inf
+      // components) every distance comparison below is false, and the flat
+      // scan would return index 0 — the hier path must match, never emit
+      // an out-of-range index
       var best = Double.MaxValue
-      var bestI = Int.MaxValue
+      var bestI = 0
       var oi = 0
       while (oi < g) {
         val gi = order(oi)
         val lb = ds(gi) - h.radii(gi)
         // strict skip: an at-the-bound tie must still be scanned so the
-        // smallest-index tie-break matches the flat scan exactly
-        if (!(lb > 0 && lb * lb > best)) {
+        // smallest-index tie-break matches the flat scan exactly; a
+        // non-finite lower bound (NaN/Inf input vector) never justifies
+        // skipping — NaN comparisons would otherwise prune every group
+        if (!(java.lang.Double.isFinite(lb) && lb > 0 && lb * lb > best)) {
           val mem = h.members(gi)
           var k = 0
           while (k < mem.length) {

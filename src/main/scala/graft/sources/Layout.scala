@@ -78,15 +78,25 @@ object Layout {
 
   /** Append `batch` to an indexed dataset WITHOUT rebuilding the
     * sidecar: new data files parquet-append, then ONE pass over only
-    * the NEW files (before/after listing diff) computes their min/max
-    * rows, which append to the sidecar. At 100 TB the full
+    * the files the sidecar does not know yet (listing anti-joined
+    * against the index on file basename) computes their min/max rows,
+    * which append to the sidecar. At 100 TB the full
     * [[writeSkippingIndex]] rebuild re-scans the whole dataset per
-    * ingest batch; this is O(batch). Crash-safety: data files land
-    * before sidecar rows — a torn append leaves files the index does
-    * not know, which [[prunedFiles]] then NEVER returns, so reads
-    * through the index miss that batch (re-running the append repairs
-    * it) but are never wrong about what they scan; plain un-indexed
-    * reads of `path` see everything immediately.
+    * ingest batch; this is O(batch).
+    *
+    * Crash-safety (SINGLE-WRITER assumption — no coordination between
+    * concurrent appenders): data files land before sidecar rows, so a
+    * torn append leaves committed files the index does not know;
+    * [[prunedFiles]] NEVER returns them, so index reads miss that batch
+    * but are never wrong about what they scan. Re-running the append
+    * restores index-read visibility IDEMPOTENTLY for the index — the
+    * unknown-set diff picks up the orphaned files without double-
+    * indexing them — but the re-run's data files are a second copy of
+    * the batch rows, which PLAIN (un-indexed) reads of `path` then see
+    * as duplicates; deduplicate such a batch upstream (or compact) if
+    * plain readers matter. Exactly-once data append needs a table
+    * format with a transaction log, which this sidecar does not
+    * attempt.
     */
   def appendWithSkippingIndex(batch: DataFrame, path: String,
       cols: Seq[String]): Unit = {
@@ -99,14 +109,24 @@ object Layout {
     require(fs.exists(new org.apache.hadoop.fs.Path(s"$path/_skipping")),
       s"appendWithSkippingIndex: no sidecar at $path/_skipping — " +
         "run writeSkippingIndex first")
-    def dataFiles: Set[String] = {
-      fs.listStatus(new org.apache.hadoop.fs.Path(path))
-        .filter(_.isFile).map(_.getPath.toString)
-        .filter(_.endsWith(".parquet")).toSet
-    }
-    val before = dataFiles
     batch.write.mode("append").parquet(path)
-    val fresh = (dataFiles -- before).toSeq
+    // unknown set = listed data files minus sidecar entries, matched on
+    // basename (part-file names are UUID-unique; listing and
+    // input_file_name() render the scheme differently, the basename is
+    // identical). Distributed anti-join so only the (small) unknown set
+    // is ever collected — covers both this batch's files and any
+    // orphans a previously-torn append left behind, exactly once.
+    val listed = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(_.isFile).map(_.getPath.toString)
+      .filter(_.endsWith(".parquet")).toSeq
+    import spark.implicits._
+    val fresh = listed.toDF("path")
+      .withColumn("__base", regexp_extract(col("path"), "[^/]+$", 0))
+      .join(
+        spark.read.parquet(s"$path/_skipping")
+          .select(regexp_extract(col("file"), "[^/]+$", 0).as("__base")),
+        Seq("__base"), "left_anti")
+      .select("path").as[String].collect().toSeq
     if (fresh.nonEmpty) {
       val aggs = cols.flatMap(c =>
         Seq(min(col(c)).as(s"${c}__min"), max(col(c)).as(s"${c}__max")))

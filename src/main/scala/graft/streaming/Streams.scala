@@ -259,42 +259,89 @@ object Streams {
     * streaming-native shape of a deduped ingest pipeline. Banding
     * params always come from the index sidecar (drift is
     * unrepresentable); per-batch work is O(batch) plus the band-pruned
-    * posting lookups. Exactly-once caveat: the append is not
-    * transactional with the sink — a replayed batch re-appends the same
-    * ids, which degrades to duplicate index rows (harmless for dedup
-    * semantics: candidates dedup through the pair `distinct`), never to
-    * lost drops.
+    * posting lookups.
+    *
+    * The batch is shingled and minhash-signed exactly ONCE: the two
+    * signature frames are persisted and reused by the corpus probe, the
+    * intra-batch pairing AND the index append (the r11 shape recomputed
+    * them three times — the kernels are the dominant per-batch CPU and
+    * each recompute also re-ran its own job chain).
+    *
+    * Exactly-once caveat: the append is not transactional with the
+    * sink — a replayed batch re-appends the same ids, which degrades to
+    * duplicate index rows (harmless for dedup semantics: candidates
+    * dedup through the pair `distinct`), never to lost drops.
+    *
+    * Durability: the survivor lineage MUST be cut before the append —
+    * writing to the index path makes Spark invalidate/recache every
+    * plan reading that path, and the survivors read the index (through
+    * the corpus probe); a post-append action would recompute against
+    * the GROWN index and dedup the batch against itself (measured:
+    * empty survivors). Default `reliableCheckpoint = false` cuts it
+    * with an eager `localCheckpoint`, whose blocks live in EXECUTOR
+    * storage: correct and cheap locally, but on a real cluster an
+    * executor loss mid-batch invalidates the pinned partitions and the
+    * truncated lineage cannot recompute — the micro-batch fails and the
+    * stream retries it (safe, per the replay caveat above, but wasted
+    * work). `reliableCheckpoint = true` is the cluster-grade flavor:
+    * survivors go to the fault-tolerant `spark.sparkContext
+    * .setCheckpointDir` location (HDFS/S3) and an executor loss just
+    * re-reads files — required for long-running ingest services.
     */
   def dedupIngestBatch(
       indexPath: String,
       idCol: String,
       textCol: String,
-      threshold: Double = 0.7): DataFrame => DataFrame =
+      threshold: Double = 0.7,
+      reliableCheckpoint: Boolean = false): DataFrame => DataFrame =
     (batch: DataFrame) => {
       val spark = batch.sparkSession
       val idx = graft.ml.Dedup.readMinhashIndex(spark, indexPath)
-      val vsCorpus = graft.ml.Dedup.incrementalMinhashPairs(
-        batch, idx, idCol, textCol, threshold)
+      if (reliableCheckpoint)
+        require(spark.sparkContext.getCheckpointDir.isDefined,
+          "dedupIngestBatch(reliableCheckpoint = true) requires " +
+            "spark.sparkContext.setCheckpointDir (a fault-tolerant location)")
+      val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      // shingle + sign ONCE per batch; both frames feed three consumers
+      val shAll = graft.ml.Dedup.shingleFrame(batch, idCol, textCol, idx.shingleN)
+        .persist(mem)
+      val bandAll = graft.ml.Dedup.bandFrame(shAll, idx.k, idx.nBands).persist(mem)
+      // the corpus-probe verdict is persisted too (a tiny id frame): the
+      // probe's verify joins read the CORPUS shingle store, and without
+      // this they re-run in every downstream action (the components
+      // count AND the survivor checkpoint)
+      val vsCorpus = graft.ml.Dedup.incrementalVerifiedPairs(
+        shAll, bandAll, idx, threshold, maxDf = 20000,
+        scope = new graft.operators.CacheScope)
         .select(col("id_a").as("__dup_id")).distinct()
-      val fresh = batch.join(vsCorpus, batch(idCol) === col("__dup_id"), "left_anti")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(mem)
       try {
-        val intra = graft.ml.Dedup.minhashPairs(fresh, idCol, textCol,
-          k = idx.k, bands = idx.nBands, shingleN = idx.shingleN,
-          threshold = threshold)
-        // the lineage MUST be cut before the append: writing to the
-        // index path makes Spark invalidate/recache every plan reading
-        // that path, and the survivor lineage reads the index (through
-        // vsCorpus) — a post-append action would recompute against the
-        // GROWN index and dedup the batch against itself (measured:
-        // empty survivors). The eager localCheckpoint pins the computed
-        // partitions, the connectedComponents pattern.
-        val survivors = graft.ml.Dedup.dedupedCorpus(fresh, idCol, intra)
-          .localCheckpoint(true)
-        graft.ml.Dedup.appendToMinhashIndex(spark, indexPath, survivors,
-          idCol, textCol)
+        val fresh = batch.join(vsCorpus, batch(idCol) === col("__dup_id"), "left_anti")
+        val freshIds = fresh.select(col(idCol).as("id"))
+        val intra = graft.ml.Dedup.minhashVerifiedPairs(
+          shAll.join(freshIds, Seq("id"), "left_semi"),
+          bandAll.join(freshIds, Seq("id"), "left_semi"),
+          threshold, maxBucket = 1000, saltCap = 20000,
+          scope = new graft.operators.CacheScope)
+        val chained = graft.ml.Dedup.dedupedCorpus(fresh, idCol, intra)
+        val survivors =
+          if (reliableCheckpoint) chained.checkpoint(eager = true)
+          else chained.localCheckpoint(eager = true)
+        // append from the PRE-COMPUTED signature frames (survivor-pruned
+        // by semi-join against the checkpointed ids): no re-shingle, no
+        // re-sign, and the frames' lineage reads only the batch — safe
+        // to evaluate after the index write
+        val survIds = survivors.select(col(idCol).as("id"))
+        graft.ml.Dedup.appendPreSignedToMinhashIndex(indexPath,
+          shAll.join(survIds, Seq("id"), "left_semi"),
+          bandAll.join(survIds, Seq("id"), "left_semi"))
         survivors
-      } finally { fresh.unpersist(blocking = false); () }
+      } finally {
+        shAll.unpersist(blocking = false)
+        bandAll.unpersist(blocking = false)
+        vsCorpus.unpersist(blocking = false)
+        ()
+      }
     }
 
   /** Streaming decontamination — the benchmark-leak cousin of
