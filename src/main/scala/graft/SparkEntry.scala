@@ -2300,6 +2300,43 @@ object SparkEntry {
             col("n_chars").cast("long"))
       }
     }),
+    // write→read identity through the FLAT ODF codec (one content XML
+    // document, no zip container)
+    "q_fods_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      withTempFile(s"graft_q_fods_${ProcessHandle.current.pid}.fods") { p =>
+        graft.sources.Ods.writeFods(docs, p)
+        graft.sources.Ods.readFods(s, p, guessDatatypes = false)
+          .select(col("doc_id").cast("long"), col("text"), col("lang"),
+            col("n_chars").cast("long"))
+      }
+    }),
+    // write→read identity through the BIFF8 .xls codec (CFB container,
+    // SST/LABELSST/NUMBER records) — writer and reader are independent
+    // clean-room halves, so either side's layout bug breaks the hash
+    "q_xls_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      withTempFile(s"graft_q_xls_${ProcessHandle.current.pid}.xls") { p =>
+        graft.sources.Xls.writeXls(docs, p)
+        graft.sources.Xls.readXls(s, p, guessDatatypes = false)
+          .select(col("doc_id").cast("long"), col("text"), col("lang"),
+            col("n_chars").cast("long"))
+      }
+    }),
+    // write→read identity through the html table pair (entity-escaped
+    // cells, dtype presentation row skipped on the way back)
+    "q_html_table" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      withTempFile(s"graft_q_html_${ProcessHandle.current.pid}.html") { p =>
+        graft.sources.Writers.writeHtml(docs, p, maxRows = 1000000)
+        graft.sources.Readers.readHtml(s, p, skipDataRows = 1, guessDatatypes = false)
+          .select(col("doc_id").cast("long"), col("text"), col("lang"),
+            col("n_chars").cast("long"))
+      }
+    }),
 
     // ---- multimodal plumbing ----------------------------------------
     "q_multimodal" -> ((s, dir) => {
@@ -2309,6 +2346,31 @@ object SparkEntry {
         "doc_id", "payload", "text")
       graft.ml.Multimodal.extractFeatures(media).toDF()
         .select(col("media_id"), col("kind"), col("n_bytes"), col("checksum"))
+    }),
+
+    // REAL image decode through the codec SPI: one 8×8 grayscale PNG per
+    // doc with pixel(i) = (id·31 + i·7) mod 256, ImageIO-encoded on the
+    // executors, decoded back by ImageIoCodec (raster samples, no sRGB
+    // transform) and aHashed. DuckDB recomputes the hash from the SAME
+    // closed-form pixels — integer-exact: luma of a gray PNG is the
+    // stored byte, and the mean compare is done as 64·g > Σg on both
+    // engines. Hash compared as zero-padded lowercase hex (a signed
+    // BIGINT with bit 63 set renders differently across engines).
+    "q_image_phash" -> ((s, dir) => {
+      implicit val ss: SparkSession = s
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            (id, graft.ml.Multimodal.ImageIoCodec.grayPng(
+              8, 8, i => ((id * 31 + i * 7) % 256).toInt))
+          }
+        }.toDF("doc_id", "png")
+      graft.ml.Multimodal.perceptualHashes(
+        graft.ml.Multimodal.asMediaTable(media, "doc_id", "png", "image"),
+        "ahash", codec = new graft.ml.Multimodal.ImageIoCodec(strict = true))
+        .select(col("media_id"),
+          lower(lpad(hex(col("phash")), 16, "0")).as("phash_hex"))
     }),
 
     // ---- events / windows -------------------------------------------
@@ -4094,6 +4156,25 @@ object SparkEntry {
     "q_xlsx_roundtrip" ->
       "SELECT doc_id, text, lang, n_chars FROM documents",
     "q_ods_roundtrip" ->
+      "SELECT doc_id, text, lang, n_chars FROM documents",
+    "q_fods_roundtrip" ->
+      "SELECT doc_id, text, lang, n_chars FROM documents",
+    // q_image_phash: aHash of a REAL PNG decode, recomputed from the
+    // closed-form pixel function (media_id·31 + i·7) mod 256 — the
+    // 64·g > Σg compare keeps both engines in integer arithmetic
+    "q_image_phash" ->
+      """WITH px AS (
+           SELECT doc_id AS media_id, i, (doc_id*31 + i*7) % 256 AS g
+           FROM documents, generate_series(0,63) AS t(i)),
+         m AS (SELECT media_id, sum(g) AS s FROM px GROUP BY 1)
+         SELECT px.media_id,
+           lpad(lower(to_hex(bit_or(CASE WHEN 64*px.g > m.s
+             THEN (1::UBIGINT << px.i) ELSE 0::UBIGINT END))),16,'0') AS phash_hex
+         FROM px JOIN m USING (media_id)
+         GROUP BY px.media_id""",
+    "q_xls_roundtrip" ->
+      "SELECT doc_id, text, lang, n_chars FROM documents",
+    "q_html_table" ->
       "SELECT doc_id, text, lang, n_chars FROM documents",
     // q_ann_lsh / q_ann_ivf at FULL probe scan the whole corpus with
     // exact distances, so exact top-k IS their oracle (same shape as

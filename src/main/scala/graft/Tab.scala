@@ -3,7 +3,7 @@ package graft
 import graft.operators._
 import graft.operators.ColumnSelect.ColSpec
 import graft.operators.Filters.Criterion
-import graft.sources.{Hdf5, Ods, Readers, Tpz, Writers, Xls, Xlsx}
+import graft.sources.{Hdf5, Ods, Readers, TextTables, Tpz, Writers, Xls, Xlsx}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
 
@@ -513,7 +513,9 @@ final case class Tab(df: DataFrame) {
   def toCsv(path: String): Unit = Writers.toCsv(df, path)
   def toTsv(path: String): Unit = Writers.toTsv(df, path)
   def toXlsx(path: String): Unit = Xlsx.writeXlsx(df, path)
+  def toXls(path: String): Unit = Xls.writeXls(df, path)
   def toOds(path: String): Unit = Ods.writeOds(df, path)
+  def toFods(path: String): Unit = Ods.writeFods(df, path)
   def toTpz(path: String): Unit = Tpz.writeTpz(df, path)
   def toHdf5(path: String): Unit = Hdf5.writeHdf5(df, path)
   def toJsonl(path: String): Unit = Writers.toJsonl(df, path)
@@ -559,6 +561,16 @@ object Tab {
     // first <table> scrape (reference readers dict dispatches .html)
     else if (lower.endsWith(".html") || lower.endsWith(".htm"))
       Tab(Readers.readHtml(spark, path, guessDatatypes = opts.guessDatatypes))
+    // pyexcel-text table renderings (reference readers dict routes the
+    // simple/rst/mediawiki suffixes through excel_reader,
+    // import_utils.py:632-648)
+    else if (Seq(".simple", ".rst", ".mediawiki").exists(lower.endsWith)) {
+      val fmt = lower.substring(lower.lastIndexOf('.') + 1)
+      Tab(TextTables.readTextTable(spark, path, fmt,
+        firstRowHasHeaders = opts.firstRowHasHeaders, headerRowIndex = opts.headerRowIndex,
+        skipEmpty = opts.skipEmpty, guessDatatypes = opts.guessDatatypes,
+        start = opts.start, limit = opts.limit, columns = opts.columns))
+    }
     // compressed JSON family: Spark's text/json sources decompress .gz
     // transparently, so only the DISPATCH needs to see through the
     // suffix. Every OTHER compression suffix errors clearly — the CSV

@@ -95,14 +95,152 @@ object Multimodal {
     def active: MediaCodec = current
   }
 
+  /** The first REAL codec: pure-JDK `javax.imageio` decode for the
+    * formats the JDK ships readers for (PNG, JPEG, GIF, BMP) — headless-
+    * safe, no native libs. Registered via [[MediaCodec.register]] or
+    * passed explicitly to the pipeline entry points.
+    *
+    * Exactness contract (what the oracle row pins): luma is integer
+    * Rec.601 — `(299·r + 587·g + 114·b + 500) / 1000` in integer
+    * arithmetic — and single-band (grayscale) images read their raster
+    * samples DIRECTLY, bypassing `getRGB`'s gray→sRGB color transform,
+    * so an 8-bit grayscale PNG decodes to its exact stored bytes and a
+    * stored-pixel oracle can recompute the hash bit-for-bit. Box
+    * downscale averages those integer lumas (exact when source == target
+    * grid, e.g. an 8×8 fixture hashed at 8×8).
+    *
+    * Undecodable payloads: `strict = true` throws (curation pipelines
+    * route rejects explicitly); default falls back to the deterministic
+    * [[MediaCodec.Stub]] so a mixed corpus keeps flowing.
+    */
+  final class ImageIoCodec(strict: Boolean = false) extends MediaCodec {
+    private def img(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      if (bytes.isEmpty) None
+      else Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+
+    override def decodeGray(kind: String, bytes: Array[Byte], w: Int, h: Int): Array[Double] =
+      img(bytes) match {
+        case Some(im) => ImageIoCodec.grayGrid(im, w, h)
+        case None if strict => throw new IllegalArgumentException(
+          s"ImageIoCodec: undecodable $kind payload (${bytes.length} bytes)")
+        case None => super.decodeGray(kind, bytes, w, h)
+      }
+
+    /** 8-dim feature: row means of the 8×8 luma grid, scaled to [0, 1]
+      * — matches the stub's dimensionality so downstream ANN/dedup
+      * plumbing is codec-agnostic.
+      */
+    override def decode(kind: String, bytes: Array[Byte]): Array[Float] =
+      img(bytes) match {
+        case Some(im) =>
+          val g = ImageIoCodec.grayGrid(im, 8, 8)
+          Array.tabulate(8) { r =>
+            var s = 0.0; var c = 0
+            while (c < 8) { s += g(r * 8 + c); c += 1 }
+            (s / 8.0 / 255.0).toFloat
+          }
+        case None if strict => throw new IllegalArgumentException(
+          s"ImageIoCodec: undecodable $kind payload (${bytes.length} bytes)")
+        case None => MediaCodec.Stub.decode(kind, bytes)
+      }
+  }
+
+  object ImageIoCodec {
+    /** Box-downscaled `w`×`h` integer-luma grid of a decoded image
+      * (row-major doubles, [0, 255]); single-band rasters read their
+      * samples directly (exact), multi-band goes through RGB luma.
+      */
+    private[ml] def grayGrid(
+        im: java.awt.image.BufferedImage, w: Int, h: Int): Array[Double] = {
+      val sw = im.getWidth
+      val sh = im.getHeight
+      val raster = im.getRaster
+      val singleBand = raster.getNumBands == 1
+      val out = new Array[Double](w * h)
+      var y = 0
+      while (y < h) {
+        val y0 = y * sh / h
+        val y1 = math.max((y + 1) * sh / h, y0 + 1)
+        var x = 0
+        while (x < w) {
+          val x0 = x * sw / w
+          val x1 = math.max((x + 1) * sw / w, x0 + 1)
+          var sum = 0L
+          var n = 0
+          var yy = y0
+          while (yy < y1) {
+            var xx = x0
+            while (xx < x1) {
+              val luma =
+                if (singleBand) raster.getSample(xx, yy, 0)
+                else {
+                  val rgb = im.getRGB(xx, yy)
+                  val r = (rgb >> 16) & 0xFF
+                  val g = (rgb >> 8) & 0xFF
+                  val b = rgb & 0xFF
+                  (299 * r + 587 * g + 114 * b + 500) / 1000
+                }
+              sum += luma
+              n += 1
+              xx += 1
+            }
+            yy += 1
+          }
+          out(y * w + x) = sum.toDouble / n
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    /** 8-bit grayscale PNG encoder (fixture/test generator): pixel
+      * (x, y) = `gray(y*w + x)` & 0xFF, written via the raster so the
+      * stored byte IS the requested value (PNG is lossless — the decode
+      * side reads the identical byte back).
+      */
+    def grayPng(w: Int, h: Int, gray: Int => Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = im.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { raster.setSample(x, y, 0, gray(y * w + x) & 0xFF); x += 1 }
+        y += 1
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", baos)
+      baos.toByteArray
+    }
+
+    /** RGB JPEG encoder (for decode-path tests; JPEG is lossy so only
+      * decodability/shape is assertable, not bit identity).
+      */
+    def rgbJpeg(w: Int, h: Int, rgb: Int => Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { im.setRGB(x, y, rgb(y * w + x)); x += 1 }
+        y += 1
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "jpg", baos)
+      baos.toByteArray
+    }
+  }
+
   /** Per-partition feature extraction — batches flow through the executor
     * without driver round-trips; output schema fixed by the case class
     * Encoder. Partition sizing: media rows are fat, so repartition by
     * bytes (maxPartitionBytes) upstream, not row count.
     */
-  def extractFeatures(media: DataFrame)(implicit spark: SparkSession): Dataset[MediaFeatures] = {
+  def extractFeatures(media: DataFrame, codec: MediaCodec = MediaCodec.active)(
+      implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
-    val codec = MediaCodec.active // captured at plan time, ships in the closure
+    // codec captured at plan time, ships in the closure
     media.as[MediaRow].mapPartitions { it =>
       it.map { m =>
         val bytes = Option(m.bytes).getOrElse(Array.emptyByteArray)
@@ -127,10 +265,10 @@ object Multimodal {
     * `batchSize` bounds executor memory against fat media rows. Results
     * are identical to [[extractFeatures]] — only the call shape differs.
     */
-  def extractFeaturesBatched(media: DataFrame, batchSize: Int = 64)(
+  def extractFeaturesBatched(media: DataFrame, batchSize: Int = 64,
+      codec: MediaCodec = MediaCodec.active)(
       implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
-    val codec = MediaCodec.active
     media.as[MediaRow].mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         // the whole batch goes to the codec vectorized (decodeBatch);
@@ -154,11 +292,12 @@ object Multimodal {
     * map-side pass through the registered [[MediaCodec]]'s
     * `decodeGray`; nothing shuffles. Returns `(media_id, phash)`.
     */
-  def perceptualHashes(media: DataFrame, algo: String = "ahash")(
+  def perceptualHashes(media: DataFrame, algo: String = "ahash",
+      codec: MediaCodec = MediaCodec.active)(
       implicit spark: SparkSession): DataFrame = {
     require(algo == "ahash" || algo == "dhash", s"algo: $algo")
     import spark.implicits._
-    val codec = MediaCodec.active // plan-time capture, ships in the closure
+    // codec: plan-time capture, ships in the closure
     val aHash = algo == "ahash"
     media.as[MediaRow].map { m =>
       val bytes = Option(m.bytes).getOrElse(Array.emptyByteArray)

@@ -204,15 +204,50 @@ object Ods {
     */
   def writeOds(df: DataFrame, path: String, sheetName: String = "Sheet1",
       maxRows: Int = 1000000): Unit = {
-    val rows = df.limit(maxRows + 1).collect()
-    require(rows.length <= maxRows, s"writeOds is a driver-side op capped at $maxRows rows")
-    val cols = df.columns
+    val body = spreadsheetXml(df, sheetName, maxRows, "writeOds")
     val sb = new StringBuilder
     sb.append("""<?xml version="1.0" encoding="UTF-8"?>""")
     sb.append("""<office:document-content""")
     sb.append(""" xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"""")
     sb.append(""" xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0"""")
     sb.append(""" xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0" office:version="1.2">""")
+    sb.append(body)
+    sb.append("""</office:document-content>""")
+    writeOdsZip(path, sb.toString)
+  }
+
+  /** Flat `.fods` writer — the zipless sibling of [[writeOds]]: the
+    * whole file is ONE content XML document (ODF 1.2 part 3 §2.1.4,
+    * `office:document` root with an `office:mimetype` attribute), which
+    * [[readFods]] streams straight through the shared grid parser.
+    */
+  def writeFods(df: DataFrame, path: String, sheetName: String = "Sheet1",
+      maxRows: Int = 1000000): Unit = {
+    val body = spreadsheetXml(df, sheetName, maxRows, "writeFods")
+    val sb = new StringBuilder
+    sb.append("""<?xml version="1.0" encoding="UTF-8"?>""")
+    sb.append("""<office:document""")
+    sb.append(""" xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"""")
+    sb.append(""" xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0"""")
+    sb.append(""" xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0"""")
+    sb.append(""" office:version="1.2"""")
+    sb.append(""" office:mimetype="application/vnd.oasis.opendocument.spreadsheet">""")
+    sb.append(body)
+    sb.append("""</office:document>""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ()
+  }
+
+  /** `<office:body>…</office:body>` spreadsheet fragment shared by the
+    * zipped and flat writers.
+    */
+  private def spreadsheetXml(
+      df: DataFrame, sheetName: String, maxRows: Int, opName: String): String = {
+    val rows = df.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows, s"$opName is a driver-side op capped at $maxRows rows")
+    val cols = df.columns
+    val sb = new StringBuilder
     sb.append("""<office:body><office:spreadsheet>""")
     sb.append(s"""<table:table table:name="${xmlEscape(sheetName)}">""")
     def stringCell(v: String): String =
@@ -257,8 +292,12 @@ object Ods {
       }
       sb.append("</table:table-row>")
     }
-    sb.append("""</table:table></office:spreadsheet></office:body></office:document-content>""")
+    sb.append("""</table:table></office:spreadsheet></office:body>""")
+    sb.toString
+  }
 
+  /** ODF zip container around a full content.xml document. */
+  private def writeOdsZip(path: String, contentXml: String): Unit = {
     val zip = new java.util.zip.ZipOutputStream(
       java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(path)))
     try {
@@ -286,7 +325,7 @@ object Ods {
           """<manifest:file-entry manifest:full-path="/" manifest:media-type="application/vnd.oasis.opendocument.spreadsheet"/>""" +
           """<manifest:file-entry manifest:full-path="content.xml" manifest:media-type="text/xml"/>""" +
           """</manifest:manifest>""")
-      put("content.xml", sb.toString)
+      put("content.xml", contentXml)
     } finally zip.close()
   }
 }

@@ -236,17 +236,32 @@ object Writers {
   }
 
   /** HTML preview (export_utils.py:204-208, base.py:1832-1857): header +
-    * dtype subheader + first rows.
+    * dtype subheader + first rows. Cell text is entity-escaped so a
+    * value containing `<`/`&` cannot break the table structure;
+    * [[graft.sources.Readers.readHtml]] unescapes after tag-stripping,
+    * so the pair round-trips.
     */
   def toHtml(df: DataFrame, maxRows: Int = 100): String = {
+    def esc(s: String): String =
+      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
     val rows = df.limit(maxRows).collect()
-    val head = df.columns.map(c => s"<th>$c</th>").mkString
+    val head = df.columns.map(c => s"<th>${esc(c)}</th>").mkString
     val dtypes = df.schema.fields.map(f => s"<th>${f.dataType.simpleString}</th>").mkString
     val body = rows.map(r =>
       "<tr>" + (0 until r.length).map(i =>
-        s"<td>${Option(r.get(i)).map(_.toString).getOrElse("None")}</td>").mkString + "</tr>")
+        s"<td>${Option(r.get(i)).map(v => esc(v.toString)).getOrElse("None")}</td>").mkString + "</tr>")
       .mkString("\n")
     s"<table><tr>$head</tr>\n<tr>$dtypes</tr>\n$body</table>"
+  }
+
+  /** [[toHtml]] to a file — the writer half of the html roundtrip; read
+    * back with `Readers.readHtml(path, skipDataRows = 1)` (the dtype
+    * subheader is a presentation row).
+    */
+  def writeHtml(df: DataFrame, path: String, maxRows: Int = 100): Unit = {
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      toHtml(df, maxRows).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ()
   }
 
   /** `show`/`to_ascii` parity (base.py:1685-1830): first-7/last-7 elision

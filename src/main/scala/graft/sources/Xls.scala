@@ -407,4 +407,262 @@ object Xls {
     Xlsx.gridToDf(spark, grid, firstRowHasHeaders, headerRowIndex, skipEmpty, guessDatatypes,
       start, limit, columns)
   }
+
+  // ---- the writer -----------------------------------------------------
+
+  /** Little-endian record/stream builder. */
+  private final class Buf {
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xFF)
+    def u16(v: Int): Unit = { u8(v); u8(v >> 8) }
+    def i32(v: Int): Unit = { u16(v); u16(v >> 16) }
+    def f64(v: Double): Unit = {
+      var bits = java.lang.Double.doubleToLongBits(v)
+      var i = 0
+      while (i < 8) { u8((bits & 0xFF).toInt); bits >>= 8; i += 1 }
+    }
+    def bytes(b: Array[Byte]): Unit = out.write(b, 0, b.length)
+    def size: Int = out.size()
+    def toArray: Array[Byte] = out.toByteArray
+  }
+
+  private def record(id: Int, body: Buf => Unit): Array[Byte] = {
+    val b = new Buf
+    body(b)
+    val data = b.toArray
+    require(data.length <= 8224, s"BIFF record 0x${id.toHexString} over 8224 bytes")
+    val r = new Buf
+    r.u16(id); r.u16(data.length); r.bytes(data)
+    r.toArray
+  }
+
+  private def bof(dt: Int): Array[Byte] = record(0x0809, b => {
+    b.u16(0x0600); b.u16(dt); b.u16(0x0DBB); b.u16(0x07CC); b.i32(0); b.i32(0)
+  })
+  private val eofRec: Array[Byte] = record(0x000A, _ => ())
+
+  /** SST + CONTINUE encoder. Strings are XLUnicodeRichExtendedStrings
+    * (no rich/ext runs); a string whose header would not fit with at
+    * least its first character starts a fresh CONTINUE, and a string
+    * split mid-characters re-declares its grbit at the CONTINUE start —
+    * the MS-XLS 2.5.293 rule [[SegCursor.readString]] decodes.
+    */
+  private def sstRecords(strings: IndexedSeq[String], totalRefs: Int): Array[Byte] = {
+    val MaxData = 8224
+    val recs = new Buf
+    var cur = new Buf
+    var first = true
+    def flush(): Unit = {
+      val data = cur.toArray
+      val r = new Buf
+      r.u16(if (first) 0x00FC else 0x003C); r.u16(data.length); r.bytes(data)
+      recs.bytes(r.toArray)
+      first = false
+      cur = new Buf
+    }
+    cur.i32(totalRefs)
+    cur.i32(strings.length)
+    strings.foreach { s =>
+      val high = s.exists(_ > 0xFF)
+      val chw = if (high) 2 else 1
+      require(s.length <= 0xFFFF, s"xls string over 65535 chars (${s.length})")
+      // header (cch + grbit) plus the first char must share a segment:
+      // the reader's fresh-grbit rule fires only inside the char loop
+      if (cur.size + 3 + chw > MaxData) flush()
+      cur.u16(s.length)
+      cur.u8(if (high) 1 else 0)
+      var i = 0
+      while (i < s.length) {
+        if (cur.size + chw > MaxData) {
+          flush()
+          cur.u8(if (high) 1 else 0) // fresh grbit for the remainder
+        }
+        val c = s.charAt(i)
+        if (high) { cur.u8(c & 0xFF); cur.u8((c >> 8) & 0xFF) } else cur.u8(c & 0xFF)
+        i += 1
+      }
+    }
+    flush()
+    recs.toArray
+  }
+
+  /** Pure-JDK BIFF8 `.xls` writer — the binary sibling of
+    * [[Xlsx.writeXlsx]] with the same cell conventions (header row as
+    * strings, numerics as NUMBER doubles, booleans as BOOLERR,
+    * date/timestamp as 1899-12-30-epoch serials carrying builtin date
+    * XFs 14/22, strings through the SST). Clean-room from the public
+    * MS-XLS / MS-CFB specs; emits exactly the record set [[readXls]]
+    * parses. Driver-side with the legacy 65,535-row sheet cap; longs
+    * beyond 2^53 lose precision (BIFF numbers are IEEE doubles) — use
+    * xlsx/parquet for id-bearing exports at that range.
+    */
+  def writeXls(df: DataFrame, path: String, sheetName: String = "Sheet1",
+      maxRows: Int = 65535): Unit = {
+    val rows = df.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows, s"writeXls is a driver-side op capped at $maxRows rows")
+    val cols = df.columns
+    val epoch = java.time.LocalDate.of(1899, 12, 30)
+
+    // collect SST strings (header + string cells) with first-seen ids
+    val sstIndex = new java.util.LinkedHashMap[String, Integer]()
+    var totalRefs = 0
+    def sstId(s: String): Int = {
+      totalRefs += 1
+      val got = sstIndex.get(s)
+      if (got != null) got.intValue()
+      else { val id = sstIndex.size(); sstIndex.put(s, id); id }
+    }
+
+    // sheet substream first (cell records reference SST ids); XFs:
+    // 0 = general, 1 = builtin date (ifmt 14), 2 = builtin datetime (22)
+    val sheet = new Buf
+    sheet.bytes(bof(0x0010))
+    def label(r: Int, c: Int, s: String): Unit =
+      sheet.bytes(record(0x00FD, b => { b.u16(r); b.u16(c); b.u16(0); b.i32(sstId(s)) }))
+    def number(r: Int, c: Int, ixfe: Int, v: Double): Unit =
+      sheet.bytes(record(0x0203, b => { b.u16(r); b.u16(c); b.u16(ixfe); b.f64(v) }))
+    cols.zipWithIndex.foreach { case (name, c) => label(0, c, name) }
+    rows.zipWithIndex.foreach { case (row, ri) =>
+      val r = ri + 1
+      cols.indices.foreach { c =>
+        if (!row.isNullAt(c)) row.get(c) match {
+          case bl: Boolean =>
+            sheet.bytes(record(0x0205, b => {
+              b.u16(r); b.u16(c); b.u16(0); b.u8(if (bl) 1 else 0); b.u8(0)
+            }))
+          case n: java.lang.Number => number(r, c, 0, n.doubleValue())
+          case d: java.sql.Date =>
+            number(r, c, 1,
+              java.time.temporal.ChronoUnit.DAYS.between(epoch, d.toLocalDate).toDouble)
+          case t: java.sql.Timestamp =>
+            val ldt = t.toLocalDateTime
+            number(r, c, 2,
+              java.time.temporal.ChronoUnit.DAYS.between(epoch, ldt.toLocalDate) +
+                ldt.toLocalTime.toNanoOfDay / 86400.0e9)
+          case other => label(r, c, other.toString)
+        }
+      }
+    }
+    sheet.bytes(eofRec)
+    val sheetBytes = sheet.toArray
+
+    // globals substream; BOUNDSHEET's lbPlyPos needs the final globals
+    // size, which depends only on fixed records + the SST — assemble
+    // those first, then patch nothing: build globals fully, measure,
+    // and the sheet offset is its length.
+    val globals = new Buf
+    globals.bytes(bof(0x0005))
+    globals.bytes(record(0x0042, _.u16(1200))) // CODEPAGE utf-16
+    globals.bytes(record(0x00E0, b => { b.u16(0); b.u16(0); b.u16(0xFFF5); b.u16(0x20); b.i32(0); b.i32(0x20C0) }))
+    globals.bytes(record(0x00E0, b => { b.u16(0); b.u16(14); b.u16(0xFFF5); b.u16(0x20); b.i32(0); b.i32(0x20C0) }))
+    globals.bytes(record(0x00E0, b => { b.u16(0); b.u16(22); b.u16(0xFFF5); b.u16(0x20); b.i32(0); b.i32(0x20C0) }))
+    // BOUNDSHEET: name as a compressed-or-utf16 short string
+    val nameHigh = sheetName.exists(_ > 0xFF)
+    val bsheet = record(0x0085, b => {
+      b.i32(0) // lbPlyPos placeholder, patched below
+      b.u16(0) // visible worksheet
+      b.u8(math.min(sheetName.length, 31))
+      b.u8(if (nameHigh) 1 else 0)
+      sheetName.take(31).foreach { c =>
+        if (nameHigh) { b.u8(c & 0xFF); b.u8((c >> 8) & 0xFF) } else b.u8(c & 0xFF)
+      }
+    })
+    val bsheetOff = globals.size
+    globals.bytes(bsheet)
+    globals.bytes(sstRecords(
+      {
+        val arr = new Array[String](sstIndex.size())
+        sstIndex.forEach((s, i) => arr(i.intValue()) = s)
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(arr)
+      }, totalRefs))
+    globals.bytes(eofRec)
+    val wbBuf = globals.toArray ++ sheetBytes
+    // patch lbPlyPos (record data starts 4 bytes after the record header)
+    val sheetOff = globals.size
+    wbBuf(bsheetOff + 4) = (sheetOff & 0xFF).toByte
+    wbBuf(bsheetOff + 5) = ((sheetOff >> 8) & 0xFF).toByte
+    wbBuf(bsheetOff + 6) = ((sheetOff >> 16) & 0xFF).toByte
+    wbBuf(bsheetOff + 7) = ((sheetOff >> 24) & 0xFF).toByte
+
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), cfbContainer(wbBuf))
+    ()
+  }
+
+  /** Minimal MS-CFB v3 container holding one "Workbook" stream in
+    * regular (512-byte) sectors. The stream is zero-padded past the
+    * 4096-byte mini-stream cutoff so no mini-FAT is needed (trailing
+    * zeros parse as empty BIFF records past the substreams' EOFs);
+    * header DIFAT only, which bounds the container at 109 FAT sectors
+    * ≈ 6.9 MB — interchange-file territory, enforced loudly.
+    */
+  private def cfbContainer(stream: Array[Byte]): Array[Byte] = {
+    val sector = 512
+    val padded = {
+      val len = math.max(stream.length, 4096)
+      val full = (len + sector - 1) / sector * sector
+      java.util.Arrays.copyOf(stream, full)
+    }
+    val s = padded.length / sector            // stream sectors
+    val f = (s + 1 + 126) / 127               // FAT sectors: f*128 >= f+1+s
+    require(f <= 109,
+      s"writeXls: workbook stream ${padded.length} bytes exceeds the header-DIFAT " +
+        "container bound (~6.9 MB) — use .xlsx for larger exports")
+    val dirSid = f
+    val streamStart = f + 1
+    val total = f + 1 + s
+    val out = new Buf
+    // ---- header ----
+    out.bytes(Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte))
+    (0 until 16).foreach(_ => out.u8(0))      // CLSID
+    out.u16(0x003E); out.u16(0x0003)          // minor, major (v3)
+    out.u16(0xFFFE)                           // little-endian marker
+    out.u16(9); out.u16(6)                    // sector 512, mini 64
+    (0 until 6).foreach(_ => out.u8(0))
+    out.i32(0)                                // dir sector count (v3: 0)
+    out.i32(f)                                // FAT sector count
+    out.i32(dirSid)                           // first dir sector
+    out.i32(0)                                // txn signature
+    out.i32(4096)                             // mini cutoff
+    out.i32(EndOfChain); out.i32(0)           // no mini FAT
+    out.i32(EndOfChain); out.i32(0)           // no DIFAT sectors
+    (0 until 109).foreach(i => out.i32(if (i < f) i else FreeSect))
+    // ---- FAT sectors ----
+    val FatSect = 0xFFFFFFFD
+    var written = 0
+    (0 until f * 128).foreach { sid =>
+      val v =
+        if (sid < f) FatSect
+        else if (sid == dirSid) EndOfChain
+        else if (sid >= streamStart && sid < streamStart + s)
+          (if (sid == streamStart + s - 1) EndOfChain else sid + 1)
+        else FreeSect
+      out.i32(v); written += 1
+    }
+    // ---- directory sector (4 entries) ----
+    def dirEntry(name: String, objType: Int, color: Int, child: Int,
+        start: Int, size: Long): Unit = {
+      val chars = name.toCharArray
+      chars.foreach { c => out.u8(c & 0xFF); out.u8((c >> 8) & 0xFF) }
+      ((chars.length * 2) until 64).foreach(_ => out.u8(0))
+      out.u16(if (name.isEmpty) 0 else chars.length * 2 + 2)
+      out.u8(objType); out.u8(color)
+      out.i32(-1); out.i32(-1); out.i32(child)  // left, right, child
+      (0 until 16).foreach(_ => out.u8(0))       // CLSID
+      out.i32(0)                                 // state bits
+      out.i32(0); out.i32(0)                     // create/modify time lo
+      out.i32(0); out.i32(0)                     // (8 bytes each: two i32s)
+      out.i32(start)
+      out.i32(size.toInt); out.i32((size >> 32).toInt)
+    }
+    dirEntry("Root Entry", 5, 1, 1, EndOfChain, 0L)
+    dirEntry("Workbook", 2, 1, -1, streamStart, padded.length.toLong)
+    dirEntry("", 0, 0, -1, FreeSect, 0L)
+    dirEntry("", 0, 0, -1, FreeSect, 0L)
+    // ---- stream sectors ----
+    out.bytes(padded)
+    val all = out.toArray
+    require(all.length == (1 + total) * sector,
+      s"cfb layout bug: ${all.length} vs ${(1 + total) * sector}")
+    all
+  }
 }
