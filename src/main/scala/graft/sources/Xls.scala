@@ -591,9 +591,12 @@ object Xls {
   /** Minimal MS-CFB v3 container holding one "Workbook" stream in
     * regular (512-byte) sectors. The stream is zero-padded past the
     * 4096-byte mini-stream cutoff so no mini-FAT is needed (trailing
-    * zeros parse as empty BIFF records past the substreams' EOFs);
-    * header DIFAT only, which bounds the container at 109 FAT sectors
-    * ≈ 6.9 MB — interchange-file territory, enforced loudly.
+    * zeros parse as empty BIFF records past the substreams' EOFs).
+    * Sector layout: [DIFAT sectors][FAT sectors][directory][stream];
+    * the first 109 FAT ids ride the header DIFAT, the rest chain
+    * through DIFAT sectors (127 ids + next pointer each), so the
+    * container scales to BIFF's own 65,535-row sheet ceiling rather
+    * than a 6.9 MB header-only bound.
     */
   private def cfbContainer(stream: Array[Byte]): Array[Byte] = {
     val sector = 512
@@ -603,13 +606,22 @@ object Xls {
       java.util.Arrays.copyOf(stream, full)
     }
     val s = padded.length / sector            // stream sectors
-    val f = (s + 1 + 126) / 127               // FAT sectors: f*128 >= f+1+s
-    require(f <= 109,
-      s"writeXls: workbook stream ${padded.length} bytes exceeds the header-DIFAT " +
-        "container bound (~6.9 MB) — use .xlsx for larger exports")
-    val dirSid = f
-    val streamStart = f + 1
-    val total = f + 1 + s
+    // FAT must cover d + f + 1 + s sectors with f*128 entries, where
+    // d DIFAT sectors hold the FAT ids past the header's 109; solve by
+    // fixed point (d grows only when f does — converges in ≤2 rounds)
+    var f = (s + 1 + 126) / 127
+    var d = math.max(0, f - 109 + 126) / 127
+    var settled = false
+    while (!settled) {
+      val f2 = (d + s + 1 + 126) / 127
+      val d2 = if (f2 <= 109) 0 else (f2 - 109 + 126) / 127
+      settled = f2 == f && d2 == d
+      f = f2; d = d2
+    }
+    val fatStart = d
+    val dirSid = d + f
+    val streamStart = dirSid + 1
+    val total = d + f + 1 + s
     val out = new Buf
     // ---- header ----
     out.bytes(Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte))
@@ -624,19 +636,29 @@ object Xls {
     out.i32(0)                                // txn signature
     out.i32(4096)                             // mini cutoff
     out.i32(EndOfChain); out.i32(0)           // no mini FAT
-    out.i32(EndOfChain); out.i32(0)           // no DIFAT sectors
-    (0 until 109).foreach(i => out.i32(if (i < f) i else FreeSect))
+    out.i32(if (d > 0) 0 else EndOfChain)     // first DIFAT sector
+    out.i32(d)                                // DIFAT sector count
+    (0 until 109).foreach(i => out.i32(if (i < f) fatStart + i else FreeSect))
+    // ---- DIFAT sectors (FAT ids 109.., 127 per sector + next ptr) ----
+    (0 until d).foreach { j =>
+      (0 until 127).foreach { k =>
+        val fi = 109 + j * 127 + k
+        out.i32(if (fi < f) fatStart + fi else FreeSect)
+      }
+      out.i32(if (j == d - 1) EndOfChain else j + 1)
+    }
     // ---- FAT sectors ----
     val FatSect = 0xFFFFFFFD
-    var written = 0
+    val DifSect = 0xFFFFFFFC
     (0 until f * 128).foreach { sid =>
       val v =
-        if (sid < f) FatSect
+        if (sid < d) DifSect
+        else if (sid < d + f) FatSect
         else if (sid == dirSid) EndOfChain
         else if (sid >= streamStart && sid < streamStart + s)
           (if (sid == streamStart + s - 1) EndOfChain else sid + 1)
         else FreeSect
-      out.i32(v); written += 1
+      out.i32(v)
     }
     // ---- directory sector (4 entries) ----
     def dirEntry(name: String, objType: Int, color: Int, child: Int,

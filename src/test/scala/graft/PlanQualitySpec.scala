@@ -556,6 +556,36 @@ class PlanQualitySpec extends SparkSpec {
     assert(e.getMessage.contains("writeSkippingIndex"))
   }
 
+  test("appendWithSkippingIndex: torn-append orphans are indexed exactly once " +
+      "by the next append (unknown-set diff, idempotent)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_skiptorn").toString + "/t"
+    Seq.tabulate(100)(i => (i.toLong, s"p$i")).toDF("id", "payload")
+      .coalesce(1).write.parquet(tmp)
+    graft.sources.Layout.writeSkippingIndex(spark, tmp, Seq("id"))
+    // simulate a TORN append: data files land (plain parquet append),
+    // the process dies before the sidecar write
+    Seq.tabulate(50)(i => (1000L + i, s"t$i")).toDF("id", "payload")
+      .coalesce(1).write.mode("append").parquet(tmp)
+    // index reads are conservative: the orphaned range is invisible
+    assert(graft.sources.Layout.prunedFiles(spark, tmp, "id", 1000L, 1049L).isEmpty)
+    // the NEXT append adopts the orphans alongside its own batch
+    graft.sources.Layout.appendWithSkippingIndex(
+      Seq.tabulate(30)(i => (2000L + i, s"n$i")).toDF("id", "payload").coalesce(1),
+      tmp, Seq("id"))
+    assert(graft.sources.Layout.prunedRead(spark, tmp, "id", 1000L, 1049L).count() === 50)
+    assert(graft.sources.Layout.prunedRead(spark, tmp, "id", 2000L, 2029L).count() === 30)
+    // exactly one sidecar row per data file — no double-indexing
+    val sidecar = spark.read.parquet(s"$tmp/_skipping")
+    val dataFiles = spark.read.parquet(tmp).inputFiles.length
+    assert(sidecar.count() === dataFiles.toLong, s"sidecar ${sidecar.count()} vs $dataFiles files")
+    assert(sidecar.select("file").distinct().count() === sidecar.count())
+    // and a re-run with an EMPTY batch is a no-op on the index
+    graft.sources.Layout.appendWithSkippingIndex(
+      Seq.empty[(Long, String)].toDF("id", "payload"), tmp, Seq("id"))
+    assert(spark.read.parquet(s"$tmp/_skipping").count() === sidecar.count())
+  }
+
   test("compactDir: small-file dir rewritten to few files, content identical, sidecar carried") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthetic scale-up generator for the sf1 rehearsal (committed this
+  * round — r11's equivalent was session-local): multiplies an sf dir by
+  * `factor` into a scratch dir, preserving the join topology so every
+  * bench query stays semantically valid at 10× data.
+  *
+  *  - dimension tables (region/nation) copy unchanged — their key
+  *    spaces are fixed by the schema;
+  *  - fact/entity tables replicate `factor`× with remapped primary keys
+  *    (`key + copy·stride`) and remapped foreign keys INTO the scaled
+  *    parents, so join fan-outs scale linearly instead of
+  *    quadratically;
+  *  - documents get per-copy ` variantN` text suffixes → every doc
+  *    joins a 10-member near-dup GROUP (deliberately denser than a real
+  *    10× corpus — it stress-loads the salted bucketSelfJoin paths);
+  *  - embeddings get a per-copy +g·0.001 offset on every component
+  *    (distinct vectors, preserved cluster structure).
+  *
+  * Usage: `sbt "Test/runMain graft.ScaleTestData /root/testdata/sf0.1
+  * /tmp/sf1 10"`. Writes nothing outside the target dir.
+  */
+object ScaleTestData {
+
+  /** ids get `copy * stride` added; stride must exceed every source id. */
+  private val Stride = 100000000L
+
+  private def replicate(spark: SparkSession, df: DataFrame, factor: Int,
+      idCols: Seq[String]): DataFrame = {
+    val copies = spark.range(factor).select(col("id").as("__copy"))
+    val crossed = df.crossJoin(copies)
+    idCols.foldLeft(crossed) { case (acc, c) =>
+      acc.withColumn(c, col(c) + col("__copy") * Stride)
+    }.drop("__copy")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val dst = args.lift(1).getOrElse("/tmp/graft_sf1")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = GraftSession.builder("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    def write(t: String, df: DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      println(s"[scale] $t: ${spark.read.parquet(s"$dst/$t.parquet").count()} rows")
+    }
+
+    write("region", read("region"))
+    write("nation", read("nation"))
+    write("customer", replicate(spark, read("customer"), factor, Seq("c_custkey")))
+    write("supplier", replicate(spark, read("supplier"), factor, Seq("s_suppkey")))
+    write("part", replicate(spark, read("part"), factor, Seq("p_partkey")))
+    write("orders", replicate(spark, read("orders"), factor,
+      Seq("o_orderkey", "o_custkey")))
+    write("lineitem", replicate(spark, read("lineitem"), factor,
+      Seq("l_orderkey", "l_partkey", "l_suppkey")))
+    write("events", replicate(spark, read("events"), factor, Seq("event_id")))
+    // documents: remapped ids + per-copy variant suffix (near-dup groups)
+    locally {
+      val docs = read("documents")
+      val copies = spark.range(factor).select(col("id").as("__copy"))
+      val scaled = docs.crossJoin(copies)
+        .withColumn("doc_id", col("doc_id") + col("__copy") * Stride)
+        .withColumn("text",
+          when(col("__copy") === 0, col("text"))
+            .otherwise(concat(col("text"), lit(" variant"), col("__copy"))))
+        .withColumn("n_chars", length(col("text")))
+        .drop("__copy")
+      write("documents", scaled)
+    }
+    // embeddings: remapped ids + per-copy component offset
+    locally {
+      val emb = read("embeddings")
+      val copies = spark.range(factor).select(col("id").as("__copy"))
+      val scaled = emb.crossJoin(copies)
+        .withColumn("vec_id", col("vec_id") + col("__copy") * Stride)
+        .withColumn("embedding",
+          transform(col("embedding"),
+            x => (x + col("__copy").cast("float") * lit(0.001f)).cast("float")))
+        .drop("__copy")
+      write("embeddings", scaled)
+    }
+    spark.stop()
+  }
+}

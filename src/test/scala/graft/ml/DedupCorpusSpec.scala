@@ -118,6 +118,45 @@ class DedupCorpusSpec extends SparkSpec {
     }
   }
 
+  test("dedupIngestBatch reliableCheckpoint: requires a checkpoint dir, then " +
+      "produces the same survivors through the fault-tolerant cut") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_rc").toString
+    def doc(tag: Int) = s"reliable checkpoint flavour document number $tag " +
+      s"with enough repeated shingle text to sign $tag properly here"
+    val corpus = Seq((1L, doc(1)), (2L, doc(2))).toDF("doc_id", "text")
+    Dedup.writeMinhashIndex(Dedup.minhashIndex(corpus, "doc_id", "text"), dir)
+    val batch = Seq((10L, doc(1)), (11L, doc(30)), (12L, doc(30)), (13L, doc(40)))
+      .toDF("doc_id", "text")
+    // without a checkpoint dir the option fails LOUDLY up front
+    val hadDir = spark.sparkContext.getCheckpointDir
+    if (hadDir.isEmpty) {
+      val e = intercept[IllegalArgumentException] {
+        graft.streaming.Streams.dedupIngestBatch(dir, "doc_id", "text",
+          reliableCheckpoint = true)(batch)
+      }
+      assert(e.getMessage.contains("setCheckpointDir"))
+    }
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckpt)
+    try {
+      val out = graft.streaming.Streams.dedupIngestBatch(dir, "doc_id", "text",
+        reliableCheckpoint = true)(batch)
+        .select("doc_id").as[Long].collect().sorted
+      // 10 dups the corpus; 11/12 collapse to 11; 13 fresh
+      assert(out === Array(11L, 13L))
+      // and the index grew: an exact re-send of survivor 11's text drops
+      val out2 = graft.streaming.Streams.dedupIngestBatch(dir, "doc_id", "text",
+        reliableCheckpoint = true)(Seq((20L, doc(30))).toDF("doc_id", "text"))
+        .count()
+      assert(out2 === 0L)
+    } finally {
+      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      catch { case _: Throwable => () }
+      try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+      catch { case _: Throwable => () }
+    }
+  }
+
   test("canonicalPerCluster survives docs columns named 'id' and 'label' " +
       "(the embeddings table shape)") {
     val docs = Seq((1L, 5.0, 7, "x"), (2L, 9.0, 8, "y"), (3L, 1.0, 9, "z"))

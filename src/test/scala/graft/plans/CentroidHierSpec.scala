@@ -86,6 +86,29 @@ class CentroidHierSpec extends SparkSpec {
     assert(exact === 0)
   }
 
+  test("corrupt vectors (NaN / Infinity components) return index 0 on the hier " +
+      "path, matching the flat scan — never Int.MaxValue") {
+    val cs = mkCentroids(300, 6) // ≥ HierThreshold → hier path
+    val bad = Seq(
+      (0L, Array(Double.NaN, 1.0, 2.0, 3.0, 4.0, 5.0)),
+      (1L, Array.fill(6)(Double.NaN)),
+      (2L, Array(Double.PositiveInfinity, 0.0, 0.0, 0.0, 0.0, 0.0)),
+      (3L, Array.fill(6)(Double.PositiveInfinity)),
+      (4L, Array(Double.NegativeInfinity, 1.0, 1.0, 1.0, 1.0, 1.0)))
+    val got = bad.toDF("id", "v")
+      .select($"id", element_at(Kernels.nearestCentroids($"v", cs, 1), 1).as("idx"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    bad.foreach { case (id, v) =>
+      val flat = flatArgmin(v, cs)
+      assert(got(id) === flat, s"id $id")
+      assert(got(id) >= 0 && got(id) < cs.length, s"id $id out of range")
+    }
+    // a healthy vector through the SAME centroid set stays exact
+    val ok = Seq((9L, Array.tabulate(6)(j => 3.0 + j))).toDF("id", "v")
+      .select(element_at(Kernels.nearestCentroids($"v", cs, 1), 1)).first().getInt(0)
+    assert(ok === flatArgmin(Array.tabulate(6)(j => 3.0 + j), cs))
+  }
+
   test("below the threshold the flat scan still answers (n=1 small, and n>1 probing)") {
     val cs = mkCentroids(20, 6)
     val vecs = Seq.tabulate(50)(i =>

@@ -126,6 +126,23 @@ class CodecWritersSpec extends SparkSpec {
     } finally { Files.deleteIfExists(java.nio.file.Paths.get(p)); () }
   }
 
+  test("writeXls DIFAT chaining: container past the 109-FAT header bound") {
+    val p = tmp(".xls")
+    try {
+      import spark.implicits._
+      // ~9 MB of SST → >109 FAT sectors → chained DIFAT sectors
+      // SST stores UNIQUE strings, so each row needs its own text
+      val df = spark.range(30000)
+        .selectExpr("id", "repeat(concat('w', cast(id as string), ' '), 60) AS s")
+      Xls.writeXls(df.as[(Long, String)].toDF("id", "s"), p)
+      assert(Files.size(java.nio.file.Paths.get(p)) > 109L * 128 * 512)
+      val back = Xls.readXls(spark, p, guessDatatypes = false)
+      assert(back.count() == 30000)
+      val r = back.filter(col("id") === "29999").head
+      assert(r.getString(1) == "w29999 " * 60)
+    } finally { Files.deleteIfExists(java.nio.file.Paths.get(p)); () }
+  }
+
   test("writeXls caps rows loudly and readXls survives zero-pad tail") {
     val p = tmp(".xls")
     try {
