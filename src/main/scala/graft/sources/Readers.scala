@@ -13,7 +13,9 @@ import org.apache.spark.sql.functions._
   * ANY/ALL, delimiter/encoding sniffing, and rank-based type guessing
   * (TypeInference) beyond Spark's first-conflict-wins inference.
   */
-object Readers {
+// Serializable: executor-side closures (the bracket-escape tokenizer)
+// call module methods, which captures the module reference
+object Readers extends Serializable {
 
   final case class CsvOptions(
       firstRowHasHeaders: Boolean = true,
@@ -27,7 +29,13 @@ object Readers {
       skipEmpty: String = "NONE",          // NONE | ANY | ALL
       start: Int = 0,                      // data-row window
       limit: Int = Int.MaxValue,
-      multiLine: Boolean = false)          // quoted embedded newlines
+      multiLine: Boolean = false,          // quoted embedded newlines
+      // tablite's bracket-escape variant (core.py:66-67,141-146 —
+      // "nail (75 x 4 mm, 3\" x 3/12\")" splits as ONE field when ( )
+      // are escapes): delimiters inside opening/closure pairs do not
+      // split. Empty = off (the standard qualifier path).
+      textEscapeOpenings: String = "",
+      textEscapeClosures: String = "")
 
   /** `get_headers`-style peek (file_reader_utils.py:273-316): first
     * `linecount` parsed rows + the sniffed delimiter.
@@ -185,14 +193,17 @@ object Readers {
     val delimiter = opts.delimiter.getOrElse(
       sniffDelimiter(windowed.take(10).toSeq))
 
-    var df = spark.read
-      .option("header", opts.firstRowHasHeaders)
-      .option("sep", delimiter)
-      .option("quote", opts.textQualifier)
-      .option("escape", opts.textQualifier) // doubled-quote escapes (RFC-4180)
-      .option("ignoreLeadingWhiteSpace", opts.stripWhitespace)
-      .option("ignoreTrailingWhiteSpace", opts.stripWhitespace)
-      .csv(windowed)
+    var df =
+      if (opts.textEscapeOpenings.nonEmpty || opts.textEscapeClosures.nonEmpty)
+        bracketEscapedCsv(spark, windowed, delimiter, opts)
+      else spark.read
+        .option("header", opts.firstRowHasHeaders)
+        .option("sep", delimiter)
+        .option("quote", opts.textQualifier)
+        .option("escape", opts.textQualifier) // doubled-quote escapes (RFC-4180)
+        .option("ignoreLeadingWhiteSpace", opts.stripWhitespace)
+        .option("ignoreTrailingWhiteSpace", opts.stripWhitespace)
+        .csv(windowed)
 
     if (opts.columns.nonEmpty) df = df.select(opts.columns.map(col): _*)
 
@@ -206,6 +217,89 @@ object Readers {
     }
 
     if (opts.guessDatatypes) graft.functions.TypeInference.applyBestTypes(df) else df
+  }
+
+  /** One line → fields under tablite's bracket-escape dialect: a
+    * delimiter inside an UNQUOTED opening/closure pair does not split
+    * (the "(75 x 4 mm, 3-inch)" case), quoted regions behave like the
+    * standard path (qualifier toggles, doubled qualifier = literal),
+    * and bracket depth is only tracked OUTSIDE quotes. Depth floors at
+    * zero so an unbalanced closure degrades to a plain character
+    * rather than poisoning the rest of the line.
+    */
+  private[sources] def splitBracketEscaped(
+      line: String, delimiter: Char, qualifier: Char,
+      openings: String, closures: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new java.lang.StringBuilder()
+    var inQuote = false
+    var depth = 0
+    var i = 0
+    val n = line.length
+    while (i < n) {
+      val c = line.charAt(i)
+      if (inQuote) {
+        if (c == qualifier) {
+          if (i + 1 < n && line.charAt(i + 1) == qualifier) { cur.append(qualifier); i += 1 }
+          else inQuote = false
+        } else cur.append(c)
+      } else if (c == qualifier && depth == 0) {
+        inQuote = true
+      } else if (openings.indexOf(c.toInt) >= 0) {
+        depth += 1; cur.append(c)
+      } else if (closures.indexOf(c.toInt) >= 0) {
+        if (depth > 0) depth -= 1
+        cur.append(c)
+      } else if (c == delimiter && depth == 0) {
+        out += cur.toString; cur.setLength(0)
+      } else cur.append(c)
+      i += 1
+    }
+    out += cur.toString
+    out.toArray
+  }
+
+  /** The bracket-escape CSV branch: a distributed per-line tokenize
+    * (the standard path hands line-splitting to Spark's csv parser,
+    * which has no bracket dialect). Same downstream surface: header
+    * from row 0 or synthesized `_N`, short rows null-padded, empty
+    * unquoted fields null like Spark's csv reader.
+    */
+  private def bracketEscapedCsv(
+      spark: SparkSession, lines: Dataset[String], delimiter: String,
+      opts: CsvOptions): DataFrame = {
+    require(delimiter.length == 1,
+      s"text escape brackets need a single-char delimiter, got '$delimiter'")
+    require(!opts.textEscapeOpenings.contains(opts.textQualifier) &&
+      !opts.textEscapeClosures.contains(opts.textQualifier),
+      "text qualifier must not appear in escape openings/closures")
+    val delim = delimiter.charAt(0)
+    val qual = if (opts.textQualifier.isEmpty) ' ' else opts.textQualifier.charAt(0)
+    val openings = opts.textEscapeOpenings
+    val closures = opts.textEscapeClosures
+    val strip = opts.stripWhitespace
+    def tokenize(line: String): Array[String] =
+      splitBracketEscaped(line, delim, qual, openings, closures)
+        .map(t => if (strip) t.trim else t)
+        .map(t => if (t.isEmpty) null else t)
+    val indexed = lines.rdd.zipWithIndex()
+    val headTokens = tokenize(
+      indexed.filter(_._2 == 0L).map(_._1).first())
+    val headers: Seq[String] =
+      if (opts.firstRowHasHeaders) headTokens.toSeq
+      else headTokens.indices.map(i => s"_$i")
+    val width = headers.length
+    val dataRows = indexed
+      .filter { case (_, ix) => !(opts.firstRowHasHeaders && ix == 0L) }
+      .map { case (line, _) =>
+        val t = tokenize(line)
+        org.apache.spark.sql.Row.fromSeq(
+          (0 until width).map(i => if (i < t.length) t(i) else null))
+      }
+    spark.createDataFrame(dataRows,
+      org.apache.spark.sql.types.StructType(headers.map(h =>
+        org.apache.spark.sql.types.StructField(h,
+          org.apache.spark.sql.types.StringType, nullable = true))))
   }
 
   /** A charset whose byte stream can be SPLIT at newline boundaries
