@@ -227,7 +227,7 @@ object Readers extends Serializable {
     * zero so an unbalanced closure degrades to a plain character
     * rather than poisoning the rest of the line.
     */
-  private[sources] def splitBracketEscaped(
+  private[graft] def splitBracketEscaped(
       line: String, delimiter: Char, qualifier: Char,
       openings: String, closures: String): Array[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -167,11 +167,14 @@ object Xlsx {
   }
 
   private[sources] def numToString(s: String): String = {
-    val d = s.toDouble
-    if (d == math.rint(d) && math.abs(d) < 1e15 && !s.toLowerCase.contains("e") && !s.contains("."))
-      s // integral literal stays integral
-    else if (d == math.rint(d) && math.abs(d) < 1e15) math.round(d).toString
-    else d.toString
+    if (!s.toLowerCase.contains("e") && !s.contains("."))
+      s // integral literal is exact AS TEXT at any magnitude (a >2^53
+        // digit string canonicalized through double would lose digits)
+    else {
+      val d = s.toDouble
+      if (d == math.rint(d) && math.abs(d) < 1e15) math.round(d).toString
+      else d.toString
+    }
   }
 
   /** Read one sheet as rows of Option[String] cells (canonical string

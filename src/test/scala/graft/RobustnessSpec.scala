@@ -206,4 +206,56 @@ class RobustnessSpec extends SparkSpec {
     assert(sizes.count() === 3)
     assert(sizes.agg(sum($"n")).first().getLong(0) === 0L)
   }
+
+  test("round-12 ops degrade gracefully on empty/degenerate input, never throw") {
+    import spark.implicits._
+    val emptyDocs = Seq.empty[(Long, String)].toDF("id", "s")
+    val tmp = java.nio.file.Files.createTempDirectory("r12rob").toString
+    // empty frames through every new writer→reader pair
+    graft.sources.Xls.writeXls(emptyDocs, s"$tmp/e.xls")
+    assert(graft.sources.Xls.readXls(spark, s"$tmp/e.xls", guessDatatypes = false)
+      .count() === 0)
+    graft.sources.Ods.writeFods(emptyDocs, s"$tmp/e.fods")
+    assert(graft.sources.Ods.readFods(spark, s"$tmp/e.fods", guessDatatypes = false)
+      .count() === 0)
+    graft.sources.Writers.writeHtml(emptyDocs, s"$tmp/e.html")
+    assert(graft.sources.Readers.readHtml(spark, s"$tmp/e.html", skipDataRows = 1,
+      guessDatatypes = false).count() === 0)
+    // text-table renderers/readers on empty frames keep the header row
+    Seq(".simple" -> graft.sources.TextTables.renderSimple(emptyDocs),
+        ".rst" -> graft.sources.TextTables.renderRst(emptyDocs),
+        ".mediawiki" -> graft.sources.TextTables.renderMediawiki(emptyDocs))
+      .foreach { case (suffix, content) =>
+        val p = s"$tmp/e$suffix"
+        java.nio.file.Files.write(java.nio.file.Paths.get(p), content.getBytes("UTF-8"))
+        val back = Tab.fromFile(spark, p).df
+        assert(back.columns.toSeq === Seq("id", "s"), suffix)
+        assert(back.count() === 0, suffix)
+      }
+    // ImageIoCodec: zero-byte payload is "undecodable", not a crash
+    val codec = new graft.ml.Multimodal.ImageIoCodec()
+    assert(codec.decode("image", Array.emptyByteArray).length === 8)
+    intercept[IllegalArgumentException] {
+      new graft.ml.Multimodal.ImageIoCodec(strict = true)
+        .decode("image", Array.emptyByteArray)
+    }
+    // 1×1 image: downscale spine still fills every grid cell
+    val px = graft.ml.Multimodal.ImageIoCodec.grayPng(1, 1, _ => 77)
+    assert(codec.decodeGray("image", px, 8, 8).toSeq === Seq.fill(64)(77.0))
+    // bracket-escape tokenizer: empty line, delimiter-only, all-bracket
+    assert(graft.sources.Readers.splitBracketEscaped("", ',', '"', "(", ")").toSeq
+      === Seq(""))
+    assert(graft.sources.Readers.splitBracketEscaped(",,", ',', '"', "(", ")").length === 3)
+    assert(graft.sources.Readers.splitBracketEscaped("((((", ',', '"', "(", ")").toSeq
+      === Seq("(((("))
+    // scd2Apply with EMPTY updates leaves history byte-identical (the
+    // late-key machinery must not disturb the no-op path)
+    val ev = Seq((1L, 10L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      .toDF("k", "eid", "ts")
+    val h = SetOps.scd2FromEvents(ev, Seq("k"), "ts", "eid")
+    val emptyEv = Seq.empty[(Long, Long, java.sql.Timestamp)].toDF("k", "eid", "ts")
+    assert(SetOps.scd2Apply(h, emptyEv, Seq("k"), "ts", "eid").collect().map(_.toSeq).toSet
+      === h.collect().map(_.toSeq).toSet)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
 }
