@@ -2325,6 +2325,33 @@ object SparkEntry {
             col("n_chars").cast("long"))
       }
     }),
+    // render→read identity through the rst text-table pair (pyexcel-text
+    // formats the reference's readers dict dispatches); documents text
+    // has no 2-space runs so the separator spans reconstruct exactly
+    "q_rst_roundtrip" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      withTempFile(s"graft_q_rst_${ProcessHandle.current.pid}.rst") { p =>
+        java.nio.file.Files.write(java.nio.file.Paths.get(p),
+          graft.sources.TextTables.renderRst(docs, maxRows = 1000000)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        graft.sources.TextTables.readTextTable(s, p, "rst", guessDatatypes = false)
+          .select(col("doc_id").cast("long"), col("text"), col("lang"),
+            col("n_chars").cast("long"))
+      }
+    }),
+    // positional reindex (core.py:375-392): gather documents rows by the
+    // position list (doc_id*7 mod N) over doc_id order, emit order kept
+    // as a column so the row SET pins the gather exactly
+    "q_reindex" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val n = count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy())
+      val positions = docs.select(
+        ((col("doc_id") * 7) % n).as("__want_pos"), col("doc_id").as("emit_id"))
+      graft.operators.Sorts.reindex(docs, positions, "__want_pos", "doc_id")
+        .select(col("emit_id"), col("doc_id"), col("lang"))
+    }),
     // write→read identity through the html table pair (entity-escaped
     // cells, dtype presentation row skipped on the way back)
     "q_html_table" -> ((s, dir) => {
@@ -4176,6 +4203,22 @@ object SparkEntry {
       "SELECT doc_id, text, lang, n_chars FROM documents",
     "q_html_table" ->
       "SELECT doc_id, text, lang, n_chars FROM documents",
+    "q_rst_roundtrip" ->
+      "SELECT doc_id, text, lang, n_chars FROM documents",
+    // q_reindex: gather-by-position over doc_id order; positions past
+    // the row count are impossible here ((id*7) mod N < N), so the
+    // left join is total
+    "q_reindex" ->
+      """WITH numbered AS (
+           SELECT doc_id, lang,
+             row_number() OVER (ORDER BY doc_id) - 1 AS pos
+           FROM documents),
+         wanted AS (
+           SELECT (doc_id * 7) % (SELECT count(*) FROM documents) AS want,
+                  doc_id AS emit_id
+           FROM documents)
+         SELECT w.emit_id, n.doc_id, n.lang
+         FROM wanted w LEFT JOIN numbered n ON n.pos = w.want""",
     // q_ann_lsh / q_ann_ivf at FULL probe scan the whole corpus with
     // exact distances, so exact top-k IS their oracle (same shape as
     // q_knn); any dropped bucket/list or tie-break drift breaks it

@@ -202,6 +202,26 @@ final case class Tab(df: DataFrame) {
     Tab(Sorts.sortIndex(df, mapping, sortMode))
 
   // ---- imputation / merge ------------------------------------------
+  /** `t.reindex(index)` (core.py:375-392): rows rearranged / subset by a
+    * position list over the table's `orderCol` order; output rows come
+    * back in the POSITION LIST's order, positions past the end emit
+    * null rows (the reference pads None).
+    */
+  def reindex(index: Seq[Long], orderCol: String): Tab = {
+    val s = df.sparkSession
+    import s.implicits._
+    val pos = index.zipWithIndex.map { case (p, i) => (p, i.toLong) }
+      .toDF("__want_pos", "__emit")
+    Tab(Sorts.reindex(df, pos, "__want_pos", orderCol)
+      .orderBy(org.apache.spark.sql.functions.col("__emit"))
+      .drop("__want_pos", "__emit"))
+  }
+
+  /** API-parity redirect (core.py:854-855 raises "See imputation"). */
+  def replaceMissingValues(targets: Seq[String], method: String): Tab =
+    throw new UnsupportedOperationException(
+      "replace_missing_values: see imputation (same semantics, richer options)")
+
   def imputation(targets: Seq[String], method: String, orderCol: String = null,
       sources: Seq[String] = Nil): Tab = method match {
     case "carry forward"     => Tab(Imputation.ffill(df, targets, orderCol))
@@ -538,23 +558,23 @@ object Tab {
     else if (lower.endsWith(".xlsx") || lower.endsWith(".xlsm"))
       // .xlsm is the same zip/XML package as .xlsx plus a macro part the
       // reader ignores (reference dispatches both, import_utils.py:633-650)
-      Tab(Xlsx.readXlsx(spark, path,
+      Tab(Xlsx.readXlsx(spark, path, sheet = opts.sheet,
         firstRowHasHeaders = opts.firstRowHasHeaders, headerRowIndex = opts.headerRowIndex,
         skipEmpty = opts.skipEmpty, guessDatatypes = opts.guessDatatypes,
         start = opts.start, limit = opts.limit, columns = opts.columns))
-    else if (lower.endsWith(".xls")) Tab(Xls.readXls(spark, path,
+    else if (lower.endsWith(".xls")) Tab(Xls.readXls(spark, path, sheet = opts.sheet,
       firstRowHasHeaders = opts.firstRowHasHeaders, headerRowIndex = opts.headerRowIndex,
       skipEmpty = opts.skipEmpty, guessDatatypes = opts.guessDatatypes,
       start = opts.start, limit = opts.limit, columns = opts.columns))
     else if (lower.endsWith(".h5") || lower.endsWith(".hdf5"))
       Tab(Hdf5.readHdf5(spark, path, guessDatatypes = opts.guessDatatypes))
-    else if (lower.endsWith(".ods")) Tab(Ods.readOds(spark, path,
+    else if (lower.endsWith(".ods")) Tab(Ods.readOds(spark, path, sheet = opts.sheet,
       firstRowHasHeaders = opts.firstRowHasHeaders, headerRowIndex = opts.headerRowIndex,
       skipEmpty = opts.skipEmpty, guessDatatypes = opts.guessDatatypes,
       start = opts.start, limit = opts.limit, columns = opts.columns))
     // flat ODS: whole file is the content XML (reference dispatch,
     // import_utils.py:633-650)
-    else if (lower.endsWith(".fods")) Tab(Ods.readFods(spark, path,
+    else if (lower.endsWith(".fods")) Tab(Ods.readFods(spark, path, sheet = opts.sheet,
       firstRowHasHeaders = opts.firstRowHasHeaders, headerRowIndex = opts.headerRowIndex,
       skipEmpty = opts.skipEmpty, guessDatatypes = opts.guessDatatypes,
       start = opts.start, limit = opts.limit, columns = opts.columns))

@@ -30,6 +30,7 @@ object Readers extends Serializable {
       start: Int = 0,                      // data-row window
       limit: Int = Int.MaxValue,
       multiLine: Boolean = false,          // quoted embedded newlines
+      sheet: Option[String] = None,        // spreadsheet readers only
       // tablite's bracket-escape variant (core.py:66-67,141-146 —
       // "nail (75 x 4 mm, 3\" x 3/12\")" splits as ONE field when ( )
       // are escapes): delimiters inside opening/closure pairs do not

@@ -586,6 +586,39 @@ class PlanQualitySpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/_skipping").count() === sidecar.count())
   }
 
+  test("scd2Apply plan: late-key frames broadcast; history is never shuffled " +
+      "for the key split") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val events = (1L to 200L).map(k => (k, k, ts)).toDF("k", "eid", "ts")
+    val history = operators.SetOps.scd2FromEvents(events, Seq("k"), "ts", "eid")
+      .localCheckpoint(true) // stable stats for the plan under test
+    val updates = Seq((1L, 1000L, java.sql.Timestamp.valueOf("2024-01-02 10:00:00")))
+      .toDF("k", "eid", "ts")
+    val applied = operators.SetOps.scd2Apply(history, updates, Seq("k"), "ts", "eid")
+    val p = applied.queryExecution.executedPlan.toString
+    // the late-key semi/anti splits ride broadcast joins (lateKeys is
+    // derived from the tiny update batch), never a sort-merge shuffle
+    // of the history side
+    assert(p.contains("BroadcastHashJoin"), p.take(4000))
+    val smjCount = "SortMergeJoin".r.findAllIn(p).size
+    assert(smjCount === 0, s"history shuffled through $smjCount SMJs:\n${p.take(4000)}")
+    // and the result is still correct
+    assert(applied.count() === 201)
+  }
+
+  test("perceptualHashes plan: one map-side pass, no exchange before the hash") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    val media = graft.ml.Multimodal.asMediaTable(
+      spark.range(100).select(col("id"), md5(col("id").cast("string"))
+        .cast("binary").as("payload")),
+      "id", "payload", "image")
+    val hashed = graft.ml.Multimodal.perceptualHashes(media)
+    val p = hashed.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"phash plan shuffles:\n$p")
+  }
+
   test("compactDir: small-file dir rewritten to few files, content identical, sidecar carried") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"

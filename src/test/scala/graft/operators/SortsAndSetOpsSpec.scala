@@ -125,6 +125,26 @@ class SortsAndSetOpsSpec extends SparkSpec {
     assert(out === Array(1, 2, 3))
   }
 
+  test("Tab.reindex facade: core.py:375-392 examples (subset + interleave)") {
+    val t = graft.Tab(Seq("a", "b", "c", "d", "e", "f", "g", "h").zipWithIndex
+      .map { case (v, i) => (v, i.toLong) }.toDF("v", "ord"))
+    // index [0,2,4,6] -> a,c,e,g (the docstring's first example labels
+    // the VALUES it keeps; positions are 0-based row numbers)
+    assert(t.reindex(Seq(0L, 2L, 4L, 6L), "ord").df.select("v").as[String]
+      .collect().toSeq == Seq("a", "c", "e", "g"))
+    // interleave example: [0,2,4,6,1,3,5,7]
+    assert(t.reindex(Seq(0L, 2L, 4L, 6L, 1L, 3L, 5L, 7L), "ord").df
+      .select("v").as[String].collect().toSeq ==
+      Seq("a", "c", "e", "g", "b", "d", "f", "h"))
+    // past-the-end positions pad null rows (reference pads None)
+    val padded = t.reindex(Seq(1L, 99L), "ord").df.select("v").collect()
+    assert(padded.length == 2 && padded(0).getString(0) == "b" && padded(1).isNullAt(0))
+    // API-parity redirect
+    intercept[UnsupportedOperationException] {
+      t.replaceMissingValues(Seq("v"), "carry forward")
+    }
+  }
+
   test("drop_duplicates keep-first vectors (test_indexing_functions.py:12-27)") {
     val t = Seq((1, 4, 0), (1, 4, 1), (2, 3, 2), (2, 3, 3),
       (3, 2, 4), (3, 2, 5), (4, 1, 6), (5, 1, 7)).toDF("c1", "c2", "ord")

@@ -81,4 +81,32 @@ class DispatchExtrasSpec extends SparkSpec {
     assert(t.columns === Seq("b"))
     assert(t.rows === 3L)
   }
+  test("fromFile threads the sheet option into every spreadsheet reader") {
+    import java.nio.file.Files
+    val a = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    val b = Seq((10L, "p")).toDF("id", "v")
+    // two-sheet xlsx is not part of our writer surface (one sheet per
+    // file, like the reference's exporter) — so pin the option by
+    // writing two single-sheet files with DIFFERENT sheet names and
+    // verifying name-addressed reads resolve (and a wrong name fails)
+    val d = Files.createTempDirectory("sheetopt").toString
+    Xlsx.writeXlsx(a, s"$d/a.xlsx", sheetName = "Alpha")
+    Ods.writeOds(b, s"$d/b.ods", sheetName = "Beta")
+    Ods.writeFods(b, s"$d/b.fods", sheetName = "Gamma")
+    Xls.writeXls(a, s"$d/a.xls", sheetName = "Delta")
+    assert(graft.Tab.fromFile(spark, s"$d/a.xlsx",
+      Readers.CsvOptions(sheet = Some("Alpha"), guessDatatypes = false)).rows == 2)
+    assert(graft.Tab.fromFile(spark, s"$d/b.ods",
+      Readers.CsvOptions(sheet = Some("Beta"), guessDatatypes = false)).rows == 1)
+    assert(graft.Tab.fromFile(spark, s"$d/b.fods",
+      Readers.CsvOptions(sheet = Some("Gamma"), guessDatatypes = false)).rows == 1)
+    assert(graft.Tab.fromFile(spark, s"$d/a.xls",
+      Readers.CsvOptions(sheet = Some("Delta"), guessDatatypes = false)).rows == 2)
+    intercept[Exception] {
+      graft.Tab.fromFile(spark, s"$d/a.xlsx",
+        Readers.CsvOptions(sheet = Some("NoSuchSheet"))).rows
+    }
+    assert(Xls.sheetNames(s"$d/a.xls") == Seq("Delta"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+  }
 }
