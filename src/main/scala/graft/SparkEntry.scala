@@ -2325,6 +2325,28 @@ object SparkEntry {
             col("n_chars").cast("long"))
       }
     }),
+    // SQL text export gated on the exact statement emission: DuckDB
+    // reconstructs the CREATE + every INSERT (incl. '' quote escaping
+    // and INTEGER/TEXT type mapping) character-for-character
+    "q_sql_export" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+      val stmts = graft.sources.Writers.toSql(docs, "t_docs").split("\n")
+      stmts.zipWithIndex.map { case (stmt, i) => (i.toLong, stmt) }
+        .toSeq.toDF("i", "stmt")
+    }),
+    // date_range generator vs DuckDB's timestamp generate_series
+    // (stop-exclusive on our side, epoch-ms compare per the oracle
+    // timestamp rule)
+    "q_date_range" -> ((s, dir) =>
+      graft.sources.Datasets.dateRange(s,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-03-01 00:00:00"),
+        stepSeconds = 6L * 3600)
+        .select(unix_millis(col("ts")).as("ts_ms"))),
     // render→read identity through the rst text-table pair (pyexcel-text
     // formats the reference's readers dict dispatches); documents text
     // has no 2-space runs so the separator spans reconstruct exactly
@@ -4205,6 +4227,23 @@ object SparkEntry {
       "SELECT doc_id, text, lang, n_chars FROM documents",
     "q_rst_roundtrip" ->
       "SELECT doc_id, text, lang, n_chars FROM documents",
+    // q_sql_export: DuckDB re-derives the exact emitted statements
+    "q_sql_export" ->
+      """SELECT 0 AS i,
+           'CREATE TABLE t_docs (doc_id INTEGER, text TEXT, lang TEXT, n_chars INTEGER);' AS stmt
+         UNION ALL
+         SELECT row_number() OVER (ORDER BY doc_id) AS i,
+           'INSERT INTO t_docs VALUES (' || doc_id || ', ''' ||
+             replace(text, '''', '''''') || ''', ''' || lang || ''', ' ||
+             n_chars || ');' AS stmt
+         FROM documents WHERE doc_id < 100""",
+    // q_date_range: stop-exclusive series at 6h steps, epoch-ms compare
+    "q_date_range" ->
+      """SELECT epoch_ms(ts) AS ts_ms
+         FROM generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                              TIMESTAMP '2024-03-01 00:00:00',
+                              INTERVAL 6 HOUR) AS t(ts)
+         WHERE ts < TIMESTAMP '2024-03-01 00:00:00'""",
     // q_reindex: gather-by-position over doc_id order; positions past
     // the row count are impossible here ((id*7) mod N < N), so the
     // left join is total
