@@ -21,6 +21,41 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  private lazy val logger = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Per-doc pair budget for the pairs-EMITTING APIs (the no-silent-caps
+    * rule made explicit): mutually-similar mega-groups — boilerplate,
+    * templated spam, licence headers — make any API that materializes
+    * pairs emit O(g²) rows for a group of size g, which at 100 TB is an
+    * output explosion even when every upstream stage is bounded. The
+    * budget keeps, per `idA`, the `budget` partners with the SMALLEST
+    * partner ids (deterministic, and in any mutually-paired group the
+    * id→next-id chain always survives, so connected components over a
+    * clique are preserved at any budget ≥ 1); everything else is dropped
+    * with a LOUD log carrying the exact dropped-pair count. Dedup
+    * verdicts that only need cluster membership (drop-set on equal-size
+    * mutual groups, canonical-per-cluster) are unchanged under the cap —
+    * spec-pinned in DedupSpec. The cap is a MATERIALIZING safety valve:
+    * engaging it runs one eager pass (rank + over-budget count) so the
+    * log is factual, and hands the caller the cached capped frame.
+    */
+  private def capPairsPerDoc(
+      pairs: DataFrame, idA: String, idB: String, budget: Int,
+      api: String): DataFrame = {
+    if (budget == Int.MaxValue) return pairs
+    require(budget >= 1, s"maxPairsPerDoc: $budget")
+    val scope = new CacheScope
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idA)).orderBy(col(idB))
+    val ranked = scope.persist(pairs.withColumn("__rk", row_number().over(w)))
+    val dropped = ranked.filter(col("__rk") > budget).count()
+    if (dropped > 0)
+      logger.warn(s"[$api] maxPairsPerDoc=$budget engaged: dropped $dropped " +
+        s"over-budget pairs (mutually-similar mega-group; kept the $budget " +
+        "smallest partner ids per doc)")
+    scope.releaseAfter(ranked.filter(col("__rk") <= budget).drop("__rk"))
+  }
+
   /** Bucket self-join with skew salting. Rows sharing `bk` become
     * candidate pairs (both orientations, `_a`/`_b` suffixed payload):
     *
@@ -119,13 +154,16 @@ object Dedup {
       shingleN: Int = 3,
       threshold: Double = 0.7,
       maxBucket: Int = 1000,
-      saltCap: Int = 20000): DataFrame = {
+      saltCap: Int = 20000,
+      maxPairsPerDoc: Int = Int.MaxValue): DataFrame = {
     // the shingle frame feeds the band explode AND both verify joins —
     // persist so the corpus is shingled once (scope-released after the
     // caller's first action; at petabyte scale write it out instead)
     val scope = new CacheScope
     val sh = scope.persist(shingleFrame(docs, idCol, textCol, shingleN))
-    minhashVerifiedPairs(sh, bandFrame(sh, k, bands), threshold, maxBucket, saltCap, scope)
+    capPairsPerDoc(
+      minhashVerifiedPairs(sh, bandFrame(sh, k, bands), threshold, maxBucket, saltCap, scope),
+      "id_a", "id_b", maxPairsPerDoc, "minhashPairs")
   }
 
   /** `(id, sh, sz)` shingle signature frame — distinct shingle count
@@ -727,7 +765,8 @@ object Dedup {
       idCol: String,
       textCol: String,
       shingleN: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8,
+      maxPairsPerDoc: Int = Int.MaxValue): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"containment threshold: $threshold")
     require(shingleN >= 1, s"shingleN: $shingleN")
     val scope = new CacheScope
@@ -764,14 +803,15 @@ object Dedup {
           >= lit(threshold) * col("sz_a") - lit(1e-9))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    scope.releaseAfter(cand
+    capPairsPerDoc(scope.releaseAfter(cand
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a"),
         col("sz").as("sz_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           col("sz_a").cast("double")).as("containment"))
-      .filter(col("containment") >= threshold))
+      .filter(col("containment") >= threshold)),
+      "id_a", "id_b", maxPairsPerDoc, "containmentPairs")
   }
 
   /** Containment dedup of one corpus: drop every document near-fully

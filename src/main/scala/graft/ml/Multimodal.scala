@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
   * layout `spark.read.format("binaryFile")` produces and parquet stores
   * natively. The decode/feature kernels are the ONLY non-columnar steps;
   * they run per-partition (Scala analogue of `mapInPandas`: batch-at-a-
-  * time, schema declared up front). The actual codec calls are STUBBED
-  * (no image/audio libs in this container) behind `decodeStub` with a
-  * deterministic fake, so the Spark-side plumbing — schema, batching,
-  * partition sizing — is real and tested.
+  * time, schema declared up front). Image decode is REAL (pure-JDK
+  * [[ImageIoCodec]]: PNG/JPEG/GIF/BMP) and audio decode is REAL
+  * (pure-JDK [[WavPcmCodec]]: WAV/PCM 8/16/24/32-bit); only VIDEO stays
+  * a deterministic stub behind the [[MediaCodec]] SPI — there is no
+  * pure-JDK video codec, so a deployment registers its own
+  * (DIVERGENCES.md documents this).
   */
 object Multimodal {
 
@@ -346,5 +348,163 @@ object Multimodal {
       .select(col("media_id"), col("feature"))
     Dedup.embeddingPairs(feats, "media_id", "feature", dim = 8,
       threshold = threshold, nPlanes = 6)
+  }
+
+  /** The second REAL codec: pure-JDK WAV/PCM audio decode — a clean-room
+    * RIFF/WAVE container parse (the public WAVE format spec: `RIFF` →
+    * `WAVE` → `fmt ` chunk with audioFormat/channels/sampleRate/bits →
+    * `data` chunk of little-endian interleaved frames). Supports the PCM
+    * encodings that cover real corpora: unsigned 8-bit, signed 16/24/32-
+    * bit LE. No `javax.sound` dependency — the 44-byte canonical header
+    * plus chunk walk is simpler and fully deterministic, so a stored-
+    * sample oracle can recompute every derived stat bit-for-bit.
+    *
+    * Divergence note: the reference has no audio pipeline at all — this
+    * is part of the training-data surface this engine adds. Video stays
+    * a stub behind the same SPI ([[MediaCodec]]): there is no pure-JDK
+    * video codec, so a real deployment registers its own (see
+    * DIVERGENCES.md).
+    *
+    * Undecodable payloads: `strict = true` throws; default falls back to
+    * the deterministic [[MediaCodec.Stub]] so a mixed corpus keeps
+    * flowing (the ImageIoCodec contract).
+    */
+  final class WavPcmCodec(strict: Boolean = false) extends MediaCodec {
+    /** 8-dim feature: mean |sample| over 8 equal time segments, scaled
+      * to [0, 1] by full-scale — an amplitude-envelope signature with
+      * the stub's dimensionality so downstream ANN/dedup plumbing is
+      * codec-agnostic.
+      */
+    override def decode(kind: String, bytes: Array[Byte]): Array[Float] =
+      WavPcmCodec.decodePcm(bytes) match {
+        case Some(p) if p.samples.nonEmpty =>
+          val full = (1L << (p.bitsPerSample - 1)).toDouble
+          val n = p.samples.length
+          Array.tabulate(8) { seg =>
+            val lo = (seg.toLong * n / 8).toInt
+            val hi = math.max(((seg + 1).toLong * n / 8).toInt, lo + 1).min(n)
+            var s = 0.0; var i = lo
+            while (i < hi) { s += math.abs(p.samples(i).toDouble); i += 1 }
+            (s / (hi - lo) / full).toFloat
+          }
+        case Some(_) => Array.fill(8)(0.0f)
+        case None if strict => throw new IllegalArgumentException(
+          s"WavPcmCodec: undecodable $kind payload (${bytes.length} bytes)")
+        case None => MediaCodec.Stub.decode(kind, bytes)
+      }
+  }
+
+  object WavPcmCodec {
+    /** Decoded PCM payload: `samples` are interleaved channel frames in
+      * file order, sign-extended to Int (8-bit unsigned is re-centered
+      * to signed, matching every mainstream decoder).
+      */
+    final case class Pcm(sampleRate: Int, channels: Int, bitsPerSample: Int,
+        samples: Array[Int])
+
+    private def le16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+    private def le32(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+        ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+
+    /** RIFF/WAVE chunk walk → PCM samples; None on anything that is not
+      * a well-formed PCM WAV (the caller decides strict/fallback).
+      */
+    def decodePcm(bytes: Array[Byte]): Option[Pcm] = {
+      if (bytes.length < 44) return None
+      if (!(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+            bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E'))
+        return None
+      var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
+      var data: Option[(Int, Int)] = None // (offset, len)
+      var o = 12
+      while (o + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
+        val id = new String(bytes, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val len = le32(bytes, o + 4)
+        if (len < 0 || o + 8 + len > bytes.length) return None
+        id match {
+          case "fmt " if len >= 16 =>
+            val audioFormat = le16(bytes, o + 8)
+            if (audioFormat != 1) return None // PCM only
+            fmt = Some((le16(bytes, o + 10), le32(bytes, o + 12), le16(bytes, o + 22)))
+          case "data" => data = Some((o + 8, len))
+          case _ => () // LIST/INFO/fact/… chunks skip cleanly
+        }
+        o += 8 + len + (len & 1) // chunks are word-aligned
+      }
+      for ((ch, rate, bits) <- fmt; (off, len) <- data;
+           if ch > 0 && rate > 0 && Set(8, 16, 24, 32)(bits)) yield {
+        val bpS = bits / 8
+        val n = len / bpS
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          val p = off + i * bpS
+          out(i) = bits match {
+            case 8  => (bytes(p) & 0xFF) - 128
+            case 16 => le16(bytes, p).toShort.toInt
+            case 24 =>
+              val u = (bytes(p) & 0xFF) | ((bytes(p + 1) & 0xFF) << 8) |
+                ((bytes(p + 2) & 0xFF) << 16)
+              (u << 8) >> 8 // sign-extend 24 → 32
+            case _  => le32(bytes, p)
+          }
+          i += 1
+        }
+        Pcm(rate, ch, bits, out)
+      }
+    }
+
+    /** Canonical 44-byte-header 16-bit PCM WAV encoder (fixture/test
+      * generator — the decode side reads the identical samples back;
+      * PCM is lossless).
+      */
+    def wavPcm16(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
+      require(channels > 0 && samples.length % channels == 0,
+        s"channels: $channels, samples: ${samples.length}")
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      bb.putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      bb.putInt(sampleRate * channels * 2) // byte rate
+      bb.putShort((channels * 2).toShort).putShort(16)
+      bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+  }
+
+  /** Per-payload integer audio stats through the PCM decode — the exact
+    * (oracle-verifiable) face of the audio path: every column is integer
+    * arithmetic over the stored samples, so a closed-form fixture
+    * recomputes bit-for-bit. One map-side pass, nothing shuffles.
+    * Returns `(media_id, sample_rate, channels, n_samples, sum_s, min_s,
+    * max_s)`; undecodable rows are NULL-stats (strict decode belongs to
+    * the codec, not the stats pass).
+    */
+  def audioStats(media: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].map { m =>
+      val bytes = Option(m.bytes).getOrElse(Array.emptyByteArray)
+      WavPcmCodec.decodePcm(bytes) match {
+        case Some(p) =>
+          var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue; var i = 0
+          while (i < p.samples.length) {
+            val s = p.samples(i)
+            sum += s; if (s < mn) mn = s; if (s > mx) mx = s; i += 1
+          }
+          (m.media_id, Some(p.sampleRate.toLong), Some(p.channels.toLong),
+            Some(p.samples.length.toLong), Some(sum),
+            if (p.samples.isEmpty) None else Some(mn.toLong),
+            if (p.samples.isEmpty) None else Some(mx.toLong))
+        case None =>
+          (m.media_id, None, None, None, None, None, None)
+      }
+    }.toDF("media_id", "sample_rate", "channels", "n_samples",
+      "sum_s", "min_s", "max_s")
   }
 }
