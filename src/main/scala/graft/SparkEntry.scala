@@ -2353,8 +2353,11 @@ object SparkEntry {
     // table (header names + 9 stringified data rows)
     "q_get_headers" -> ((s, dir) => {
       import s.implicits._
+      // n_chars casts to long so the harness is dtype-robust: scale
+      // replicas regenerate it via length() (IntegerType)
       val slice = t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .select(col("doc_id").cast("long"), col("lang"),
+          col("n_chars").cast("long"))
         .orderBy("doc_id").limit(19).collect()
       withTempFile(s"graft_q_gethdr_${ProcessHandle.current.pid}.csv") { p =>
         val lines = "doc_id,lang,n_chars" +:
@@ -2406,8 +2409,11 @@ object SparkEntry {
     // footer, every character re-derived by DuckDB rpad/substr
     "q_show_ascii" -> ((s, dir) => {
       import s.implicits._
+      // n_chars cast: dtype row must read "bigint" at every scale (the
+      // sf replicas regenerate n_chars via length() as IntegerType)
       val slice = t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .select(col("doc_id").cast("long"), col("lang"),
+          col("n_chars").cast("long"))
         .orderBy("doc_id").limit(10)
       graft.sources.Writers.toAscii(slice, elide = 7).split("\n")
         .zipWithIndex.map { case (line, i) => (i.toLong, line) }
@@ -2446,6 +2452,17 @@ object SparkEntry {
         ("deterministic", g.exceptAll(g2).isEmpty && g2.exceptAll(g).isEmpty))
       g.unpersist(blocking = false)
       verdicts.toDF("chk", "verdict")
+    }),
+    // pair budget on the pairs-emitting dedup APIs: a 40-doc mutual
+    // clique (identical text) emits exactly the 3 smallest partner ids
+    // per doc under maxPairsPerDoc=3 — the closed form DuckDB rebuilds
+    "q_pair_budget" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 40)
+        .select(col("doc_id"),
+          lit("alpha beta gamma delta epsilon zeta eta theta").as("text"))
+      graft.ml.Dedup.containmentPairs(docs, "doc_id", "text",
+        shingleN = 3, threshold = 0.9, maxPairsPerDoc = 3)
+        .select(col("id_a"), col("id_b"))
     }),
     // render→read identity through the rst text-table pair (pyexcel-text
     // formats the reference's readers dict dispatches); documents text
@@ -4380,6 +4397,14 @@ object SparkEntry {
                               TIMESTAMP '2024-03-01 00:00:00',
                               INTERVAL 6 HOUR) AS t(ts)
          WHERE ts < TIMESTAMP '2024-03-01 00:00:00'""",
+    // q_pair_budget: every doc of the clique keeps its 3 smallest
+    // partner ids — QUALIFY reproduces the deterministic cap
+    "q_pair_budget" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 40)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM ids a JOIN ids b ON b.doc_id <> a.doc_id
+         QUALIFY row_number() OVER (PARTITION BY a.doc_id
+                                    ORDER BY b.doc_id) <= 3""",
     // q_get_headers: DuckDB re-derives the raw peek grid — header names
     // + the first 9 stringified data rows + the sniffed ',' delimiter
     "q_get_headers" ->

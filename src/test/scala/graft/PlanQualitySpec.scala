@@ -607,6 +607,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(applied.count() === 201)
   }
 
+  test("audioStats plan: one map-side pass, no exchange") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    val media = graft.ml.Multimodal.asMediaTable(
+      spark.range(100).select(col("id"), md5(col("id").cast("string"))
+        .cast("binary").as("payload")),
+      "id", "payload", "audio")
+    val stats = graft.ml.Multimodal.audioStats(media)
+    val p = stats.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"audioStats plan shuffles:\n$p")
+  }
+
   test("perceptualHashes plan: one map-side pass, no exchange before the hash") {
     implicit val s: org.apache.spark.sql.SparkSession = spark
     import spark.implicits._
