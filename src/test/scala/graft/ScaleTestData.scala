@@ -14,14 +14,25 @@ import org.apache.spark.sql.functions._
   *    (`key + copy·stride`) and remapped foreign keys INTO the scaled
   *    parents, so join fan-outs scale linearly instead of
   *    quadratically;
-  *  - documents get per-copy ` variantN` text suffixes → every doc
-  *    joins a 10-member near-dup GROUP (deliberately denser than a real
-  *    10× corpus — it stress-loads the salted bucketSelfJoin paths);
-  *  - embeddings get a per-copy +g·0.001 offset on every component
-  *    (distinct vectors, preserved cluster structure).
+  *  - documents keep CONSTANT near-dup group density (size 10) at any
+  *    factor: copy c splits into (group = c/10, member = c%10); members
+  *    of a group differ only by a ` variantN` suffix (near-dups, the
+  *    sf1 convention), while groups ≥ 1 interleave a per-group token
+  *    between every word — every word-3-shingle changes, so
+  *    cross-group Jaccard collapses to ~0 and 10× more data means 10×
+  *    more groups, not 10×-bigger groups. (At factor ≤ 10 this reduces
+  *    exactly to the original sf1 scheme: one 10-member group per
+  *    source doc. Group-size BLOWUP is a corpus-density axis, measured
+  *    separately by PairBudgetSpec and the sf1 dense record — conflating
+  *    it with the data-scale axis would make every pairs row read as a
+  *    quadratic regression that is really output volume.)
+  *  - embeddings get a per-copy +(c%10)·0.001 + (c/10)·0.0001 offset on
+  *    every component (distinct vectors, preserved cluster structure —
+  *    max offset 0.0099 at factor 100).
   *
   * Usage: `sbt "Test/runMain graft.ScaleTestData /root/testdata/sf0.1
-  * /tmp/sf1 10"`. Writes nothing outside the target dir.
+  * /tmp/sf1 10"` (sf10: factor 100). Writes nothing outside the target
+  * dir.
   */
 object ScaleTestData {
 
@@ -61,28 +72,38 @@ object ScaleTestData {
     write("lineitem", replicate(spark, read("lineitem"), factor,
       Seq("l_orderkey", "l_partkey", "l_suppkey")))
     write("events", replicate(spark, read("events"), factor, Seq("event_id")))
-    // documents: remapped ids + per-copy variant suffix (near-dup groups)
+    // documents: remapped ids + constant-density near-dup groups (see
+    // scaladoc). group = copy/10 rewrites every word-3-shingle via a
+    // per-group interleave token; member = copy%10 appends the sf1-style
+    // near-dup suffix.
     locally {
       val docs = read("documents")
       val copies = spark.range(factor).select(col("id").as("__copy"))
+      val grp = (col("__copy") / 10).cast("long")
+      val member = col("__copy") % 10
+      val grouped = when(grp === 0, col("text")).otherwise(
+        regexp_replace(col("text"), lit(" "),
+          concat(lit(" zgrp"), grp.cast("string"), lit(" "))))
       val scaled = docs.crossJoin(copies)
         .withColumn("doc_id", col("doc_id") + col("__copy") * Stride)
         .withColumn("text",
-          when(col("__copy") === 0, col("text"))
-            .otherwise(concat(col("text"), lit(" variant"), col("__copy"))))
+          when(member === 0, grouped)
+            .otherwise(concat(grouped, lit(" variant"), member)))
         .withColumn("n_chars", length(col("text")))
         .drop("__copy")
       write("documents", scaled)
     }
-    // embeddings: remapped ids + per-copy component offset
+    // embeddings: remapped ids + per-copy component offset (unique per
+    // copy up to factor 100, max 0.0099 — cluster structure preserved)
     locally {
       val emb = read("embeddings")
       val copies = spark.range(factor).select(col("id").as("__copy"))
+      val off = (col("__copy") % 10).cast("float") * lit(0.001f) +
+        (col("__copy") / 10).cast("long").cast("float") * lit(0.0001f)
       val scaled = emb.crossJoin(copies)
         .withColumn("vec_id", col("vec_id") + col("__copy") * Stride)
         .withColumn("embedding",
-          transform(col("embedding"),
-            x => (x + col("__copy").cast("float") * lit(0.001f)).cast("float")))
+          transform(col("embedding"), x => (x + off).cast("float")))
         .drop("__copy")
       write("embeddings", scaled)
     }
