@@ -2562,6 +2562,29 @@ object SparkEntry {
         .select(col("media_id"), col("sample_rate"), col("channels"),
           col("n_samples"), col("sum_s"), col("min_s"), col("max_s"))
     }),
+    // REAL ISO-BMFF container parse: per-doc minimal MP4 muxed from
+    // closed-form parameters on the executor, box-walked back by the
+    // clean-room parser; DuckDB recomputes every metadata column from
+    // the same closed form (frame decode stays codec-SPI —
+    // DIVERGENCES.md #15; container metadata needs no codec)
+    "q_video_meta" -> ((s, dir) => {
+      implicit val ss: SparkSession = s
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val ts = (600 + (id % 4) * 200).toInt
+            val video = Some((
+              (320 + (id % 4) * 160).toInt, (240 + (id % 4) * 120).toInt,
+              if (id % 2 == 0) "avc1" else "hev1"))
+            val audio = if (id % 3 == 0) None else Some("mp4a")
+            (id, graft.ml.Multimodal.Mp4Meta.mp4Stub(
+              "mp42", ts, id * 37 + 600, video, audio))
+          }
+        }.toDF("doc_id", "mp4")
+      graft.ml.Multimodal.videoMeta(
+        graft.ml.Multimodal.asMediaTable(media, "doc_id", "mp4", "video"))
+    }),
 
     // ---- events / windows -------------------------------------------
     "q_events_window" -> ((s, dir) =>
@@ -4374,6 +4397,19 @@ object SparkEntry {
            sum(s)::BIGINT AS sum_s, min(s)::BIGINT AS min_s,
            max(s)::BIGINT AS max_s
          FROM sm GROUP BY media_id""",
+    // q_video_meta: ISO-BMFF metadata of a REAL box-tree parse,
+    // recomputed from the closed-form mux parameters (integer-division
+    // duration_ms matches the parser's exact u64 arithmetic)
+    "q_video_meta" ->
+      """SELECT doc_id AS media_id, 'mp42' AS brand,
+           (600 + (doc_id % 4) * 200)::BIGINT AS timescale,
+           (((doc_id*37 + 600) * 1000) // (600 + (doc_id % 4) * 200))::BIGINT AS duration_ms,
+           (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END)::BIGINT AS n_tracks,
+           (320 + (doc_id % 4) * 160)::BIGINT AS width,
+           (240 + (doc_id % 4) * 120)::BIGINT AS height,
+           CASE WHEN doc_id % 2 = 0 THEN 'avc1' ELSE 'hev1' END AS video_codec,
+           CASE WHEN doc_id % 3 = 0 THEN NULL ELSE 'mp4a' END AS audio_codec
+         FROM documents""",
     "q_xls_roundtrip" ->
       "SELECT doc_id, text, lang, n_chars FROM documents",
     "q_html_table" ->

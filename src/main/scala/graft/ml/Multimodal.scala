@@ -507,4 +507,201 @@ object Multimodal {
     }.toDF("media_id", "sample_rate", "channels", "n_samples",
       "sum_s", "min_s", "max_s")
   }
+
+  /** Clean-room ISO base-media-file-format (ISO/IEC 14496-12) box walk —
+    * the REAL half of the video path. Frame DECODE has no pure-JDK codec
+    * (the [[MediaCodec]] stub + DIVERGENCES.md #15 cover it), but the
+    * container METADATA a 100 TB curation pipeline actually filters on —
+    * duration, resolution, codec fourcc, track layout — needs no codec
+    * at all: it is a length-prefixed box tree. This parser reads exactly
+    * that, so `filter(duration_ms between …)` / `width >= 720` /
+    * `video_codec = 'avc1'` run over raw MP4 payloads map-side.
+    *
+    * Box grammar (public spec): u32 big-endian size + 4-char type;
+    * size==1 → u64 largesize follows; size==0 → box extends to EOF.
+    * Walked containers: `moov`, `trak`, `mdia`, `minf`, `stbl`. Read
+    * leaves: `ftyp` (major brand), `mvhd` (movie timescale/duration,
+    * versions 0 and 1), `tkhd` (16.16-fixed width/height, v0/v1),
+    * `hdlr` (handler `vide`/`soun`), `stsd` (first sample-entry fourcc).
+    * Unknown boxes skip by their declared size; any malformed length →
+    * None (never a partial guess).
+    */
+  object Mp4Meta {
+    /** Parsed container metadata. `durationMs` = duration·1000/timescale
+      * in integer arithmetic (exact, oracle-reproducible).
+      */
+    final case class Meta(brand: String, timescale: Long, durationMs: Long,
+        nTracks: Int, width: Int, height: Int,
+        videoCodec: Option[String], audioCodec: Option[String])
+
+    private def be32(b: Array[Byte], o: Int): Long =
+      ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
+        ((b(o + 2) & 0xFFL) << 8) | (b(o + 3) & 0xFFL)
+    private def be64(b: Array[Byte], o: Int): Long =
+      (be32(b, o) << 32) | be32(b, o + 4)
+    private def fourcc(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** One box header: (type, payloadOffset, payloadEnd) or None if the
+      * declared size is malformed / runs past `end`.
+      */
+    private def box(b: Array[Byte], o: Int, end: Int): Option[(String, Int, Int)] = {
+      if (o + 8 > end) return None
+      val size = be32(b, o)
+      val typ = fourcc(b, o + 4)
+      if (size == 0L) Some((typ, o + 8, end)) // to end-of-enclosure
+      else if (size == 1L) {
+        if (o + 16 > end) return None
+        val large = be64(b, o + 8)
+        if (large < 16 || o + large > end) None else Some((typ, o + 16, o + large.toInt))
+      }
+      else if (size < 8 || o + size > end) None
+      else Some((typ, o + 8, o + size.toInt))
+    }
+
+    private final class Walk {
+      var brand: String = null
+      var timescale = 0L; var duration = 0L
+      var nTracks = 0; var width = 0; var height = 0
+      var videoCodec: Option[String] = None
+      var audioCodec: Option[String] = None
+      var malformed = false
+      // per-trak state, committed when the trak closes
+      var tW = 0; var tH = 0; var tHandler: String = null; var tCodec: Option[String] = None
+
+      def walk(b: Array[Byte], o0: Int, end: Int, depth: Int): Unit = {
+        var o = o0
+        while (o < end && !malformed) {
+          box(b, o, end) match {
+            case None => malformed = true
+            case Some((typ, po, pe)) =>
+              typ match {
+                case "ftyp" if po + 4 <= pe => if (brand == null) brand = fourcc(b, po)
+                case "moov" | "mdia" | "minf" | "stbl" => walk(b, po, pe, depth + 1)
+                case "trak" =>
+                  tW = 0; tH = 0; tHandler = null; tCodec = None
+                  walk(b, po, pe, depth + 1)
+                  if (!malformed) {
+                    nTracks += 1
+                    if (tHandler == "vide") {
+                      if (width == 0) { width = tW; height = tH }
+                      if (videoCodec.isEmpty) videoCodec = tCodec
+                    } else if (tHandler == "soun") {
+                      if (audioCodec.isEmpty) audioCodec = tCodec
+                    }
+                  }
+                case "mvhd" if po + 4 <= pe =>
+                  val v = b(po) & 0xFF
+                  if (v == 1 && po + 32 <= pe) {
+                    timescale = be32(b, po + 20); duration = be64(b, po + 24)
+                  } else if (v == 0 && po + 20 <= pe) {
+                    timescale = be32(b, po + 12); duration = be32(b, po + 16)
+                  } else malformed = true
+                case "tkhd" if po + 4 <= pe =>
+                  val v = b(po) & 0xFF
+                  // width/height are the LAST 8 bytes (16.16 fixed) in
+                  // both versions; offsets 76 (v0) / 88 (v1) from po
+                  val wOff = if (v == 1) po + 88 else po + 76
+                  if (wOff + 8 <= pe) {
+                    tW = (be32(b, wOff) >>> 16).toInt
+                    tH = (be32(b, wOff + 4) >>> 16).toInt
+                  } else malformed = true
+                case "hdlr" if po + 12 <= pe => tHandler = fourcc(b, po + 8)
+                case "stsd" if po + 16 <= pe =>
+                  // u8 version+flags, u32 entry_count, then first sample
+                  // entry: u32 size + fourcc
+                  if (be32(b, po + 4) > 0) tCodec = Some(fourcc(b, po + 12))
+                case _ => () // free/mdat/udta/… skip by size
+              }
+              o = pe
+          }
+        }
+        if (o != end) malformed = true
+      }
+    }
+
+    /** Parse one payload; None unless it is a well-formed ISO-BMFF file
+      * with an `ftyp` and a `moov`/`mvhd` (the caller decides fallback).
+      */
+    def parse(bytes: Array[Byte]): Option[Meta] = {
+      if (bytes == null || bytes.length < 16) return None
+      // cheap front gate: first box must be ftyp (the spec requires it
+      // "as early as possible"; every real muxer puts it first)
+      if (fourcc(bytes, 4) != "ftyp") return None
+      val w = new Walk
+      w.walk(bytes, 0, bytes.length, 0)
+      if (w.malformed || w.brand == null || w.timescale <= 0) None
+      else Some(Meta(w.brand, w.timescale, w.duration * 1000L / w.timescale,
+        w.nTracks, w.width, w.height, w.videoCodec, w.audioCodec))
+    }
+
+    /** Canonical minimal MP4 muxer (fixture/test generator — no frames,
+      * just the metadata tree the parser reads back; the same role
+      * [[WavPcmCodec.wavPcm16]] plays for audio). Emits
+      * ftyp + moov{mvhd, trak{tkhd, mdia{hdlr, minf{stbl{stsd}}}}…} +
+      * an empty mdat, all version-0 boxes.
+      */
+    def mp4Stub(brand: String, timescale: Int, duration: Long,
+        video: Option[(Int, Int, String)], audioCodec: Option[String]): Array[Byte] = {
+      require(brand.length == 4 && timescale > 0 && duration >= 0)
+      def bx(typ: String, payload: Array[Byte]*): Array[Byte] = {
+        val n = 8 + payload.map(_.length).sum
+        val bb = java.nio.ByteBuffer.allocate(n)
+        bb.putInt(n).put(typ.getBytes("US-ASCII"))
+        payload.foreach(bb.put)
+        bb.array()
+      }
+      def u32(vs: Long*): Array[Byte] = {
+        val bb = java.nio.ByteBuffer.allocate(vs.length * 4)
+        vs.foreach(v => bb.putInt(v.toInt))
+        bb.array()
+      }
+      val ftyp = bx("ftyp", brand.getBytes("US-ASCII"), u32(0),
+        "isom".getBytes("US-ASCII"))
+      val mvhd = bx("mvhd", u32(0, 0, 0, timescale, duration,
+        0x00010000L, 0x01000000L, 0, 0), // rate, volume<<24|rsvd, rsvd
+        u32(Seq.fill(9)(0L): _*), // unity matrix slots (parser skips)
+        u32(Seq.fill(7)(0L): _*)) // pre_defined + next_track_ID
+      def trak(handler: String, codec: String, w: Int, h: Int): Array[Byte] = {
+        val tkhd = bx("tkhd", u32(0, 0, 0, 1, 0, duration),
+          u32(Seq.fill(13)(0L): _*), // rsvd + layer/group + volume + matrix
+          u32(w.toLong << 16, h.toLong << 16))
+        val hdlr = bx("hdlr", u32(0, 0), handler.getBytes("US-ASCII"),
+          u32(0, 0, 0), Array[Byte](0))
+        val entry = bx(codec, new Array[Byte](8)) // rsvd6 + data_ref_index
+        val stsd = bx("stsd", u32(0, 1), entry)
+        val stbl = bx("stbl", stsd)
+        val minf = bx("minf", stbl)
+        val mdia = bx("mdia", hdlr, minf)
+        bx("trak", tkhd, mdia)
+      }
+      val traks = video.map { case (w, h, c) => trak("vide", c, w, h) }.toSeq ++
+        audioCodec.map(c => trak("soun", c, 0, 0)).toSeq
+      val moov = bx("moov", (mvhd +: traks): _*)
+      val mdat = bx("mdat")
+      ftyp ++ moov ++ mdat
+    }
+  }
+
+  /** Per-payload container metadata through the ISO-BMFF parse — the
+    * video analogue of [[audioStats]]: one map-side pass, nothing
+    * shuffles, unparseable rows are NULL-metadata so a mixed corpus
+    * keeps flowing (strict routing belongs to the caller's filter).
+    */
+  def videoMeta(media: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].map { m =>
+      Mp4Meta.parse(m.bytes) match {
+        case Some(x) =>
+          (m.media_id, Option(x.brand), Some(x.timescale), Some(x.durationMs),
+            Some(x.nTracks.toLong), Some(x.width.toLong), Some(x.height.toLong),
+            x.videoCodec, x.audioCodec)
+        case None =>
+          (m.media_id, None: Option[String], None: Option[Long], None: Option[Long],
+            None: Option[Long], None: Option[Long], None: Option[Long],
+            None: Option[String], None: Option[String])
+      }
+    }.toDF("media_id", "brand", "timescale", "duration_ms", "n_tracks",
+      "width", "height", "video_codec", "audio_codec")
+  }
 }
