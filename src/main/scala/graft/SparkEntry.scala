@@ -4264,9 +4264,12 @@ object SparkEntry {
     // in the corpus = exactly the fresh rows
     "q_phash_stream_batch" ->
       "SELECT doc_id + 3000000 AS media_id FROM documents WHERE doc_id % 4 = 1",
-    // q_dedup_corpus: components are exactly {d, d+1M} → survivors = originals
+    // q_dedup_corpus: survivors = min id per identical-text component —
+    // robust to NATURAL duplicate texts in the table (sf0.1 has 8),
+    // which union with their planted +1000000 copies; the planted copy
+    // ids are always larger, so min(doc_id) per text is the survivor
     "q_dedup_corpus" ->
-      "SELECT doc_id FROM documents",
+      "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
     // q_components / q_components_dist: recursive-CTE transitive closure;
     // label = min id reachable. Same truth for both execution paths.
     "q_components" ->

@@ -687,11 +687,18 @@ object Dedup {
     // can only admit an extra candidate for the verify to discard
     val hashShingles = docs.sparkSession.conf
       .getOption("graft.ssjoin.hashShingles").forall(_.toBoolean)
-    val posting0 = sh.select(col("id"), col("sz"), explode(col("sh")).as("s0"))
-    val posting =
+    // hashed signatures serve the candidate pipeline AND a stage-1
+    // verify prune (see containmentPairs — same measured rationale:
+    // string arrays enter a shuffle only at true-pair volume)
+    val shH =
       if (hashShingles)
-        posting0.select(col("id"), col("sz"), xxhash64(col("s0")).as("shingle"))
-      else posting0.withColumnRenamed("s0", "shingle")
+        Some(scope.persist(sh.select(col("id"), col("sz"),
+          array_sort(transform(col("sh"), s => xxhash64(s))).as("shh"))))
+      else None
+    val posting = shH match {
+      case Some(h) => h.select(col("id"), col("sz"), explode(col("shh")).as("shingle"))
+      case None => sh.select(col("id"), col("sz"), explode(col("sh")).as("shingle"))
+    }
     val dfTab = posting.groupBy("shingle").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("df"), col("shingle"))
@@ -724,7 +731,25 @@ object Dedup {
           >= lit(threshold) * (col("sz_a") + col("sz_b")) - lit(1e-9))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    scope.releaseAfter(cand
+    // stage-1 hashed prune: J_h = i/(sz_a+sz_b-i) with i the hashed
+    // intersect size — cross-doc collisions only inflate i (and J_h is
+    // monotone in i), so no true pair is lost absent an intra-doc
+    // collision (the p < 1e-10 tolerance documented above); the literal
+    // verify below keeps precision exact
+    val candPruned = shH match {
+      case Some(h) =>
+        cand
+          .join(h.select(col("id").as("id_a"), col("shh").as("shh_a"),
+            col("sz").as("sz_a")), Seq("id_a"))
+          .join(h.select(col("id").as("id_b"), col("shh").as("shh_b"),
+            col("sz").as("sz_b")), Seq("id_b"))
+          .filter((lit(1.0) + threshold) *
+              size(array_intersect(col("shh_a"), col("shh_b"))).cast("double")
+            >= lit(threshold) * (col("sz_a") + col("sz_b")).cast("double") - lit(1e-9))
+          .select(col("id_a"), col("id_b"))
+      case None => cand
+    }
+    scope.releaseAfter(candPruned
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), Kernels.jaccardSim(col("sh_a"), col("sh_b")).as("jaccard"))
@@ -776,11 +801,22 @@ object Dedup {
       .filter(col("sz") > 0))
     val hashShingles = docs.sparkSession.conf
       .getOption("graft.ssjoin.hashShingles").forall(_.toBoolean)
-    val posting0 = sh.select(col("id"), col("sz"), explode(col("sh")).as("s0"))
-    val posting =
+    // hashed signature frame: the 8-byte shingle identities feed the
+    // candidate pipeline AND the stage-1 verify prune below, so the
+    // ~30-byte literal strings never enter a shuffle until the final
+    // exact verify — which by then sees ~true-pair volume, not the
+    // full candidate volume (measured at sf1: 18.4M candidates for
+    // 632k true pairs; shipping two string arrays per CANDIDATE was
+    // 90% of the row's runtime)
+    val shH =
       if (hashShingles)
-        posting0.select(col("id"), col("sz"), xxhash64(col("s0")).as("shingle"))
-      else posting0.withColumnRenamed("s0", "shingle")
+        Some(scope.persist(sh.select(col("id"), col("sz"),
+          array_sort(transform(col("sh"), s => xxhash64(s))).as("shh"))))
+      else None
+    val posting = shH match {
+      case Some(h) => h.select(col("id"), col("sz"), explode(col("shh")).as("shingle"))
+      case None => sh.select(col("id"), col("sz"), explode(col("sh")).as("shingle"))
+    }
     val dfTab = posting.groupBy("shingle").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("df"), col("shingle"))
@@ -803,7 +839,23 @@ object Dedup {
           >= lit(threshold) * col("sz_a") - lit(1e-9))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    capPairsPerDoc(scope.releaseAfter(cand
+    // stage-1 prune on the HASHED sets: no false negatives absent an
+    // intra-doc collision (cross-doc collisions only INFLATE the hashed
+    // overlap — same p < 1e-10 tolerance the prefix pipeline already
+    // documents); the literal exact verify below is unchanged, it just
+    // runs on ~true-pair volume instead of full candidate volume
+    val candPruned = shH match {
+      case Some(h) =>
+        cand
+          .join(h.select(col("id").as("id_a"), col("shh").as("shh_a"),
+            col("sz").as("sz_a")), Seq("id_a"))
+          .join(h.select(col("id").as("id_b"), col("shh").as("shh_b")), Seq("id_b"))
+          .filter(size(array_intersect(col("shh_a"), col("shh_b"))).cast("double")
+            >= lit(threshold) * col("sz_a").cast("double") - lit(1e-9))
+          .select(col("id_a"), col("id_b"))
+      case None => cand
+    }
+    capPairsPerDoc(scope.releaseAfter(candPruned
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a"),
         col("sz").as("sz_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))

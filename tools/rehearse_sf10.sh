@@ -26,9 +26,10 @@ gen() {
 
 bench() {
   local dir="$1" out="$2" reps="$3" mem="$4"
+  # sbt prefixes runMain stdout with "[info] " — strip it before the match
   SPARK_DRIVER_MEM="$mem" SPARK_GRAFT_SF_DIR="$dir" SPARK_GRAFT_BENCH_REPS="$reps" \
     SPARK_GRAFT_BENCH_ONLY="$SUBSET" \
-    sbt -batch "runMain graft.Bench" 2>"$out.err" | grep '^{"metric"' > "$out"
+    sbt -batch "runMain graft.Bench" 2>"$out.err" | sed 's/^\[info\] //' | grep '^{"metric"' > "$out"
   echo "== wrote $out"
 }
 
