@@ -187,7 +187,9 @@ object Bench {
     // writer when timing a reader.
     sys.env.get("SPARK_GRAFT_BENCH_ONLY").foreach { only =>
       val keep = only.split(',').map(_.trim).filter(_.nonEmpty).toSet
-      tasks.filterInPlace { case (name, _) => keep(name) }
+      // an EMPTY filter means "no filter" — an env var set to "" must
+      // not silently time zero tasks and emit a vacuous record
+      if (keep.nonEmpty) tasks.filterInPlace { case (name, _) => keep(name) }
     }
 
     // ---- interleaved passes ------------------------------------------
@@ -240,6 +242,20 @@ object Bench {
       val v = if (samples(n).nonEmpty) num3(samples(n).min) else "null"
       "\"" + n + "\":" + v
     }.mkString("{", ",", "}")
+    // per-row MEDIAN alongside the min: a single cold rep (JIT/codegen
+    // first-fit) inflates a mean and can even carry the min at reps=1-2;
+    // median-vs-min divergence self-identifies cold-fit artifacts without
+    // a manual attribution round-trip (the r13 q_kmeans episode). Dense —
+    // the committed BENCH_LOCAL record holds the full line; `queries`
+    // stays last for the driver's stdout-tail capture.
+    def medianOf(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    val medians = tasks.keys.map { n =>
+      val v = if (samples(n).nonEmpty) num3(medianOf(samples(n).toSeq)) else "null"
+      "\"" + n + "\":" + v
+    }.mkString("{", ",", "}")
     // per-row spread (fraction of min): the variance guard that lets a hot
     // rep self-identify. Emitted SPARSE (only rows over the 15% noise
     // floor) so it can't crowd the per-query timings out of the driver's
@@ -259,7 +275,7 @@ object Bench {
     // first). Task order puts the io_* headlines at the end of `queries`,
     // so the tail is guaranteed to hold them plus the preceding ~80 rows;
     // the full line should be committed as BENCH_LOCAL_r{N}.json.
-    println(s"""{"metric":"total","value":${num3(total)},"unit":"sec","io_rows":$ioRows,"sf":"$sfDir","reps":$reps,"cpus":$cpus,"load_before":$loadBefore,"load_max":$loadMax,"load_after":$loadAfter,"failed":$failedJson,"spread":$spreads,"queries":$qs}""")
+    println(s"""{"metric":"total","value":${num3(total)},"unit":"sec","io_rows":$ioRows,"sf":"$sfDir","reps":$reps,"cpus":$cpus,"load_before":$loadBefore,"load_max":$loadMax,"load_after":$loadAfter,"failed":$failedJson,"spread":$spreads,"median":$medians,"queries":$qs}""")
     spark.stop()
   }
 }

@@ -1655,9 +1655,13 @@ object SparkEntry {
         nList = 32, threshold = 0.99).select(col("vec_id"))
     }),
 
-    // exact-copy plant at t=1.0: every component is {d, d+1M} (recall 1.0
-    // by construction, no natural J=1.0 pairs) → survivors are exactly
-    // the originals, so the whole pairs→CC→keep-min pipeline is oracled
+    // exact-copy plant at t=1.0: survivors = min id per identical-text
+    // component (NATURAL duplicate texts — sf0.1 has 8 — union with
+    // their planted +1M copies; copy ids are larger, so min(doc_id) per
+    // text is the survivor), oracling the pairs→CC→keep-min pipeline.
+    // Assumes distinct text values never share a word-shingle set in the
+    // test tables (whitespace/punct-only variants would merge here but
+    // group separately in the exact-text oracle)
     "q_dedup_corpus" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val copies = docs.select((col("doc_id") + 1000000).as("doc_id"), col("text"))
@@ -2579,7 +2583,9 @@ object SparkEntry {
               if (id % 2 == 0) "avc1" else "hev1"))
             val audio = if (id % 3 == 0) None else Some("mp4a")
             (id, graft.ml.Multimodal.Mp4Meta.mp4Stub(
-              "mp42", ts, id * 37 + 600, video, audio))
+              "mp42", ts, id * 37 + 600, video, audio,
+              nFrames = 24 + (id % 5) * 6, frameDelta = (20 + (id % 3) * 5).toInt,
+              mdatBytes = (id % 1000 + 100).toInt))
           }
         }.toDF("doc_id", "mp4")
       graft.ml.Multimodal.videoMeta(
@@ -4402,7 +4408,9 @@ object SparkEntry {
          FROM sm GROUP BY media_id""",
     // q_video_meta: ISO-BMFF metadata of a REAL box-tree parse,
     // recomputed from the closed-form mux parameters (integer-division
-    // duration_ms matches the parser's exact u64 arithmetic)
+    // duration_ms/fps_milli/bitrate_bps match the parser's exact
+    // integer floors; fps cancels nFrames: (n·ts·1000)//(n·delta) =
+    // (ts·1000)//delta exactly)
     "q_video_meta" ->
       """SELECT doc_id AS media_id, 'mp42' AS brand,
            (600 + (doc_id % 4) * 200)::BIGINT AS timescale,
@@ -4411,7 +4419,12 @@ object SparkEntry {
            (320 + (doc_id % 4) * 160)::BIGINT AS width,
            (240 + (doc_id % 4) * 120)::BIGINT AS height,
            CASE WHEN doc_id % 2 = 0 THEN 'avc1' ELSE 'hev1' END AS video_codec,
-           CASE WHEN doc_id % 3 = 0 THEN NULL ELSE 'mp4a' END AS audio_codec
+           CASE WHEN doc_id % 3 = 0 THEN NULL ELSE 'mp4a' END AS audio_codec,
+           (24 + (doc_id % 5) * 6)::BIGINT AS n_frames,
+           (((600 + (doc_id % 4) * 200) * 1000) // (20 + (doc_id % 3) * 5))::BIGINT AS fps_milli,
+           (doc_id % 1000 + 100)::BIGINT AS mdat_bytes,
+           (((doc_id % 1000 + 100) * 8000) //
+             (((doc_id*37 + 600) * 1000) // (600 + (doc_id % 4) * 200)))::BIGINT AS bitrate_bps
          FROM documents""",
     "q_xls_roundtrip" ->
       "SELECT doc_id, text, lang, n_chars FROM documents",

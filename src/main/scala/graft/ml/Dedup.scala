@@ -35,7 +35,13 @@ object Dedup {
     * with a LOUD log carrying the exact dropped-pair count. Dedup
     * verdicts that only need cluster membership (drop-set on equal-size
     * mutual groups, canonical-per-cluster) are unchanged under the cap —
-    * spec-pinned in DedupSpec. The cap is a MATERIALIZING safety valve:
+    * spec-pinned in DedupSpec. SCOPE: the survival guarantee is
+    * CLIQUE-scoped — on non-mutual pair graphs (asymmetric containment
+    * chains, partial-overlap paths) the budget CAN sever a connected
+    * component, e.g. a hub doc whose budget drops the only edge reaching
+    * a leaf with no other partner (spec-pinned in PairBudgetSpec); when
+    * cluster MEMBERSHIP is the deliverable, use the uncapped dedup paths.
+    * The cap is a MATERIALIZING safety valve:
     * engaging it runs one eager pass (rank + over-budget count) so the
     * log is factual, and hands the caller the cached capped frame.
     */

@@ -522,17 +522,28 @@ object Multimodal {
     * Walked containers: `moov`, `trak`, `mdia`, `minf`, `stbl`. Read
     * leaves: `ftyp` (major brand), `mvhd` (movie timescale/duration,
     * versions 0 and 1), `tkhd` (16.16-fixed width/height, v0/v1),
-    * `hdlr` (handler `vide`/`soun`), `stsd` (first sample-entry fourcc).
+    * `hdlr` (handler `vide`/`soun`), `stsd` (first sample-entry fourcc),
+    * `mdhd` (media timescale, v0/v1), `stts` (sample counts/deltas ⇒
+    * frame count and fps), `mdat` (payload bytes ⇒ bit-rate estimate).
     * Unknown boxes skip by their declared size; any malformed length →
     * None (never a partial guess).
     */
   object Mp4Meta {
     /** Parsed container metadata. `durationMs` = duration·1000/timescale
-      * in integer arithmetic (exact, oracle-reproducible).
+      * in integer arithmetic (exact, oracle-reproducible). `nFrames` =
+      * the video track's stts sample count; `fpsMilli` = frames-per-
+      * second ·1000 = nFrames·mediaTimescale·1000 / Σ(count·delta),
+      * exact integer floor (None when stts/mdhd are absent or the
+      * untrusted u32 fields would overflow the product). `mdatBytes` =
+      * total mdat payload; `bitrateBps` = mdatBytes·8000 / durationMs
+      * (None at zero duration) — the fps≥24 / bit-rate-band curation
+      * filters need exactly these, still with no frame decode.
       */
     final case class Meta(brand: String, timescale: Long, durationMs: Long,
         nTracks: Int, width: Int, height: Int,
-        videoCodec: Option[String], audioCodec: Option[String])
+        videoCodec: Option[String], audioCodec: Option[String],
+        nFrames: Option[Long], fpsMilli: Option[Long],
+        mdatBytes: Long, bitrateBps: Option[Long])
 
     private def be32(b: Array[Byte], o: Int): Long =
       ((b(o) & 0xFFL) << 24) | ((b(o + 1) & 0xFFL) << 16) |
@@ -565,9 +576,15 @@ object Multimodal {
       var nTracks = 0; var width = 0; var height = 0
       var videoCodec: Option[String] = None
       var audioCodec: Option[String] = None
+      var nFrames: Option[Long] = None
+      var fpsMilli: Option[Long] = None
+      var mdatBytes = 0L
       var malformed = false
-      // per-trak state, committed when the trak closes
+      // per-trak state, committed when the trak closes. tTicks is BigInt:
+      // stts count·delta terms are untrusted u32·u32 products that can
+      // overflow a Long — exact accumulation keeps the fps floor honest
       var tW = 0; var tH = 0; var tHandler: String = null; var tCodec: Option[String] = None
+      var tMediaTs = 0L; var tSamples = 0L; var tTicks: BigInt = BigInt(0)
 
       def walk(b: Array[Byte], o0: Int, end: Int, depth: Int): Unit = {
         var o = o0
@@ -580,12 +597,23 @@ object Multimodal {
                 case "moov" | "mdia" | "minf" | "stbl" => walk(b, po, pe, depth + 1)
                 case "trak" =>
                   tW = 0; tH = 0; tHandler = null; tCodec = None
+                  tMediaTs = 0L; tSamples = 0L; tTicks = BigInt(0)
                   walk(b, po, pe, depth + 1)
                   if (!malformed) {
                     nTracks += 1
                     if (tHandler == "vide") {
                       if (width == 0) { width = tW; height = tH }
                       if (videoCodec.isEmpty) videoCodec = tCodec
+                      if (nFrames.isEmpty && tSamples > 0) {
+                        nFrames = Some(tSamples)
+                        // fps·1000 = samples·mediaTs·1000 / Σ(count·delta),
+                        // exact floor; None on missing mdhd/zero ticks or
+                        // a result past Long range (untrusted fields)
+                        if (tMediaTs > 0 && tTicks > 0) {
+                          val f = (BigInt(tSamples) * BigInt(tMediaTs) * 1000) / tTicks
+                          if (f.isValidLong) fpsMilli = Some(f.toLong)
+                        }
+                      }
                     } else if (tHandler == "soun") {
                       if (audioCodec.isEmpty) audioCodec = tCodec
                     }
@@ -611,7 +639,28 @@ object Multimodal {
                   // u8 version+flags, u32 entry_count, then first sample
                   // entry: u32 size + fourcc
                   if (be32(b, po + 4) > 0) tCodec = Some(fourcc(b, po + 12))
-                case _ => () // free/mdat/udta/… skip by size
+                case "mdhd" if po + 4 <= pe =>
+                  // media timescale: the unit stts deltas are counted in
+                  val v = b(po) & 0xFF
+                  if (v == 1 && po + 24 <= pe) tMediaTs = be32(b, po + 20)
+                  else if (v == 0 && po + 16 <= pe) tMediaTs = be32(b, po + 12)
+                  else malformed = true
+                case "stts" if po + 8 <= pe =>
+                  // u32 entry_count, then (sample_count, sample_delta)
+                  // u32 pairs: Σcount = frames, Σ(count·delta) = ticks
+                  val n = be32(b, po + 4)
+                  if (po + 8 + n * 8 > pe) malformed = true
+                  else {
+                    var i = 0
+                    while (i < n) {
+                      val c = be32(b, po + 8 + i * 8)
+                      val d = be32(b, po + 12 + i * 8)
+                      tSamples += c; tTicks += BigInt(c) * BigInt(d)
+                      i += 1
+                    }
+                  }
+                case "mdat" => mdatBytes += (pe - po).toLong
+                case _ => () // free/udta/… skip by size
               }
               o = pe
           }
@@ -630,20 +679,43 @@ object Multimodal {
       if (fourcc(bytes, 4) != "ftyp") return None
       val w = new Walk
       w.walk(bytes, 0, bytes.length, 0)
-      if (w.malformed || w.brand == null || w.timescale <= 0) None
-      else Some(Meta(w.brand, w.timescale, w.duration * 1000L / w.timescale,
-        w.nTracks, w.width, w.height, w.videoCodec, w.audioCodec))
+      // duration is an untrusted u64 (a v1 mvhd can carry ≥ 2^63 → be64
+      // yields a negative Long; ·1000 overflows above Long.MaxValue/1000)
+      // — treat either as malformed, keeping the no-partial-guess contract
+      if (w.malformed || w.brand == null || w.timescale <= 0 ||
+          w.duration < 0 || w.duration > Long.MaxValue / 1000) None
+      else {
+        val durMs = w.duration * 1000L / w.timescale
+        val bitrate =
+          if (durMs > 0 && w.mdatBytes > 0) Some(w.mdatBytes * 8000L / durMs)
+          else None
+        Some(Meta(w.brand, w.timescale, durMs,
+          w.nTracks, w.width, w.height, w.videoCodec, w.audioCodec,
+          w.nFrames, w.fpsMilli, w.mdatBytes, bitrate))
+      }
     }
 
     /** Canonical minimal MP4 muxer (fixture/test generator — no frames,
       * just the metadata tree the parser reads back; the same role
       * [[WavPcmCodec.wavPcm16]] plays for audio). Emits
-      * ftyp + moov{mvhd, trak{tkhd, mdia{hdlr, minf{stbl{stsd}}}}…} +
-      * an empty mdat, all version-0 boxes.
+      * ftyp + moov{mvhd, trak{tkhd, mdia{[mdhd,] hdlr, minf{stbl{stsd
+      * [, stts]}}}}…} + mdat, all version-0 boxes. With `nFrames` and
+      * `frameDelta` > 0 the video trak carries an mdhd (media timescale
+      * = movie timescale) and a one-entry stts so the parser's
+      * nFrames/fpsMilli are exercised; `mdatBytes` zero-bytes pad the
+      * mdat for the bit-rate estimate.
       */
     def mp4Stub(brand: String, timescale: Int, duration: Long,
-        video: Option[(Int, Int, String)], audioCodec: Option[String]): Array[Byte] = {
-      require(brand.length == 4 && timescale > 0 && duration >= 0)
+        video: Option[(Int, Int, String)], audioCodec: Option[String],
+        nFrames: Long = 0L, frameDelta: Int = 0, mdatBytes: Int = 0): Array[Byte] = {
+      require(brand.length == 4 && timescale > 0 && duration >= 0 &&
+        nFrames >= 0 && frameDelta >= 0 && mdatBytes >= 0)
+      // v0 mvhd/mdhd write u32 duration fields: overflow must fail LOUDLY
+      // here, not truncate mod 2^32 while an oracle computes the full value
+      require(duration < (1L << 32),
+        s"mp4Stub: duration $duration overflows the v0 mvhd u32 field")
+      require(nFrames * frameDelta < (1L << 32),
+        s"mp4Stub: media duration ${nFrames * frameDelta} overflows the v0 mdhd u32 field")
       def bx(typ: String, payload: Array[Byte]*): Array[Byte] = {
         val n = 8 + payload.map(_.length).sum
         val bb = java.nio.ByteBuffer.allocate(n)
@@ -670,15 +742,23 @@ object Multimodal {
           u32(0, 0, 0), Array[Byte](0))
         val entry = bx(codec, new Array[Byte](8)) // rsvd6 + data_ref_index
         val stsd = bx("stsd", u32(0, 1), entry)
-        val stbl = bx("stbl", stsd)
+        val withFrames = handler == "vide" && nFrames > 0 && frameDelta > 0
+        val stbl =
+          if (withFrames) bx("stbl", stsd, bx("stts", u32(0, 1, nFrames, frameDelta.toLong)))
+          else bx("stbl", stsd)
         val minf = bx("minf", stbl)
-        val mdia = bx("mdia", hdlr, minf)
+        val mdia =
+          if (withFrames)
+            // mdhd v0: creation/modification, timescale, duration, lang+pre
+            bx("mdia", bx("mdhd", u32(0, 0, 0, timescale, nFrames * frameDelta, 0)),
+              hdlr, minf)
+          else bx("mdia", hdlr, minf)
         bx("trak", tkhd, mdia)
       }
       val traks = video.map { case (w, h, c) => trak("vide", c, w, h) }.toSeq ++
         audioCodec.map(c => trak("soun", c, 0, 0)).toSeq
       val moov = bx("moov", (mvhd +: traks): _*)
-      val mdat = bx("mdat")
+      val mdat = bx("mdat", new Array[Byte](mdatBytes))
       ftyp ++ moov ++ mdat
     }
   }
@@ -695,13 +775,17 @@ object Multimodal {
         case Some(x) =>
           (m.media_id, Option(x.brand), Some(x.timescale), Some(x.durationMs),
             Some(x.nTracks.toLong), Some(x.width.toLong), Some(x.height.toLong),
-            x.videoCodec, x.audioCodec)
+            x.videoCodec, x.audioCodec,
+            x.nFrames, x.fpsMilli, Some(x.mdatBytes), x.bitrateBps)
         case None =>
           (m.media_id, None: Option[String], None: Option[Long], None: Option[Long],
             None: Option[Long], None: Option[Long], None: Option[Long],
-            None: Option[String], None: Option[String])
+            None: Option[String], None: Option[String],
+            None: Option[Long], None: Option[Long], None: Option[Long],
+            None: Option[Long])
       }
     }.toDF("media_id", "brand", "timescale", "duration_ms", "n_tracks",
-      "width", "height", "video_codec", "audio_codec")
+      "width", "height", "video_codec", "audio_codec",
+      "n_frames", "fps_milli", "mdat_bytes", "bitrate_bps")
   }
 }

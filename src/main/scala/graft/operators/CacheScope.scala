@@ -84,6 +84,14 @@ private[graft] object CacheScope {
   private val live = new java.util.concurrent.ConcurrentLinkedQueue[ReleaseListener]()
   private val maxLive = 64
 
+  /** Diagnostic: count of sealed-but-unfired listeners (a listener that
+    * stays live after its pipeline's first action indicates the release
+    * event was missed — e.g. a dropped listener-bus event — and its
+    * caches are riding on ContextCleaner). Read by the bench-context
+    * profiler; not a public API.
+    */
+  private[graft] def liveCount: Int = live.size
+
   private final class ReleaseListener(
       spark: org.apache.spark.sql.SparkSession,
       tag: String,

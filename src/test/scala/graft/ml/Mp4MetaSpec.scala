@@ -72,6 +72,59 @@ class Mp4MetaSpec extends SparkSpec {
     assert(m.timescale == 600L && m.durationMs == 5000000000L * 1000L / 600L)
   }
 
+  test("stts/mdhd/mdat: frame count, fps and bit-rate estimate roundtrip") {
+    // 25 fps at 90kHz media ticks: delta 3600; 2.5 s of mdat at 1000 B
+    val bytes = Mp4Meta.mp4Stub("mp42", timescale = 90000, duration = 225000L,
+      video = Some((1280, 720, "avc1")), audioCodec = Some("mp4a"),
+      nFrames = 62, frameDelta = 3600, mdatBytes = 1000)
+    val m = Mp4Meta.parse(bytes).get
+    assert(m.nFrames.contains(62L))
+    // fps·1000 = 62·90000·1000 / (62·3600) = 90000·1000/3600 = 25000
+    assert(m.fpsMilli.contains(25000L))
+    assert(m.mdatBytes == 1000L)
+    assert(m.durationMs == 2500L)
+    assert(m.bitrateBps.contains(1000L * 8000 / 2500)) // 3200 bps
+    // non-integral fps floors exactly: 90000·1000 // 3003 = 29970 (29.97)
+    val ntsc = Mp4Meta.parse(Mp4Meta.mp4Stub("mp42", 90000, 90090L,
+      Some((640, 480, "avc1")), None, nFrames = 30, frameDelta = 3003)).get
+    assert(ntsc.fpsMilli.contains(29970L))
+    // no stts (legacy stub shape): all four estimates stay None/0
+    val bare = Mp4Meta.parse(Mp4Meta.mp4Stub("mp42", 600, 1200,
+      Some((320, 240, "avc1")), None)).get
+    assert(bare.nFrames.isEmpty && bare.fpsMilli.isEmpty)
+    assert(bare.mdatBytes == 0L && bare.bitrateBps.isEmpty)
+  }
+
+  test("mp4Stub refuses u32-overflow durations loudly (no silent mod-2^32)") {
+    intercept[IllegalArgumentException] {
+      Mp4Meta.mp4Stub("mp42", 600, 1L << 32, None, Some("mp4a"))
+    }
+    intercept[IllegalArgumentException] { // mdhd duration = nFrames·delta
+      Mp4Meta.mp4Stub("mp42", 600, 600, Some((320, 240, "avc1")), None,
+        nFrames = 1L << 20, frameDelta = 1 << 12)
+    }
+  }
+
+  test("v1 mvhd u64 duration is untrusted: >= 2^63 or > MaxValue/1000 → None") {
+    def withV1Duration(d: Long): Array[Byte] = {
+      val v0 = Mp4Meta.mp4Stub("mp42", 600, 300, None, Some("mp4a"))
+      def bx(typ: String, payload: Array[Byte]): Array[Byte] = {
+        val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+        bb.putInt(8 + payload.length).put(typ.getBytes("US-ASCII")).put(payload)
+        bb.array()
+      }
+      val p = java.nio.ByteBuffer.allocate(112)
+      p.putInt(0x01000000).putLong(0L).putLong(0L).putInt(600).putLong(d)
+      p.put(new Array[Byte](112 - 32))
+      val ftypLen = java.nio.ByteBuffer.wrap(v0).getInt
+      v0.take(ftypLen) ++ bx("moov", bx("mvhd", p.array()))
+    }
+    assert(Mp4Meta.parse(withV1Duration(-1L)).isEmpty) // u64 >= 2^63
+    assert(Mp4Meta.parse(withV1Duration(Long.MaxValue / 1000 + 1)).isEmpty)
+    assert(Mp4Meta.parse(withV1Duration(Long.MaxValue / 1000))
+      .exists(_.durationMs == Long.MaxValue / 1000 * 1000 / 600))
+  }
+
   test("malformed lengths and non-MP4 payloads refuse, never partial") {
     assert(Mp4Meta.parse(null).isEmpty)
     assert(Mp4Meta.parse(Array.emptyByteArray).isEmpty)

@@ -65,6 +65,26 @@ class PairBudgetSpec extends SparkSpec {
     assert(comps.select(countDistinct(col("id"))).head.getLong(0) == 20L)
   }
 
+  test("budget CAN sever components on non-mutual graphs (scope pin)") {
+    // The survival guarantee is CLIQUE-scoped. Asymmetric containment
+    // star: hub 5's text is fully contained in big docs 1 and 2, which
+    // contain nothing — the pair graph is 5→1, 5→2 ONLY (no edges
+    // back). budget=1 on the hub keeps the smallest partner (1) and
+    // drops the ONLY edge reaching 2: the {1,2,5} component splits.
+    // Use the uncapped paths when cluster membership is the deliverable
+    // (scoped in the capPairsPerDoc scaladoc + DIVERGENCES.md #16).
+    val hub = "alpha beta gamma delta epsilon"
+    def big(tag: String) = hub + " " + (1 to 30).map(i => s"$tag$i").mkString(" ")
+    val docs = Seq((1L, big("x")), (2L, big("y")), (5L, hub)).toDF("doc_id", "text")
+    def edges(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.containmentPairs(docs, "doc_id", "text", threshold = 0.9)
+    assert(edges(full) == Set((5L, 1L), (5L, 2L))) // one component {1,2,5}
+    val capped = Dedup.containmentPairs(docs, "doc_id", "text",
+      threshold = 0.9, maxPairsPerDoc = 1)
+    assert(edges(capped) == Set((5L, 1L))) // the 5→2 edge is gone: 2 severed
+  }
+
   test("default budget leaves plans untouched (no window in the plan)") {
     val docs = clique(5)
     val plan = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)

@@ -25,10 +25,10 @@ gen() {
 }
 
 bench() {
-  local dir="$1" out="$2" reps="$3" mem="$4"
+  local dir="$1" out="$2" reps="$3" mem="$4" only="${5:-$SUBSET}"
   # sbt prefixes runMain stdout with "[info] " — strip it before the match
   SPARK_DRIVER_MEM="$mem" SPARK_GRAFT_SF_DIR="$dir" SPARK_GRAFT_BENCH_REPS="$reps" \
-    SPARK_GRAFT_BENCH_ONLY="$SUBSET" \
+    SPARK_GRAFT_BENCH_ONLY="$only" \
     sbt -batch "runMain graft.Bench" 2>"$out.err" | sed 's/^\[info\] //' | grep '^{"metric"' > "$out"
   echo "== wrote $out"
 }
@@ -36,7 +36,10 @@ bench() {
 case "$step" in
   gen1)  gen /root/testdata/sf0.1 /tmp/graft_sf1 10 ;;
   gen10) gen /root/testdata/sf0.1 /tmp/graft_sf10 100 ;;
-  sf1)   bench /tmp/graft_sf1  /root/repo/BENCH_SF1B_r13.json 2 32g ;;
-  sf10)  bench /tmp/graft_sf10 /root/repo/BENCH_SF10_r13.json 2 96g ;;
+  sf1)   bench /tmp/graft_sf1  /root/repo/BENCH_SF1B_r14.json 2 32g ;;
+  # r14 directive 3: the FULL row set at sf1 in one quiet window (the
+  # committed r13 full record predates the containment restructure)
+  sf1full) bench /tmp/graft_sf1 /root/repo/BENCH_SF1_r14.json 2 48g "" ;;
+  sf10)  bench /tmp/graft_sf10 /root/repo/BENCH_SF10_r14.json 2 96g ;;
   all)   "$0" gen1; "$0" gen10; "$0" sf1; "$0" sf10 ;;
 esac
