@@ -200,8 +200,14 @@ object Bench {
     // plan regression in the emitted min.
     val samples = scala.collection.mutable.LinkedHashMap[String, scala.collection.mutable.ArrayBuffer[Double]]()
     tasks.keys.foreach { n => samples(n) = scala.collection.mutable.ArrayBuffer.empty[Double] }
+    // host meters of the rep that PROVIDED the min: a slow min with high
+    // steal indicts the window (co-tenant contention), high gc indicts
+    // heap hygiene, cpu ≈ wall·cores indicts the plan — the record
+    // attributes itself instead of burning a round on "re-record and see"
+    val minMeters = scala.collection.mutable.LinkedHashMap[String, HostMeters.Delta]()
+    val nCores = Runtime.getRuntime.availableProcessors
     def timeOne(name: String, run: () => Unit, tag: String): Unit = {
-      val t0 = System.nanoTime()
+      val s0 = HostMeters.snap()
       val ok =
         try { run(); true }
         catch {
@@ -209,8 +215,12 @@ object Bench {
             System.err.println(s"[bench] $name ($tag): ${e.getMessage}")
             false
         }
-      val dt = (System.nanoTime() - t0) / 1e9
-      if (ok) samples(name) += dt
+      val d = HostMeters.delta(s0, HostMeters.snap())
+      if (ok) {
+        if (samples(name).isEmpty || d.wallSec < samples(name).min)
+          minMeters(name) = d
+        samples(name) += d.wallSec
+      }
       // cache drops happen per-rep OUTSIDE the timed span — a rep
       // reading the previous rep's cache measures nothing
       spark.catalog.clearCache()
@@ -265,6 +275,19 @@ object Bench {
       val s = spreadOf(samples(n).toSeq)
       if (samples(n).nonEmpty && s > 0.15) Some("\"" + n + "\":" + num3(s)) else None
     }.mkString("{", ",", "}")
+    // sparse per-row contamination maps for the rep that provided the MIN:
+    // `steal` = fraction of machine capacity the hypervisor stole (>10%
+    // means even the best rep ran on a contended host — the row's number
+    // is an upper bound, not a regression); `gcfrac` = GC share of wall
+    // (>20% means heap pressure — a hygiene suspect, not the plan)
+    val steals = tasks.keys.flatMap { n =>
+      minMeters.get(n).map(_.stealFrac(nCores)).filter(_ > 0.10)
+        .map(v => "\"" + n + "\":" + num3(v))
+    }.mkString("{", ",", "}")
+    val gcs = tasks.keys.flatMap { n =>
+      minMeters.get(n).filter(d => d.wallSec > 0 && d.gcSec / d.wallSec > 0.20)
+        .map(d => "\"" + n + "\":" + num3(d.gcSec / d.wallSec))
+    }.mkString("{", ",", "}")
     // headline total = successful tasks only: a query that failed fast in
     // every rep must not post a better total than a clean run
     val total = samples.valuesIterator.filter(_.nonEmpty).map(_.min).sum
@@ -275,7 +298,7 @@ object Bench {
     // first). Task order puts the io_* headlines at the end of `queries`,
     // so the tail is guaranteed to hold them plus the preceding ~80 rows;
     // the full line should be committed as BENCH_LOCAL_r{N}.json.
-    println(s"""{"metric":"total","value":${num3(total)},"unit":"sec","io_rows":$ioRows,"sf":"$sfDir","reps":$reps,"cpus":$cpus,"load_before":$loadBefore,"load_max":$loadMax,"load_after":$loadAfter,"failed":$failedJson,"spread":$spreads,"median":$medians,"queries":$qs}""")
+    println(s"""{"metric":"total","value":${num3(total)},"unit":"sec","io_rows":$ioRows,"sf":"$sfDir","reps":$reps,"cpus":$cpus,"load_before":$loadBefore,"load_max":$loadMax,"load_after":$loadAfter,"failed":$failedJson,"spread":$spreads,"steal":$steals,"gcfrac":$gcs,"median":$medians,"queries":$qs}""")
     spark.stop()
   }
 }

@@ -62,17 +62,22 @@ object ProfileBenchContext {
     def rdds: Int = spark.sparkContext.getPersistentRDDs.size
     def scopes: Int = graft.operators.CacheScope.liveCount
 
+    val nCores = Runtime.getRuntime.availableProcessors
     def run(name: String, tag: String): Double = {
-      val gc0 = gcMs
-      val t0 = System.nanoTime()
+      val s0 = HostMeters.snap()
       try SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[ctx] $name: ${e.getMessage}") }
-      val dt = (System.nanoTime() - t0) / 1e9
+      val d = HostMeters.delta(s0, HostMeters.snap())
       spark.catalog.clearCache()
-      println(f"[ctx] $tag $name $dt%.2fs rdds=$rdds storeMB=$storeMB " +
-        f"gcMs=${gcMs - gc0} heapMB=$heapMB scopes=$scopes")
-      dt
+      // cpuFrac ≈ 1 with low steal/gc ⇒ compute-bound (the plan);
+      // stealFrac high ⇒ co-tenant contention (the window);
+      // wall ≫ cpu with low steal ⇒ the JVM waited (lock/disk/listener)
+      println(f"[ctx] $tag $name ${d.wallSec}%.2fs " +
+        f"cpuFrac=${d.processCpuSec / math.max(d.wallSec, 1e-9) / nCores}%.2f " +
+        f"stealFrac=${d.stealFrac(nCores)}%.2f gcS=${d.gcSec}%.1f " +
+        f"rdds=$rdds storeMB=$storeMB heapMB=$heapMB scopes=$scopes")
+      d.wallSec
     }
 
     println(s"[ctx] prefix=$nPrefix target=$target dir=$dir " +
