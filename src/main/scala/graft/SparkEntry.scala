@@ -2582,8 +2582,13 @@ object SparkEntry {
               (320 + (id % 4) * 160).toInt, (240 + (id % 4) * 120).toInt,
               if (id % 2 == 0) "avc1" else "hev1"))
             val audio = if (id % 3 == 0) None else Some("mp4a")
+            // duration is bounded (id mod 1e5) so the v0-u32 mvhd field
+            // never overflows at ANY scale factor (the id*37 form tripped
+            // mp4Stub's loud guard at sf1 where remapped ids reach ~9e8);
+            // the id-remap stride 1e8 is a multiple of 1e5, so replicas
+            // inherit their source doc's duration exactly
             (id, graft.ml.Multimodal.Mp4Meta.mp4Stub(
-              "mp42", ts, id * 37 + 600, video, audio,
+              "mp42", ts, (id % 100000L) * 37 + 600, video, audio,
               nFrames = 24 + (id % 5) * 6, frameDelta = (20 + (id % 3) * 5).toInt,
               mdatBytes = (id % 1000 + 100).toInt))
           }
@@ -4414,7 +4419,7 @@ object SparkEntry {
     "q_video_meta" ->
       """SELECT doc_id AS media_id, 'mp42' AS brand,
            (600 + (doc_id % 4) * 200)::BIGINT AS timescale,
-           (((doc_id*37 + 600) * 1000) // (600 + (doc_id % 4) * 200))::BIGINT AS duration_ms,
+           ((((doc_id % 100000)*37 + 600) * 1000) // (600 + (doc_id % 4) * 200))::BIGINT AS duration_ms,
            (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END)::BIGINT AS n_tracks,
            (320 + (doc_id % 4) * 160)::BIGINT AS width,
            (240 + (doc_id % 4) * 120)::BIGINT AS height,
@@ -4424,7 +4429,7 @@ object SparkEntry {
            (((600 + (doc_id % 4) * 200) * 1000) // (20 + (doc_id % 3) * 5))::BIGINT AS fps_milli,
            (doc_id % 1000 + 100)::BIGINT AS mdat_bytes,
            (((doc_id % 1000 + 100) * 8000) //
-             (((doc_id*37 + 600) * 1000) // (600 + (doc_id % 4) * 200)))::BIGINT AS bitrate_bps
+             ((((doc_id % 100000)*37 + 600) * 1000) // (600 + (doc_id % 4) * 200)))::BIGINT AS bitrate_bps
          FROM documents""",
     "q_xls_roundtrip" ->
       "SELECT doc_id, text, lang, n_chars FROM documents",

@@ -25,7 +25,10 @@ gen() {
 }
 
 bench() {
-  local dir="$1" out="$2" reps="$3" mem="$4" only="${5:-$SUBSET}"
+  # ${5-...} (no colon): an explicitly-passed EMPTY 5th arg means "no
+  # filter — run every row" (Bench treats empty BENCH_ONLY as no filter);
+  # only an ABSENT 5th arg falls back to the flagship subset.
+  local dir="$1" out="$2" reps="$3" mem="$4" only="${5-$SUBSET}"
   # sbt prefixes runMain stdout with "[info] " — strip it before the match
   SPARK_DRIVER_MEM="$mem" SPARK_GRAFT_SF_DIR="$dir" SPARK_GRAFT_BENCH_REPS="$reps" \
     SPARK_GRAFT_BENCH_ONLY="$only" \
