@@ -220,6 +220,11 @@ object Bench {
         if (samples(name).isEmpty || d.wallSec < samples(name).min)
           minMeters(name) = d
         samples(name) += d.wallSec
+        // stderr progress (stdout carries only the one JSON line): the
+        // multi-hour sf10 rehearsal is otherwise a black box — a live
+        // straggler identifies itself by the missing "done" line
+        System.err.println(String.format(java.util.Locale.ROOT,
+          "[bench] %s (%s): %.3f s", name, tag, Double.box(d.wallSec)))
       }
       // cache drops happen per-rep OUTSIDE the timed span — a rep
       // reading the previous rep's cache measures nothing

@@ -48,7 +48,8 @@ object Ann {
     */
   def buildIndex(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
       nPlanes: Int = 8): DataFrame =
-    corpus.select(col(idCol).as("neighbour_id"), col(vecCol).as("cv"),
+    graft.operators.Rebalance.scanAware(corpus)
+      .select(col(idCol).as("neighbour_id"), col(vecCol).as("cv"),
       Kernels.hyperplaneBucket(col(vecCol), nPlanes).as("bucket"))
 
   def lshKnn(
@@ -206,7 +207,8 @@ object Ann {
     */
   def buildItqIndex(
       corpus: DataFrame, idCol: String, vecCol: String, model: LshModel): DataFrame =
-    corpus.select(col(idCol).as("neighbour_id"), col(vecCol).as("cv"),
+    graft.operators.Rebalance.scanAware(corpus)
+      .select(col(idCol).as("neighbour_id"), col(vecCol).as("cv"),
       Kernels.learnedBucket(col(vecCol), model.planes, model.offsets).as("bucket"))
 
   /** Multi-probe search over a learned-plane index (the [[lshKnn]]
@@ -406,7 +408,7 @@ object Ann {
       "kmeansCluster: input already has a 'cluster' column — rename it first")
     val cents = trainCentroids(corpus, vecCol, nList = k, sampleN = sampleN,
       seed = seed, maxIter = maxIter, initMode = "k-means||")
-    corpus.withColumn("cluster",
+    graft.operators.Rebalance.scanAware(corpus).withColumn("cluster",
       element_at(Kernels.nearestCentroids(col(vecCol), cents, 1), 1))
   }
 
@@ -448,7 +450,10 @@ object Ann {
   def buildIvfIndex(
       corpus: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]]): DataFrame =
-    corpus.select(col(idCol).as("neighbour_id"), col(vecCol).as("cv"),
+    // scanAware: assignment is O(nList·d) flops per input byte — a
+    // monolith corpus file must not pin the whole build to one core
+    graft.operators.Rebalance.scanAware(corpus)
+      .select(col(idCol).as("neighbour_id"), col(vecCol).as("cv"),
       element_at(Kernels.nearestCentroids(col(vecCol), centroids, 1), 1).as("list"))
 
   /** Persist an IVF (or IVFADC) index partitioned by inverted list —
@@ -952,7 +957,7 @@ object Ann {
       corpus: DataFrame, idCol: String, vecCol: String,
       coarse: Array[Array[Double]], flatCodebooks: Array[Array[Double]],
       codeK: Int = 256, rot: Array[Array[Double]] = null): DataFrame = {
-    corpus
+    graft.operators.Rebalance.scanAware(corpus)
       .withColumn("list", element_at(Kernels.nearestCentroids(col(vecCol), coarse, 1), 1))
       .select(col(idCol).as("neighbour_id"), col("list"),
         Kernels.pqEncode(col(vecCol), col("list"), coarse, flatCodebooks, codeK, rot)
@@ -1073,7 +1078,8 @@ object Ann {
     */
   def buildSqIndex(
       corpus: DataFrame, idCol: String, vecCol: String, p: SqParams): DataFrame =
-    corpus.select(col(idCol).as("neighbour_id"),
+    graft.operators.Rebalance.scanAware(corpus)
+      .select(col(idCol).as("neighbour_id"),
       Kernels.sqEncode(col(vecCol), p.lo, p.step).as("code"))
 
   /** Full-scan SQ search: asymmetric distance (raw query vs dequantized
@@ -1176,7 +1182,8 @@ object Ann {
   def buildIvfSqIndex(
       corpus: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]], p: SqParams): DataFrame =
-    corpus.select(col(idCol).as("neighbour_id"),
+    graft.operators.Rebalance.scanAware(corpus)
+      .select(col(idCol).as("neighbour_id"),
       element_at(Kernels.nearestCentroids(col(vecCol), centroids, 1), 1).as("list"),
       Kernels.sqEncode(col(vecCol), p.lo, p.step).as("code"))
 

@@ -1,7 +1,7 @@
 package graft.ml
 
 import graft.functions.{Similarity, TextFunctions}
-import graft.operators.CacheScope
+import graft.operators.{CacheScope, Rebalance}
 import graft.plans.Kernels
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -137,7 +137,7 @@ object Dedup {
     * hash key (not the text) is the shuffle payload.
     */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs
+    Rebalance.scanAware(docs)
       .select(col(idCol), TextFunctions.fingerprint(col(textCol)).as("fp"))
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
@@ -182,7 +182,11 @@ object Dedup {
     */
   private[graft] def shingleFrame(
       docs: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame =
-    docs.select(col(idCol).as("id"),
+    // scanAware: the shingle explode + signature kernels amplify the scan
+    // 10-100×, so a monolith input (one small compressed file → one task)
+    // must rebalance BEFORE this stage or it carries the whole pipeline
+    // single-threaded (see Rebalance)
+    Rebalance.scanAware(docs).select(col(idCol).as("id"),
       Kernels.wordShingles(col(textCol), shingleN).as("sh"))
       .withColumn("sz", size(array_distinct(col("sh"))))
       .filter(col("sz") > 0)
@@ -455,7 +459,7 @@ object Dedup {
     require(maxDistance == 1 || maxDistance == 2,
       s"editDistancePairs: maxDistance=$maxDistance (FastSS depth 1 or 2)")
     val scope = new CacheScope
-    val base = scope.persist(docs
+    val base = scope.persist(Rebalance.scanAware(docs)
       .select(col(idCol).as("id"), col(strCol).as("s"))
       .filter(col("s").isNotNull && length(col("s")) <= maxLen))
     val keys = base.select(col("id"), explode(array_distinct(
@@ -526,7 +530,7 @@ object Dedup {
     // non-Latin scripts under an ASCII normalizer — all hash identically
     // and would form a quadratic bucket; they are exact-dedup's job
     val toks = split(TextFunctions.normalized(col(textCol)), " ", -1)
-    val sig = docs.where(size(toks) >= 3)
+    val sig = Rebalance.scanAware(docs).where(size(toks) >= 3)
       .select(col(idCol).as("id"), Kernels.simhash64(toks).as("sim"))
     hamming64Pairs(sig, "id", "sim", maxHamming, maxBucket, saltCap)
   }
@@ -608,7 +612,8 @@ object Dedup {
       minShared: Int = 2): DataFrame = {
     val scope = new CacheScope
     val sh = scope.persist(
-      docs.select(col(idCol).as("id"), Kernels.wordShingles(col(textCol), shingleN).as("sh"))
+      Rebalance.scanAware(docs)
+        .select(col(idCol).as("id"), Kernels.wordShingles(col(textCol), shingleN).as("sh"))
         .withColumn("sz", size(array_distinct(col("sh")))))
     // deterministic hash-sampled posting list — no per-doc window/sort;
     // the MinKHashes kernel picks each doc's `perDocKeep` smallest
@@ -682,7 +687,7 @@ object Dedup {
       shingleN: Int = 3,
       threshold: Double = 0.5): DataFrame = {
     val scope = new CacheScope
-    val sh = scope.persist(docs.select(col(idCol).as("id"),
+    val sh = scope.persist(Rebalance.scanAware(docs).select(col(idCol).as("id"),
       array_distinct(Kernels.wordShingles(col(textCol), shingleN)).as("sh"))
       .withColumn("sz", size(col("sh")))
       .filter(col("sz") > 0))
@@ -801,7 +806,7 @@ object Dedup {
     require(threshold > 0 && threshold <= 1, s"containment threshold: $threshold")
     require(shingleN >= 1, s"shingleN: $shingleN")
     val scope = new CacheScope
-    val sh = scope.persist(docs.select(col(idCol).as("id"),
+    val sh = scope.persist(Rebalance.scanAware(docs).select(col(idCol).as("id"),
       array_distinct(Kernels.wordShingles(col(textCol), shingleN)).as("sh"))
       .withColumn("sz", size(col("sh")))
       .filter(col("sz") > 0))
@@ -936,7 +941,7 @@ object Dedup {
       .filter(col(sz) > 0)
       .select(col(id), col(sz), explode(col("__sh")).as("shingle"))
     val probePost = posting(probe, "id_a", "sz_a")
-    val corpusPost = posting(corpus, "id_b", "sz_b")
+    val corpusPost = posting(Rebalance.scanAware(corpus), "id_b", "sz_b")
     probePost.hint("broadcast").join(corpusPost, Seq("shingle"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(first(col("sz_a")).as("sz_a"), count(lit(1)).as("__ov"))
@@ -1121,7 +1126,7 @@ object Dedup {
       textCol: String,
       maxDocFreq: Int = 10): DataFrame = {
     val scope = new CacheScope
-    val lines = scope.persist(docs.select(col(idCol).as("id"),
+    val lines = scope.persist(Rebalance.scanAware(docs).select(col(idCol).as("id"),
       posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
       .withColumn("h", xxhash64(trim(col("line")))))
     val boiler = lines.filter(trim(col("line")) =!= "")
@@ -1173,7 +1178,8 @@ object Dedup {
       maxDocFreq: Int = 1,
       keepFirst: Boolean = false): DataFrame = {
     val scope = new CacheScope
-    val base = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+    val base = Rebalance.scanAware(docs)
+      .select(col(idCol).as("id"), col(textCol).as("text"))
     val wins = scope.persist(base.select(col("id"),
       posexplode(Kernels.tokenWindowHashes(col("text"), minLen)).as(Seq("s", "h"))))
     val dup = wins.select(col("h"), col("id")).distinct()
@@ -1215,7 +1221,7 @@ object Dedup {
       nPlanes: Int = 10,
       maxBucket: Int = 2000,
       saltCap: Int = 50000): DataFrame = {
-    val b = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val b = Rebalance.scanAware(emb).select(col(idCol).as("id"), col(vecCol).as("v"),
       Kernels.hyperplaneBucket(col(vecCol), nPlanes).as("bucket"))
     // same skew guards as the text LSH joins: embedding spaces cluster
     // (a hot LSH cell of boilerplate-adjacent vectors), so the bucket
@@ -1243,7 +1249,7 @@ object Dedup {
       threshold: Double = 0.95,
       maxBucket: Int = 2000,
       saltCap: Int = 50000): DataFrame = {
-    val b = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val b = Rebalance.scanAware(emb).select(col(idCol).as("id"), col(vecCol).as("v"),
       element_at(Kernels.nearestCentroids(col(vecCol), centroids, 1), 1).as("cluster"))
     val scope = new CacheScope
     scope.releaseAfter(bucketSelfJoin(b, "cluster", Seq("id", "v"), maxBucket, saltCap, scope)
@@ -1284,7 +1290,8 @@ object Dedup {
       shingleN: Int = 3, k: Int = 4096): KmvSketch = {
     require(shingleN >= 1 && k >= 1, s"shingleN/k: $shingleN/$k")
     KmvSketch(
-      docs.select(explode(Kernels.wordShingles(col(textCol), shingleN)).as("s"))
+      Rebalance.scanAware(docs)
+        .select(explode(Kernels.wordShingles(col(textCol), shingleN)).as("s"))
         .select(xxhash64(col("s")).as("h")).distinct()
         .orderBy(col("h").asc).limit(k)
         .collect().map(_.getLong(0)),

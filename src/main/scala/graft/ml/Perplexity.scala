@@ -68,7 +68,8 @@ object Perplexity {
     require(buckets > 0, s"buckets: $buckets")
     require(order == 2 || order == 3, s"order: $order (2 or 3)")
     require(smoothing == "jm" || smoothing == "kn", s"smoothing: $smoothing")
-    def counts(n: Int, kind: Int): DataFrame = corpus
+    val src = graft.operators.Rebalance.scanAware(corpus)
+    def counts(n: Int, kind: Int): DataFrame = src
       .select(explode(Kernels.wordShingles(col(textCol), n)).as("__sh"))
       .select(pmod(xxhash64(col("__sh"), lit(seed)), lit(buckets.toLong)).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
@@ -87,7 +88,7 @@ object Perplexity {
       // collisions merge types consistently with the count model.
       def h(c: org.apache.spark.sql.Column) =
         pmod(xxhash64(c, lit(seed)), lit(buckets.toLong))
-      val biTypes = corpus
+      val biTypes = src
         .select(explode(Kernels.wordShingles(col(textCol), 2)).as("__sh"))
         .select(h(col("__sh")).as("__h2"),
           h(substring_index(col("__sh"), " ", 1)).as("__hv"),
@@ -102,7 +103,7 @@ object Perplexity {
         .unionByName(biTypes.agg(count(lit(1)).as("cnt"))
           .select(lit(0).as("kind"), lit(-1L).as("bucket"), col("cnt")))
       if (order == 3) {
-        val triTypes = corpus
+        val triTypes = src
           .select(explode(Kernels.wordShingles(col(textCol), 3)).as("__sh"))
           .select(h(col("__sh")).as("__h3"),
             h(substring_index(col("__sh"), " ", 2)).as("__h2h"))
@@ -145,6 +146,7 @@ object Perplexity {
       lambda: Double = 0.8, discount: Double = 0.75): DataFrame = {
     require(lambda > 0.0 && lambda < 1.0, s"lambda: $lambda")
     require(discount > 0.0 && discount < 1.0, s"discount: $discount")
+    val srcDocs = graft.operators.Rebalance.scanAware(docs)
     // The model plan (order× shuffles over the whole reference corpus)
     // is read several times below (per-kind frames + header) — persist
     // it through a scope that drains after the caller's first action, so
@@ -199,7 +201,7 @@ object Perplexity {
           (coalesce(contC, lit(0L)).cast("double") + 1.0) /
             (b2.toDouble + buckets.toDouble)
         if (order == 2) {
-          val transitions = docs
+          val transitions = srcDocs
             .select(col(idCol), explode(Kernels.wordShingles(col(textCol), 2)).as("__sh"))
             .select(col(idCol),
               h(col("__sh")).as("__hb"),
@@ -220,7 +222,7 @@ object Perplexity {
         } else {
           val tri = kindFrame(3, "__tb", "__c3")
           val fol2F = kindFrame(6, "__kb6", "__fol2")
-          val windows = docs
+          val windows = srcDocs
             .select(col(idCol), explode(Kernels.wordShingles(col(textCol), 3)).as("__sh"))
             .select(col(idCol),
               h(col("__sh")).as("__h3"),
@@ -252,7 +254,7 @@ object Perplexity {
           windows.select(col(idCol), (-log(p3)).as("__nll"))
         }
       } else if (order == 2) {
-        val transitions = docs
+        val transitions = srcDocs
           .select(col(idCol), explode(Kernels.wordShingles(col(textCol), 2)).as("__sh"))
           .select(col(idCol),
             h(col("__sh")).as("__hb"),
@@ -272,7 +274,7 @@ object Perplexity {
         // c₃(u v w), c₂(u v), c₂(v w), c₁(v), c₁(w) — five broadcast
         // joins against the ≤3×buckets model, still zero corpus shuffle
         val tri = kindFrame(3, "__tb", "__c3")
-        val windows = docs
+        val windows = srcDocs
           .select(col(idCol), explode(Kernels.wordShingles(col(textCol), 3)).as("__sh"))
           .select(col(idCol),
             h(col("__sh")).as("__h3"),

@@ -57,13 +57,24 @@ object ScaleTestData {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
-    def write(t: String, df: DataFrame): Unit = {
-      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    // Replicated tables write as MULTI-FILE layouts (32 splits): the
+    // crossJoin against the broadcast copy list inherits the SOURCE
+    // scan's partitioning, and the sf dirs are single-file — so without
+    // this the factor-100 documents table lands as ONE 27 MB
+    // single-row-group parquet file that Spark cannot split, and every
+    // downstream map stage (shingle explode → partial agg most visibly)
+    // runs on 1 of 32 cores (measured: a 28-minute single-task straggler
+    // in the r14 sf10 rehearsal). A real corpus at 10×-100× scale is
+    // always many files; a monolith here would benchmark the generator's
+    // artifact, not the engine.
+    def write(t: String, df: DataFrame, parts: Int = 32): Unit = {
+      df.repartition(parts).write.mode("overwrite").parquet(s"$dst/$t.parquet")
       println(s"[scale] $t: ${spark.read.parquet(s"$dst/$t.parquet").count()} rows")
     }
 
-    write("region", read("region"))
-    write("nation", read("nation"))
+    // dimensions copy unchanged and stay tiny — single file is correct
+    write("region", read("region"), parts = 1)
+    write("nation", read("nation"), parts = 1)
     write("customer", replicate(spark, read("customer"), factor, Seq("c_custkey")))
     write("supplier", replicate(spark, read("supplier"), factor, Seq("s_suppkey")))
     write("part", replicate(spark, read("part"), factor, Seq("p_partkey")))
