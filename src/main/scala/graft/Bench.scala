@@ -229,6 +229,16 @@ object Bench {
       // cache drops happen per-rep OUTSIDE the timed span — a rep
       // reading the previous rep's cache measures nothing
       spark.catalog.clearCache()
+      // deterministic GC between tasks (also outside the timed span):
+      // shuffle files live on disk until their ShuffleDependency is
+      // GC'd, and a 96 GB heap full-GCs so rarely that a long bench
+      // accumulates the DEAD shuffle output of every prior row — at
+      // sf10 that filled the disk mid-row (spill() ENOSPC), and it is
+      // the resource-hygiene mechanism behind rows that run 6× slower
+      // after ~30 predecessor pipelines than in isolation. One explicit
+      // gc hands ContextCleaner the references; the cleaner deletes the
+      // files asynchronously before the next timed span.
+      System.gc()
       loadMax = math.max(loadMax, loadavg)
     }
     var pass = 0

@@ -35,6 +35,18 @@ object GraftSession {
       // default.
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // plan strings are rendered by AQE on EVERY plan update (and by
+      // the UI/event log); the default length cap is effectively
+      // unlimited, so a deep multi-stage dedup plan can spend more
+      // memory on its own explain string than on its data — 100 k chars
+      // is plenty for humans and bounds the renderer
+      .config("spark.sql.maxPlanStringLength", "100000")
+      // shuffle files free only when their ShuffleDependency is GC'd;
+      // the 30 min default periodic GC is tuned for idle services, not
+      // a curation pipeline churning corpus-scale shuffles back to back
+      // — dead shuffle output of prior stages otherwise accumulates on
+      // local disk until ENOSPC (observed at sf10)
+      .config("spark.cleaner.periodicGC.interval", "5min")
       .config("spark.ui.enabled", "false")
 }
 

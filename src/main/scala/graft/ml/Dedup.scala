@@ -219,12 +219,71 @@ object Dedup {
     val cand = bucketSelfJoin(bandRows, "bandkey", Seq("id"), maxBucket, saltCap, scope)
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    scope.releaseAfter(cand
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a"), col("sz").as("sz_a")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b"), col("sz").as("sz_b")), Seq("id_b"))
+    verifiedJaccardPairs(cand, sh, sh, threshold, scope)
+  }
+
+  /** Exact Jaccard verification of `(id_a, id_b)` candidate pairs
+    * against two `(id, sh, sz)` shingle frames, STAGED so the literal
+    * shingle-string arrays never ship at candidate volume (the r13
+    * containment restructure generalized to every minhash-family
+    * verify; measured there: two ~10 KB arrays per CANDIDATE was ~90%
+    * of the row's runtime, and the sf10 rehearsal caught the
+    * incremental path spilling 50 GB through this exact shape):
+    *
+    *  1. both sides are SEMI-JOIN-PRUNED to the ids candidates actually
+    *     touch before anything ships — the index/corpus side is the
+    *     whole corpus shingle store, and a micro-batch probe must not
+    *     re-shuffle it per batch (the candidate-id set is small and
+    *     broadcasts, so the prune is map-side);
+    *  2. stage-1 prune on 8-byte xxhash64 shingle identities: the
+    *     size-bound kills impossible pairs on the narrow sz columns,
+    *     then hashed-set Jaccard ≥ threshold. No false negatives: a
+    *     collision can only MERGE distinct shingles, so the hashed
+    *     intersect only inflates and the hashed union only deflates —
+    *     hashed J ≥ literal J always;
+    *  3. the literal exact verify (unchanged semantics, the same
+    *     [[Kernels.jaccardSim]]) then runs at ~true-pair volume.
+    */
+  private[graft] def verifiedJaccardPairs(
+      cand0: DataFrame,
+      shA: DataFrame,
+      shB: DataFrame,
+      threshold: Double,
+      scope: CacheScope): DataFrame = {
+    // the candidate frame is the plan's FAN-OUT point: both prune sides,
+    // the prune join and the literal stage all reference it, so its
+    // LOGICAL tree is duplicated ~3× here and ~3× again through
+    // `pruned` below. The persist bounds EXECUTION (the candidate job
+    // runs once); the ~9× logical-tree duplication is a bounded
+    // constant factor on analysis cost — but it made Spark's
+    // effectively-unlimited plan-STRING rendering the driver's largest
+    // allocation in the nested ingest verify, which is why GraftSession
+    // caps spark.sql.maxPlanStringLength.
+    val cand = scope.persist(cand0)
+    def hashed(df: DataFrame, suffix: String) =
+      df.select(col("id").as("id" + suffix), col("sz").as("sz" + suffix),
+        array_sort(array_distinct(transform(col("sh"), s => xxhash64(s))))
+          .as("shh" + suffix))
+    val aIds = cand.select(col("id_a").as("id")).distinct()
+    val bIds = cand.select(col("id_b").as("id")).distinct()
+    val hA = hashed(shA.join(aIds, Seq("id"), "left_semi"), "_a")
+    val hB = hashed(shB.join(bIds, Seq("id"), "left_semi"), "_b")
+    val inter = size(array_intersect(col("shh_a"), col("shh_b"))).cast("double")
+    val hUnion = (size(col("shh_a")) + size(col("shh_b"))).cast("double") - inter
+    val pruned = scope.persist(cand
+      .join(hA, Seq("id_a"))
+      .join(hB, Seq("id_b"))
       .filter(lit(threshold) * col("sz_b") - lit(1e-9) <= col("sz_a") &&
         lit(threshold) * col("sz_a") - lit(1e-9) <= col("sz_b"))
-      .select(col("id_a"), col("id_b"), Kernels.jaccardSim(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(inter >= lit(threshold) * hUnion - lit(1e-9))
+      .select(col("id_a"), col("id_b")))
+    val aSel = shA.join(pruned.select(col("id_a").as("id")).distinct(), Seq("id"), "left_semi")
+    val bSel = shB.join(pruned.select(col("id_b").as("id")).distinct(), Seq("id"), "left_semi")
+    scope.releaseAfter(pruned
+      .join(aSel.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(bSel.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Kernels.jaccardSim(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold))
   }
 
@@ -388,13 +447,10 @@ object Dedup {
     val cand = newBands
       .join(hit.join(ok, Seq("bandkey"), "left_semi"), Seq("bandkey"))
       .select(col("id_a"), col("id_b")).distinct()
-    scope.releaseAfter(cand
-      .join(shNew.select(col("id").as("id_a"), col("sh").as("sh_a"), col("sz").as("sz_a")), Seq("id_a"))
-      .join(index.shingles.select(col("id").as("id_b"), col("sh").as("sh_b"), col("sz").as("sz_b")), Seq("id_b"))
-      .filter(lit(threshold) * col("sz_b") - lit(1e-9) <= col("sz_a") &&
-        lit(threshold) * col("sz_a") - lit(1e-9) <= col("sz_b"))
-      .select(col("id_a"), col("id_b"), Kernels.jaccardSim(col("sh_a"), col("sh_b")).as("jaccard"))
-      .filter(col("jaccard") >= threshold))
+    // staged verify: the corpus shingle store is semi-join-pruned to the
+    // candidate ids and the literal arrays ship only at true-pair volume
+    // — a micro-batch probe must never re-shuffle the whole index
+    verifiedJaccardPairs(cand, shNew, index.shingles, threshold, scope)
   }
 
   /** All strings reachable from `s` by deleting AT MOST `k` characters

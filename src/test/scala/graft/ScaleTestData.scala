@@ -92,16 +92,32 @@ object ScaleTestData {
       val copies = spark.range(factor).select(col("id").as("__copy"))
       val grp = (col("__copy") / 10).cast("long")
       val member = col("__copy") % 10
+      // The interleave token carries the SOURCE doc id, not just the
+      // group number: the corpus vocabulary is ~31 words, so a token
+      // shared by every orig's group g would put all 10%-of-corpus docs
+      // of that group number into one shingle space of ~31² + 31 values
+      // — measured cross-orig Jaccard ≈ 0.26, which at factor 100 made
+      // each group number ONE 50 k-doc J≈0.26 mega-cluster and the
+      // 16×4 LSH banding passed ~7% of its C(50k,2) pairs: ~900 M
+      // spurious candidates, zero true pairs (J < 0.7), 60 GB of
+      // distinct-stage spill. Per-(orig, grp) tokens restore the
+      // scheme's documented contract: near-dup groups stay size 10 and
+      // CROSS-group Jaccard collapses to ~0 at every factor. (Dense
+      // boilerplate clusters are a real corpus axis, but it is measured
+      // by the dense sf1 record and PairBudgetSpec — the SCALE axis
+      // must not quietly turn quadratic.)
       val grouped = when(grp === 0, col("text")).otherwise(
         regexp_replace(col("text"), lit(" "),
-          concat(lit(" zgrp"), grp.cast("string"), lit(" "))))
+          concat(lit(" zg"), grp.cast("string"), lit("x"),
+            col("__orig").cast("string"), lit(" "))))
       val scaled = docs.crossJoin(copies)
+        .withColumn("__orig", col("doc_id"))
         .withColumn("doc_id", col("doc_id") + col("__copy") * Stride)
         .withColumn("text",
           when(member === 0, grouped)
             .otherwise(concat(grouped, lit(" variant"), member)))
         .withColumn("n_chars", length(col("text")))
-        .drop("__copy")
+        .drop("__copy", "__orig")
       write("documents", scaled)
     }
     // embeddings: remapped ids + per-copy component offset (unique per
