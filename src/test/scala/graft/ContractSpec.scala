@@ -25,6 +25,10 @@ class ContractSpec extends SparkSpec {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, "/root/testdata/sf0.001")
       assert(df.schema.fields.nonEmpty, s"$name resolved to empty schema")
+      // see TsFlavorSpec: plan-only enumeration strands CacheScope
+      // persists (no action ever releases them) — clear per query or the
+      // accumulated entries OOM the shared test JVM after ~78 suites
+      spark.sharedState.cacheManager.clearCache()
     }
   }
 

@@ -85,6 +85,14 @@ class TsFlavorSpec extends SparkSpec {
             fail(s"$name failed to build plan on ts flavor '$flavor': ${e.getMessage}")
           }
         assert(df.schema.fields.nonEmpty, s"$name empty schema on flavor $flavor")
+        // Plan-only enumeration never runs an action, so the dedup
+        // pipelines' CacheScope persists (released on the caller's FIRST
+        // action) stay registered — 4 flavors × every query accumulates
+        // thousands of lazy CacheManager entries, each pinning its full
+        // analyzed tree: every later (un)persist then walks all of them
+        // via sameResult (quadratic driver time) and the pinned trees
+        // eventually OOM the shared 8 g test JVM. Clear per query.
+        spark.sharedState.cacheManager.clearCache()
       }
     }
   }
