@@ -260,23 +260,47 @@ object Dedup {
     // allocation in the nested ingest verify, which is why GraftSession
     // caps spark.sql.maxPlanStringLength.
     val cand = scope.persist(cand0)
-    def hashed(df: DataFrame, suffix: String) =
-      df.select(col("id").as("id" + suffix), col("sz").as("sz" + suffix),
-        array_sort(array_distinct(transform(col("sh"), s => xxhash64(s))))
-          .as("shh" + suffix))
     val aIds = cand.select(col("id_a").as("id")).distinct()
     val bIds = cand.select(col("id_b").as("id")).distinct()
-    val hA = hashed(shA.join(aIds, Seq("id"), "left_semi"), "_a")
-    val hB = hashed(shB.join(bIds, Seq("id"), "left_semi"), "_b")
-    val inter = size(array_intersect(col("shh_a"), col("shh_b"))).cast("double")
-    val hUnion = (size(col("shh_a")) + size(col("shh_b"))).cast("double") - inter
-    val pruned = scope.persist(cand
-      .join(hA, Seq("id_a"))
-      .join(hB, Seq("id_b"))
-      .filter(lit(threshold) * col("sz_b") - lit(1e-9) <= col("sz_a") &&
-        lit(threshold) * col("sz_a") - lit(1e-9) <= col("sz_b"))
-      .filter(inter >= lit(threshold) * hUnion - lit(1e-9))
-      .select(col("id_a"), col("id_b")))
+    val selA = shA.join(aIds, Seq("id"), "left_semi")
+    val selB = shB.join(bIds, Seq("id"), "left_semi")
+    // At threshold >= 1.0 stage-1 degenerates to hashed-SET EQUALITY
+    // (inter >= union  ⟺  the hashed sets are equal, and the size bound
+    // collapses to sz_a = sz_b), so ONE 8-byte fingerprint per doc —
+    // xxhash64 over the sorted distinct shingle-hash array — replaces the
+    // array-valued hashed stage: the prune join ships 16 bytes/candidate
+    // instead of two hash arrays, and no per-pair array intersect runs.
+    // Equal sets always fingerprint equal (no false negatives); a
+    // fingerprint collision only ADDS a candidate, which the literal
+    // verify kills. Exact-duplicate mining (t = 1.0) is the common
+    // plant/bench shape AND the cheapest production tier, so it must not
+    // pay the general near-dup machinery.
+    val pruned = scope.persist(
+      if (threshold >= 1.0) {
+        def fp(df: DataFrame, suffix: String) =
+          df.select(col("id").as("id" + suffix), col("sz").as("sz" + suffix),
+            xxhash64(array_sort(array_distinct(transform(col("sh"), s => xxhash64(s)))))
+              .as("fp" + suffix))
+        cand
+          .join(fp(selA, "_a"), Seq("id_a"))
+          .join(fp(selB, "_b"), Seq("id_b"))
+          .filter(col("sz_a") === col("sz_b") && col("fp_a") === col("fp_b"))
+          .select(col("id_a"), col("id_b"))
+      } else {
+        def hashed(df: DataFrame, suffix: String) =
+          df.select(col("id").as("id" + suffix), col("sz").as("sz" + suffix),
+            array_sort(array_distinct(transform(col("sh"), s => xxhash64(s))))
+              .as("shh" + suffix))
+        val inter = size(array_intersect(col("shh_a"), col("shh_b"))).cast("double")
+        val hUnion = (size(col("shh_a")) + size(col("shh_b"))).cast("double") - inter
+        cand
+          .join(hashed(selA, "_a"), Seq("id_a"))
+          .join(hashed(selB, "_b"), Seq("id_b"))
+          .filter(lit(threshold) * col("sz_b") - lit(1e-9) <= col("sz_a") &&
+            lit(threshold) * col("sz_a") - lit(1e-9) <= col("sz_b"))
+          .filter(inter >= lit(threshold) * hUnion - lit(1e-9))
+          .select(col("id_a"), col("id_b"))
+      })
     val aSel = shA.join(pruned.select(col("id_a").as("id")).distinct(), Seq("id"), "left_semi")
     val bSel = shB.join(pruned.select(col("id_b").as("id")).distinct(), Seq("id"), "left_semi")
     scope.releaseAfter(pruned

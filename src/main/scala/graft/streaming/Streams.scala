@@ -306,15 +306,23 @@ object Streams {
       val shAll = graft.ml.Dedup.shingleFrame(batch, idCol, textCol, idx.shingleN)
         .persist(mem)
       val bandAll = graft.ml.Dedup.bandFrame(shAll, idx.k, idx.nBands).persist(mem)
-      // the corpus-probe verdict is persisted too (a tiny id frame): the
-      // probe's verify joins read the CORPUS shingle store, and without
-      // this they re-run in every downstream action (the components
-      // count AND the survivor checkpoint)
+      // the corpus-probe verdict is a tiny id frame, but its LOGICAL tree
+      // is the whole staged verify (the candidate frame is referenced
+      // from ~9 plan positions) — and every downstream stage here embeds
+      // it again (fresh → intra pairing → components → survivors), so a
+      // plain persist bounds execution but leaves the driver re-analyzing
+      // a multiplicatively duplicated tree on EVERY action: measured
+      // 315 s of pure catalyst work per bench row at sf0.01 (41 M-char
+      // plan strings). localCheckpoint CUTS the lineage to one leaf —
+      // this function is already eager end-to-end (it appends to the
+      // index before returning), so the eager cut adds no new job, and
+      // the fault-tolerance caveat is the same one `survivors` below
+      // already documents.
       val vsCorpus = graft.ml.Dedup.incrementalVerifiedPairs(
         shAll, bandAll, idx, threshold, maxDf = 20000,
         scope = new graft.operators.CacheScope)
         .select(col("id_a").as("__dup_id")).distinct()
-        .persist(mem)
+        .localCheckpoint(eager = true)
       try {
         val fresh = batch.join(vsCorpus, batch(idCol) === col("__dup_id"), "left_anti")
         val freshIds = fresh.select(col(idCol).as("id"))
@@ -339,7 +347,9 @@ object Streams {
       } finally {
         shAll.unpersist(blocking = false)
         bandAll.unpersist(blocking = false)
-        vsCorpus.unpersist(blocking = false)
+        // vsCorpus is localCheckpoint-backed (no CacheManager entry):
+        // its blocks free via ContextCleaner once the batch's frames
+        // drop out of scope — same lifecycle as `survivors`
         ()
       }
     }

@@ -69,11 +69,16 @@ object ProfileIngest {
           val f = graft.ml.Dedup.bandFrame(shAll, idx.k, idx.nBands).persist(mem)
           f.count(); f
         }
+        // localCheckpoint, not persist — mirrors dedupIngestBatch: the
+        // r14 fix that cuts the probe's staged-verify tree out of every
+        // downstream stage's lineage (persist here left the driver
+        // re-analyzing ~million-node trees: intra 348 s / components
+        // 183 s at sf0.01 in the before-fix profile)
         val vsCorpus = phase("d probe (incrementalVerifiedPairs)") {
-          val f = graft.ml.Dedup.incrementalVerifiedPairs(
+          graft.ml.Dedup.incrementalVerifiedPairs(
             shAll, bandAll, idx, 1.0, 20000, new graft.operators.CacheScope)
-            .select(col("id_a").as("__dup_id")).distinct().persist(mem)
-          f.count(); f
+            .select(col("id_a").as("__dup_id")).distinct()
+            .localCheckpoint(eager = true)
         }
         val fresh = batch1.join(vsCorpus, batch1("doc_id") === col("__dup_id"), "left_anti")
         val freshIds = fresh.select(col("doc_id").as("id"))
@@ -94,7 +99,7 @@ object ProfileIngest {
             shAll.join(survIds, Seq("id"), "left_semi"),
             bandAll.join(survIds, Seq("id"), "left_semi"))
         }
-        shAll.unpersist(false); bandAll.unpersist(false); vsCorpus.unpersist(false)
+        shAll.unpersist(false); bandAll.unpersist(false)
       }
       // job-count accounting (the r11 verdict flagged ~100 jobs / two
       // cycles as driver overhead): count jobs submitted during cycle1
