@@ -41,6 +41,19 @@ object GraftSession {
       // memory on its own explain string than on its data — 100 k chars
       // is plenty for humans and bounds the renderer
       .config("spark.sql.maxPlanStringLength", "100000")
+      // the generated-class cache defaults to 100 entries — one multi-stage
+      // dedup pipeline alone generates ~80 wholestage units, so a pipeline
+      // run after ANY other work finds every entry evicted, regenerates the
+      // classes, and pays HotSpot JIT for each fresh class name all over
+      // again (measured: a 20-query prefix makes q_containment_dedup spend
+      // 29.5 s of JIT time and run 25.7 s vs 3.9 s warm; at 5000 entries the
+      // second run generates 0 classes). Identical plans re-run across a
+      // long pipeline are the norm, not the exception; ~12000 classes at
+      // ~10-100 KB of retained source+bytecode each is a bounded ~0.5-1 GB
+      // cost on any driver that runs multi-query workloads (the full bench
+      // generates ~5-6k distinct units per pass — the cache must hold a
+      // whole pass for interleaved reps to reuse anything)
+      .config("spark.sql.codegen.cache.maxEntries", "12000")
       // shuffle files free only when their ShuffleDependency is GC'd;
       // the 30 min default periodic GC is tuned for idle services, not
       // a curation pipeline churning corpus-scale shuffles back to back
